@@ -1,0 +1,93 @@
+package graft.uts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's `derivative(col, I)` aggregate
+  * (`/root/reference/uts.ts:458-507`), re-derived as a distributed plan.
+  *
+  * Exact semantics (quirk Q11, verified against test.js:96-136):
+  *  - per-point delta `vᵢ − vᵢ₋₁` in (time, seq) order; the first point
+  *    contributes 0 (uts.ts:476-479);
+  *  - the emission grid anchors at the FIRST point's time `t0`, stepping `I`:
+  *    the reference emits grid point `g = lastTime + I` whenever a point
+  *    arrives with `t > g` (strict, uts.ts:481-483), so delta `i` lands in
+  *    bucket `k = max(ceil((tᵢ − t0)/I), 1)`;
+  *  - intermediate empty grid slots emit value 0 (the while-loop resets,
+  *    uts.ts:490-498);
+  *  - the trailing partial bucket is flushed at the LAST point's actual time,
+  *    not a grid time (uts.ts:500-506);
+  *  - empty input ⇒ no rows (test.js:130-136).
+  *
+  * Spark shape: one window pass for `lag` + per-partition min/max, a hash
+  * aggregate on the grid bucket, and a `sequence`-exploded spine left-joined
+  * for gap fill — no driver-side collect anywhere. With `partitionCols` the
+  * whole thing parallelizes per key (e.g. per `user_id`); without, the lag
+  * window is a single sorted partition (fine for one logical series, flagged
+  * for 100 TB use — always partition there).
+  *
+  * Output: `partitionCols ++ (der_time: Long epoch-ms, der_value)` ordered by
+  * (partitionCols, der_time).
+  */
+object Derivative {
+  def apply(
+      df: DataFrame,
+      valueCol: String,
+      intervalMs: Long,
+      timeCol: String = "time",
+      partitionCols: Seq[String] = Nil,
+      seqCol: Option[String] = None): DataFrame = {
+    val part = partitionCols.map(col)
+    val seq0 = seqCol.map(col).getOrElse(lit(0L))
+    val w = {
+      val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+      base.orderBy(col(timeCol).asc, seq0.asc)
+    }
+    val whole = {
+      val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+      base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    }
+
+    val withDelta = df.select(
+      part ++ Seq(
+        col(timeCol).as("__t"),
+        coalesce(col(valueCol) - lag(col(valueCol), 1).over(w), lit(0.0)).as("__delta"),
+        min(col(timeCol)).over(whole).as("__t0")): _*)
+
+    // Bucket k = max(ceil((t − t0)/I), 1); K = max(ceil((tmax − t0)/I), 1).
+    // (t − t0) is a bounded window span, exact in double arithmetic.
+    def ceilDiv(c: org.apache.spark.sql.Column) =
+      greatest(ceil(c / lit(intervalMs.toDouble)).cast("long"), lit(1L))
+
+    val bucketed = withDelta
+      .withColumn("__k", ceilDiv(col("__t") - col("__t0")))
+      .groupBy((part :+ col("__k")): _*)
+      .agg(sum(col("__delta")).as("__dv"))
+
+    // Per-partition spine 1..K for gap fill (empty grid slots emit 0);
+    // bounds come straight off the input — a plain partial-aggregatable scan,
+    // no window needed.
+    val bounds = df
+      .groupBy(part: _*)
+      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__tmax"))
+      // Global grouping over empty input yields one all-null row; drop it so
+      // empty series ⇒ empty output (test.js:130-136), never a null bucket.
+      .where(col("__t0").isNotNull)
+      .withColumn("__kmax", ceilDiv(col("__tmax") - col("__t0")))
+    val spine = bounds.select(
+      part ++ Seq(col("__t0"), col("__tmax"), col("__kmax"),
+        explode(sequence(lit(1L), col("__kmax"))).as("__k")): _*)
+
+    val joinKeys = partitionCols :+ "__k"
+    val joined = spine.join(
+      bucketed.select((part ++ Seq(col("__k"), col("__dv"))): _*), joinKeys, "left")
+
+    joined.select(
+      part ++ Seq(
+        when(col("__k") === col("__kmax"), col("__tmax"))
+          .otherwise(col("__t0") + col("__k") * lit(intervalMs)).as("der_time"),
+        coalesce(col("__dv"), lit(0.0)).as("der_value")): _*)
+      .orderBy((part :+ col("der_time").asc): _*)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.uts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native analogue of the reference's `TSDB` / `Series` facade
+  * (`/root/reference/uts.ts:239-384, 523-556`).
+  *
+  * A "series" is an immutable DataFrame with an epoch-ms `time` column;
+  * mutation verbs (`insert`, `remove`, retention) return new series — the
+  * snapshot-rewrite model that replaces the reference's in-place array
+  * mutation. A [[Tsdb]] resolves names to parquet tables under a directory
+  * (the driver corpus layout) or registered temp views.
+  */
+final case class UtsSeries(
+    df: DataFrame,
+    timeCol: String = "time",
+    seqCol: Option[String] = None) {
+
+  /** Append rows (uts.ts:275-278). Missing columns stay NULL — the SQL model
+    * of the reference's absent-column semantics (uts.ts:187-196).
+    */
+  def insert(rows: DataFrame): UtsSeries =
+    copy(df = df.unionByName(rows, allowMissingColumns = true))
+
+  /** Delete rows matching ALL comparators; no-arg deletes everything
+    * (uts.ts:326-335). The reference keeps points where the predicate is
+    * false — and a missing column makes each comparator false (uts.ts:297) —
+    * so rows where the SQL predicate is NULL must be KEPT: hence the
+    * `coalesce(pred, false)` before negation (plain `NOT pred` would drop
+    * NULL-predicate rows).
+    */
+  def remove(preds: Seq[Pred] = Nil): UtsSeries =
+    if (preds.isEmpty) copy(df = df.limit(0))
+    else copy(df = df.filter(!coalesce(Pred.conj(preds), lit(false))))
+
+  /** Retention sweep (uts.ts:250-269): keep rows with `time >= now − ttl`.
+    * Set-based, so the reference's ascending-arrival assumption (Q12)
+    * disappears; at scale this is a date-partition drop, in streams a
+    * watermark (see graft.streaming).
+    */
+  def retain(ttlMs: Long, nowMs: Long): UtsSeries =
+    if (ttlMs == 0L) this // ttl=0 keeps everything (uts.ts:253-255)
+    else copy(df = df.filter(col(timeCol) >= lit(nowMs - ttlMs)))
+
+  /** Run a query (uts.ts:362-375). */
+  def query(q: UtsQuery): DataFrame =
+    UtsCompiler.run(df, q.copy(timeCol = timeCol, seqCol = seqCol))
+
+  def derivative(valueCol: String, intervalMs: Long, partitionCols: Seq[String] = Nil): DataFrame =
+    Derivative(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
+}
+
+object Tsdb {
+  /** Open the driver corpus directory as a database of series. The `events`
+    * table is the canonical uts-shaped series: `ts` (timestamp) becomes the
+    * reference's epoch-ms `time` column via `unix_millis` at this single
+    * boundary (SURVEY.md §7.3#5); `event_id` is the insertion-order tiebreak.
+    *
+    * Scale note: filter on the native `ts` column BEFORE wide time-range
+    * queries when possible — predicates on the derived ms column do not reach
+    * the parquet scan, ones on `ts` do.
+    */
+  def events(spark: SparkSession, dir: String): UtsSeries =
+    UtsSeries(
+      eventsRaw(spark, dir)
+        // Integer `div`, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+        // exact range, so float division would corrupt the low-order ms.
+        .withColumn("time", expr("ts div 1000000")),
+      timeCol = "time",
+      seqCol = Some("event_id"))
+
+  /** `events` with `ts` as a raw epoch-nanosecond Long. The corpus writes
+    * parquet TIMESTAMP(NANOS), which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL])
+    * unless read via the legacy nanos-as-long mode; DuckDB's `epoch_ms(ts)`
+    * truncates identically, keeping the oracle comparable.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,109 @@
+package graft.uts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The query spec — the Spark-native analogue of the reference's
+  * `Series.query({metrics, where, group})` options object
+  * (`/root/reference/uts.ts:362-375`). Immutable; compiled to a single
+  * declarative DataFrame chain by [[UtsCompiler.run]] so Catalyst gets the
+  * whole plan (pushdown, pruning, partial aggregation — all free, SURVEY.md §4).
+  *
+  * @param metrics  named aggregates, one output column each (uts.ts:18-23)
+  * @param where    AND-ed comparators (uts.ts:285-320)
+  * @param group    [[AnyGroup]] (default, uts.ts:368) or [[IntervalGroup]]
+  * @param timeCol  epoch-millisecond LongType column (the reference's
+  *                 reserved `time` column, uts.ts:179-181)
+  * @param seqCol   insertion-order tiebreak for order-sensitive metrics
+  */
+final case class UtsQuery(
+    metrics: Seq[(String, Metric)],
+    where: Seq[Pred] = Nil,
+    group: Grouper = AnyGroup,
+    timeCol: String = "time",
+    seqCol: Option[String] = None)
+
+object UtsCompiler {
+  private val BucketCol = "__uts_bucket"
+
+  /** Compile + run a [[UtsQuery]] against `df`.
+    *
+    * Output schema: interval grouping emits `bin_start, bin_width` (the
+    * reference's `group: {start, width}`, uts.ts:126-129) followed by one
+    * column per metric, ordered newest-bin-first (uts.ts:132-139 routing +
+    * test.js:143-154 ordering); [[AnyGroup]] emits a single row of metric
+    * columns only (uts.ts:56-58).
+    */
+  def run(df: DataFrame, q: UtsQuery): DataFrame = {
+    val ord = OrderCtx(col(q.timeCol), q.seqCol.map(col).getOrElse(lit(0L)))
+    val aggs = q.metrics.map { case (name, m) => m.agg(ord).as(name) }
+    val filtered = df.filter(Pred.conj(q.where))
+
+    q.group match {
+      case AnyGroup =>
+        // Global aggregate: exactly one output row even on empty input,
+        // matching the reference's single always-present bin (uts.ts:153-162).
+        filtered.groupBy().agg(aggs.head, aggs.tail: _*)
+
+      case IntervalGroup(width, fill, now) =>
+        // Q7: points after `now` are dropped (uts.ts:132-136) — as a set-based
+        // filter, so the reference's ascending-order `break` dependence
+        // disappears.
+        val inRange = filtered.filter(col(q.timeCol) <= lit(now))
+        // End-aligned bucketing (Q6, uts.ts:138): i = floor((now − t) / w).
+        val bucket = floor((lit(now) - col(q.timeCol)) / lit(width)).cast("long")
+        val grouped = inRange
+          .withColumn(BucketCol, bucket)
+          .groupBy(BucketCol)
+          .agg(aggs.head, aggs.tail: _*)
+
+        val result =
+          if (!fill) grouped
+          else {
+            // Zero-fill (Q9, uts.ts:124-130,141-145): build the bin spine and
+            // left-join aggregates onto it. Bin count derives from the
+            // `where time >` bound when present (the reference's one
+            // optimization, uts.ts:113-122), else from min(time) — computed
+            // distributively (no collect); empty input ⇒ empty spine ⇒ empty
+            // result rather than the reference's crash (Q8 decision S).
+            val bound = q.where.collectFirst {
+              case Pred(c, Cmp.Gt, v: Long) if c == q.timeCol => v
+              case Pred(c, Cmp.Gt, v: Int) if c == q.timeCol => v.toLong
+            }
+            val spine = bound match {
+              case Some(b) =>
+                val count = math.max(((now - b) / width) + 1L, 0L)
+                df.sparkSession.range(count).select(col("id").as(BucketCol))
+              case None =>
+                inRange
+                  .groupBy()
+                  .agg(min(col(q.timeCol)).as("__t0"))
+                  .where(col("__t0").isNotNull)
+                  .select(explode(
+                    sequence(lit(0L),
+                      floor((lit(now) - col("__t0")) / lit(width)).cast("long")))
+                    .as(BucketCol))
+            }
+            // Post-aggregation side is at most one row per bin — broadcast it.
+            val joined = spine.join(broadcast(grouped), Seq(BucketCol), "left")
+            val fills = q.metrics.map { case (name, m) =>
+              m.emptyValue match {
+                case Some(f) =>
+                  val dt = grouped.schema(name).dataType
+                  coalesce(col(name), f(dt)).as(name)
+                case None => col(name)
+              }
+            }
+            joined.select(col(BucketCol) +: fills: _*)
+          }
+
+        // Labels (uts.ts:126-129): start = now − (i+1)·w, width = w;
+        // ascending bucket = newest bin first (test.js:143-154).
+        val labeled = result.select(
+          (lit(now) - (col(BucketCol) + 1) * lit(width)).as("bin_start") +:
+          lit(width).as("bin_width") +:
+          q.metrics.map { case (name, _) => col(name) }: _*)
+        labeled.orderBy(col("bin_start").desc)
+    }
+  }
+}

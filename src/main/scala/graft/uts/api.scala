@@ -1,0 +1,152 @@
+package graft.uts
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Comparator operators mirroring the reference's `BinaryOperator`
+  * (`/root/reference/uts.ts:217`: `">" | "<" | "="`).
+  */
+sealed trait Cmp
+object Cmp {
+  case object Gt extends Cmp
+  case object Lt extends Cmp
+  case object Eq extends Cmp
+}
+
+/** One `{is, than}` comparator on a column (uts.ts:223-226, eval at
+  * uts.ts:296-306). A missing column evaluates to `false` in the reference
+  * (uts.ts:297); SQL three-valued logic gives the same result natively,
+  * because `NULL > v` is not true and a `filter` drops non-true rows.
+  *
+  * Multiple predicates AND together (uts.ts:308-319); there is no OR in the
+  * reference surface.
+  */
+final case class Pred(col: String, cmp: Cmp, than: Any) {
+  def toColumn: Column = cmp match {
+    case Cmp.Gt => column(col) > lit(than)
+    case Cmp.Lt => column(col) < lit(than)
+    case Cmp.Eq => column(col) === lit(than)
+  }
+}
+
+object Pred {
+  def gt(col: String, v: Any): Pred = Pred(col, Cmp.Gt, v)
+  def lt(col: String, v: Any): Pred = Pred(col, Cmp.Lt, v)
+  def eq(col: String, v: Any): Pred = Pred(col, Cmp.Eq, v)
+
+  /** AND-of-all conjunction (uts.ts:311-319); empty list ⇒ keep everything. */
+  def conj(preds: Seq[Pred]): Column =
+    preds.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
+}
+
+/** Grouping spec. `AnyGroup` (uts.ts:153-162) emits one global bin.
+  * `IntervalGroup` (uts.ts:103-147) is tumbling windows of `widthMs` ms,
+  * END-ALIGNED at `nowMs` (not epoch-aligned like Spark's `window()`):
+  * bucket `i = floor((now − t) / width)` covers `(now−(i+1)·w, now−i·w]`,
+  * emitted newest-first. `fill=true` zero-fills empty bins (uts.ts:141-145).
+  */
+sealed trait Grouper
+case object AnyGroup extends Grouper
+final case class IntervalGroup(widthMs: Long, fill: Boolean, nowMs: Long) extends Grouper
+
+/** Ordering context for order-sensitive metrics (`last`, `map`, folds).
+  * The reference relies on insertion order (uts.ts:275-278 appends); we make
+  * it explicit: time column + a sequence tiebreak (e.g. `event_id`).
+  */
+final case class OrderCtx(time: Column, seq: Column) {
+  /** Lexicographic (time, seq) ordering key — structs compare field-wise. */
+  def key: Column = struct(time, seq)
+}
+
+/** Metric algebra — each metric knows its Spark aggregate expression and the
+  * value an empty (zero-filled) bin reports (quirks Q2/Q9 in SURVEY.md §1.4).
+  *
+  * Execution model note: the reference pushes points one at a time into
+  * per-bin `Aggregate` instances (uts.ts:38-47) with no merge step (single
+  * threaded). All metrics below are expressed as Spark built-in aggregates,
+  * which already carry partial/final (map-side combine) semantics — the
+  * distributed generalization the reference lacks.
+  */
+sealed trait Metric {
+  /** Aggregate expression, evaluated inside `groupBy(...).agg(...)`. */
+  def agg(ord: OrderCtx): Column
+
+  /** Value a zero-filled empty bin reports, given the aggregated column's
+    * data type; `None` leaves SQL NULL (our standard-semantics decision for
+    * min/max/last — SURVEY.md Q1/Q4).
+    */
+  def emptyValue: Option[DataType => Column]
+}
+
+/** Arithmetic mean skipping missing values; `0` when no value is present
+  * (uts.ts:436-456, quirk Q2 replicated via coalesce).
+  */
+final case class Mean(c: String) extends Metric {
+  def agg(ord: OrderCtx): Column = coalesce(avg(column(c)), lit(0.0))
+  def emptyValue = Some(dt => lit(0.0).cast(dt))
+}
+
+/** Sum with standard null-skipping (decision Q3-S; the reference's
+  * NaN-poisoning at uts.ts:622-624 is unobservable in its own tests);
+  * `0` on empty, matching the reference's fold seed.
+  */
+final case class SumM(c: String) extends Metric {
+  def agg(ord: OrderCtx): Column = coalesce(sum(column(c)), lit(0))
+  def emptyValue = Some(dt => lit(0).cast(dt))
+}
+
+/** `count()` / `count(col)` — all points vs points having the column
+  * (uts.ts:631-641); SQL `count(col)` is null-skipping, an exact match.
+  */
+final case class CountM(c: Option[String] = None) extends Metric {
+  def agg(ord: OrderCtx): Column = c.map(n => count(column(n))).getOrElse(count(lit(1)))
+  def emptyValue = Some(dt => lit(0L).cast(dt))
+}
+
+/** Standard max (decision Q1-S: the reference's fold-from-0 at uts.ts:592-594
+  * is a bug-shaped simplification; we return NULL on empty).
+  */
+final case class MaxM(c: String) extends Metric {
+  def agg(ord: OrderCtx): Column = max(column(c))
+  def emptyValue = None
+}
+
+/** Standard min (decision Q1-S, see [[MaxM]]; uts.ts:599-601). */
+final case class MinM(c: String) extends Metric {
+  def agg(ord: OrderCtx): Column = min(column(c))
+  def emptyValue = None
+}
+
+/** Value of the column on the last point in (time, seq) order — the
+  * reference's insertion-order `last` (uts.ts:615-617, quirk Q4: ts order ≡
+  * insertion order in every reference test). `max_by` over a struct key keeps
+  * this a single mergeable aggregate (no window + second shuffle).
+  */
+final case class Last(c: String) extends Metric {
+  def agg(ord: OrderCtx): Column = max_by(column(c), ord.key)
+  def emptyValue = None
+}
+
+/** Ordered list of the column's values within the bin — the reference's
+  * `map('col')` (uts.ts:398-414, 562-571). `collect_list` alone has no order
+  * guarantee under shuffle, so we collect `(time, seq, value)` structs and
+  * sort before projecting — deterministic at the cost of a per-group buffer
+  * (documented scale caveat: bound your groups; at 100 TB use interval bins,
+  * never a global map).
+  */
+final case class MapCol(c: String) extends Metric {
+  def agg(ord: OrderCtx): Column =
+    transform(
+      array_sort(collect_list(struct(ord.time.as("t"), ord.seq.as("s"), column(c).as("v")))),
+      x => x.getField("v"))
+  def emptyValue = Some(dt => array().cast(dt))
+}
+
+/** Escape hatch: any caller-supplied aggregate Column (the Spark analogue of
+  * the reference's third-party `Aggregate` interface, uts.ts:386-396).
+  */
+final case class AggExpr(e: Column, fill: Option[DataType => Column] = None) extends Metric {
+  def agg(ord: OrderCtx): Column = e
+  def emptyValue = fill
+}
