@@ -1,13 +1,495 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.uts._
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, Text}
+
+/** Driver contract — one `queries` entry (+ `oracleSql` ANSI SQL when
+  * expressible) per operator from SURVEY.md §2 and the extended-mandate ops.
+  *
+  * Determinism rules shared by every Spark/oracle pair:
+  *  - every computed column aliased identically on both sides;
+  *  - floating aggregates rounded (2 decimals for money-scale sums whose
+  *    fp-error exceeds 1e-5, 4 for means/ratios/scores);
+  *  - explicit total ORDER BY with a unique tiebreak;
+  *  - counts surfaced as BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val Hour = 3600L * 1000
+  private val Day = 24 * Hour
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def ev(s: SparkSession, dir: String): UtsSeries = Tsdb.events(s, dir)
+
+  /** `now` for time-relative queries = newest event, so queries are
+    * deterministic per scale factor (the reference's `Date.now()` is a test
+    * parameter for us, SURVEY.md §2.4 time-shifted queries).
+    */
+  private def nowOf(series: UtsSeries): Long =
+    series.df.agg(max(col("time"))).head().getLong(0)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    utsIntervalMean(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- uts core
+
+  private def utsIntervalMean(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val now = nowOf(e)
+    e.query(UtsQuery(
+      Seq("mean_value" -> Mean("value"), "n" -> CountM()),
+      where = Seq(Pred.gt("time", now - 7 * Day)),
+      group = IntervalGroup(Hour, fill = true, now)))
+      .select(col("bin_start"), col("bin_width"),
+        round(col("mean_value"), 4).as("mean_value"), col("n"))
+      .orderBy(col("bin_start").desc)
+  }
+
+  private def utsGlobalMetrics(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).query(UtsQuery(Seq(
+      "mean_value" -> Mean("value"), "sum_value" -> SumM("value"),
+      "n_all" -> CountM(), "n_value" -> CountM(Some("value")),
+      "max_value" -> MaxM("value"), "min_value" -> MinM("value"),
+      "last_value" -> Last("value"))))
+      .select(
+        round(col("mean_value"), 4).as("mean_value"),
+        round(col("sum_value"), 4).as("sum_value"),
+        col("n_all"), col("n_value"), col("max_value"), col("min_value"),
+        col("last_value"))
+
+  private def utsCountByType(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).query(UtsQuery(
+      Seq("n" -> CountM(), "n_value" -> CountM(Some("value")),
+        "sum_value" -> SumM("value"), "mean_value" -> Mean("value")),
+      group = ColumnGroup(Seq("event_type"))))
+      .select(col("event_type"), col("n"), col("n_value"),
+        round(col("sum_value"), 4).as("sum_value"),
+        round(col("mean_value"), 4).as("mean_value"))
+      .orderBy(col("event_type"))
+
+  private def utsWhereFilter(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df
+      .filter(Pred.conj(Seq(Pred.gt("value", 150.0), Pred.eq("event_type", "purchase"))))
+      .select(col("event_id"), col("time"), col("value"))
+      .orderBy(col("event_id"))
+
+  private def utsLastInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val now = nowOf(e)
+    e.query(UtsQuery(
+      Seq("last_value" -> Last("value")),
+      where = Seq(Pred.gt("time", now - 3 * Day)),
+      group = IntervalGroup(6 * Hour, fill = false, now)))
+      .orderBy(col("bin_start").desc)
+  }
+
+  private def utsMapSeries(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df.filter(col("user_id") === 7)
+      .select(col("event_id"), col("time"), col("value"))
+      .orderBy(col("time"), col("event_id"))
+
+  private def utsDerivative(s: SparkSession, dir: String): DataFrame =
+    graft.uts.Derivative(
+      ev(s, dir).df.filter(col("user_id") === 1),
+      "value", 6 * Hour, "time", Nil, Some("event_id"))
+      .select(col("der_time"), round(col("der_value"), 4).as("der_value"))
+      .orderBy(col("der_time"))
+
+  private def utsRemove(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).remove(Seq(Pred.eq("event_type", "purchase")))
+      .query(UtsQuery(Seq("n" -> CountM()), group = ColumnGroup(Seq("event_type"))))
+      .orderBy(col("event_type"))
+
+  private def utsRetentionDaily(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val now = nowOf(e)
+    e.retain(10 * Day, now)
+      .query(UtsQuery(Seq("n" -> CountM()), group = IntervalGroup(Day, fill = true, now)))
+      .orderBy(col("bin_start").desc)
+  }
+
+  // ------------------------------------------------------- relational (TPC-H-ish)
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q3TopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(T(s, dir, "orders").filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(T(s, dir, "lineitem").filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q5NationRevenue(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private def windowTopOrders(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_custkey"), col("rk"))
+
+  private def distinctUsersByType(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  private def asofJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val left = ev(s, dir).df.select(col("event_id"), col("user_id"), col("time"))
+    val right = T(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; cast to LTZ (identity under
+        // the UTC session TZ) so unix_millis applies.
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ot"), col("o_orderkey"))
+    AsofJoin(left, right, Seq("user_id"), "time", "ot",
+      rightPayload = Seq("o_orderkey"), rightTieCol = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------------ dedup family
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), "text")
+
+  private def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(T(s, dir, "documents"), n = 3, threshold = 0.6)
+
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(T(s, dir, "documents"), n = 3, threshold = 0.6)
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(T(s, dir, "documents"), maxDist = 3)
+
+  // ------------------------------------------------------------- similarity
+
+  private def simTopkCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.topK(T(s, dir, "embeddings"), queryId = 0, k = 10)
+
+  private def simPairsThreshold(s: SparkSession, dir: String): DataFrame =
+    Similarity.pairsAbove(T(s, dir, "embeddings"), threshold = 0.3)
+
+  private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(T(s, dir, "embeddings"), queryId = 0, k = 10, nprobe = 3)
+
+  // ------------------------------------------------------------ text analysis
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    Text.tokenStats(T(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    Text.qualityScore(T(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Text.fingerprint(T(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
+
+  private def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.withPayload(T(s, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "uts_interval_mean" -> (utsIntervalMean _),
+    "uts_global_metrics" -> (utsGlobalMetrics _),
+    "uts_count_by_type" -> (utsCountByType _),
+    "uts_where_filter" -> (utsWhereFilter _),
+    "uts_last_interval" -> (utsLastInterval _),
+    "uts_map_series" -> (utsMapSeries _),
+    "uts_derivative" -> (utsDerivative _),
+    "uts_remove" -> (utsRemove _),
+    "uts_retention_daily" -> (utsRetentionDaily _),
+    "q1_agg" -> (q1Agg _),
+    "q3_topk_revenue" -> (q3TopkRevenue _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "window_top_orders" -> (windowTopOrders _),
+    "distinct_users_by_type" -> (distinctUsersByType _),
+    "approx_distinct_users" -> (approxDistinctUsers _),
+    "asof_join_orders" -> (asofJoinOrders _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "sim_topk_cosine" -> (simTopkCosine _),
+    "sim_pairs_threshold" -> (simPairsThreshold _),
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "json_props_stats" -> (jsonPropsStats _),
+    "multimodal_features" -> (multimodalFeatures _),
+  )
+
+  // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
+  private val EvCte =
+    "SELECT epoch_ms(ts) AS time, event_id, user_id, event_type, value, props FROM events"
+  private val ToksCte =
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents"
+  private val StopEnSql = Text.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "uts_interval_mean" ->
+      s"""WITH p AS ($EvCte),
+         |mx AS (SELECT max(time) AS now FROM p),
+         |f AS (SELECT time, value, now FROM p, mx WHERE time > now - 604800000 AND time <= now),
+         |a AS (SELECT CAST(floor((now - time)/3600000.0) AS BIGINT) AS k,
+         |             avg(value) AS m, count(*) AS n FROM f GROUP BY 1),
+         |s AS (SELECT unnest(range(0, 169)) AS k, now FROM mx)
+         |SELECT s.now - (s.k+1)*3600000 AS bin_start, 3600000 AS bin_width,
+         |       round(coalesce(a.m, 0), 4) AS mean_value, coalesce(a.n, 0) AS n
+         |FROM s LEFT JOIN a ON s.k = a.k ORDER BY bin_start DESC""".stripMargin,
+    "uts_global_metrics" ->
+      s"""WITH p AS ($EvCte)
+         |SELECT round(coalesce(avg(value), 0), 4) AS mean_value,
+         |       round(coalesce(sum(value), 0), 4) AS sum_value,
+         |       count(*) AS n_all, count(value) AS n_value,
+         |       max(value) AS max_value, min(value) AS min_value,
+         |       (SELECT value FROM p ORDER BY time DESC, event_id DESC LIMIT 1) AS last_value
+         |FROM p""".stripMargin,
+    "uts_count_by_type" ->
+      """SELECT event_type, count(*) AS n, count(value) AS n_value,
+        |       round(coalesce(sum(value), 0), 4) AS sum_value,
+        |       round(coalesce(avg(value), 0), 4) AS mean_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "uts_where_filter" ->
+      s"""SELECT event_id, epoch_ms(ts) AS time, value FROM events
+         |WHERE value > 150.0 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "uts_last_interval" ->
+      s"""WITH p AS ($EvCte),
+         |mx AS (SELECT max(time) AS now FROM p),
+         |f AS (SELECT time, event_id, value, now FROM p, mx
+         |      WHERE time > now - 259200000 AND time <= now),
+         |a AS (SELECT CAST(floor((now - time)/21600000.0) AS BIGINT) AS k, max(now) AS now2,
+         |             arg_max(value, time*1000000 + event_id) AS last_value FROM f GROUP BY 1)
+         |SELECT now2 - (k+1)*21600000 AS bin_start, 21600000 AS bin_width, last_value
+         |FROM a ORDER BY bin_start DESC""".stripMargin,
+    "uts_map_series" ->
+      """SELECT event_id, epoch_ms(ts) AS time, value FROM events
+        |WHERE user_id = 7 ORDER BY time, event_id""".stripMargin,
+    "uts_derivative" ->
+      s"""WITH p AS (SELECT epoch_ms(ts) AS t, event_id, value FROM events WHERE user_id = 1),
+         |d AS (SELECT t, coalesce(value - lag(value) OVER (ORDER BY t, event_id), 0) AS delta FROM p),
+         |m AS (SELECT min(t) AS t0, max(t) AS tmax FROM p),
+         |a AS (SELECT greatest(CAST(ceil((d.t - m.t0)/21600000.0) AS BIGINT), 1) AS k,
+         |             sum(d.delta) AS dv FROM d, m GROUP BY 1),
+         |km AS (SELECT greatest(CAST(ceil((tmax - t0)/21600000.0) AS BIGINT), 1) AS kmax, t0, tmax FROM m),
+         |s AS (SELECT unnest(range(1, kmax + 1)) AS k, t0, tmax, kmax FROM km)
+         |SELECT CASE WHEN s.k = s.kmax THEN s.tmax ELSE s.t0 + s.k*21600000 END AS der_time,
+         |       round(coalesce(a.dv, 0), 4) AS der_value
+         |FROM s LEFT JOIN a ON s.k = a.k ORDER BY der_time""".stripMargin,
+    "uts_remove" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE NOT coalesce(event_type = 'purchase', false)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "uts_retention_daily" ->
+      s"""WITH p AS (SELECT epoch_ms(ts) AS t FROM events),
+         |mx AS (SELECT max(t) AS now FROM p),
+         |r AS (SELECT t, now FROM p, mx WHERE t >= now - 864000000 AND t <= now),
+         |m AS (SELECT min(t) AS t0, max(now) AS now FROM r),
+         |a AS (SELECT CAST(floor((now - t)/86400000.0) AS BIGINT) AS k, count(*) AS n FROM r GROUP BY 1),
+         |s AS (SELECT unnest(range(0, CAST(floor((now - t0)/86400000.0) AS BIGINT) + 1)) AS k, now FROM m)
+         |SELECT s.now - (s.k+1)*86400000 AS bin_start, 86400000 AS bin_width,
+         |       coalesce(a.n, 0) AS n
+         |FROM s LEFT JOIN a ON s.k = a.k ORDER BY bin_start DESC""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS total
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "distinct_users_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "asof_join_orders" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t FROM events),
+        |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot, o_orderkey FROM orders)
+        |SELECT e.event_id, e.user_id,
+        |       (SELECT arg_max(o_orderkey, ot*1000000 + o_orderkey)
+        |        FROM o WHERE o.o_custkey = e.user_id AND o.ot <= e.t) AS o_orderkey
+        |FROM e ORDER BY event_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH toks AS ($ToksCte),
+         |sh AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+         |SELECT d1, d2, round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) AS jaccard
+         |FROM inter JOIN sizes s1 ON s1.id = d1 JOIN sizes s2 ON s2.id = d2
+         |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
+         |ORDER BY d1, d2""".stripMargin,
+    "sim_topk_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_cosine_similarity(v, qv), 4) AS cosine
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_pairs_threshold" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+        |ORDER BY v1, v2""".stripMargin,
+    "text_stats" ->
+      s"""WITH toks AS ($ToksCte)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique,
+         |       round(CAST(list_sum(list_transform(ts, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+         |             / greatest(len(ts), 1), 4) AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |t AS (SELECT doc_id, lt, list_filter(string_split(lt, ' '), x -> x <> '') AS ts FROM d),
+         |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_filter(ts, x -> list_contains($StopEnSql, x))) AS DOUBLE)
+         |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS sr,
+         |             CAST(length(lt) - length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |               / greatest(length(lt), 1) AS pr
+         |      FROM t)
+         |SELECT doc_id, n_tokens, round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio,
+         |       round(least(1.0, greatest(0.0, 0.2 + 1.5*sr - 2.0*pr + 0.02*n_tokens)), 4) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+         |           FROM documents),
+         |s AS (SELECT lang,
+         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopEn)}, x))) AS en,
+         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopEs)}, x))) AS es,
+         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopFr)}, x))) AS fr,
+         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopDe)}, x))) AS de
+         |      FROM t),
+         |p AS (SELECT lang, CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+         |                        WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+         |                        WHEN es >= fr AND es >= de THEN 'es'
+         |                        WHEN fr >= de THEN 'fr' ELSE 'de' END AS pred_lang
+         |      FROM s)
+         |SELECT lang, pred_lang, count(*) AS n FROM p
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    },
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT term, count(*) AS df, sum(tf) AS tf_sum FROM tf GROUP BY 1)
+        |SELECT term, CAST(df AS BIGINT) AS df,
+        |       round(CAST(tf_sum AS DOUBLE) * ln(CAST(nn.n AS DOUBLE)/df), 4) AS tfidf
+        |FROM t, nn ORDER BY tfidf DESC, term LIMIT 15""".stripMargin,
+    "json_props_stats" ->
+      """SELECT event_type, count(k) AS n_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
+        |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

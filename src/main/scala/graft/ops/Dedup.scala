@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora, from exact to near-dup.
+  *
+  * Scale design: every near-dup variant is candidate-generation-by-equality
+  * (shingle / LSH-band / simhash-chunk join) followed by exact verification on
+  * the candidates — never an O(n²) cross join. The equality join shuffles on
+  * the candidate key, so skewed keys (a shingle shared by millions of docs)
+  * are the 100 TB hazard; `maxShingleDf` caps how many documents a shingle may
+  * appear in before it is dropped from candidate generation (stopword-shingle
+  * suppression), which bounds the per-key fan-out.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical key, with the
+    * duplicate count. `groupBy` = hash-shuffle on the text key; at 100 TB
+    * group instead on `md5(text)` (fixed 16-byte shuffle key) — same result,
+    * via [[hashed]].
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String = "doc_id"): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+      .orderBy(col(idCol))
+
+  /** Exact dedup keyed on md5(text): identical output to [[exact]] but the
+    * shuffle carries a 16-byte key instead of the document body.
+    */
+  def hashed(df: DataFrame, keyCol: String, idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(keyCol)))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+      .orderBy(col(idCol))
+
+  /** Distinct word n-gram shingles per document: `(id, shingle)` rows.
+    * Documents shorter than `n` tokens produce no shingles (guarded — Spark's
+    * `sequence` would otherwise generate a descending range).
+    */
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ts = Text.tokens(col(textCol))
+    val sh = when(size(ts) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over distinct
+    * shingle sets, emitted for J ≥ `threshold`. Intersections come from a
+    * self-equi-join on the shingle (shuffle key = shingle), so cost is
+    * Σ_shingle df² — bounded by `maxShingleDf`.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, n, idCol, textCol).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
+          .filter(col("df_sh") > cap).select(col("shingle"))
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val inter = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .select(
+        col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash + LSH near-dup pairs. Per document: `numHashes` min-hashes over
+    * its shingle set (hash h of shingle s = xxhash64(s, h)), banded into
+    * `bands` groups; documents sharing any band signature become candidates;
+    * candidates are verified with exact Jaccard ≥ `threshold`.
+    *
+    * This is the 100 TB path: the signature is fixed-size per document
+    * regardless of length, and the candidate join is an equality join on the
+    * (band, signature) key. With b bands of r rows, P(candidate) ≈
+    * 1 − (1 − J^r)^b — 8 bands × 4 rows catches J ≥ 0.6 with ~97% recall.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingles(df, n, idCol, textCol)
+      .groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
+    // Signature: for each hash fn h, min over shingles of xxhash64(shingle, h).
+    val sig = sh.select(
+      col("id"),
+      col("sh"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        h => array_min(transform(col("sh"), s => xxhash64(s, h)))).as("sig"))
+    // Bands: candidates share (band index, banded sub-signature).
+    val banded = sig.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    // Exact verification of candidates only.
+    val sets = sh.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 64-bit SimHash per document: bit i of the hash is the sign of
+    * Σ_tokens ±1 according to bit i of xxhash64(token). Near-dups = pairs at
+    * Hamming distance ≤ `maxDist`, found by the chunk trick: split the 64 bits
+    * into `maxDist+1` chunks — any pair within distance `maxDist` must agree
+    * exactly on ≥ 1 chunk (pigeonhole), so candidates come from an equality
+    * join on (chunk index, chunk value), never a cross join.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      maxDist: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val ts = Text.tokens(col(textCol))
+    // The Scala shiftleft/shiftright helpers take an Int, not a Column;
+    // call_function reaches the SQL variants that accept column shift amounts.
+    def shr(x: Column, i: Column) = call_function("shiftright", x, i)
+    def shl(x: Column, i: Column) = call_function("shiftleft", x, i)
+    val sim = df.select(
+      col(idCol).as("id"),
+      // Fold the per-bit vote counts into the signature bits.
+      aggregate(
+        sequence(lit(0), lit(63)),
+        lit(0L),
+        (acc, i) => acc + when(
+          aggregate(ts, lit(0L), (v, t) =>
+            v + when(shr(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+          shl(lit(1L), i)).otherwise(lit(0L)))
+        .as("simhash"))
+    val banded = sim.select(
+      col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => shr(col("simhash"), c * lit(bitsPer))
+          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("d1"), col("d2"))
+  }
+}

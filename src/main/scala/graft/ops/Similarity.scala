@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All scoring is pure column expressions: elements cast to double, dot
+  * product as a sequential `aggregate` fold over `zip_with` — deterministic
+  * order of additions, so the DuckDB oracle (same fold over the same floats)
+  * reproduces scores bit-for-bit.
+  *
+  * Scale ladder:
+  *  1. [[topK]] — brute force against a broadcast query vector: one narrow
+  *     scan, no shuffle. Correct baseline; linear in corpus size.
+  *  2. [[pairsAbove]] — all-pairs via a range-bucketed self join; quadratic,
+  *     only for bounded corpora (candidate labeling, eval sets).
+  *  3. [[ivfTopK]] — IVF: partition vectors by nearest centroid once, then
+  *     probe only `nprobe` inverted lists per query. The 100 TB shape: the
+  *     centroid assignment is a broadcast join + argmax, the probe prunes the
+  *     scan to nprobe/k of the data.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Top-k by cosine against the vector of `queryId`, excluding itself.
+    * The single query row is broadcast — no shuffle of the corpus side; the
+    * top-k is a `TakeOrderedAndProject` (per-partition heaps + driver merge),
+    * not a global sort.
+    */
+  def topK(
+      df: DataFrame,
+      queryId: Long,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(df.columns.filter(_ != vecCol).map(col) :+
+        round(cosine(col(vecCol), col("__q")), 4).as("cosine"): _*)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold. Quadratic — the exact
+    * verifier / eval-set path, not the scale path (that's [[ivfTopK]] or the
+    * random-hyperplane LSH in [[Dedup.simhashPairs]] applied to sign bits).
+    */
+  def pairsAbove(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("v1"), col("b.id").as("v2"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** IVF top-k: centroids = per-`labelCol` mean vectors (deterministic, no
+    * random init); every vector is assigned to its nearest centroid (broadcast
+    * argmax); a query probes the `nprobe` nearest inverted lists only.
+    * Approximate: recall < 1 when the true neighbor lives in an unprobed list.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      queryId: Long,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val dim = 64
+    // Centroids: elementwise mean per label — aggregate on exploded positions
+    // keeps it a plain shuffle-by-(label,pos) partial aggregate.
+    val centroids = df
+      .select(col(labelCol).as("cl"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cl"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+    val cList = broadcast(centroids.groupBy().agg(
+      collect_list(struct(col("cl"), col("cvec"))).as("cs")))
+    // Assignment: argmax cosine over the broadcast centroid list, in one
+    // higher-order fold — no join explosion.
+    def bestCluster(vec: Column, cs: Column, n: Int): Column =
+      aggregate(cs, struct(lit(-2.0).as("s"), lit(-1).as("c")),
+        (acc, c) => {
+          val s = cosine(vec, c.getField("cvec"))
+          when(s > acc.getField("s"), struct(s.as("s"), c.getField("cl").as("c"))).otherwise(acc)
+        }).getField("c")
+    val assigned = df.crossJoin(cList)
+      .select(col(idCol), col(vecCol), col(labelCol),
+        bestCluster(col(vecCol), col("cs"), dim).as("cluster"))
+    // Probe list: the nprobe clusters nearest to the query vector.
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"))
+    val probes = centroids.crossJoin(broadcast(q))
+      .select(col("cl"), cosine(col("cvec"), col("__q")).as("cs"))
+      .orderBy(col("cs").desc, col("cl"))
+      .limit(nprobe)
+      .select(col("cl").as("cluster"))
+    assigned
+      .join(broadcast(probes), "cluster")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(labelCol), col("cluster"),
+        round(cosine(col(vecCol), col("__q")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

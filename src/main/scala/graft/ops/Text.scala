@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: tokenization,
+  * per-document stats, quality scoring, n-gram language ID, fingerprinting,
+  * TF-IDF. All pure column expressions (whole-stage codegen'd / higher-order
+  * functions, no UDFs) so they scan-scale linearly — each is a single narrow
+  * pass over `documents` except TF-IDF, which needs one shuffle for document
+  * frequencies.
+  */
+object Text {
+
+  /** Whitespace tokens with empties dropped (texts can carry trailing
+    * separators).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Per-document token statistics: count, distinct count, mean token length.
+    * One narrow projection — no shuffle.
+    */
+  def tokenStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    // Counts surface as long: the oracle engine's list len() is BIGINT and the
+    // driver's hash compare is type-sensitive.
+    df.select(
+      col(idCol),
+      size(ts).cast("long").as("n_tokens"),
+      size(array_distinct(ts)).cast("long").as("n_unique"),
+      round(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(ts), lit(1)).cast("double"),
+        4).as("avg_token_len"))
+  }
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. Tiny by
+    * design: language ID at 100 TB must stay a codegen'd expression; a real
+    * model would be a broadcast dictionary joined the same way.
+    */
+  val StopEn: Seq[String] = Seq("the", "of", "and", "to", "in", "is", "that", "it", "a", "for")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "del")
+  val StopFr: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")
+  val StopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "dem", "ein")
+
+  private def hits(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => array_contains(lit(words.toArray), t)))
+
+  /** Heuristic language ID: count stopword hits per language, take the argmax
+    * with a fixed preference order (en > es > fr > de), `und` when nothing
+    * hits. Deterministic, SQL-expressible (same CASE chain drives the oracle).
+    */
+  def langId(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val (en, es, fr, de) = (hits(ts, StopEn), hits(ts, StopEs), hits(ts, StopFr), hits(ts, StopDe))
+    when(greatest(en, es, fr, de) === 0, lit("und"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  /** Heuristic quality score in [0, 1] from token count, stopword ratio and
+    * punctuation ratio — the standard cheap pre-filter shape for LLM training
+    * data. Deterministic arithmetic so the DuckDB oracle reproduces it bit-for
+    * bit (modulo round-4).
+    */
+  def qualityScore(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val ts = tokens(lowered)
+    val n = size(ts).cast("double")
+    val stopRatio = hits(ts, StopEn).cast("double") / greatest(n, lit(1.0))
+    val punct = (length(lowered) - length(regexp_replace(lowered, "[^a-z0-9 ]", ""))).cast("double")
+    val punctRatio = punct / greatest(length(lowered), lit(1)).cast("double")
+    val score = least(lit(1.0), greatest(lit(0.0),
+      lit(0.2) + lit(1.5) * stopRatio - lit(2.0) * punctRatio + lit(0.02) * n))
+    df.select(
+      col(idCol),
+      size(ts).cast("long").as("n_tokens"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(score, 4).as("quality"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup /
+    * provenance key. md5 is available verbatim in the oracle engine, making
+    * this the one hash the DuckDB gate can check.
+    */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol), md5(lower(trim(col(textCol)))).as("fp"))
+
+  /** Rolling 64-bit polynomial fingerprint over tokens (order-sensitive,
+    * unlike the md5 of the raw string it tolerates whitespace differences).
+    * xxhash64 per token, folded as acc*31+h — wraps on Long overflow, which is
+    * fine for a fingerprint. Spark-only (no oracle: DuckDB lacks xxhash64).
+    */
+  def rollingFingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      aggregate(tokens(col(textCol)), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+        .as("rolling_fp"))
+
+  /** Corpus-level TF-IDF: sum over documents of tf(term, doc) · ln(N / df(term)),
+    * top `k` terms. Two aggregations: (term, doc) counts then per-term rollup —
+    * both partial-aggregated map-side, so the shuffle carries only distinct
+    * (term, doc) / term keys, never raw tokens.
+    */
+  def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = df.count() // scalar: corpus size for IDF
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // score(term) = Σ_doc tf · ln(N/df) = ln(N/df) · Σ_doc tf, since df is
+    // constant per term — one multiply after the rollup instead of a join.
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+      .select(
+        col("term"),
+        col("df"),
+        round(col("tf_sum").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 4)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("term"))
+      .limit(k)
+  }
+}

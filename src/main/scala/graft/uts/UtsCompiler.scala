@@ -45,6 +45,11 @@ object UtsCompiler {
         // matching the reference's single always-present bin (uts.ts:153-162).
         filtered.groupBy().agg(aggs.head, aggs.tail: _*)
 
+      case ColumnGroup(cols) =>
+        filtered.groupBy(cols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(cols.map(col): _*)
+
       case IntervalGroup(width, fill, now) =>
         // Q7: points after `now` are dropped (uts.ts:132-136) — as a set-based
         // filter, so the reference's ascending-order `break` dependence

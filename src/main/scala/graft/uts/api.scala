@@ -49,6 +49,10 @@ object Pred {
 sealed trait Grouper
 case object AnyGroup extends Grouper
 final case class IntervalGroup(widthMs: Long, fill: Boolean, nowMs: Long) extends Grouper
+/** Group by arbitrary columns — our distributed generalization of the
+  * reference's single-bin grouper (it has no categorical GROUP BY; §2.4).
+  */
+final case class ColumnGroup(cols: Seq[String]) extends Grouper
 
 /** Ordering context for order-sensitive metrics (`last`, `map`, folds).
   * The reference relies on insertion order (uts.ts:275-278 appends); we make
