@@ -152,27 +152,26 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val ts = Text.tokens(col(textCol))
-    // The Scala shiftleft/shiftright helpers take an Int, not a Column;
-    // call_function reaches the SQL variants that accept column shift amounts.
-    def shr(x: Column, i: Column) = call_function("shiftright", x, i)
-    def shl(x: Column, i: Column) = call_function("shiftleft", x, i)
-    val sim = df.select(
-      col(idCol).as("id"),
-      // Fold the per-bit vote counts into the signature bits.
-      aggregate(
-        sequence(lit(0), lit(63)),
-        lit(0L),
-        (acc, i) => acc + when(
-          aggregate(ts, lit(0L), (v, t) =>
-            v + when(shr(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
-          shl(lit(1L), i)).otherwise(lit(0L)))
-        .as("simhash"))
+    // Shape matters here: one xxhash64 per token (explode), then the 64
+    // per-bit ±1 votes as 64 codegen'd SUM columns in a single hash
+    // aggregate. (A nested higher-order fold re-hashes every token once per
+    // bit, interpreted — ~64× the work.)
+    val hashed = df
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"v$i"))
+    val sim = hashed.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val banded = sim.select(
       col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => shr(col("simhash"), c * lit(bitsPer))
-          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
     banded.as("a")
       .join(banded.as("b"),

@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length float vectors, accumulated in double. */
+  /** Dot product accumulated in double — the codegen'd
+    * [[graft.functions.DotProduct]] kernel (the HOF formulation
+    * `aggregate(zip_with(...))` is interpreted per element and was the
+    * all-pairs bottleneck; same sequential fold, same values).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftfns.VectorFunctions.dot(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -61,10 +64,13 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Norms precomputed once per vector before the self-join — recomputing
+    // them per pair triples the inner-loop work for the same values.
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("v1"), col("b.id").as("v2"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("v1"), col("v2"))
   }

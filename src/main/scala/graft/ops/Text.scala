@@ -90,16 +90,20 @@ object Text {
   def fingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(col(idCol), md5(lower(trim(col(textCol)))).as("fp"))
 
-  /** Rolling 64-bit polynomial fingerprint over tokens (order-sensitive,
+  /** Rolling 31-bit polynomial fingerprint over tokens (order-sensitive,
     * unlike the md5 of the raw string it tolerates whitespace differences).
-    * xxhash64 per token, folded as acc*31+h — wraps on Long overflow, which is
-    * fine for a fingerprint. Spark-only (no oracle: DuckDB lacks xxhash64).
+    * xxhash64 per token, folded as (acc·31 + h) mod 2³¹ — masked, because
+    * Spark 4 runs ANSI mode by default and a wrapping Long multiply would
+    * throw ARITHMETIC_OVERFLOW. Spark-only (no oracle: DuckDB lacks xxhash64).
     */
-  def rollingFingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def rollingFingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mask = lit((1L << 31) - 1)
     df.select(
       col(idCol),
-      aggregate(tokens(col(textCol)), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+      aggregate(tokens(col(textCol)), lit(0L),
+        (acc, t) => (acc * lit(31L) + xxhash64(t).bitwiseAND(mask)).bitwiseAND(mask))
         .as("rolling_fp"))
+  }
 
   /** Corpus-level TF-IDF: sum over documents of tf(term, doc) · ln(N / df(term)),
     * top `k` terms. Two aggregations: (term, doc) counts then per-term rollup —

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+/** Structured-Streaming counterparts of the reference's streaming-adjacent
+  * behaviors (SURVEY.md §2.9): continuous ingestion with event time, windowed
+  * aggregation over recent data, and TTL-bounded state.
+  *
+  * The reference's model is pull-based (re-query a RAM array with a moving
+  * `now`, evict with a 1 s sweep that assumes in-order arrival —
+  * `/root/reference/uts.ts:103-147,250-269`). Watermarks are the principled
+  * distributed replacement: they bound state for out-of-order data instead of
+  * assuming order.
+  */
+object StreamOps {
+
+  /** Tumbling per-`keyCol` aggregate with a watermark. Spark's `window()` is
+    * epoch-aligned — the right semantics for an unbounded stream (the
+    * reference's end-aligned bins need a fixed `now`, which a stream doesn't
+    * have; batch queries over the sink reproduce those exactly via
+    * [[graft.uts.IntervalGroup]]).
+    */
+  def tumblingStats(
+      stream: DataFrame,
+      widthSeconds: Long,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$widthSeconds seconds"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(avg(col(valueCol)), lit(0.0)).as("mean_value"),
+        coalesce(sum(col(valueCol)), lit(0.0)).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("n"), col("mean_value"), col("sum_value"))
+
+  final case class KeyedEvent(key: String, tsMs: Long, value: Double)
+  final case class RunningLast(key: String, n: Long, last: Double)
+
+  /** The reference's retention/`last` semantics as explicit keyed state:
+    * per-key running count + last value, with a processing-time TTL that
+    * drops idle keys — `Series.setRetention` (uts.ts:250-269) re-expressed as
+    * `mapGroupsWithState` + timeout instead of a sweep thread.
+    */
+  def runningLastWithTtl(
+      spark: SparkSession,
+      stream: Dataset[KeyedEvent],
+      ttlMs: Long): Dataset[RunningLast] = {
+    import spark.implicits._
+    // ttl=0 keeps state forever (the reference's setRetention(0), uts.ts:253-255)
+    // and uses NoTimeout — a ProcessingTimeTimeout query schedules batches
+    // continuously, which also means `processAllAvailable` never quiesces in
+    // tests.
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .groupByKey(_.key)
+      .mapGroupsWithState(timeout) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[RunningLast]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            out
+          } else {
+            val sorted = events.toSeq.sortBy(e => e.tsMs)
+            val prev = state.getOption.getOrElse(RunningLast(key, 0L, 0.0))
+            val next = RunningLast(
+              key,
+              prev.n + sorted.size,
+              if (sorted.nonEmpty) sorted.last.value else prev.last)
+            state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            next
+          }
+      }
+  }
+}

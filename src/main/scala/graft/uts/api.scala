@@ -72,7 +72,7 @@ final case class OrderCtx(time: Column, seq: Column) {
   * which already carry partial/final (map-side combine) semantics — the
   * distributed generalization the reference lacks.
   */
-sealed trait Metric {
+trait Metric {
   /** Aggregate expression, evaluated inside `groupBy(...).agg(...)`. */
   def agg(ord: OrderCtx): Column
 

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 0
+    (2L, "el perro de la casa es un animal que ladra", "es"),
+    (3L, "completely different words about spark engines", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en")  // exact dup of 0
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, "text").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    val hashed = Dedup.hashed(docs, "text").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashed.toSeq == out.toSeq)
+  }
+
+  test("jaccard pairs finds the planted near-dup and the exact dup") {
+    val out = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 0/4 identical (J=1); 0/1 and 1/4 share 6 of 8 distinct shingles (J=0.6).
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
+    assert(out.find(p => p._1 == 0 && p._2 == 4).get._3 == 1.0)
+  }
+
+  test("minhash LSH recovers the same pairs as exact jaccard here") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.toSet == exact.toSet)
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, others far") {
+    val out = Dedup.simhashPairs(docs, maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val d04 = out.find(p => p._1 == 0 && p._2 == 4).get._3
+    assert(d04 == 0)
+    assert(out.find(p => p._1 == 0 && p._2 == 1).forall(_._3 <= 16))
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.1f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine top-k ranks by similarity with id tiebreak") {
+    val out = Similarity.topK(vecs, queryId = 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 > 0.99)
+    val last = Similarity.topK(vecs, 0, 4).collect().last
+    assert(last.getLong(0) == 4L && last.getDouble(2) == -1.0)
+  }
+
+  test("pairsAbove emits only pairs over threshold, ordered") {
+    val out = Similarity.pairsAbove(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (2L, 3L)))
+  }
+
+  test("ivf top-k: probing all clusters recovers brute-force head") {
+    val brute = Similarity.topK(vecs, 0, 2).collect().map(_.getLong(0)).toSeq
+    val ivf = Similarity.ivfTopK(vecs, 0, 2, nprobe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
+  test("asof join picks latest right row at or before left time, max tie id") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 100L)).toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, 100L, 7L), (10L, 100L, 9L), // tie at t=100 → orderkey 9 wins
+      (10L, 200L, 11L), (99L, 50L, 13L)
+    ).toDF("k", "rt", "ok")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("ok"), "ok")
+      .orderBy(col("eid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 9L), (2L, 11L), (3L, -1L)))
+  }
+
+  test("token stats and quality are deterministic") {
+    val st = Text.tokenStats(docs).orderBy(col("doc_id")).collect()
+    assert(st(0).getLong(1) == 9L) // "the quick brown fox jumps over the lazy dog"
+    assert(st(0).getLong(2) == 8L) // 'the' twice
+    val q = Text.qualityScore(docs).orderBy(col("doc_id")).collect()
+    assert(q.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("langId classifies stopword-bearing text and falls back to und") {
+    val out = docs.select(col("doc_id"), Text.langId(col("text")).as("p"))
+      .orderBy(col("doc_id")).collect().map(_.getString(1))
+    assert(out(0) == "en" && out(2) == "es")
+    val und = Seq((9L, "zzz qqq www")).toDF("doc_id", "text")
+    assert(und.select(Text.langId(col("text"))).head().getString(0) == "und")
+  }
+
+  test("fingerprints: md5 matches duplicates, rolling is order-sensitive") {
+    val fp = Text.fingerprint(docs).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp(0L) == fp(4L) && fp(0L) != fp(1L))
+    val r1 = Text.rollingFingerprint(Seq((0L, "a b c")).toDF("doc_id", "text")).head().getLong(1)
+    val r2 = Text.rollingFingerprint(Seq((0L, "c b a")).toDF("doc_id", "text")).head().getLong(1)
+    assert(r1 != r2)
+  }
+
+  test("tfidf ranks corpus-specific terms above ubiquitous ones") {
+    val out = Text.tfidfTopTerms(docs, 5).collect()
+    assert(out.length == 5)
+    // 'the' appears in 3 of 5 docs with high tf but low idf; a unique term
+    // like 'spark' (df=1) must outrank a df=5 term (idf would be 0).
+    assert(out.forall(_.getDouble(2) >= 0.0))
+  }
+
+  test("multimodal stub decode derives features from payload bytes") {
+    val out = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 43L && out(0).width == 43L && out(0).height == 0L)
+    val big = Multimodal.extractFeatures(spark,
+      Multimodal.withPayload(Seq((0L, "x" * 200)).toDF("doc_id", "text"))).head()
+    assert(big.n_bytes == 200L && big.width == 200 % 64 && big.height == 200 / 64)
+  }
+}

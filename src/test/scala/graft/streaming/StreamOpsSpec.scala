@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling stats aggregate a memory stream by window and key") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val out = StreamOps.tumblingStats(df, widthSeconds = 10, watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (new Timestamp(1000L), "a", 1.0),
+        (new Timestamp(2000L), "a", 3.0),
+        (new Timestamp(11000L), "a", 10.0),
+        (new Timestamp(3000L), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("win_start").cast("long"), col("event_type"), col("n"), col("mean_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq((0L, "a", 2L, 2.0), (0L, "b", 1L, 5.0), (10L, "a", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("runningLastWithTtl keeps per-key count and last value") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.KeyedEvent]
+    val out = StreamOps.runningLastWithTtl(spark, input.toDS(), ttlMs = 0)
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamOps.KeyedEvent("x", 100L, 1.0),
+        StreamOps.KeyedEvent("x", 300L, 3.0),
+        StreamOps.KeyedEvent("y", 200L, 2.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.KeyedEvent("x", 400L, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("running").groupBy($"key")
+        .agg(max(struct($"n", $"last")).as("s"))
+        .select($"key", $"s.n", $"s.last")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(last.toSeq == Seq(("x", 3L, 4.0), ("y", 1L, 2.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.uts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OrderedFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Shuffled insertion: rows arrive out of time order on purpose.
+  private def df = Seq(
+    (900L, 3L, 3.0), (600L, 0L, 0.0), (1000L, 4L, 4.0), (700L, 1L, 1.0), (800L, 2L, 2.0)
+  ).toDF("time", "seq", "v").repartition(4)
+
+  test("ordered fold reproduces a non-commutative sequential reduce") {
+    // acc*2 + v is order-sensitive: over v=0,1,2,3,4 in time order = 26.
+    val out = df.agg(
+      OrderedFold.foldDouble(0.0, (acc, v) => acc * 2 + v)(col("time"), col("seq"), col("v"))
+        .as("folded")).head().getDouble(0)
+    assert(out == 26.0)
+  }
+
+  test("fold reproduces the reference's seed-0 max (quirk Q1 exact replica)") {
+    // The reference's max folds Math.max from seed 0 (uts.ts:592-594) — the
+    // user-fold surface can replicate the quirk our Metric algebra deviates from.
+    val allNeg = Seq((1L, 0L, -5.0), (2L, 1L, -3.0)).toDF("time", "seq", "v")
+    val out = allNeg.agg(
+      OrderedFold.foldDouble(0.0, (acc, v) => math.max(acc, v))(col("time"), col("seq"), col("v")))
+      .head().getDouble(0)
+    assert(out == 0.0) // seed-0 quirk, not -3
+  }
+
+  test("fold works per interval bin through the Metric adapter") {
+    val s = UtsSeries(df, timeCol = "time", seqCol = Some("seq"))
+    val out = s.query(UtsQuery(
+      Seq("folded" -> OrderedFold.metric("v", 0.0, (acc, v) => acc * 2 + v)),
+      group = IntervalGroup(250, fill = false, 1000L)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // Bins as in GoldenSpec: (750,1000]→v=2,3,4 fold=2*4+... = ((0*2+2)*2+3)*2+4 = 18
+    // (500,750]→v=0,1 fold= (0*2+0)*2+1 = 1
+    assert(out.toSeq == Seq((750L, 18.0), (500L, 1.0)))
+  }
+}
