@@ -59,29 +59,42 @@ object Dedup {
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text",
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      textCol: String = "text"): DataFrame = {
+    // The shingle relation feeds four branches (df counts, ranking, both join
+    // sides, verification sets) — cache it, or every branch re-runs the
+    // tokenize/shingle scan. Same for the prefix relation (self-joined).
     val sh = shingles(df, n, idCol, textCol).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val filtered = maxShingleDf match {
-      case Some(cap) =>
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
-          .filter(col("df_sh") > cap).select(col("shingle"))
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => sh
-    }
-    val inter = filtered.as("a")
-      .join(filtered.as("b"),
+    // Prefix filtering (ppjoin-style): order each document's shingles by a
+    // global canonical order (ascending document frequency, then shingle) and
+    // keep only the first |A| − ⌈t·|A|⌉ + 1. Two sets with J ≥ t MUST share a
+    // prefix shingle under a common total order, so joining prefixes loses no
+    // true pair — but rare-first prefixes collide far less than full sets
+    // (candidate volume drops ~an order of magnitude), and the hottest
+    // (stopword-like) shingles never enter the join at all.
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df_sh"), col("shingle"))))
+      .withColumn("n_sh",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("id"), col("shingle"))
+      .cache()
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .select(
-        col("d1"), col("d2"),
-        round(col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jaccard"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    // Exact verification on the candidates only, via full sorted shingle sets.
+    val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh")).cache()
+    candidates
+      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
   }
@@ -108,6 +121,7 @@ object Dedup {
     val rows = numHashes / bands
     val sh = shingles(df, n, idCol, textCol)
       .groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
+      .cache() // reused by the signature path and the verification path
     // Signature: for each hash fn h, min over shingles of xxhash64(shingle, h).
     val sig = sh.select(
       col("id"),

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 final case class UtsSeries(
     df: DataFrame,
     timeCol: String = "time",
-    seqCol: Option[String] = None) {
+    seqCol: Option[String] = None,
+    rawTimeNs: Option[String] = None) {
 
   /** Append rows (uts.ts:275-278). Missing columns stay NULL — the SQL model
     * of the reference's absent-column semantics (uts.ts:187-196).
@@ -41,11 +42,18 @@ final case class UtsSeries(
     */
   def retain(ttlMs: Long, nowMs: Long): UtsSeries =
     if (ttlMs == 0L) this // ttl=0 keeps everything (uts.ts:253-255)
-    else copy(df = df.filter(col(timeCol) >= lit(nowMs - ttlMs)))
+    else {
+      val cut = nowMs - ttlMs
+      // Redundant raw-ns bound so the retention filter prunes row groups.
+      val pred = rawTimeNs
+        .map(raw => col(timeCol) >= lit(cut) && col(raw) >= lit(cut * 1000000L))
+        .getOrElse(col(timeCol) >= lit(cut))
+      copy(df = df.filter(pred))
+    }
 
   /** Run a query (uts.ts:362-375). */
   def query(q: UtsQuery): DataFrame =
-    UtsCompiler.run(df, q.copy(timeCol = timeCol, seqCol = seqCol))
+    UtsCompiler.run(df, q.copy(timeCol = timeCol, seqCol = seqCol, rawTimeNs = rawTimeNs))
 
   def derivative(valueCol: String, intervalMs: Long, partitionCols: Seq[String] = Nil): DataFrame =
     Derivative(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
@@ -68,7 +76,8 @@ object Tsdb {
         // exact range, so float division would corrupt the low-order ms.
         .withColumn("time", expr("ts div 1000000")),
       timeCol = "time",
-      seqCol = Some("event_id"))
+      seqCol = Some("event_id"),
+      rawTimeNs = Some("ts"))
 
   /** `events` with `ts` as a raw epoch-nanosecond Long. The corpus writes
     * parquet TIMESTAMP(NANOS), which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL])

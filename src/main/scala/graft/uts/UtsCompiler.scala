@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   * @param timeCol  epoch-millisecond LongType column (the reference's
   *                 reserved `time` column, uts.ts:179-181)
   * @param seqCol   insertion-order tiebreak for order-sensitive metrics
+  * @param rawTimeNs  optional underlying epoch-NANOSECOND column `timeCol` was
+  *                 derived from (`time = rawTimeNs div 1e6`). When set, every
+  *                 time predicate also emits a redundant predicate on the raw
+  *                 column — predicates on the derived column cannot reach the
+  *                 parquet scan, ones on the stored column prune row groups.
+  *                 At 100 TB this is the difference between scanning a day and
+  *                 scanning the table.
   */
 final case class UtsQuery(
     metrics: Seq[(String, Metric)],
     where: Seq[Pred] = Nil,
     group: Grouper = AnyGroup,
     timeCol: String = "time",
-    seqCol: Option[String] = None)
+    seqCol: Option[String] = None,
+    rawTimeNs: Option[String] = None)
 
 object UtsCompiler {
   private val BucketCol = "__uts_bucket"
@@ -34,10 +42,33 @@ object UtsCompiler {
     * test.js:143-154 ordering); [[AnyGroup]] emits a single row of metric
     * columns only (uts.ts:56-58).
     */
+  /** Redundant raw-ns predicates for time-column comparisons, so the scan can
+    * prune row groups (`time = raw div 1e6`, all values non-negative):
+    * time > X ⟺ raw ≥ (X+1)·1e6; time < X ⟺ raw < X·1e6; time = X ⟺ both.
+    */
+  private def rawTimePreds(q: UtsQuery): Seq[Pred] = q.rawTimeNs match {
+    case None => Nil
+    case Some(raw) =>
+      def ms(v: Any): Option[Long] = v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case _ => None
+      }
+      q.where.filter(_.col == q.timeCol).flatMap { p =>
+        ms(p.than).toSeq.flatMap { x =>
+          p.cmp match {
+            case Cmp.Gt => Seq(Pred.gt(raw, (x + 1) * 1000000L - 1))
+            case Cmp.Lt => Seq(Pred.lt(raw, x * 1000000L))
+            case Cmp.Eq => Seq(Pred.gt(raw, x * 1000000L - 1), Pred.lt(raw, (x + 1) * 1000000L))
+          }
+        }
+      }
+  }
+
   def run(df: DataFrame, q: UtsQuery): DataFrame = {
     val ord = OrderCtx(col(q.timeCol), q.seqCol.map(col).getOrElse(lit(0L)))
     val aggs = q.metrics.map { case (name, m) => m.agg(ord).as(name) }
-    val filtered = df.filter(Pred.conj(q.where))
+    val filtered = df.filter(Pred.conj(q.where ++ rawTimePreds(q)))
 
     q.group match {
       case AnyGroup =>
@@ -53,8 +84,11 @@ object UtsCompiler {
       case IntervalGroup(width, fill, now) =>
         // Q7: points after `now` are dropped (uts.ts:132-136) — as a set-based
         // filter, so the reference's ascending-order `break` dependence
-        // disappears.
-        val inRange = filtered.filter(col(q.timeCol) <= lit(now))
+        // disappears. The redundant raw-ns bound makes it scan-prunable.
+        val nowBound = q.rawTimeNs
+          .map(raw => col(q.timeCol) <= lit(now) && col(raw) < lit((now + 1) * 1000000L))
+          .getOrElse(col(q.timeCol) <= lit(now))
+        val inRange = filtered.filter(nowBound)
         // End-aligned bucketing (Q6, uts.ts:138): i = floor((now − t) / w).
         val bucket = floor((lit(now) - col(q.timeCol)) / lit(width)).cast("long")
         val grouped = inRange
