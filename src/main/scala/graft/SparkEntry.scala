@@ -168,6 +168,18 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("total"))
       .orderBy(col("o_custkey"), col("rk"))
 
+  private def rollupLineitem(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      // Subtotal rows carry NULL group keys; coalesce to a marker so both
+      // engines order them identically.
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
   private def distinctUsersByType(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).df.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
@@ -266,6 +278,7 @@ object SparkEntry {
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "window_top_orders" -> (windowTopOrders _),
+    "rollup_lineitem" -> (rollupLineitem _),
     "distinct_users_by_type" -> (distinctUsersByType _),
     "approx_distinct_users" -> (approxDistinctUsers _),
     "asof_join_orders" -> (asofJoinOrders _),
@@ -395,6 +408,11 @@ object SparkEntry {
         |                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |      FROM orders)
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "rollup_lineitem" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "distinct_users_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

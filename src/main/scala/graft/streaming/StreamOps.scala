@@ -42,6 +42,25 @@ object StreamOps {
         col("window.start").as("win_start"), col("window.end").as("win_end"),
         col(keyCol), col("n"), col("mean_value"), col("sum_value"))
 
+  /** Session windows (gap-based grouping — absent in the reference, noted in
+    * SURVEY.md §2.9 as the Spark-native generalization): events for a key
+    * belong to one session until `gapSeconds` of event-time silence.
+    */
+  def sessionCounts(
+      stream: DataFrame,
+      gapSeconds: Long,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      keyCol: String = "event_type"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col(keyCol), col("n"))
+
   final case class KeyedEvent(key: String, tsMs: Long, value: Double)
   final case class RunningLast(key: String, n: Long, last: Double)
 

@@ -72,4 +72,13 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register `dot_product` as a SQL function on an existing session, making
+    * the kernel reachable from `spark.sql("SELECT dot_product(a, b) ...")`.
+    * For cluster deployment, configure [[graft.GraftExtensions]] via
+    * `spark.sql.extensions` instead — same builder, applied at session build.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
 }

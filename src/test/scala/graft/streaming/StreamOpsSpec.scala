@@ -30,6 +30,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split on event-time gaps") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val out = StreamOps.sessionCounts(df, gapSeconds = 5, watermarkDelay = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (new Timestamp(1000L), "a"), (new Timestamp(3000L), "a"),
+        (new Timestamp(20000L), "a")) // > 5 s gap → second session
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("sess_start").cast("long"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, 2L), (20L, 1L)))
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
