@@ -217,6 +217,9 @@ object SparkEntry {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(T(s, dir, "documents"), maxDist = 3)
 
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(T(s, dir, "embeddings"), threshold = 0.8)
+
   // ------------------------------------------------------------- similarity
 
   private def simTopkCosine(s: SparkSession, dir: String): DataFrame =
@@ -232,6 +235,9 @@ object SparkEntry {
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
     Text.tokenStats(T(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def textBpeStats(s: SparkSession, dir: String): DataFrame =
+    Text.bpeTokenStats(T(s, dir, "documents")).orderBy(col("doc_id"))
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     Text.qualityScore(T(s, dir, "documents")).orderBy(col("doc_id"))
@@ -284,12 +290,14 @@ object SparkEntry {
     "asof_join_orders" -> (asofJoinOrders _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_embedding" -> (dedupEmbedding _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "text_stats" -> (textStats _),
+    "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -437,6 +445,16 @@ object SparkEntry {
          |FROM inter JOIN sizes s1 ON s1.id = d1 JOIN sizes s2 ON s2.id = d2
          |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+        |          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.8),
+        |low AS (SELECT v2 AS id, min(v1) AS low FROM pairs GROUP BY v2)
+        |SELECT e.vec_id, least(e.vec_id, coalesce(low.low, e.vec_id)) AS rep_id,
+        |       CAST(least(e.vec_id, coalesce(low.low, e.vec_id)) <> e.vec_id AS INT) AS is_dup
+        |FROM e LEFT JOIN low ON low.id = e.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -457,6 +475,14 @@ object SparkEntry {
          |       round(CAST(list_sum(list_transform(ts, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
          |             / greatest(len(ts), 1), 4) AS avg_token_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_bpe_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+        |       round(CAST(length(text) AS DOUBLE) /
+        |             greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')), 1), 4)
+        |         AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
          |t AS (SELECT doc_id, lt, list_filter(string_split(lt, ' '), x -> x <> '') AS ts FROM d),

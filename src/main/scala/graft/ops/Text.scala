@@ -18,6 +18,31 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** BPE-ish pre-tokenization over lowercased text: maximal runs of letters,
+    * digits, or other non-space characters — the split a byte-pair encoder
+    * performs before merges. The pattern is shared verbatim with the DuckDB
+    * oracle, so it is restricted to syntax Java regex and RE2 agree on (no
+    * lookaround, no \p classes).
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
+  /** Per-document BPE-ish token stats: pre-token count and chars-per-token
+    * "fertility" (the cost estimate LLM pipelines budget by). One narrow
+    * projection, no shuffle.
+    */
+  def bpeTokenStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bts = bpeTokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(bts).cast("long").as("n_bpe"),
+      size(tokens(col(textCol))).cast("long").as("n_ws"),
+      round(length(col(textCol)).cast("double") /
+        greatest(size(bts), lit(1)).cast("double"), 4).as("chars_per_token"))
+  }
+
   /** Per-document token statistics: count, distinct count, mean token length.
     * One narrow projection — no shuffle.
     */

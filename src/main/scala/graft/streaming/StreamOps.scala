@@ -64,6 +64,58 @@ object StreamOps {
   final case class KeyedEvent(key: String, tsMs: Long, value: Double)
   final case class RunningLast(key: String, n: Long, last: Double)
 
+  final case class DerivState(t0: Long, lastVal: Double, curK: Long, acc: Double)
+  final case class DerivPoint(key: String, der_time: Long, der_value: Double)
+
+  /** Streaming counterpart of [[graft.uts.Derivative]] (reference semantics at
+    * uts.ts:458-507) as explicit keyed state: per-key rate-of-change resampled
+    * onto a grid anchored at the key's FIRST point, emitting a grid point each
+    * time an event crosses a bucket boundary (empty intermediate buckets emit
+    * 0, matching the batch op's gap fill).
+    *
+    * Deviation from batch, inherent to unboundedness: the trailing partial
+    * bucket stays in state instead of being flushed at the last point's time —
+    * a stream has no last point. Events are ordered per micro-batch; across
+    * batches arrival order is trusted (bound disorder upstream with a
+    * watermark + sort, or accept the reference's same in-order assumption,
+    * Q12).
+    */
+  def streamingDerivative(
+      spark: SparkSession,
+      stream: Dataset[KeyedEvent],
+      intervalMs: Long): Dataset[DerivPoint] = {
+    import spark.implicits._
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[DerivState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tsMs, e.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DerivPoint]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            if (st == null) {
+              // First point: anchors the grid, contributes delta 0 (uts.ts:476-479).
+              st = DerivState(e.tsMs, e.value, 1L, 0.0)
+            } else {
+              val delta = e.value - st.lastVal
+              val k = math.max(math.ceil((e.tsMs - st.t0).toDouble / intervalMs).toLong, 1L)
+              if (k > st.curK) {
+                out += DerivPoint(key, st.t0 + st.curK * intervalMs, st.acc)
+                var j = st.curK + 1
+                while (j < k) { out += DerivPoint(key, st.t0 + j * intervalMs, 0.0); j += 1 }
+                st = DerivState(st.t0, e.value, k, delta)
+              } else {
+                st = st.copy(lastVal = e.value, acc = st.acc + delta)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** The reference's retention/`last` semantics as explicit keyed state:
     * per-key running count + last value, with a processing-time TTL that
     * drops idle keys — `Series.setRetention` (uts.ts:250-269) re-expressed as

@@ -27,6 +27,9 @@ class OpsSpec extends SparkSpec {
     // docs 0/4 identical (J=1); 0/1 and 1/4 share 6 of 8 distinct shingles (J=0.6).
     assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
     assert(out.find(p => p._1 == 0 && p._2 == 4).get._3 == 1.0)
+    val prefixed = Dedup.jaccardPairsPrefixFiltered(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(prefixed.toSeq == out.toSeq)
   }
 
   test("minhash LSH recovers the same pairs as exact jaccard here") {
@@ -71,6 +74,21 @@ class OpsSpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(vecs, 0, 2, nprobe = 3)
       .collect().map(_.getLong(0)).toSeq
     assert(ivf == brute)
+  }
+
+  test("embedding near-dup collapses to min-id representative") {
+    val out = Dedup.embeddingNearDups(vecs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 0~1 and 2~3 are near-dup clusters; 4 is alone.
+    assert(out.toSeq == Seq((0L, 0L, 0), (1L, 0L, 1), (2L, 2L, 0), (3L, 2L, 1), (4L, 4L, 0)))
+  }
+
+  test("bpe token stats split letter/digit/punct runs") {
+    val df = Seq((0L, "Hello, world42! a-b")).toDF("doc_id", "text")
+    val r = Text.bpeTokenStats(df).head()
+    // tokens: hello , world 42 ! a - b → 8 bpe, 3 whitespace tokens
+    assert(r.getLong(1) == 8L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == math.round(19.0 / 8.0 * 10000) / 10000.0)
   }
 
   test("asof join picks latest right row at or before left time, max tie id") {

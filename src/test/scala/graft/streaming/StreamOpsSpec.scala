@@ -70,4 +70,38 @@ class StreamOpsSpec extends SparkSpec {
       assert(last.toSeq == Seq(("x", 3L, 4.0), ("y", 1L, 2.0)))
     } finally q.stop()
   }
+
+  test("streamingDerivative matches batch Derivative's completed buckets") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.KeyedEvent]
+    val out = StreamOps.streamingDerivative(spark, input.toDS(), intervalMs = 100L)
+    val q = out.writeStream.format("memory").queryName("sderiv")
+      .outputMode("append").start()
+    try {
+      // The reference's own derivative fixture: values i² at 100 ms spacing
+      // (test.js:96-113) → deltas 1,3,5,7; split across two micro-batches.
+      input.addData(
+        StreamOps.KeyedEvent("a", 0L, 0.0),
+        StreamOps.KeyedEvent("a", 100L, 1.0),
+        StreamOps.KeyedEvent("a", 200L, 4.0))
+      q.processAllAvailable()
+      input.addData(
+        StreamOps.KeyedEvent("a", 300L, 9.0),
+        StreamOps.KeyedEvent("a", 400L, 16.0))
+      q.processAllAvailable()
+      val got = spark.table("sderiv")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      // Buckets 1..3 complete (bucket 4's delta 7 stays in state).
+      assert(got.toSeq == Seq((100L, 1.0), (200L, 3.0), (300L, 5.0)))
+
+      // Batch Derivative over the same rows: same grid times and values for
+      // every bucket but the trailing flush.
+      import spark.implicits._
+      val batchDf = Seq((0L, 0.0), (100L, 1.0), (200L, 4.0), (300L, 9.0), (400L, 16.0))
+        .toDF("time", "v")
+      val batch = graft.uts.Derivative(batchDf, "v", 100L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.take(3) == got.toSeq)
+    } finally q.stop()
+  }
 }
