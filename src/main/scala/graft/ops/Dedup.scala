@@ -68,22 +68,29 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, n, idCol, textCol)
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Single-pass codegen'd shingle kernel: tokenize+shingle+hash+distinct in
+    // one expression, so the self-join shuffles 16-byte (id, hash) rows
+    // instead of shingle strings, and per-doc set sizes are a free `size()`.
+    val hashed = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
+    val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
     val overlap = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
     // Per-doc sizes are one row per document: tiny here (AQE broadcasts),
     // a plain shuffled join keyed by doc id at 100 TB.
-    overlap
-      .join(counts.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
-      .join(counts.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
-      .select(col("d1"), col("d2"),
-        round(col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
+    Ordered.smallResult(
+      overlap
+        .join(counts.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(counts.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      "d1", "d2")
   }
 
   /** [[jaccardPairs]] with ppjoin-style prefix-filtered candidate generation:
@@ -127,20 +134,23 @@ object Dedup {
       .distinct()
     // Exact verification on the candidates only, via full sorted shingle sets.
     val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh")).cache()
-    candidates
-      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
-      .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
+    Ordered.smallResult(
+      candidates
+        .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      "d1", "d2")
   }
 
-  /** MinHash + LSH near-dup pairs. Per document: `numHashes` min-hashes over
-    * its shingle set (hash h of shingle s = xxhash64(s, h)), banded into
-    * `bands` groups; documents sharing any band signature become candidates;
-    * candidates are verified with exact Jaccard ≥ `threshold`.
+  /** MinHash + LSH near-dup pairs. Per document: a `numHashes`-element
+    * minhash signature over its hashed shingle set (one base
+    * [[org.apache.spark.sql.graftfns.ShingleHashes]] pass + SplitMix64-derived
+    * hash family, both codegen'd tight loops), banded into `bands` groups;
+    * documents sharing any band signature become candidates; candidates are
+    * verified with exact Jaccard ≥ `threshold` on the hashed shingle sets.
     *
     * This is the 100 TB path: the signature is fixed-size per document
     * regardless of length, and the candidate join is an equality join on the
@@ -157,15 +167,13 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingles(df, n, idCol, textCol)
-      .groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
-      .cache() // reused by the signature path and the verification path
-    // Signature: for each hash fn h, min over shingles of xxhash64(shingle, h).
-    val sig = sh.select(
+    val hashed = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sig = hashed.select(
       col("id"),
-      col("sh"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        h => array_min(transform(col("sh"), s => xxhash64(s, h)))).as("sig"))
+      org.apache.spark.sql.graftfns.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
     // Bands: candidates share (band index, banded sub-signature).
     val banded = sig.select(
       col("id"),
@@ -178,16 +186,17 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
-    // Exact verification of candidates only.
-    val sets = sh.select(col("id"), col("sh"))
-    candidates
-      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
-      .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
+    // Exact verification of candidates only, on the hashed sets (distinctness
+    // of hashes ≡ distinctness of shingles modulo 64-bit collisions).
+    Ordered.smallResult(
+      candidates
+        .join(hashed.select(col("id").as("d1"), col("hs").as("sh1")), "d1")
+        .join(hashed.select(col("id").as("d2"), col("hs").as("sh2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      "d1", "d2")
   }
 
   /** Embedding-cosine near-dup: assign every vector a representative — the
@@ -203,15 +212,18 @@ object Dedup {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val pairs = Similarity.pairsAbove(df, threshold, idCol, vecCol)
+    // Unordered pair kernel: the global sort in pairsAbove would re-execute
+    // the whole pair scan for range sampling.
+    val pairs = Similarity.pairsKernel(df, threshold, idCol, vecCol)
     // rep(x) = min({x} ∪ {a < x : cosine(a, x) ≥ t}); pairs carry a < b only,
     // so the min over d1 per d2 is the min lower neighbor.
     val lowerMin = pairs.groupBy(col("v2").as("id")).agg(min(col("v1")).as("low"))
-    df.select(col(idCol).as("vec_id"))
-      .join(lowerMin, col("vec_id") === col("id"), "left")
-      .select(col("vec_id"), least(col("vec_id"), coalesce(col("low"), col("vec_id"))).as("rep_id"))
-      .withColumn("is_dup", (col("rep_id") =!= col("vec_id")).cast("int"))
-      .orderBy(col("vec_id"))
+    Ordered.smallResult(
+      df.select(col(idCol).as("vec_id"))
+        .join(lowerMin, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"), least(col("vec_id"), coalesce(col("low"), col("vec_id"))).as("rep_id"))
+        .withColumn("is_dup", (col("rep_id") =!= col("vec_id")).cast("int")),
+      "vec_id")
   }
 
   /** 64-bit SimHash per document: bit i of the hash is the sign of
@@ -249,14 +261,15 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
-      .orderBy(col("d1"), col("d2"))
+    Ordered.smallResult(
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+        .distinct()
+        .filter(col("dist") <= maxDist),
+      "d1", "d2")
   }
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product accumulated in double — the codegen'd
-    * [[graft.functions.DotProduct]] kernel (the HOF formulation
+    * [[org.apache.spark.sql.graftfns.DotProduct]] kernel (the HOF formulation
     * `aggregate(zip_with(...))` is interpreted per element and was the
     * all-pairs bottleneck; same sequential fold, same values).
     */
@@ -58,8 +58,71 @@ object Similarity {
   /** All pairs (a < b) with cosine ≥ threshold. Quadratic — the exact
     * verifier / eval-set path, not the scale path (that's [[ivfTopK]] or the
     * random-hyperplane LSH in [[Dedup.simhashPairs]] applied to sign bits).
+    *
+    * Executed as a matmul-style kernel: the corpus (id, vector, norm) is
+    * broadcast once, and each partition streams its rows against the
+    * broadcast side in a tight primitive-array loop. Same pairs, same
+    * left-to-right accumulation and HALF_UP rounding as the declarative
+    * [[pairsAboveExpr]] — but without materializing N²/2 join rows that each
+    * copy two vectors (the nested-loop join spent ~25× the FLOP cost on row
+    * copying). The broadcast bounds applicability to corpora that fit on an
+    * executor (~1 GB ≈ 2M×64-dim); past that, candidate-generate with
+    * [[ivfTopK]] clusters or [[Dedup.embeddingNearDups]]'s LSH instead.
     */
   def pairsAbove(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Ordered.smallResult(pairsKernel(df, threshold, idCol, vecCol), "v1", "v2")
+
+  /** The unordered kernel behind [[pairsAbove]] — compose further plan stages
+    * on this (e.g. [[Dedup.embeddingNearDups]]'s representative pick) so the
+    * expensive pair scan isn't re-executed by a downstream global sort's
+    * range-boundary sampling pass.
+    */
+  private[ops] def pairsKernel(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Rounding to 4 digits moves a cosine by < 5e-5, so anything below
+    // threshold − 1e-4 can be rejected on the raw double — the exact
+    // (BigDecimal) rounding then runs only on the ~0.1% of pairs near or
+    // above the cut, not all N²/2.
+    val rawCut = threshold - 1e-4
+    val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val corpus = typed.collect().sortBy(_._1)
+    val norms = corpus.map { case (_, v) => math.sqrt(blasDot(v, v)) }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    typed.mapPartitions { it =>
+      val (all, nrm) = bc.value
+      it.flatMap { case (id, v) =>
+        val nv = math.sqrt(blasDot(v, v))
+        // Only the strictly-greater ids: each unordered pair is owned by its
+        // smaller id, so no pair is emitted twice and none is missed.
+        val start = lowerBound(all, id)
+        (start until all.length).iterator.flatMap { j =>
+          val raw = blasDot(v, all(j)._2) / (nv * nrm(j))
+          if (raw < rawCut) None
+          else {
+            val c = roundHalfUp4(raw)
+            if (c >= threshold) Some((id, all(j)._1, c)) else None
+          }
+        }
+      }
+    }.toDF("v1", "v2", "cosine")
+  }
+
+  /** Declarative formulation of [[pairsAbove]] (self nested-loop join over
+    * the codegen'd dot kernel). Identical output; kept as the
+    * plan-transparent reference implementation and for composition inside
+    * larger Catalyst plans.
+    */
+  def pairsAboveExpr(
       df: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
@@ -68,11 +131,36 @@ object Similarity {
     // them per pair triples the inner-loop work for the same values.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("v1"), col("b.id").as("v2"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy(col("v1"), col("v2"))
+    Ordered.smallResult(
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("v1"), col("b.id").as("v2"),
+          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      "v1", "v2")
+  }
+
+  /** Sequential left-to-right dot product — the same accumulation order as
+    * the codegen'd [[org.apache.spark.sql.graftfns.DotProduct]] and the oracle's fold, so
+    * all three produce bit-identical doubles.
+    */
+  private def blasDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark's `round(x, 4)`: BigDecimal HALF_UP. */
+  private def roundHalfUp4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** First index in the (id-sorted) corpus with id strictly greater than `id`. */
+  private def lowerBound(all: Array[(Long, Array[Double])], id: Long): Int = {
+    var lo = 0; var hi = all.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (all(mid)._1 <= id) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** IVF top-k: centroids = per-`labelCol` mean vectors (deterministic, no

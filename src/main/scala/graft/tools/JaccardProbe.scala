@@ -18,15 +18,19 @@ object JaccardProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
 
-    time("warmup (trivial job)")(docs.count())
-    time("overlap cold")(Dedup.jaccardPairs(docs, 3, 0.6).count())
-    time("overlap warm")(Dedup.jaccardPairs(docs, 3, 0.6).count())
-    time("prefix-filtered cold")(Dedup.jaccardPairsPrefixFiltered(docs, 3, 0.6).count())
-    time("prefix-filtered warm")(Dedup.jaccardPairsPrefixFiltered(docs, 3, 0.6).count())
-    val nA = Dedup.jaccardPairs(docs, 3, 0.6).count()
-    val nB = Dedup.jaccardPairsPrefixFiltered(docs, 3, 0.6).count()
-    println(s"pair counts overlap=$nA prefix=$nB")
-    spark.stop()
+    time("warmup")(docs.count())
+    val sh = Dedup.shingles(docs, 3)
+    time("shingles noop 1")(noop(sh))
+    time("shingles noop 2")(noop(sh))
+    val joined = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+    time("join noop")(noop(joined))
+    val overlap = joined.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
+    time("join+groupBy noop")(noop(overlap))
+    time("full warm")(noop(Dedup.jaccardPairs(docs, 3, 0.6)))
   }
 }

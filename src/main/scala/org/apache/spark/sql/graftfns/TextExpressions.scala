@@ -1,0 +1,173 @@
+// Lives under org.apache.spark.sql because Expression-building blocks
+// (AbstractDataType, ExpressionUtils.column) are private[sql] — the standard
+// extension-point placement for custom Catalyst expressions.
+package org.apache.spark.sql.graftfns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-`n`-gram shingles of a text, as 64-bit hashes, in one pass.
+  *
+  * Why a custom Expression: the declarative shingle pipeline
+  * (`filter(split(text)) |> transform(sequence, slice+concat_ws) |>
+  * array_distinct`) runs three interpreted higher-order functions and
+  * materializes every shingle string — it dominated near-dup dedup wall-clock.
+  * This kernel tokenizes on single spaces (empties dropped, exactly
+  * [[graft.ops.Text.tokens]] / the oracle's `string_split(text, ' ')` +
+  * non-empty filter), then FNV-1a-64 hashes each n-token window over the
+  * token bytes joined by a single 0x20 byte — i.e. the hash of the exact
+  * shingle string's UTF-8 bytes, without building the string. Distinctness of
+  * hashes ≡ distinctness of shingle strings modulo 64-bit collisions
+  * (P ≈ m²/2⁶⁴ per document — negligible; overlap COUNTS are what downstream
+  * Jaccard consumes, so a collision would only perturb one count).
+  *
+  * Fewer than `n` tokens ⇒ empty array (a document too short to shingle
+  * contributes no candidates), mirroring the guarded `sequence` bound in
+  * [[graft.ops.Dedup.shingles]].
+  */
+final case class ShingleHashes(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    ShingleHashes.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"org.apache.spark.sql.graftfns.ShingleHashes.compute($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // Token boundaries: split on 0x20. A space byte never occurs inside a
+    // multi-byte UTF-8 sequence (continuation bytes are >= 0x80), so a plain
+    // byte scan is a correct character-level split.
+    var tokenCount = 0
+    var i = 0
+    val len = bytes.length
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    while (i < len) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < len && bytes(i) != 0x20) i += 1
+        starts(tokenCount) = s
+        ends(tokenCount) = i
+        tokenCount += 1
+      } else i += 1
+    }
+    if (tokenCount < n) return new GenericArrayData(Array.empty[Long])
+    val windows = tokenCount - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](windows * 2)
+    val out = new Array[Long](windows)
+    var outLen = 0
+    var w = 0
+    while (w < windows) {
+      var h = FnvOffset
+      var k = w
+      while (k < w + n) {
+        if (k > w) { h ^= 0x20L; h *= FnvPrime }
+        var p = starts(k)
+        val e = ends(k)
+        while (p < e) { h ^= (bytes(p) & 0xffL); h *= FnvPrime; p += 1 }
+        k += 1
+      }
+      if (seen.add(h)) { out(outLen) = h; outLen += 1 }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
+  }
+}
+
+/** MinHash signature over a shingle-hash set: element `i` of the output is
+  * `min over x in hashes of mix(x ^ seed_i)` where `mix` is the SplitMix64
+  * finalizer — the standard "one base hash + k cheap derived hash functions"
+  * minhash family (Broder's min-wise permutations approximated by universal
+  * hashing). One tight pass: k·|set| multiplies, no per-seed re-hash of the
+  * underlying strings (the nested-HOF formulation re-hashed every shingle
+  * string k times, interpreted — it dominated LSH dedup wall-clock).
+  *
+  * Empty input ⇒ empty array (callers drop unshingleable docs).
+  */
+final case class MinHashSignature(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(hashes: Any, k: Any): Any =
+    MinHashSignature.compute(hashes.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, k) =>
+      s"org.apache.spark.sql.graftfns.MinHashSignature.compute($h, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSignature {
+  /** SplitMix64 finalizer: full-avalanche 64-bit mix. */
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def compute(hashes: ArrayData, k: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = 0x9e3779b97f4a7c15L * (i + 1)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val h = mix(hashes.getLong(j) ^ seed)
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object TextFunctions {
+  /** Distinct word-n-gram shingle hashes of `text` as `array<long>`. */
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes(
+        ExpressionUtils.expression(text),
+        ExpressionUtils.expression(org.apache.spark.sql.functions.lit(n))))
+
+  /** `k`-element minhash signature of a shingle-hash array. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(
+        ExpressionUtils.expression(hashes),
+        ExpressionUtils.expression(org.apache.spark.sql.functions.lit(k))))
+}

@@ -34,7 +34,13 @@ class OpsSpec extends SparkSpec {
 
   test("minhash LSH recovers the same pairs as exact jaccard here") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val lsh = Dedup.minhashLshPairs(docs, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 16 bands × 2 rows: P(candidate | J=0.6) ≈ 1−(1−0.36)¹⁶ ≈ 0.999, so the
+    // probabilistic stage can't flake this fixture; false candidates are
+    // removed by the exact-verify stage, so recall is the only knob banding
+    // moves. (The 8×4 default targets higher thresholds with fewer
+    // candidates: 1−(1−J⁴)⁸ ≈ 0.67 at J=0.6 — too lossy to assert equality.)
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lsh.toSet == exact.toSet)
   }
 
@@ -67,6 +73,14 @@ class OpsSpec extends SparkSpec {
     val out = Similarity.pairsAbove(vecs, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((0L, 1L), (2L, 3L)))
+  }
+
+  test("pairsAbove kernel and expression formulations agree exactly") {
+    val kern = Similarity.pairsAbove(vecs, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expr = Similarity.pairsAboveExpr(vecs, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(kern == expr && kern.length == 10) // all C(5,2) pairs, bit-identical
   }
 
   test("ivf top-k: probing all clusters recovers brute-force head") {
