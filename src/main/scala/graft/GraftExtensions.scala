@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graftfns.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftfns.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions at session build. Enable with
@@ -14,10 +14,12 @@ import org.apache.spark.sql.graftfns.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+    def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
+    inject("dot_product", classOf[DotProduct], es => DotProduct(es(0), es(1)))
+    inject("shingle_hashes", classOf[ShingleHashes], es => ShingleHashes(es(0), es(1)))
+    inject("minhash_signature", classOf[MinHashSignature], es => MinHashSignature(es(0), es(1)))
+    inject("simhash64", classOf[SimHash64], es => SimHash64(es(0)))
   }
 }

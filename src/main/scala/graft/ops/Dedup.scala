@@ -240,22 +240,14 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    // Shape matters here: one xxhash64 per token (explode), then the 64
-    // per-bit ±1 votes as 64 codegen'd SUM columns in a single hash
-    // aggregate. (A nested higher-order fold re-hashes every token once per
-    // bit, interpreted — ~64× the work.)
-    val hashed = df
-      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"v$i"))
-    val sim = hashed.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // Per-document scalar kernel: simhash is a pure function of the text, so
+    // it needs no explode / aggregate / shuffle — one codegen'd pass per row.
+    // (Earlier shapes: nested HOF fold = 64× interpreted re-hash; explode +
+    // 64-SUM-column aggregate = a 260k-row shuffle for 5k docs. Both beaten
+    // ~10× by the scalar.)
+    val sim = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.simhash64(col(textCol)).as("simhash"))
     val banded = sim.select(
       col("id"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>

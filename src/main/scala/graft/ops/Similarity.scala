@@ -199,9 +199,11 @@ object Similarity {
     val assigned = df.crossJoin(cList)
       .select(col(idCol), col(vecCol), col(labelCol),
         bestCluster(col(vecCol), col("cs"), dim).as("cluster"))
+    // The query VECTOR comes straight off the base table — routing it through
+    // `assigned` would re-execute the whole assignment scan once per consumer
+    // (it feeds both the probe list and the final score pass).
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
     // Probe list: the nprobe clusters nearest to the query vector.
-    val q = assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__q"))
     val probes = centroids.crossJoin(broadcast(q))
       .select(col("cl"), cosine(col("cvec"), col("__q")).as("cs"))
       .orderBy(col("cs").desc, col("cl"))

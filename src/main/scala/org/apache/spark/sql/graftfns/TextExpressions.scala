@@ -156,6 +156,65 @@ object MinHashSignature {
   }
 }
 
+/** 64-bit SimHash of a text in one pass: whitespace tokens (empties dropped),
+  * FNV-1a-64 per token, per-bit ±1 votes, sign of each vote becomes the bit.
+  *
+  * Replaces an explode + 64-SUM-column hash aggregate (per-token rows through
+  * a shuffle) with a per-document scalar — the simhash of a document is a
+  * pure function of the document, so it never needed an aggregation: no
+  * shuffle at all until the (tiny) per-doc hashes band-join.
+  */
+final case class SimHash64(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(text: Any): Any =
+    SimHash64.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graftfns.SimHash64.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      if (bytes(i) != 0x20) {
+        var h = FnvOffset
+        while (i < len && bytes(i) != 0x20) {
+          h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      } else i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+}
+
 object TextFunctions {
   /** Distinct word-n-gram shingle hashes of `text` as `array<long>`. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -170,4 +229,8 @@ object TextFunctions {
       MinHashSignature(
         ExpressionUtils.expression(hashes),
         ExpressionUtils.expression(org.apache.spark.sql.functions.lit(k))))
+
+  /** 64-bit SimHash of a text column. */
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 }

@@ -78,7 +78,15 @@ object VectorFunctions {
     * For cluster deployment, configure [[graft.GraftExtensions]] via
     * `spark.sql.extensions` instead — same builder, applied at session build.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+  }
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfns.TextFunctions
+
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a b c d e"),
+    (1L, "a b c d e"),        // identical to 0
+    (2L, "a  b   c d e"),     // extra spaces: same tokens
+    (3L, "x y"),              // too short for n=3 → no shingles
+    (4L, "a b c a b c a b c") // repeated shingles → distinct set is small
+  ).toDF("doc_id", "text")
+
+  test("shingleHashes distinct-set sizes match the declarative string shingles") {
+    val kernel = docs.select($"doc_id", size(TextFunctions.shingleHashes($"text", 3)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val strings = Dedup.shingles(docs, 3).groupBy($"id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+    // doc 3 emits no shingle rows in the exploded form; kernel reports 0.
+    assert(kernel(3L) == 0 && !strings.contains(3L))
+    for (id <- Seq(0L, 1L, 2L, 4L)) assert(kernel(id) == strings(id), s"doc $id")
+    assert(kernel(4L) == 3) // "a b c", "b c a", "c a b"
+  }
+
+  test("shingleHashes: identical token streams hash identically, null → null") {
+    val hs = docs.select($"doc_id", TextFunctions.shingleHashes($"text", 3).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(hs(0L) == hs(1L) && hs(0L) == hs(2L))
+    val n = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TextFunctions.shingleHashes($"text", 3)).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("minhashSignature: length k, permutation-invariant, empty in → empty out") {
+    val sig = docs.select($"doc_id", TextFunctions.minhashSignature(
+      TextFunctions.shingleHashes($"text", 3), 16).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(sig(0L).length == 16 && sig(0L) == sig(1L))
+    assert(sig(3L).isEmpty)
+    // Order of the underlying set must not matter: min over a set.
+    val a = Seq((0L, "p q r s t")).toDF("doc_id", "text")
+    val b = Seq((0L, "r s t p q")).toDF("doc_id", "text") // different shingles!
+    val sa = a.select(TextFunctions.minhashSignature(TextFunctions.shingleHashes($"text", 1), 8))
+      .head().getSeq[Long](0)
+    val sb = b.select(TextFunctions.minhashSignature(TextFunctions.shingleHashes($"text", 1), 8))
+      .head().getSeq[Long](0)
+    assert(sa == sb) // 1-gram sets are equal, so signatures must be
+  }
+
+  test("simhash64: deterministic, identical docs equal, one-word change is near") {
+    val s = docs.select($"doc_id", TextFunctions.simhash64($"text").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s(0L) == s(1L))
+    val pair = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+      .select(TextFunctions.simhash64($"text")).collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(pair(0) ^ pair(1)) <= 24)
+  }
+
+  test("kernels work through SQL registration and the session extension path") {
+    org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
+    docs.createOrReplaceTempView("texpr_docs")
+    val n = spark.sql(
+      "SELECT size(shingle_hashes(text, 3)) FROM texpr_docs WHERE doc_id = 0").head().getInt(0)
+    assert(n == 3)
+    val sh = spark.sql("SELECT simhash64(text) FROM texpr_docs WHERE doc_id = 0").head().getLong(0)
+    assert(sh != 0L)
+  }
+}
