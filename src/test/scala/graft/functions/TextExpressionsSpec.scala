@@ -64,6 +64,23 @@ class TextExpressionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(pair(0) ^ pair(1)) <= 24)
   }
 
+  test("minhash min-stability: sig(A ∪ B) = elementwise min(sig(A), sig(B))") {
+    // THE property that makes minhash estimate Jaccard: the signature of a
+    // union is the elementwise min of signatures. Random fixed-seed corpora.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 8) {
+      val a = Seq.fill(rnd.between(1, 40))(rnd.between(0, 30)).map(i => s"w$i").mkString(" ")
+      val b = Seq.fill(rnd.between(1, 40))(rnd.between(0, 30)).map(i => s"w$i").mkString(" ")
+      val rows = Seq((0L, a), (1L, b), (2L, a + " " + b)) // 2 = union at n=1
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextFunctions.minhashSignature(
+          TextFunctions.shingleHashes($"text", 1), 12).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      val expect = rows(0L).zip(rows(1L)).map { case (x, y) => math.min(x, y) }
+      assert(rows(2L) == expect)
+    }
+  }
+
   test("kernels work through SQL registration and the session extension path") {
     org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
     docs.createOrReplaceTempView("texpr_docs")
