@@ -197,10 +197,11 @@ object SparkEntry {
         // o_orderdate is parquet TIMESTAMP_NTZ; cast to LTZ (identity under
         // the UTC session TZ) so unix_millis applies.
         unix_millis(col("o_orderdate").cast("timestamp")).as("ot"), col("o_orderkey"))
-    AsofJoin(left, right, Seq("user_id"), "time", "ot",
-      rightPayload = Seq("o_orderkey"), rightTieCol = "o_orderkey")
-      .select(col("event_id"), col("user_id"), col("o_orderkey"))
-      .orderBy(col("event_id"))
+    graft.ops.Ordered.smallResult(
+      AsofJoin(left, right, Seq("user_id"), "time", "ot",
+        rightPayload = Seq("o_orderkey"), rightTieCol = "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey")),
+      "event_id")
   }
 
   // ------------------------------------------------------------ dedup family

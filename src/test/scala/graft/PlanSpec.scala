@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions: the properties that matter at 100 TB
+  * (broadcasts where a side is small, column pruning reaching the scan,
+  * top-k without a global sort, scalar kernels not spawning aggregations).
+  * These pin the plan we designed for, not just the answer.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast the small side") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("narrow text ops prune the parquet scan to the used columns") {
+    val p = plan("text_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1500))
+    assert(!p.contains("lang")) // unused column must not be read
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("sim_topk_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    val q3 = plan("q3_topk_revenue")
+    assert(q3.contains("TakeOrderedAndProject"), q3.take(1500))
+  }
+
+  test("simhash is a scalar projection — no aggregate before the band join") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val p = docs.select(
+      org.apache.spark.sql.graftfns.TextFunctions.simhash64($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("Exchange"), p)
+  }
+
+  test("uts interval queries keep whole-stage codegen on the scan+filter+agg path") {
+    // AQE prints codegen spans only once the final plan is materialized.
+    val df = SparkEntry.queries("uts_interval_mean")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Codegen'd operators print as `*(n) Op` in the finalized plan.
+    assert(p.contains("*(") , p.take(1500))
+    // The time bound must reach the parquet scan through the raw ns column.
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts"), p.take(3000))
+  }
+
+  test("pair pipelines sort report output in one partition (no resampling range sort)") {
+    for (q <- Seq("dedup_jaccard_pairs", "sim_pairs_threshold", "asof_join_orders")) {
+      val p = plan(q)
+      // A range sort would appear as Exchange rangepartitioning(...); the
+      // report-sort shape is a single-partition exchange + in-partition Sort.
+      assert(!p.contains("rangepartitioning"), s"$q:\n${p.take(1500)}")
+    }
+  }
+}
