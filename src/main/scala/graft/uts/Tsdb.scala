@@ -59,6 +59,84 @@ final case class UtsSeries(
     Derivative(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
 }
 
+/** Mutable database facade mirroring the reference's `TSDB`
+  * (`/root/reference/uts.ts:523-556`): a string-keyed registry of series with
+  * get-or-create access (uts.ts:540-547), a default retention TTL applied to
+  * series created after it is set (uts.ts:526,531-533,543), and `destroy`
+  * (uts.ts:552-555).
+  *
+  * Differences by design: series are immutable DataFrames, so the mutation
+  * verbs rebind the name to a new snapshot (the reference mutates an array in
+  * place); retention is enforced lazily at query time against the query's
+  * `nowMs` (the reference sweeps on a 1 s timer — a wall-clock side effect
+  * batch plans must not depend on; streams get the same bound from
+  * watermarks, see graft.streaming).
+  */
+final class UtsDb(
+    spark: org.apache.spark.sql.SparkSession,
+    dir: Option[String] = None,
+    timeCol: String = "time") {
+  private val seriesMap = scala.collection.mutable.LinkedHashMap.empty[String, UtsSeries]
+  private val retentionMs = scala.collection.mutable.Map.empty[String, Long]
+  private var defaultRetentionMs: Long = 0L
+
+  /** TTL applied to series created from now on (uts.ts:531-533); existing
+    * series keep theirs (the reference only stamps new series too).
+    */
+  def defaultRetention(ttlMs: Long): this.type = { defaultRetentionMs = ttlMs; this }
+
+  def setRetention(name: String, ttlMs: Long): this.type = {
+    series(name); retentionMs(name) = ttlMs; this
+  }
+
+  /** Get-or-create (uts.ts:540-547): resolves `dir/<name>.parquet` when a
+    * corpus directory is bound and the table exists; otherwise an empty
+    * series with just the time column.
+    */
+  def series(name: String): UtsSeries =
+    seriesMap.getOrElseUpdate(name, {
+      retentionMs(name) = defaultRetentionMs
+      val df = dir
+        .map(d => new java.io.File(s"$d/$name.parquet"))
+        .filter(_.exists())
+        .map(f => spark.read.parquet(f.getPath))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              timeCol, org.apache.spark.sql.types.LongType)))))
+      UtsSeries(df, timeCol)
+    })
+
+  def insert(name: String, rows: DataFrame): this.type = {
+    seriesMap(name) = series(name).insert(rows); this
+  }
+
+  def remove(name: String, preds: Seq[Pred] = Nil): this.type = {
+    seriesMap(name) = series(name).remove(preds); this
+  }
+
+  /** Query with retention enforced as of the query's `nowMs` (for interval
+    * groups) or the given asOf — the lazy, deterministic form of the
+    * reference's eviction sweep.
+    */
+  def query(name: String, q: UtsQuery, asOfMs: Option[Long] = None): DataFrame = {
+    val ttl = retentionMs.getOrElse(name, 0L)
+    val now = asOfMs.orElse(q.group match {
+      case IntervalGroup(_, _, n) => Some(n)
+      case _ => None
+    })
+    val s = (ttl, now) match {
+      case (t, Some(n)) if t > 0 => series(name).retain(t, n)
+      case _ => series(name)
+    }
+    s.query(q)
+  }
+
+  /** Drop every series binding (uts.ts:552-555). */
+  def destroy(): Unit = { seriesMap.clear(); retentionMs.clear() }
+}
+
 object Tsdb {
   /** Open the driver corpus directory as a database of series. The `events`
     * table is the canonical uts-shaped series: `ts` (timestamp) becomes the

@@ -1,0 +1,51 @@
+package graft.uts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UtsDbSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ps: (Long, Double)*) = ps.toSeq.toDF("time", "v")
+
+  test("get-or-create: unknown series is empty, insert rebinds, destroy clears") {
+    val db = new UtsDb(spark)
+    assert(db.series("a").df.count() == 0)
+    db.insert("a", rows(100L -> 1.0, 200L -> 2.0))
+    assert(db.series("a").df.count() == 2)
+    // missing columns on later inserts become NULL (uts.ts:187-196 model)
+    db.insert("a", Seq((300L, "x")).toDF("time", "tag"))
+    val s = db.series("a").df.orderBy($"time").collect()
+    assert(s.length == 3 && s(2).isNullAt(1))
+    db.destroy()
+    assert(db.series("a").df.count() == 0)
+  }
+
+  test("remove with predicates keeps non-matching and NULL-predicate rows") {
+    val db = new UtsDb(spark)
+    db.insert("a", rows(100L -> 1.0, 200L -> 5.0, 300L -> 9.0))
+    db.remove("a", Seq(Pred.gt("v", 4.0), Pred.lt("v", 8.0)))
+    assert(db.series("a").df.select($"v").as[Double].collect().sorted.toSeq == Seq(1.0, 9.0))
+  }
+
+  test("default retention stamps new series and binds interval queries") {
+    val db = new UtsDb(spark).defaultRetention(150L)
+    db.insert("a", rows(100L -> 1.0, 200L -> 2.0, 300L -> 3.0))
+    // now=300, ttl=150 → keep time >= 150: points at 200 and 300.
+    val out = db.query("a",
+      UtsQuery(Seq("n" -> CountM()), group = IntervalGroup(100L, fill = false, 300L)))
+    assert(out.agg(sum($"n")).head().getLong(0) == 2L)
+    // A series created after retention is reset to 0 keeps everything.
+    val db2 = new UtsDb(spark)
+    db2.insert("b", rows(100L -> 1.0, 300L -> 3.0))
+    val all = db2.query("b",
+      UtsQuery(Seq("n" -> CountM()), group = IntervalGroup(100L, fill = false, 300L)))
+    assert(all.agg(sum($"n")).head().getLong(0) == 2L)
+  }
+
+  test("binds a corpus directory: events table resolves, unknown name is empty") {
+    val db = new UtsDb(spark, dir = Some("/root/testdata/sf0.001"), timeCol = "event_id")
+    assert(db.series("orders").df.count() > 0)
+    assert(db.series("no_such_table").df.count() == 0)
+  }
+}
