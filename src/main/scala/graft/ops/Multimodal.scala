@@ -49,4 +49,46 @@ object Multimodal {
       }
     }
   }
+
+  /** "Resize" each payload to a fixed target byte budget (`targetW·targetH`) —
+    * stub for decode→scale→re-encode. Deterministic: truncate or zero-pad.
+    * Same per-partition batch shape a real resampler needs; output rows carry
+    * the new payload plus before/after sizes so downstream can audit.
+    */
+  final case class ResizedMedia(doc_id: Long, payload: Array[Byte], orig_bytes: Long, new_bytes: Long)
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val target = targetW * targetH
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val out = java.util.Arrays.copyOf(r.payload, target) // truncates or zero-pads
+        ResizedMedia(r.doc_id, out, r.payload.length.toLong, target.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size frames and
+    * emit every `everyN`-th frame as its own row — the generator-shaped media
+    * op (one blob → many frames). A real video pipeline swaps the splitter
+    * for a demuxer; the flatMap shape, frame indexing, and downstream schema
+    * stay identical. Frames never re-join the blob: only (doc_id, frame_idx,
+    * frame bytes) flow on, keeping shuffle payloads frame-sized.
+    */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      frameBytes: Int,
+      everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val total = r.payload.length / frameBytes
+      (0L until total.toLong).iterator
+        .filter(_ % everyN == 0)
+        .map { i =>
+          val from = (i * frameBytes).toInt
+          Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, from + frameBytes))
+        }
+    }
+  }
 }

@@ -149,6 +149,24 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) >= 0.0))
   }
 
+  test("multimodal resize pads/truncates to the target budget") {
+    val media = Multimodal.withPayload(docs)
+    val out = Multimodal.resize(spark, media, targetW = 8, targetH = 4)
+      .collect().sortBy(_.doc_id)
+    assert(out.forall(r => r.payload.length == 32 && r.new_bytes == 32L))
+    assert(out(0).orig_bytes == 43L)
+  }
+
+  test("multimodal frame sampling emits every Nth fixed-size frame") {
+    val media = Multimodal.withPayload(Seq((7L, "x" * 100)).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 10, everyN = 3)
+      .collect().sortBy(_.frame_idx)
+    // 10 full frames, every 3rd → indexes 0,3,6,9
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(frames.forall(_.frame.length == 10))
+    assert(frames.forall(_.doc_id == 7L))
+  }
+
   test("multimodal stub decode derives features from payload bytes") {
     val out = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
       .collect().sortBy(_.doc_id)

@@ -71,6 +71,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source to file sink: parquet dir streams through tumbling stats") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
+    val (in, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    import spark.implicits._
+    val batch1 = Seq(
+      (new Timestamp(1000L), "a", 1.0), (new Timestamp(2000L), "a", 3.0),
+      (new Timestamp(11000L), "b", 5.0)
+    ).toDF("ts", "event_type", "value")
+    batch1.write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(batch1.schema).parquet(in)
+    val q = StreamOps.tumblingStats(stream, widthSeconds = 10, watermarkDelay = "5 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Append mode emits a window only after the watermark passes it: a
+      // second file advances event time far enough to close both windows.
+      Seq((new Timestamp(60000L), "a", 0.0)).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select(col("win_start").cast("long"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq((0L, "a", 2L, 4.0), (10L, "b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streamingDerivative matches batch Derivative's completed buckets") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
