@@ -33,15 +33,19 @@ object Text {
     * "fertility" (the cost estimate LLM pipelines budget by). One narrow
     * projection, no shuffle.
     */
-  def bpeTokenStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bts = bpeTokens(col(textCol))
+  def bpeTokenStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // Two selects so the regex evaluates once: chars_per_token reads the
+    // aliased n_bpe column. (One flat select would inline size(regex…) into
+    // both outputs — the regex is the whole cost of this op.)
     df.select(
       col(idCol),
-      size(bts).cast("long").as("n_bpe"),
+      size(bpeTokens(col(textCol))).cast("long").as("n_bpe"),
       size(tokens(col(textCol))).cast("long").as("n_ws"),
-      round(length(col(textCol)).cast("double") /
-        greatest(size(bts), lit(1)).cast("double"), 4).as("chars_per_token"))
-  }
+      length(col(textCol)).cast("double").as("__len"))
+      .select(
+        col(idCol), col("n_bpe"), col("n_ws"),
+        round(col("__len") / greatest(col("n_bpe"), lit(1L)).cast("double"), 4)
+          .as("chars_per_token"))
 
   /** Per-document token statistics: count, distinct count, mean token length.
     * One narrow projection — no shuffle.
