@@ -180,6 +180,32 @@ object SparkEntry {
         col("sum_qty"), col("n"))
       .orderBy(col("rf"), col("ls"))
 
+  private def cubeLineitem(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Daily event volume with a 7-day trailing moving average — the window
+    * frame-spec (`rowsBetween`) coverage row. The ordered window has no
+    * partition key: fine for a per-day series (row count = day count); at
+    * 100 TB partition by entity and window within it.
+    */
+  private def movingAvgDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir).df
+      .groupBy(expr("time div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("mean_value"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day")).rowsBetween(-6, 0)
+    graft.ops.Ordered.smallResult(
+      daily.select(col("day"), col("n"), col("mean_value"),
+        round(avg(col("n")).over(w), 4).as("ma7_n")),
+      "day")
+  }
+
   private def distinctUsersByType(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).df.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
@@ -288,6 +314,8 @@ object SparkEntry {
     "q5_nation_revenue" -> (q5NationRevenue _),
     "window_top_orders" -> (windowTopOrders _),
     "rollup_lineitem" -> (rollupLineitem _),
+    "cube_lineitem" -> (cubeLineitem _),
+    "moving_avg_daily" -> (movingAvgDaily _),
     "distinct_users_by_type" -> (distinctUsersByType _),
     "approx_distinct_users" -> (approxDistinctUsers _),
     "asof_join_orders" -> (asofJoinOrders _),
@@ -424,6 +452,20 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "cube_lineitem" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "moving_avg_daily" ->
+      s"""WITH e AS ($EvCte),
+         |d AS (SELECT time // 86400000 AS day, count(*) AS n,
+         |             round(avg(value), 4) AS mean_value
+         |      FROM e GROUP BY 1)
+         |SELECT day, n, mean_value,
+         |       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         |         AS ma7_n
+         |FROM d ORDER BY day""".stripMargin,
     "distinct_users_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
