@@ -292,6 +292,21 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** `from_json` with an explicit schema — one typed parse per row (the scale
+    * path; `get_json_object` re-parses per extracted path). Same values as
+    * the regex-deriving oracle on this corpus's single-key props.
+    */
+  private def jsonPropsTyped(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(coalesce(sum(col("k")), lit(0L)).as("sum_k"),
+        count(when(col("k") > 50, lit(1))).as("n_big"))
+      .orderBy(col("event_type"))
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withPayload(T(s, dir, "documents")))
       .toDF()
@@ -334,6 +349,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "json_props_stats" -> (jsonPropsStats _),
+    "json_props_typed" -> (jsonPropsTyped _),
     "multimodal_features" -> (multimodalFeatures _),
   )
 
@@ -571,6 +587,13 @@ object SparkEntry {
         |FROM t, nn ORDER BY tfidf DESC, term LIMIT 15""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(k) AS n_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_props_typed" ->
+      """SELECT event_type, coalesce(sum(k), 0) AS sum_k,
+        |       count(CASE WHEN k > 50 THEN 1 END) AS n_big
         |FROM (SELECT event_type,
         |             TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
         |      FROM events)

@@ -90,6 +90,37 @@ object Text {
       .otherwise(lit("de"))
   }
 
+  /** [[langId]] as a broadcast-dictionary join — the shape a real language
+    * model's word list takes at 100 TB (a 10⁵-word dictionary can't be a
+    * literal in a codegen'd CASE chain; a broadcast hash join streams the
+    * token explosion past it with no shuffle of the corpus). Same outputs as
+    * [[langId]]: per-language stopword hit counts (duplicates counted) and
+    * the same argmax preference chain.
+    *
+    * The shuffle carries only (doc, lang) hit counts — map-side partial
+    * aggregation collapses the token explosion before it moves.
+    */
+  def langIdByJoin(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = (StopEn.map((_, "en")) ++ StopEs.map((_, "es")) ++
+      StopFr.map((_, "fr")) ++ StopDe.map((_, "de"))).toDF("w", "lang")
+    val toks = df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("w"))
+    val hits = toks.join(broadcast(dict), "w")
+      .groupBy(col("id"))
+      .pivot("lang", Seq("en", "es", "fr", "de"))
+      .agg(count(lit(1)))
+    df.select(col(idCol))
+      .join(hits, col(idCol) === col("id"), "left")
+      .na.fill(0L, Seq("en", "es", "fr", "de"))
+      .select(col(idCol),
+        when(greatest(col("en"), col("es"), col("fr"), col("de")) === 0, lit("und"))
+          .when(col("en") >= col("es") && col("en") >= col("fr") && col("en") >= col("de"), lit("en"))
+          .when(col("es") >= col("fr") && col("es") >= col("de"), lit("es"))
+          .when(col("fr") >= col("de"), lit("fr"))
+          .otherwise(lit("de")).as("pred_lang"))
+  }
+
   /** Heuristic quality score in [0, 1] from token count, stopword ratio and
     * punctuation ratio — the standard cheap pre-filter shape for LLM training
     * data. Deterministic arithmetic so the DuckDB oracle reproduces it bit-for

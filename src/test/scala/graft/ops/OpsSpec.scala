@@ -133,6 +133,18 @@ class OpsSpec extends SparkSpec {
     assert(und.select(Text.langId(col("text"))).head().getString(0) == "und")
   }
 
+  test("langIdByJoin agrees with the expression langId on the corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expr = corpus.select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val joined = Text.langIdByJoin(corpus)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(joined == expr && expr.size == 500)
+    // und fallback survives the left join
+    val und = Text.langIdByJoin(Seq((9L, "zzz qqq")).toDF("doc_id", "text")).head()
+    assert(und.getString(1) == "und")
+  }
+
   test("fingerprints: md5 matches duplicates, rolling is order-sensitive") {
     val fp = Text.fingerprint(docs).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(fp(0L) == fp(4L) && fp(0L) != fp(1L))
