@@ -76,7 +76,12 @@ object Dedup {
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
     val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
-    val overlap = sh.as("a")
+    // SHUFFLE_HASH: the equi-key self-join needs no sort order, and sorting
+    // both exploded sides is most of a sort-merge join's cost here (~2×
+    // wall-clock). Advisory — Spark falls back to SMJ (spill-safe) if a
+    // build partition can't fit, which is also the right call at skewed
+    // 100 TB shingle distributions.
+    val overlap = sh.as("a").hint("SHUFFLE_HASH")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
@@ -180,7 +185,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))))
       .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
-    val candidates = banded.as("a")
+    val candidates = banded.as("a").hint("SHUFFLE_HASH")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
@@ -254,7 +259,7 @@ object Dedup {
         shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
     Ordered.smallResult(
-      banded.as("a")
+      banded.as("a").hint("SHUFFLE_HASH")
         .join(banded.as("b"),
           col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
             col("a.id") < col("b.id"))
