@@ -28,10 +28,13 @@ object SparkEntry {
 
   /** `now` for time-relative queries = newest event, so queries are
     * deterministic per scale factor (the reference's `Date.now()` is a test
-    * parameter for us, SURVEY.md §2.4 time-shifted queries).
+    * parameter for us, SURVEY.md §2.4 time-shifted queries). Cached per data
+    * directory (the corpora are immutable): the max-scan job runs once per
+    * JVM instead of once per time-relative query.
     */
-  private def nowOf(series: UtsSeries): Long =
-    series.df.agg(max(col("time"))).head().getLong(0)
+  private val nowCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nowOf(series: UtsSeries, dir: String): Long =
+    nowCache.getOrElseUpdate(dir, series.df.agg(max(col("time"))).head().getLong(0))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -41,7 +44,7 @@ object SparkEntry {
 
   private def utsIntervalMean(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    val now = nowOf(e)
+    val now = nowOf(e, dir)
     e.query(UtsQuery(
       Seq("mean_value" -> Mean("value"), "n" -> CountM()),
       where = Seq(Pred.gt("time", now - 7 * Day)),
@@ -81,7 +84,7 @@ object SparkEntry {
 
   private def utsLastInterval(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    val now = nowOf(e)
+    val now = nowOf(e, dir)
     e.query(UtsQuery(
       Seq("last_value" -> Last("value")),
       where = Seq(Pred.gt("time", now - 3 * Day)),
@@ -101,6 +104,18 @@ object SparkEntry {
       .select(col("der_time"), round(col("der_value"), 4).as("der_value"))
       .orderBy(col("der_time"))
 
+  /** [[utsDerivative]] over ALL users with `partitionCols = user_id` — the
+    * parallel path ([[graft.uts.Derivative]] windows/aggregates/spines per
+    * key): the shape the operator takes at scale, pinned by a PARTITION BY
+    * oracle.
+    */
+  private def utsDerivativeByUser(s: SparkSession, dir: String): DataFrame =
+    graft.uts.Derivative(
+      ev(s, dir).df, "value", 6 * Hour, "time", Seq("user_id"), Some("event_id"))
+      .select(col("user_id"), col("der_time"),
+        round(col("der_value"), 4).as("der_value"))
+      .orderBy(col("user_id"), col("der_time"))
+
   private def utsRemove(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).remove(Seq(Pred.eq("event_type", "purchase")))
       .query(UtsQuery(Seq("n" -> CountM()), group = ColumnGroup(Seq("event_type"))))
@@ -108,7 +123,7 @@ object SparkEntry {
 
   private def utsRetentionDaily(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    val now = nowOf(e)
+    val now = nowOf(e, dir)
     e.retain(10 * Day, now)
       .query(UtsQuery(Seq("n" -> CountM()), group = IntervalGroup(Day, fill = true, now)))
       .orderBy(col("bin_start").desc)
@@ -191,18 +206,21 @@ object SparkEntry {
       .orderBy(col("rf"), col("ls"))
 
   /** Daily event volume with a 7-day trailing moving average — the window
-    * frame-spec (`rowsBetween`) coverage row. The ordered window has no
-    * partition key: fine for a per-day series (row count = day count); at
-    * 100 TB partition by entity and window within it.
+    * frame-spec (`rowsBetween`) coverage row. The frame runs over the daily
+    * pre-aggregate through [[graft.ops.Windowed.trailingStitched]]: bucketed
+    * windows with cross-bucket carry rows, bit-identical to a global ordered
+    * window but never on WindowExec's single-partition fallback path — the
+    * shape a global sliding window takes at 100 TB.
     */
   private def movingAvgDaily(s: SparkSession, dir: String): DataFrame = {
     val daily = ev(s, dir).df
       .groupBy(expr("time div 86400000").as("day"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("mean_value"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day")).rowsBetween(-6, 0)
     graft.ops.Ordered.smallResult(
-      daily.select(col("day"), col("n"), col("mean_value"),
-        round(avg(col("n")).over(w), 4).as("ma7_n")),
+      graft.ops.Windowed.trailingStitched(
+        daily, "day", "n", frameRows = 6, c => avg(c), "ma7_n")
+        .select(col("day"), col("n"), col("mean_value"),
+          round(col("ma7_n"), 4).as("ma7_n")),
       "day")
   }
 
@@ -211,9 +229,21 @@ object SparkEntry {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** HLL++ approx-distinct, surfaced as a HARD oracle row: the sketch value
+    * itself is engine-specific, so the query emits the exact count plus a
+    * boolean asserting `|approx − exact| ≤ 3·rsd·exact` — the oracle pins the
+    * exact count and expects the bound to hold (`within_bound = 1`). A sketch
+    * drifting outside its error contract turns this row red. HLL++ is
+    * deterministic for fixed input, so the row is stable run-to-run.
+    */
   private def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).df.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")) <=
+          ceil(col("n_users") * lit(3 * 0.05))).cast("long").as("within_bound"))
       .orderBy(col("event_type"))
 
   private def asofJoinOrders(s: SparkSession, dir: String): DataFrame = {
@@ -239,9 +269,13 @@ object SparkEntry {
     Dedup.jaccardPairs(T(s, dir, "documents"), n = 3, threshold = 0.6)
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    // 16×2 banding: ~99.9% recall at J=0.6 (candidates are exact-verified,
-    // so extra candidates cost only join volume, not precision).
-    Dedup.minhashLshPairs(T(s, dir, "documents"), n = 3, threshold = 0.6, bands = 16)
+    // 32 bands × 2 rows: candidate recall ≥ 1 − (1−J²)³² ≈ 1 − 6e-7 at
+    // J = 0.6, and candidates are exact-verified — so the output EQUALS exact
+    // Jaccard (modulo 64-bit shingle-hash collisions) and shares its oracle.
+    // r = 2 keeps false candidates rare (r = 1 tripled the query's cost on
+    // band-join volume); r = 4 (the 8×4 default) would cost real recall.
+    Dedup.minhashLshPairs(T(s, dir, "documents"), n = 3, threshold = 0.6,
+      numHashes = 64, bands = 32)
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(T(s, dir, "documents"), maxDist = 3)
@@ -312,6 +346,54 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"))
 
+  // --------------------------------------------------------------- streaming
+
+  /** §2.9 batch-equivalence gate: the events table replayed through the FILE
+    * SOURCE into [[graft.streaming.StreamOps.tumblingStats]] (watermarked
+    * epoch-aligned daily windows), drained with `Trigger.AvailableNow`, and
+    * compared against the plain batch rollup the oracle computes — streaming
+    * and batch must agree on a replay of the same data.
+    *
+    * The memory sink is the GATE HARNESS ONLY (result = days × types rows,
+    * report-sized); production streams write parquet/kafka sinks through the
+    * same `tumblingStats` plan, which shuffles only (window, key) partials.
+    */
+  private def streamTumblingDaily(s: SparkSession, dir: String): DataFrame = {
+    // The corpus writes TIMESTAMP(NANOS) parquet → Spark 4 reads `ts` as an
+    // epoch-ns Long (legacy nanos-as-long mode, see Tsdb.eventsRaw); the
+    // watermark needs a real timestamp, so convert at the source boundary.
+    val schema = graft.uts.Tsdb.eventsRaw(s, dir).schema
+    // The file source ingests DIRECTORIES (its discovery unit — the natural
+    // shape for a landing zone at scale); the corpus ships single files, so
+    // the gate bridges with a temp-dir symlink.
+    val streamDir = {
+      val d = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_stream_src_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(d)
+      val link = d.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      d.toString
+    }
+    val src = s.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamOps.tumblingStats(
+      src, widthSeconds = 86400, watermarkDelay = "1 hour", tsCol = "ts_event")
+    val name = s"graft_stream_gate_${math.abs(dir.hashCode)}"
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(unix_millis(col("win_start")).as("win_start"), col("event_type"),
+        col("n"), round(col("mean_value"), 4).as("mean_value"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -322,6 +404,7 @@ object SparkEntry {
     "uts_last_interval" -> (utsLastInterval _),
     "uts_map_series" -> (utsMapSeries _),
     "uts_derivative" -> (utsDerivative _),
+    "uts_derivative_by_user" -> (utsDerivativeByUser _),
     "uts_remove" -> (utsRemove _),
     "uts_retention_daily" -> (utsRetentionDaily _),
     "q1_agg" -> (q1Agg _),
@@ -351,6 +434,7 @@ object SparkEntry {
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
     "multimodal_features" -> (multimodalFeatures _),
+    "stream_tumbling_daily" -> (streamTumblingDaily _),
   )
 
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
@@ -359,6 +443,23 @@ object SparkEntry {
   private val ToksCte =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents"
   private val StopEnSql = Text.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Exact n-gram-Jaccard pairs — the oracle for BOTH `dedup_jaccard_pairs`
+    * and `dedup_minhash_lsh`: at 32-band × 2-row banding LSH candidate recall
+    * is ≥ 1 − (1−J²)³² (≈ 1 − 6e-7 at J = 0.6) and candidates are verified
+    * with exact Jaccard, so the LSH output equals the exact computation.
+    */
+  private val JaccardPairsSql =
+    s"""WITH toks AS ($ToksCte),
+       |sh AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+       |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+       |inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+       |SELECT d1, d2, round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) AS jaccard
+       |FROM inter JOIN sizes s1 ON s1.id = d1 JOIN sizes s2 ON s2.id = d2
+       |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
+       |ORDER BY d1, d2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "uts_interval_mean" ->
@@ -410,6 +511,23 @@ object SparkEntry {
          |SELECT CASE WHEN s.k = s.kmax THEN s.tmax ELSE s.t0 + s.k*21600000 END AS der_time,
          |       round(coalesce(a.dv, 0), 4) AS der_value
          |FROM s LEFT JOIN a ON s.k = a.k ORDER BY der_time""".stripMargin,
+    "uts_derivative_by_user" ->
+      s"""WITH p AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+         |d AS (SELECT user_id, t,
+         |             coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id), 0) AS delta
+         |      FROM p),
+         |m AS (SELECT user_id, min(t) AS t0, max(t) AS tmax FROM p GROUP BY user_id),
+         |a AS (SELECT d.user_id, greatest(CAST(ceil((d.t - m.t0)/21600000.0) AS BIGINT), 1) AS k,
+         |             sum(d.delta) AS dv
+         |      FROM d JOIN m ON d.user_id = m.user_id GROUP BY 1, 2),
+         |km AS (SELECT user_id, greatest(CAST(ceil((tmax - t0)/21600000.0) AS BIGINT), 1) AS kmax,
+         |              t0, tmax FROM m),
+         |s AS (SELECT user_id, unnest(range(1, kmax + 1)) AS k, t0, tmax, kmax FROM km)
+         |SELECT s.user_id,
+         |       CASE WHEN s.k = s.kmax THEN s.tmax ELSE s.t0 + s.k*21600000 END AS der_time,
+         |       round(coalesce(a.dv, 0), 4) AS der_value
+         |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.k = a.k
+         |ORDER BY s.user_id, der_time""".stripMargin,
     "uts_remove" ->
       """SELECT event_type, count(*) AS n FROM events
         |WHERE NOT coalesce(event_type = 'purchase', false)
@@ -485,6 +603,13 @@ object SparkEntry {
     "distinct_users_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The oracle pins the exact count and asserts the sketch's error
+    // contract held (Spark emits within_bound = 1 only while
+    // |approx − exact| ≤ 3·rsd·exact).
+    "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_join_orders" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t FROM events),
         |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot, o_orderkey FROM orders)
@@ -495,17 +620,43 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
-    "dedup_jaccard_pairs" ->
-      s"""WITH toks AS ($ToksCte),
-         |sh AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
-         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-         |inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
-         |SELECT d1, d2, round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) AS jaccard
-         |FROM inter JOIN sizes s1 ON s1.id = d1 JOIN sizes s2 ON s2.id = d2
-         |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
-         |ORDER BY d1, d2""".stripMargin,
+    "dedup_jaccard_pairs" -> JaccardPairsSql,
+    "dedup_minhash_lsh" -> JaccardPairsSql,
+    // FNV-1a-64 per token (HUGEINT arithmetic mod 2⁶⁴, matching the
+    // SimHash64 kernel's byte loop exactly), per-bit ±1 votes, two's-
+    // complement reassembly, then the same pigeonhole chunk join — an
+    // independent DuckDB re-derivation of the whole simhash pipeline.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |             list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+        |           (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hv
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.i,
+        |         CASE WHEN (hv // (2::HUGEINT ^ r.i)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM h, unnest(range(0, 64)) AS r(i)),
+        |votes AS (SELECT doc_id, i, sum(vote) AS s FROM bits GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN
+        |                CASE WHEN i = 63 THEN -9223372036854775808::HUGEINT
+        |                     ELSE (2::HUGEINT ^ i)::HUGEINT END
+        |              ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, simhash, r.c, (simhash >> (r.c * 16)) & 65535 AS cv
+        |  FROM sh, unnest(range(0, 4)) AS r(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, dist FROM cand WHERE dist <= 3 ORDER BY d1, d2""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2
@@ -529,6 +680,28 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
         |ORDER BY v1, v2""".stripMargin,
+    // Full IVF re-derivation: per-label mean centroids, argmax-cosine
+    // assignment, nprobe=3 probe list, exact re-scoring within probed
+    // clusters — same approximation, independently computed.
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cent AS (
+        |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+        |  GROUP BY label),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cl, cs) AS cluster
+        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+        |  GROUP BY vec_id),
+        |probes AS (
+        |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
+        |SELECT e.vec_id, e.label, a.cluster,
+        |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "text_stats" ->
       s"""WITH toks AS ($ToksCte)
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -592,12 +765,22 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_props_typed" ->
-      """SELECT event_type, coalesce(sum(k), 0) AS sum_k,
+      """SELECT event_type, CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
         |       count(CASE WHEN k > 50 THEN 1 END) AS n_big
         |FROM (SELECT event_type,
         |             TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Streaming batch-equivalence: the windowed streaming rollup must equal
+    // the plain batch rollup over the same replayed data (epoch-aligned
+    // 1-day windows ⇒ win_start = floor(time/day)·day).
+    "stream_tumbling_daily" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT (time // 86400000) * 86400000 AS win_start, event_type,
+         |       count(*) AS n,
+         |       round(coalesce(avg(value), 0), 4) AS mean_value,
+         |       round(coalesce(sum(value), 0), 4) AS sum_value
+         |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,

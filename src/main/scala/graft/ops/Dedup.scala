@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * (shingle / LSH-band / simhash-chunk join) followed by exact verification on
   * the candidates — never an O(n²) cross join. The equality join shuffles on
   * the candidate key, so skewed keys (a shingle shared by millions of docs)
-  * are the 100 TB hazard; `maxShingleDf` caps how many documents a shingle may
-  * appear in before it is dropped from candidate generation (stopword-shingle
-  * suppression), which bounds the per-key fan-out.
+  * are the 100 TB hazard; [[jaccardPairs]]'s `maxShingleDf` caps how many
+  * documents a shingle may appear in before it is dropped from candidate
+  * generation (stopword-shingle suppression), which bounds the per-key
+  * fan-out.
   */
 object Dedup {
 
@@ -58,16 +59,27 @@ object Dedup {
     * total (by shingle, then by pair). Cost is Σ_shingle df² joined rows; at
     * corpus-like df distributions this beats the prefix-filtered variant by
     * ~5× wall-clock (codegen + no cache churn). Hot stopword-shingles make
-    * df² explode at 100 TB — there, use [[jaccardPairsPrefixFiltered]]
-    * (rare-prefix candidate generation) or [[minhashLshPairs]] (fixed-size
-    * signatures), both of which bound per-key fan-out.
+    * df² explode at 100 TB — cap them with `maxShingleDf`, or use
+    * [[jaccardPairsPrefixFiltered]] (rare-prefix candidate generation) or
+    * [[minhashLshPairs]] (fixed-size signatures), all of which bound per-key
+    * fan-out.
+    *
+    * `maxShingleDf = Some(cap)`: shingles appearing in more than `cap`
+    * documents are dropped from CANDIDATE GENERATION only — candidates are
+    * then verified exactly on the full shingle sets, so every reported
+    * jaccard is exact. The (documented) recall trade: a pair sharing ONLY
+    * capped shingles is never considered. At a cap of 10³–10⁴ such a pair
+    * is overwhelmingly below any near-dup threshold anyway (its shared
+    * shingles are stopword-grade), and the cap bounds the join's worst key
+    * fan-out to cap² rows — the actual skew defense at 100 TB.
     */
   def jaccardPairs(
       df: DataFrame,
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxShingleDf: Option[Long] = None): DataFrame = {
     // Single-pass codegen'd shingle kernel: tokenize+shingle+hash+distinct in
     // one expression, so the self-join shuffles 16-byte (id, hash) rows
     // instead of shingle strings, and per-doc set sizes are a free `size()`.
@@ -75,27 +87,51 @@ object Dedup {
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
-    val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
-    // SHUFFLE_HASH: the equi-key self-join needs no sort order, and sorting
-    // both exploded sides is most of a sort-merge join's cost here (~2×
-    // wall-clock). Advisory — Spark falls back to SMJ (spill-safe) if a
-    // build partition can't fit, which is also the right call at skewed
-    // 100 TB shingle distributions.
-    val overlap = sh.as("a").hint("SHUFFLE_HASH")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
-    // Per-doc sizes are one row per document: tiny here (AQE broadcasts),
-    // a plain shuffled join keyed by doc id at 100 TB.
-    Ordered.smallResult(
-      overlap
-        .join(counts.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
-        .join(counts.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
-        .select(col("d1"), col("d2"),
-          round(col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"), 4)
-            .as("jaccard"))
-        .filter(col("jaccard") >= threshold),
-      "d1", "d2")
+    maxShingleDf match {
+      case None =>
+        val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
+        // SHUFFLE_HASH: the equi-key self-join needs no sort order, and
+        // sorting both exploded sides is most of a sort-merge join's cost
+        // here (~2× wall-clock). Advisory — Spark falls back to SMJ
+        // (spill-safe) if a build partition can't fit, which is also the
+        // right call at skewed 100 TB shingle distributions.
+        val overlap = sh.as("a").hint("SHUFFLE_HASH")
+          .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
+        // Per-doc sizes are one row per document: tiny here (AQE broadcasts),
+        // a plain shuffled join keyed by doc id at 100 TB.
+        Ordered.smallResult(
+          overlap
+            .join(counts.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+            .join(counts.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+            .select(col("d1"), col("d2"),
+              round(col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"), 4)
+                .as("jaccard"))
+            .filter(col("jaccard") >= threshold),
+          "d1", "d2")
+      case Some(cap) =>
+        // Hot-shingle list is tiny by construction (shingles over the cap);
+        // anti-joining it away bounds every candidate key's fan-out to ≤ cap.
+        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
+          .filter(col("df_sh") > cap).select(col("h"))
+        val pruned = sh.join(broadcast(hot), Seq("h"), "left_anti")
+        val candidates = pruned.as("a").hint("SHUFFLE_HASH")
+          .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"))
+          .distinct()
+        // Exact verification on full (uncapped) hashed sets — the cap only
+        // limits which pairs are CONSIDERED, never the jaccard they score.
+        Ordered.smallResult(
+          candidates
+            .join(hashed.select(col("id").as("d1"), col("hs").as("sh1")), "d1")
+            .join(hashed.select(col("id").as("d2"), col("hs").as("sh2")), "d2")
+            .select(col("d1"), col("d2"),
+              round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+                size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
+            .filter(col("jaccard") >= threshold),
+          "d1", "d2")
+    }
   }
 
   /** [[jaccardPairs]] with ppjoin-style prefix-filtered candidate generation:
@@ -264,7 +300,9 @@ object Dedup {
           col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("d1"), col("b.id").as("d2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+          // long on both engines: the oracle's bit_count is type-sensitive
+          // under the driver's hash compare.
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("dist"))
         .distinct()
         .filter(col("dist") <= maxDist),
       "d1", "d2")

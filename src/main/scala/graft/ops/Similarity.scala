@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * Scale ladder:
   *  1. [[topK]] — brute force against a broadcast query vector: one narrow
   *     scan, no shuffle. Correct baseline; linear in corpus size.
-  *  2. [[pairsAbove]] — all-pairs via a range-bucketed self join; quadratic,
+  *  2. [[pairsAbove]] — all-pairs via a block-grid matmul; quadratic compute,
   *     only for bounded corpora (candidate labeling, eval sets).
   *  3. [[ivfTopK]] — IVF: partition vectors by nearest centroid once, then
   *     probe only `nprobe` inverted lists per query. The 100 TB shape: the
@@ -59,33 +59,44 @@ object Similarity {
     * verifier / eval-set path, not the scale path (that's [[ivfTopK]] or the
     * random-hyperplane LSH in [[Dedup.simhashPairs]] applied to sign bits).
     *
-    * Executed as a matmul-style kernel: the corpus (id, vector, norm) is
-    * broadcast once, and each partition streams its rows against the
-    * broadcast side in a tight primitive-array loop. Same pairs, same
-    * left-to-right accumulation and HALF_UP rounding as the declarative
+    * Executed as a block-grid matmul (see [[pairsKernel]]): no driver-side
+    * collect, no corpus broadcast — per-task memory is two id-blocks of
+    * vectors and total communication is O(N·√tasks), the textbook
+    * distributed all-pairs bound. Same pairs, same left-to-right
+    * accumulation and HALF_UP rounding as the declarative
     * [[pairsAboveExpr]] — but without materializing N²/2 join rows that each
     * copy two vectors (the nested-loop join spent ~25× the FLOP cost on row
-    * copying). The broadcast bounds applicability to corpora that fit on an
-    * executor (~1 GB ≈ 2M×64-dim); past that, candidate-generate with
-    * [[ivfTopK]] clusters or [[Dedup.embeddingNearDups]]'s LSH instead.
+    * copying).
     */
   def pairsAbove(
       df: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    Ordered.smallResult(pairsKernel(df, threshold, idCol, vecCol), "v1", "v2")
+      vecCol: String = "embedding",
+      blocks: Int = 16): DataFrame =
+    Ordered.smallResult(pairsKernel(df, threshold, idCol, vecCol, blocks), "v1", "v2")
 
   /** The unordered kernel behind [[pairsAbove]] — compose further plan stages
     * on this (e.g. [[Dedup.embeddingNearDups]]'s representative pick) so the
     * expensive pair scan isn't re-executed by a downstream global sort's
     * range-boundary sampling pass.
+    *
+    * Shape: block-partitioned all-pairs. Vectors land in `blocks` id-keyed
+    * blocks (`id mod blocks` — uniform for dense ids; pre-hash sparse id
+    * spaces); each unordered block pair (i ≤ j) is one grid cell, and every
+    * vector is shuffled once per cell it participates in (`blocks` copies).
+    * One `groupByKey(cell)` shuffle later, each task scores its cell's two
+    * blocks in a tight primitive-array loop. Per-task memory is 2N/`blocks`
+    * vectors — no driver collect, no whole-corpus broadcast, no cartesian
+    * join; `blocks` trades shuffle volume (O(N·blocks)) against task memory
+    * and grid parallelism (blocks²/2 cells).
     */
   private[ops] def pairsKernel(
       df: DataFrame,
       threshold: Double,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Rounding to 4 digits moves a cosine by < 5e-5, so anything below
@@ -93,28 +104,50 @@ object Similarity {
     // (BigDecimal) rounding then runs only on the ~0.1% of pairs near or
     // above the cut, not all N²/2.
     val rawCut = threshold - 1e-4
+    val nBlocks = blocks
     val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    val corpus = typed.collect().sortBy(_._1)
-    val norms = corpus.map { case (_, v) => math.sqrt(blasDot(v, v)) }
-    val bc = spark.sparkContext.broadcast((corpus, norms))
-    typed.mapPartitions { it =>
-      val (all, nrm) = bc.value
-      it.flatMap { case (id, v) =>
-        val nv = math.sqrt(blasDot(v, v))
-        // Only the strictly-greater ids: each unordered pair is owned by its
-        // smaller id, so no pair is emitted twice and none is missed.
-        val start = lowerBound(all, id)
-        (start until all.length).iterator.flatMap { j =>
-          val raw = blasDot(v, all(j)._2) / (nv * nrm(j))
+    // Replicate each vector into every grid cell (min(b,x), max(b,x)) its
+    // block b shares with partner block x — cell (i,i) holds block i once.
+    val celled = typed.flatMap { case (id, v) =>
+      val b = (((id % nBlocks) + nBlocks) % nBlocks).toInt
+      (0 until nBlocks).iterator.map { x =>
+        val cell = if (x < b) x * nBlocks + b else b * nBlocks + x
+        (cell, id, v)
+      }
+    }
+    celled
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+        val bi = cell / nBlocks
+        val bj = cell % nBlocks
+        val all = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val nrm = all.map(p => math.sqrt(blasDot(p._2, p._2)))
+        def score(i: Int, j: Int): Option[(Long, Long, Double)] = {
+          val raw = blasDot(all(i)._2, all(j)._2) / (nrm(i) * nrm(j))
           if (raw < rawCut) None
           else {
             val c = roundHalfUp4(raw)
-            if (c >= threshold) Some((id, all(j)._1, c)) else None
+            // ids are sorted ascending, so (i, j) with i < j is (smaller id,
+            // larger id) — each unordered pair owned by exactly one cell.
+            if (c >= threshold) Some((all(i)._1, all(j)._1, c)) else None
           }
         }
+        if (bi == bj) {
+          // Diagonal cell: all pairs within one block.
+          all.indices.iterator.flatMap(i =>
+            (i + 1 until all.length).iterator.flatMap(j => score(i, j)))
+        } else {
+          // Off-diagonal: pairs across the two (id-disjoint) blocks only —
+          // within-block pairs belong to the diagonal cells.
+          def blk(id: Long) = (((id % nBlocks) + nBlocks) % nBlocks).toInt
+          all.indices.iterator.flatMap(i =>
+            (i + 1 until all.length).iterator
+              .filter(j => blk(all(i)._1) != blk(all(j)._1))
+              .flatMap(j => score(i, j)))
+        }
       }
-    }.toDF("v1", "v2", "cosine")
+      .toDF("v1", "v2", "cosine")
   }
 
   /** Declarative formulation of [[pairsAbove]] (self nested-loop join over
@@ -152,16 +185,6 @@ object Similarity {
   /** Spark's `round(x, 4)`: BigDecimal HALF_UP. */
   private def roundHalfUp4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  /** First index in the (id-sorted) corpus with id strictly greater than `id`. */
-  private def lowerBound(all: Array[(Long, Array[Double])], id: Long): Int = {
-    var lo = 0; var hi = all.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (all(mid)._1 <= id) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
 
   /** IVF top-k: centroids = per-`labelCol` mean vectors (deterministic, no
     * random init); every vector is assigned to its nearest centroid (broadcast

@@ -34,12 +34,13 @@ object Text {
     * projection, no shuffle.
     */
   def bpeTokenStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    // Two selects so the regex evaluates once: chars_per_token reads the
-    // aliased n_bpe column. (One flat select would inline size(regex…) into
-    // both outputs — the regex is the whole cost of this op.)
+    // The pre-token count comes from the codegen'd byte-class run counter
+    // (same counts as size([[bpeTokens]]) — pinned by TextExpressionsSpec —
+    // without the regex engine that dominated this scan's cost). Two selects
+    // so the kernel evaluates once: chars_per_token reads the aliased n_bpe.
     df.select(
       col(idCol),
-      size(bpeTokens(col(textCol))).cast("long").as("n_bpe"),
+      org.apache.spark.sql.graftfns.TextFunctions.bpeRunCount(col(textCol)).as("n_bpe"),
       size(tokens(col(textCol))).cast("long").as("n_ws"),
       length(col(textCol)).cast("double").as("__len"))
       .select(

@@ -1,5 +1,7 @@
 package graft.uts
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -14,6 +16,10 @@ import org.apache.spark.sql.functions.udaf
   * `finish` sorts once and folds in (t, seq) order — (ts, tiebreak) order ≡
   * insertion order in every reference test (SURVEY.md Q4).
   *
+  * The payload is generic, like the reference's (`uts.ts:416-434` folds
+  * arbitrary row values): [[fold]] takes any encodable `V` — fold structs,
+  * strings, arrays — with [[foldDouble]] as the common numeric shorthand.
+  *
   * Scale caveat (documented, by design): state is O(group size). Use only on
   * bounded groups — interval bins, per-key windows — never a global fold over
   * an unbounded table; the mergeable metric algebra in [[Metric]] covers
@@ -21,35 +27,38 @@ import org.apache.spark.sql.functions.udaf
   */
 object OrderedFold {
 
-  final case class Stamped(t: Long, seq: Long, v: Double)
+  final case class Stamped[V](t: Long, seq: Long, v: V)
 
-  private final class FoldAgg[B, O](
+  private final class FoldAgg[V, B, O](
       z: B,
-      step: (B, Double) => B,
+      step: (B, V) => B,
       done: B => O,
       outEnc: Encoder[O])
-    extends Aggregator[Stamped, List[Stamped], O] with Serializable {
-    def zero: List[Stamped] = Nil
-    def reduce(buf: List[Stamped], a: Stamped): List[Stamped] = a :: buf
-    def merge(b1: List[Stamped], b2: List[Stamped]): List[Stamped] = b1 ::: b2
-    def finish(buf: List[Stamped]): O =
+    extends Aggregator[Stamped[V], List[Stamped[V]], O] with Serializable {
+    def zero: List[Stamped[V]] = Nil
+    def reduce(buf: List[Stamped[V]], a: Stamped[V]): List[Stamped[V]] = a :: buf
+    def merge(b1: List[Stamped[V]], b2: List[Stamped[V]]): List[Stamped[V]] = b1 ::: b2
+    def finish(buf: List[Stamped[V]]): O =
       done(buf.sortBy(s => (s.t, s.seq)).foldLeft(z)((acc, s) => step(acc, s.v)))
-    def bufferEncoder: Encoder[List[Stamped]] = Encoders.kryo[List[Stamped]]
+    def bufferEncoder: Encoder[List[Stamped[V]]] = Encoders.kryo[List[Stamped[V]]]
     def outputEncoder: Encoder[O] = outEnc
   }
 
+  /** Ordered fold of an arbitrary (product-encodable) payload column:
+    * `fold[String, String, String]("", _ + _, identity, Encoders.STRING)(
+    *    col("time"), col("event_id"), col("word"))`.
+    */
+  def fold[V: TypeTag, B, O](z: B, step: (B, V) => B, done: B => O, outEnc: Encoder[O])(
+      t: Column, seq: Column, v: Column): Column =
+    udaf(new FoldAgg[V, B, O](z, step, done, outEnc), Encoders.product[Stamped[V]])
+      .apply(t, seq, v)
+
   /** Ordered fold of a double column to a double, as an aggregate Column:
-    * `orderedFoldDouble(0.0, (acc, v) => ...)(col("time"), col("event_id"), col("value"))`.
+    * `foldDouble(0.0, (acc, v) => ...)(col("time"), col("event_id"), col("value"))`.
     */
   def foldDouble(z: Double, step: (Double, Double) => Double)(
       t: Column, seq: Column, v: Column): Column =
-    udaf(new FoldAgg[Double, Double](z, step, identity, Encoders.scalaDouble),
-      Encoders.product[Stamped]).apply(t, seq, v)
-
-  /** Generic buffer/finish variant (e.g. fold into a case-class accumulator). */
-  def fold[B, O](z: B, step: (B, Double) => B, done: B => O, outEnc: Encoder[O])(
-      t: Column, seq: Column, v: Column): Column =
-    udaf(new FoldAgg[B, O](z, step, done, outEnc), Encoders.product[Stamped]).apply(t, seq, v)
+    fold[Double, Double, Double](z, step, identity, Encoders.scalaDouble)(t, seq, v)
 
   /** [[Metric]] adapter so a user fold drops into `UtsQuery.metrics` beside
     * the built-ins — the reference's third-party `Aggregate` surface

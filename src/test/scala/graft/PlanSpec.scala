@@ -59,4 +59,44 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("rangepartitioning"), s"$q:\n${p.take(1500)}")
     }
   }
+
+  test("pair kernels build their plans without driver-side jobs (no collect)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // In-memory input so the only jobs possible are the kernel's own
+      // (parquet gate queries run a footer-read job at construction).
+      graft.ops.Similarity.pairsAbove(vecs, 0.5).queryExecution.executedPlan
+      graft.ops.Dedup.embeddingNearDups(vecs, 0.5).queryExecution.executedPlan
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      // The old kernel collect()ed the corpus at plan-CONSTRUCTION time; the
+      // block-grid kernel must be lazy end to end.
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("pair kernel plan has no cartesian/broadcast-nested-loop join") {
+    val p = plan("sim_pairs_threshold")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("report windows run inside an explicit partition (no empty window spec)") {
+    // An empty partitionSpec sends WindowExec down its move-everything-to-one-
+    // partition warning path; report windows state the single frame explicitly.
+    for (q <- Seq("moving_avg_daily")) {
+      val wins = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.nonEmpty && wins.forall(_.nonEmpty), s"$q: $wins")
+    }
+  }
 }

@@ -81,6 +81,32 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("bpeRunCount equals the regex formulation on edge cases and the corpus") {
+    val cases = Seq(
+      "", " ", "   \t\n\f\r", "hello", "Hello, world42! a-b",
+      "a1b2c3", "...!!!", "MiXeD CaSe 123abc", "x" * 500,
+      "tabs\tand\nnewlines\rhere", "42", "a", "ünïcödé stays öther runs",
+      "end with space ", " start", "a  b   c    d"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = cases.select(
+      $"doc_id",
+      TextFunctions.bpeRunCount($"text").as("kernel"),
+      size(Text.bpeTokens($"text")).cast("long").as("regex"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((id, k, re) <- both) assert(k == re, s"case $id: kernel=$k regex=$re")
+    // And across the full sf0.001 corpus — the production parity check.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = corpus.select(
+      (TextFunctions.bpeRunCount($"text") =!=
+        size(Text.bpeTokens($"text")).cast("long")).as("d"))
+      .filter($"d").count()
+    assert(diff == 0L)
+    // null in → null out
+    val n = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TextFunctions.bpeRunCount($"text")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("kernels work through SQL registration and the session extension path") {
     org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
     docs.createOrReplaceTempView("texpr_docs")

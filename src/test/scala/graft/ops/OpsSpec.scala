@@ -46,10 +46,24 @@ class OpsSpec extends SparkSpec {
 
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val out = Dedup.simhashPairs(docs, maxDist = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val d04 = out.find(p => p._1 == 0 && p._2 == 4).get._3
-    assert(d04 == 0)
-    assert(out.find(p => p._1 == 0 && p._2 == 1).forall(_._3 <= 16))
+    assert(d04 == 0L)
+    assert(out.find(p => p._1 == 0 && p._2 == 1).forall(_._3 <= 16L))
+  }
+
+  test("jaccard maxShingleDf: generous cap is exact, tiny cap drops hot-only pairs") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // Cap above every shingle's df → identical output through the capped
+    // (candidate + exact-verify) plan.
+    val capped = Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = Some(100L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(capped == exact)
+    // Cap of 1: every shared shingle (df ≥ 2) leaves candidate generation, so
+    // no pair can be proposed — the documented recall trade of the skew cap.
+    val tiny = Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = Some(1L)).collect()
+    assert(tiny.isEmpty)
   }
 
   private def vecs = Seq(
@@ -103,6 +117,24 @@ class OpsSpec extends SparkSpec {
     // tokens: hello , world 42 ! a - b → 8 bpe, 3 whitespace tokens
     assert(r.getLong(1) == 8L && r.getLong(2) == 3L)
     assert(r.getDouble(3) == math.round(19.0 / 8.0 * 10000) / 10000.0)
+  }
+
+  test("stitched trailing window is bit-identical to the single-partition window") {
+    // Keys straddle several buckets at bucketSpan=8, with gaps, so carry rows
+    // genuinely feed leading frames of later buckets.
+    val series = (Seq(1L, 2L, 3L, 7L, 8L, 9L, 15L, 16L, 17L, 18L, 24L, 31L, 32L))
+      .zipWithIndex.map { case (k, i) => (k, (i * 3 + 1).toDouble) }
+      .toDF("day", "n").repartition(4)
+    val stitched = Windowed.trailingStitched(
+      series, "day", "n", frameRows = 6, c => avg(c), "ma", bucketSpan = 8L)
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(-6, 0)
+    val global = series.select(col("day"), avg(col("n")).over(w).as("ma"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(stitched.toSeq == global.toSeq)
   }
 
   test("asof join picks latest right row at or before left time, max tie id") {

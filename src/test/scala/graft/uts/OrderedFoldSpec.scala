@@ -29,6 +29,30 @@ class OrderedFoldSpec extends SparkSpec {
     assert(out == 0.0) // seed-0 quirk, not -3
   }
 
+  test("generic payload: string fold concatenates in (time, seq) order") {
+    // The reference's reduce(fn, initial) folds arbitrary values
+    // (uts.ts:416-434) — here a non-numeric accumulator over a string column.
+    val words = Seq(
+      (900L, 3L, "d"), (600L, 0L, "a"), (1000L, 4L, "e"), (700L, 1L, "b"), (800L, 2L, "c")
+    ).toDF("time", "seq", "w").repartition(4)
+    val out = words.agg(
+      OrderedFold.fold[String, String, String](
+        "", (acc, w) => acc + w, identity, org.apache.spark.sql.Encoders.STRING)(
+        col("time"), col("seq"), col("w")).as("folded")).head().getString(0)
+    assert(out == "abcde")
+  }
+
+  test("generic payload: fold into a non-scalar accumulator (min,max pair)") {
+    val out = df.agg(
+      OrderedFold.fold[Double, (Double, Double), Double](
+        (Double.MaxValue, Double.MinValue),
+        (acc, v) => (math.min(acc._1, v), math.max(acc._2, v)),
+        acc => acc._2 - acc._1,
+        org.apache.spark.sql.Encoders.scalaDouble)(
+        col("time"), col("seq"), col("v"))).head().getDouble(0)
+    assert(out == 4.0) // max 4.0 − min 0.0
+  }
+
   test("fold works per interval bin through the Metric adapter") {
     val s = UtsSeries(df, timeCol = "time", seqCol = Some("seq"))
     val out = s.query(UtsQuery(
