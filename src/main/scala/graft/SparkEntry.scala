@@ -488,13 +488,20 @@ object SparkEntry {
     "uts_where_filter" ->
       s"""SELECT event_id, epoch_ms(ts) AS time, value FROM events
          |WHERE value > 150.0 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // Last-in-bin via an explicit (time, event_id) DESC window — an
+    // arithmetic tiebreak key (time·10⁶ + id) would silently collide once
+    // ids pass 10⁶, and arg_max can't take a composite key.
     "uts_last_interval" ->
       s"""WITH p AS ($EvCte),
          |mx AS (SELECT max(time) AS now FROM p),
          |f AS (SELECT time, event_id, value, now FROM p, mx
          |      WHERE time > now - 259200000 AND time <= now),
-         |a AS (SELECT CAST(floor((now - time)/21600000.0) AS BIGINT) AS k, max(now) AS now2,
-         |             arg_max(value, time*1000000 + event_id) AS last_value FROM f GROUP BY 1)
+         |r AS (SELECT CAST(floor((now - time)/21600000.0) AS BIGINT) AS k, now, value,
+         |             row_number() OVER (
+         |               PARTITION BY CAST(floor((now - time)/21600000.0) AS BIGINT)
+         |               ORDER BY time DESC, event_id DESC) AS rn
+         |      FROM f),
+         |a AS (SELECT k, now AS now2, value AS last_value FROM r WHERE rn = 1)
          |SELECT now2 - (k+1)*21600000 AS bin_start, 21600000 AS bin_width, last_value
          |FROM a ORDER BY bin_start DESC""".stripMargin,
     "uts_map_series" ->
@@ -610,12 +617,15 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Latest-at-or-before via ORDER BY ... LIMIT 1 — same composite-key
+    // rationale as uts_last_interval's window.
     "asof_join_orders" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t FROM events),
         |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot, o_orderkey FROM orders)
         |SELECT e.event_id, e.user_id,
-        |       (SELECT arg_max(o_orderkey, ot*1000000 + o_orderkey)
-        |        FROM o WHERE o.o_custkey = e.user_id AND o.ot <= e.t) AS o_orderkey
+        |       (SELECT o_orderkey FROM o
+        |        WHERE o.o_custkey = e.user_id AND o.ot <= e.t
+        |        ORDER BY ot DESC, o_orderkey DESC LIMIT 1) AS o_orderkey
         |FROM e ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -172,6 +172,23 @@ class GoldenSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("last keeps a NULL on the final point (uts.ts:613-617 reduce semantics)") {
+    // The reference's last is reduce((x, pt) => pt.get(column), null): the
+    // final point's value wins even when the column is missing there. Spark's
+    // max_by keeps the value at the max key, NULL included — pinned here
+    // because DuckDB's arg_max would SKIP the null (oracles therefore use
+    // row_number windows, not arg_max, wherever a last-value can be null).
+    val withNullLast = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(600L, 5.0), Row(700L, 2.0), Row(800L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("my_col1", org.apache.spark.sql.types.DoubleType))))
+    val out = UtsSeries(withNullLast)
+      .query(UtsQuery(Seq("lst" -> Last("my_col1"))))
+      .collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("lst")))
+  }
+
   test("count(col) counts only rows having the column (uts.ts:631-641)") {
     val withNulls = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
