@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftfns.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graftfns.{BpeRunCount, DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions at session build. Enable with
@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("shingle_hashes", classOf[ShingleHashes], es => ShingleHashes(es(0), es(1)))
     inject("minhash_signature", classOf[MinHashSignature], es => MinHashSignature(es(0), es(1)))
     inject("simhash64", classOf[SimHash64], es => SimHash64(es(0)))
+    inject("bpe_run_count", classOf[BpeRunCount], es => BpeRunCount(es(0)))
   }
 }

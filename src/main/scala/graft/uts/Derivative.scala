@@ -90,4 +90,26 @@ object Derivative {
         coalesce(col("__dv"), lit(0.0)).as("der_value")): _*)
       .orderBy((part :+ col("der_time").asc): _*)
   }
+
+  /** The reference's OUTPUT FORM: one row per series with the grid as a
+    * time-ordered `array<struct<der_time, der_value>>` — `derivative` is an
+    * Aggregate there, so its value in a query result is the nested points
+    * list (`/root/reference/uts.ts:500-506`). Same numbers as [[apply]]
+    * (SURVEY.md §2.5 prefers the exploded rows for the oracle gate); the
+    * per-series array is a documented bounded-group buffer, like `MapCol`.
+    */
+  def points(
+      df: DataFrame,
+      valueCol: String,
+      intervalMs: Long,
+      timeCol: String = "time",
+      partitionCols: Seq[String] = Nil,
+      seqCol: Option[String] = None): DataFrame = {
+    val part = partitionCols.map(col)
+    val exploded = apply(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
+    exploded
+      .groupBy(part: _*)
+      .agg(array_sort(collect_list(struct(col("der_time"), col("der_value"))))
+        .as("der_points"))
+  }
 }

@@ -88,5 +88,7 @@ object VectorFunctions {
       "minhash_signature", exprs => MinHashSignature(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bpe_run_count", exprs => BpeRunCount(exprs(0)), "scala_udf")
   }
 }

@@ -115,5 +115,7 @@ class TextExpressionsSpec extends SparkSpec {
     assert(n == 3)
     val sh = spark.sql("SELECT simhash64(text) FROM texpr_docs WHERE doc_id = 0").head().getLong(0)
     assert(sh != 0L)
+    val nb = spark.sql("SELECT bpe_run_count(text) FROM texpr_docs WHERE doc_id = 0").head().getLong(0)
+    assert(nb == 5L) // "a b c d e"
   }
 }

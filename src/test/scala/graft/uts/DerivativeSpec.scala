@@ -59,4 +59,19 @@ class DerivativeSpec extends SparkSpec {
       ("u1", 700L, 1.0), ("u1", 800L, 3.0),
       ("u2", 750L, 0.0), ("u2", 850L, 20.0)))
   }
+
+  test("points form nests the grid as the reference's array-of-points value") {
+    // Same numbers as the exploded form, shaped like the reference's
+    // Aggregate output (uts.ts:500-506): a time-ordered points list.
+    val out = Derivative.points(b, "my_col1", 100)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out == Seq((700L, 1.0), (800L, 3.0), (900L, 5.0), (1000L, 7.0)))
+    val perKey = Derivative.points(
+      Seq(("u1", 600L, 0.0), ("u1", 700L, 1.0), ("u2", 650L, 10.0), ("u2", 850L, 30.0))
+        .toDF("user", "time", "my_col1"),
+      "my_col1", 100, partitionCols = Seq("user"))
+      .collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).length).toMap
+    assert(perKey == Map("u1" -> 1, "u2" -> 2))
+  }
 }
