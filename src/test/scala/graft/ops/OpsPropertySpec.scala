@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized (fixed-seed, deterministic) properties for the distributed
+  * rewrites: each must agree with its naive / single-partition formulation
+  * on arbitrary data — sparse keys, duplicate-free random series, random
+  * block counts.
+  */
+class OpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stitched trailing window ≡ single-partition window on random sparse series") {
+    for (trial <- 0 until 8) {
+      val rnd = new Random(11 + trial)
+      val n = rnd.between(1, 80)
+      // Distinct keys with irregular gaps: the regime where bucket-boundary
+      // stitching and multi-hop carries actually engage.
+      val keys = Iterator.iterate(rnd.between(0L, 5L))(k => k + rnd.between(1L, 9L))
+        .take(n).toSeq
+      val frame = rnd.between(1, 8)
+      val span = rnd.between(frame + 1, 20).toLong
+      val df = keys.map(k => (k, rnd.between(-50, 50).toDouble))
+        .toDF("day", "n").repartition(4)
+      val stitched = Windowed.trailingStitched(df, "day", "n", frame, c => avg(c), "ma", span)
+        .select($"day", $"ma").collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"day").rowsBetween(-frame, 0)
+      val global = df.select($"day", avg($"n").over(w).as("ma"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(stitched.toSeq == global.toSeq, s"trial $trial frame=$frame span=$span keys=$keys")
+    }
+  }
+
+  test("block-grid pair kernel ≡ declarative nested-loop join on random vectors") {
+    for (trial <- 0 until 4) {
+      val rnd = new Random(23 + trial)
+      val n = rnd.between(2, 40)
+      val dim = rnd.between(2, 8)
+      // Sparse, non-contiguous ids: block assignment must not assume density.
+      val vecs = (0 until n).map { i =>
+        (i.toLong * rnd.between(1, 5) + rnd.between(0, 3),
+          Array.fill(dim)(rnd.between(-10, 10).toFloat))
+      }.distinctBy(_._1).toDF("vec_id", "embedding")
+      val threshold = rnd.between(-5, 8) / 10.0
+      val blocks = rnd.between(1, 9)
+      val kern = Similarity.pairsAbove(vecs, threshold, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val expr = Similarity.pairsAboveExpr(vecs, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(kern == expr, s"trial $trial blocks=$blocks threshold=$threshold")
+    }
+  }
+}
