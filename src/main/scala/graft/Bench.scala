@@ -21,9 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + parquet-footer warmup so per-query numbers measure the plan, not
-    // first-touch JVM costs; excluded from all timings.
-    SparkEntry.queries("q1_agg")(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // JIT + parquet-footer + page-cache warmup so per-query numbers measure
+    // the plan, not first-touch JVM/IO costs; excluded from all timings. One
+    // cheap query per table family (lineitem+dims, events, documents,
+    // embeddings).
+    for (w <- Seq("q1_agg", "q5_nation_revenue", "uts_global_metrics",
+        "text_stats", "sim_topk_cosine"))
+      SparkEntry.queries(w)(spark, sfDir).write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
