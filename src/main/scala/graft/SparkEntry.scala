@@ -33,6 +33,8 @@ object SparkEntry {
     * JVM instead of once per time-relative query.
     */
   private val nowCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
   private def nowOf(series: UtsSeries, dir: String): Long =
     nowCache.getOrElseUpdate(dir, series.df.agg(max(col("time"))).head().getLong(0))
 
@@ -362,7 +364,12 @@ object SparkEntry {
     // The corpus writes TIMESTAMP(NANOS) parquet → Spark 4 reads `ts` as an
     // epoch-ns Long (legacy nanos-as-long mode, see Tsdb.eventsRaw); the
     // watermark needs a real timestamp, so convert at the source boundary.
-    val schema = graft.uts.Tsdb.eventsRaw(s, dir).schema
+    // Schema cached per dir (immutable corpus) — readStream needs it given,
+    // and re-inferring costs a footer-read job per call. The legacy-nanos
+    // conf must be set on THIS session even on a cache hit (eventsRaw sets
+    // it as a side effect only when it runs).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsRaw(s, dir).schema)
     // The file source ingests DIRECTORIES (its discovery unit — the natural
     // shape for a landing zone at scale); the corpus ships single files, so
     // the gate bridges with a temp-dir symlink.
