@@ -91,8 +91,9 @@ class PlanSpec extends SparkSpec {
 
   test("report windows run inside an explicit partition (no empty window spec)") {
     // An empty partitionSpec sends WindowExec down its move-everything-to-one-
-    // partition warning path; report windows state the single frame explicitly.
-    for (q <- Seq("moving_avg_daily")) {
+    // partition warning path; report windows state the single frame explicitly,
+    // and per-key operators must actually partition by the key.
+    for (q <- Seq("moving_avg_daily", "uts_derivative_by_user")) {
       val wins = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
       }
