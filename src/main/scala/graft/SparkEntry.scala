@@ -270,6 +270,16 @@ object SparkEntry {
   private def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(T(s, dir, "documents"), n = 3, threshold = 0.6)
 
+  /** The `maxShingleDf` skew-cap plan (hot-shingle anti-join → candidate
+    * join → exact verify) under the exact-Jaccard oracle: the corpus's max
+    * shingle df is ~25 at sf0.1, so a cap of 200 never prunes a pair here —
+    * the gate pins that the capped PLAN computes exact results; the cap
+    * itself bites only on stopword-grade shingles at real scale.
+    */
+  private def dedupJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(T(s, dir, "documents"), n = 3, threshold = 0.6,
+      maxShingleDf = Some(200L))
+
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     // 32 bands × 2 rows: candidate recall ≥ 1 − (1−J²)³² ≈ 1 − 6e-7 at
     // J = 0.6, and candidates are exact-verified — so the output EQUALS exact
@@ -426,6 +436,7 @@ object SparkEntry {
     "asof_join_orders" -> (asofJoinOrders _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -638,6 +649,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> JaccardPairsSql,
+    "dedup_jaccard_capped" -> JaccardPairsSql,
     "dedup_minhash_lsh" -> JaccardPairsSql,
     // FNV-1a-64 per token (HUGEINT arithmetic mod 2⁶⁴, matching the
     // SimHash64 kernel's byte loop exactly), per-bit ±1 votes, two's-
