@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,6 +226,22 @@ object SparkEntry {
       "day")
   }
 
+  /** Salted two-phase aggregation under the plain GROUP BY oracle: the
+    * hot-key skew defense ([[graft.ops.Skew.saltedAgg]]) must compute exactly
+    * what the direct aggregation computes — the salt only changes WHERE the
+    * partials run.
+    */
+  private def saltedAggByType(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAgg(
+      ev(s, dir).df.select(col("event_type"), col("value")),
+      Seq("event_type"), salt = 8,
+      Seq(
+        "n" -> ((count(lit(1)), (c: Column) => sum(c))),
+        "sum_value" -> ((sum(col("value")), (c: Column) => sum(c)))))
+      .select(col("event_type"), col("n"),
+        round(coalesce(col("sum_value"), lit(0.0)), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+
   private def distinctUsersByType(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).df.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
@@ -330,6 +346,32 @@ object SparkEntry {
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
 
+  /** Token-count distribution via the GK quantile sketch — same gate pattern
+    * as `approx_distinct_users`: exact quantiles are the oracle-checked
+    * values, and `within_bound` asserts the sketch landed within 5% (+2
+    * absolute) of each. At 100 TB the sketch (mergeable, bounded memory) is
+    * the only viable path; the exact percentile here is the corpus-scale
+    * calibration of its error.
+    */
+  private def tokenCountQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokenStats(T(s, dir, "documents")).select(col("n_tokens"))
+    def ok(ap: Column, ex: Column): Column =
+      abs(ap - ex) <= greatest(lit(2.0), ex * lit(0.05))
+    toks.agg(
+      percentile(col("n_tokens"), lit(0.5)).as("__e50"),
+      percentile(col("n_tokens"), lit(0.9)).as("__e90"),
+      percentile(col("n_tokens"), lit(0.99)).as("__e99"),
+      percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("__a50"),
+      percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("__a90"),
+      percentile_approx(col("n_tokens"), lit(0.99), lit(10000)).as("__a99"))
+      .select(
+        round(col("__e50"), 4).as("p50"),
+        round(col("__e90"), 4).as("p90"),
+        round(col("__e99"), 4).as("p99"),
+        (ok(col("__a50"), col("__e50")) && ok(col("__a90"), col("__e90")) &&
+          ok(col("__a99"), col("__e99"))).cast("long").as("within_bound"))
+  }
+
   private def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).df
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -432,6 +474,7 @@ object SparkEntry {
     "cube_lineitem" -> (cubeLineitem _),
     "moving_avg_daily" -> (movingAvgDaily _),
     "distinct_users_by_type" -> (distinctUsersByType _),
+    "salted_agg_by_type" -> (saltedAggByType _),
     "approx_distinct_users" -> (approxDistinctUsers _),
     "asof_join_orders" -> (asofJoinOrders _),
     "dedup_exact" -> (dedupExact _),
@@ -449,6 +492,7 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -628,6 +672,10 @@ object SparkEntry {
     "distinct_users_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "salted_agg_by_type" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(coalesce(sum(value), 0), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The oracle pins the exact count and asserts the sketch's error
     // contract held (Spark emits within_bound = 1 only while
     // |approx − exact| ≤ 3·rsd·exact).
@@ -787,6 +835,15 @@ object SparkEntry {
         |SELECT term, CAST(df AS BIGINT) AS df,
         |       round(CAST(tf_sum AS DOUBLE) * ln(CAST(nn.n AS DOUBLE)/df), 4) AS tfidf
         |FROM t, nn ORDER BY tfidf DESC, term LIMIT 15""".stripMargin,
+    // Exact quantiles pinned; within_bound asserts the GK sketch's error.
+    "token_count_quantiles" ->
+      s"""WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+         |             AS n_tokens FROM documents)
+         |SELECT round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+         |       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+         |       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+         |       CAST(1 AS BIGINT) AS within_bound
+         |FROM t""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(k) AS n_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
         |FROM (SELECT event_type,

@@ -119,6 +119,23 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(3) == math.round(19.0 / 8.0 * 10000) / 10000.0)
   }
 
+  test("salted aggregation equals direct groupBy for algebraic aggregates") {
+    // Integer-valued doubles so sums are order-independent and exact.
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("c", 5.0)
+    ).toDF("k", "v").repartition(4)
+    val salted = Skew.saltedAgg(df, Seq("k"), salt = 4, Seq(
+      "n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))),
+      "sum_v" -> ((sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c)))))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
   test("stitched trailing window is bit-identical to the single-partition window") {
     // Keys straddle several buckets at bucketSpan=8, with gaps, so carry rows
     // genuinely feed leading frames of later buckets.
