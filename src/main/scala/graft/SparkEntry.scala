@@ -372,6 +372,33 @@ object SparkEntry {
           ok(col("__a99"), col("__e99"))).cast("long").as("within_bound"))
   }
 
+  /** Gap-based sessionization (§2.9's session windows) on the BATCH path:
+    * `session_window` merges events per key while gaps stay under 30 min;
+    * window end = last event + gap. The oracle re-derives sessions with the
+    * classic lag + cumulative-boundary-sum SQL — fully independent of
+    * Spark's merge implementation.
+    */
+  private def sessionCountsByType(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = ev(s, dir).df
+      .select(col("event_type"), timestamp_micros(expr("time * 1000")).as("ts_event"),
+        col("value"))
+    // Value rollup as an EXACT decimal sum (associative, so partial-merge
+    // order can't move it): small sessions put fp noise — and, after a
+    // division, exact ….5 decimal boundaries, which Spark (shortest-string
+    // HALF_UP) and DuckDB (binary-value) round differently — right on the
+    // round-4 edge. The sum stays on the 2-decimal lattice; no boundary.
+    ev0.groupBy(session_window(col("ts_event"), "1800 seconds"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(coalesce(sum(col("value").cast("decimal(18,6)")).cast("double"), lit(0.0)), 4)
+          .as("sum_value"))
+      .select(
+        unix_millis(col("session_window.start")).as("sess_start"),
+        unix_millis(col("session_window.end")).as("sess_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("event_type"), col("sess_start"))
+  }
+
   private def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).df
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -497,6 +524,7 @@ object SparkEntry {
     "json_props_typed" -> (jsonPropsTyped _),
     "multimodal_features" -> (multimodalFeatures _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
+    "session_counts_by_type" -> (sessionCountsByType _),
   )
 
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
@@ -857,6 +885,26 @@ object SparkEntry {
         |             TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Independent sessionization: lag + cumulative boundary sum. A break
+    // opens where the gap to the previous event reaches 30 min (Spark merges
+    // only OVERLAPPING [t, t+gap) windows, so t − prev ≥ gap ⇒ new session);
+    // session end = last event + gap, matching session_window's contract.
+    "session_counts_by_type" ->
+      s"""WITH e AS ($EvCte),
+         |o AS (SELECT event_type, time, value,
+         |             CASE WHEN time - lag(time) OVER (PARTITION BY event_type ORDER BY time)
+         |                       >= 1800000 THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |sgrp AS (SELECT event_type, time, value,
+         |                sum(brk) OVER (PARTITION BY event_type ORDER BY time
+         |                               ROWS UNBOUNDED PRECEDING) AS sid
+         |         FROM o)
+         |SELECT min(time) AS sess_start, max(time) + 1800000 AS sess_end, event_type,
+         |       count(*) AS n,
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 0), 4)
+         |         AS sum_value
+         |FROM sgrp GROUP BY event_type, sid
+         |ORDER BY event_type, sess_start""".stripMargin,
     // Streaming batch-equivalence: the windowed streaming rollup must equal
     // the plain batch rollup over the same replayed data (epoch-aligned
     // 1-day windows ⇒ win_start = floor(time/day)·day).
