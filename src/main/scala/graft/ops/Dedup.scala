@@ -116,10 +116,32 @@ object Dedup {
         val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
           .filter(col("df_sh") > cap).select(col("h"))
         val pruned = sh.join(broadcast(hot), Seq("h"), "left_anti")
-        val candidates = pruned.as("a").hint("SHUFFLE_HASH")
+        // Count-bound pre-filter (ppjoin-style): per pair, the shared KEPT
+        // shingles are a lower bound on the true overlap, and the true
+        // overlap can exceed it by at most min(hot₁, hot₂) (a shared hot
+        // shingle is hot in both docs). J ≥ t ⟺ ov ≥ t(n1+n2)/(1+t), so a
+        // pair whose upper bound misses that mark can be rejected without
+        // touching the full sets — this kills the mass of one-shared-shingle
+        // candidates that a bare DISTINCT would carry into verification.
+        val kept = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
+        val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
+          .join(kept, Seq("id"), "left")
+          .select(col("id"), col("n_sh"),
+            (col("n_sh") - coalesce(col("n_kept"), lit(0L))).as("n_hot"))
+        val ovKept = pruned.as("a").hint("SHUFFLE_HASH")
           .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
           .select(col("a.id").as("d1"), col("b.id").as("d2"))
-          .distinct()
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov_kept"))
+        // t − 1e-4: round-4 can lift a jaccard by < 5e-5, so the bound must
+        // admit pairs just under the raw threshold (same guard as the
+        // similarity kernels).
+        val t = threshold - 1e-4
+        val candidates = ovKept
+          .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1"), col("n_hot").as("h1")), "d1")
+          .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2"), col("n_hot").as("h2")), "d2")
+          .filter((col("ov_kept") + least(col("h1"), col("h2"))).cast("double") >=
+            lit(t / (1 + t)) * (col("n1") + col("n2")).cast("double"))
+          .select(col("d1"), col("d2"))
         // Exact verification on full (uncapped) hashed sets — the cap only
         // limits which pairs are CONSIDERED, never the jaccard they score.
         Ordered.smallResult(
