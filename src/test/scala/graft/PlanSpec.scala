@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("new aggregate queries prune the events scan to used columns") {
+    // salted agg reads (event_type, value); sessions read (ts, event_type,
+    // value) — neither may drag props/user_id through the shuffle.
+    for ((q, banned) <- Seq(
+        "salted_agg_by_type" -> Seq("props", "user_id"),
+        "session_counts_by_type" -> Seq("props", "user_id"))) {
+      val p = plan(q)
+      for (c <- banned) assert(!p.contains(c), s"$q reads $c:\n${p.take(1200)}")
+    }
+  }
+
   test("pair kernel plan has no cartesian/broadcast-nested-loop join") {
     val p = plan("sim_pairs_threshold")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
