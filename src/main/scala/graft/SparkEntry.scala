@@ -343,6 +343,9 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Text.fingerprint(T(s, dir, "documents")).orderBy(col("doc_id"))
 
+  private def textRollingFp(s: SparkSession, dir: String): DataFrame =
+    Text.rollingFingerprint(T(s, dir, "documents")).orderBy(col("doc_id"))
+
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
 
@@ -518,6 +521,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_rolling_fp" -> (textRollingFp _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
@@ -854,6 +858,22 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    // The RollingFp kernel re-derived in SQL: nested list_reduce — FNV-1a-64
+    // per token (HUGEINT mod 2⁶⁴), then the order-sensitive 31-bit poly fold.
+    "text_rolling_fp" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |              FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(ts, t ->
+        |        CAST(list_reduce(
+        |          list_prepend(14695981039346656037::HUGEINT,
+        |            list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+        |          (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |          % 2147483648::HUGEINT AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483648) AS rolling_fp
+        |FROM toks ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
         |              FROM documents),

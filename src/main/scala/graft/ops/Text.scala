@@ -152,19 +152,17 @@ object Text {
     df.select(col(idCol), md5(lower(trim(col(textCol)))).as("fp"))
 
   /** Rolling 31-bit polynomial fingerprint over tokens (order-sensitive,
-    * unlike the md5 of the raw string it tolerates whitespace differences).
-    * xxhash64 per token, folded as (acc·31 + h) mod 2³¹ — masked, because
-    * Spark 4 runs ANSI mode by default and a wrapping Long multiply would
-    * throw ARITHMETIC_OVERFLOW. Spark-only (no oracle: DuckDB lacks xxhash64).
+    * unlike the md5 of the raw string it tolerates whitespace differences):
+    * FNV-1a-64 per token folded as (acc·31 + (h mod 2³¹)) mod 2³¹, in one
+    * codegen'd byte pass ([[org.apache.spark.sql.graftfns.RollingFp]]).
+    * FNV is plain integer arithmetic, so the DuckDB oracle re-derives it
+    * exactly (the xxhash64 HOF this replaces had no oracle — and ANSI mode
+    * made its wrapping arithmetic fragile).
     */
-  def rollingFingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val mask = lit((1L << 31) - 1)
+  def rollingFingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(
       col(idCol),
-      aggregate(tokens(col(textCol)), lit(0L),
-        (acc, t) => (acc * lit(31L) + xxhash64(t).bitwiseAND(mask)).bitwiseAND(mask))
-        .as("rolling_fp"))
-  }
+      org.apache.spark.sql.graftfns.TextFunctions.rollingFp(col(textCol)).as("rolling_fp"))
 
   /** Corpus-level TF-IDF: sum over documents of tf(term, doc) · ln(N / df(term)),
     * top `k` terms. Two aggregations: (term, doc) counts then per-term rollup —

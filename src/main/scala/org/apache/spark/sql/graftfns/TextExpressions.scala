@@ -273,6 +273,58 @@ object BpeRunCount {
   }
 }
 
+/** Order-sensitive rolling 31-bit fingerprint of a text's whitespace tokens
+  * in one byte pass: FNV-1a-64 per token (same per-token hash family as
+  * [[ShingleHashes]]/[[SimHash64]]), folded left-to-right as
+  * `acc·31 + (h AND (2³¹−1))` mod 2³¹. Unlike an md5 of the raw string it
+  * tolerates whitespace differences but NOT token reordering — the
+  * provenance fingerprint for "same content, same order". FNV-1a is plain
+  * integer arithmetic, so the DuckDB oracle reproduces it exactly (nested
+  * `list_reduce` over chars then tokens, HUGEINT mod 2⁶⁴) — unlike the
+  * xxhash64 HOF formulation this kernel replaces, which had no oracle.
+  */
+final case class RollingFp(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(text: Any): Any =
+    RollingFp.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graftfns.RollingFp.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingFp {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+  private val Mask = (1L << 31) - 1
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var acc = 0L
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      if (bytes(i) != 0x20) {
+        var h = FnvOffset
+        while (i < len && bytes(i) != 0x20) {
+          h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1
+        }
+        acc = (acc * 31L + (h & Mask)) & Mask
+      } else i += 1
+    }
+    acc
+  }
+}
+
 object TextFunctions {
   /** Distinct word-n-gram shingle hashes of `text` as `array<long>`. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -295,4 +347,8 @@ object TextFunctions {
   /** BPE-style pre-token count of a text column (byte-class run counter). */
   def bpeRunCount(text: Column): Column =
     ExpressionUtils.column(BpeRunCount(ExpressionUtils.expression(text)))
+
+  /** Order-sensitive rolling 31-bit token fingerprint of a text column. */
+  def rollingFp(text: Column): Column =
+    ExpressionUtils.column(RollingFp(ExpressionUtils.expression(text)))
 }

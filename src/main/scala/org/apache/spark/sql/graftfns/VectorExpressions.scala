@@ -90,5 +90,7 @@ object VectorFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "bpe_run_count", exprs => BpeRunCount(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rolling_fp", exprs => RollingFp(exprs(0)), "scala_udf")
   }
 }
