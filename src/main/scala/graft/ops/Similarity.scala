@@ -103,6 +103,8 @@ object Similarity {
     // threshold − 1e-4 can be rejected on the raw double — the exact
     // (BigDecimal) rounding then runs only on the ~0.1% of pairs near or
     // above the cut, not all N²/2.
+    require(blocks >= 1 && blocks <= 46000, // blocks² must stay inside Int cell ids
+      s"blocks must be in [1, 46000], got $blocks")
     val rawCut = threshold - 1e-4
     val nBlocks = blocks
     val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))

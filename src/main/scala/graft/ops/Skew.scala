@@ -27,6 +27,11 @@ object Skew {
     * algebraic (partial, merge) pair — the partial runs per (keys, salt),
     * the merge collapses salts per keys. E.g.
     * `"n" -> (count(lit(1)), sum(_))`, `"sum_v" -> (sum(col("v")), sum(_))`.
+    *
+    * Project `df` down to the needed columns FIRST: the salt hashes every
+    * column of the row (that's what makes it deterministic under retries),
+    * so an unprojected wide row pays a hash over payloads it never
+    * aggregates.
     */
   def saltedAgg(
       df: DataFrame,
