@@ -32,6 +32,18 @@ object SparkEntry {
     * directory (the corpora are immutable): the max-scan job runs once per
     * JVM instead of once per time-relative query.
     */
+  /** Collision-free identifier token for a corpus path: sanitized basename +
+    * md5 prefix of the full path. `hashCode`-derived names can collide
+    * across distinct dirs (and `math.abs(Int.MinValue)` is negative), which
+    * would silently alias one corpus's temp resources to another's.
+    */
+  private def pathToken(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    val base = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s"${base}_$digest"
+  }
+
   private val nowCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
@@ -457,7 +469,7 @@ object SparkEntry {
     // the gate bridges with a temp-dir symlink.
     val streamDir = {
       val d = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_stream_src_${math.abs(dir.hashCode)}")
+        System.getProperty("java.io.tmpdir"), s"graft_stream_src_${pathToken(dir)}")
       java.nio.file.Files.createDirectories(d)
       val link = d.resolve("events.parquet")
       if (!java.nio.file.Files.exists(link))
@@ -469,17 +481,19 @@ object SparkEntry {
       .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
     val agg = graft.streaming.StreamOps.tumblingStats(
       src, widthSeconds = 86400, watermarkDelay = "1 hour", tsCol = "ts_event")
-    val name = s"graft_stream_gate_${math.abs(dir.hashCode)}"
+    val name = s"graft_stream_gate_${pathToken(dir)}"
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Gate on n + the decimal-exact sum; a rounded MEAN would reintroduce
+    // the ….5-boundary divergence (Spark rounds the double's shortest
+    // decimal string, DuckDB its binary value) that exact sums avoid.
     s.table(name)
       .select(unix_millis(col("win_start")).as("win_start"), col("event_type"),
-        col("n"), round(col("mean_value"), 4).as("mean_value"),
-        round(col("sum_value"), 4).as("sum_value"))
+        col("n"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
   }
 
@@ -932,8 +946,8 @@ object SparkEntry {
       s"""WITH e AS ($EvCte)
          |SELECT (time // 86400000) * 86400000 AS win_start, event_type,
          |       count(*) AS n,
-         |       round(coalesce(avg(value), 0), 4) AS mean_value,
-         |       round(coalesce(sum(value), 0), 4) AS sum_value
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 0), 4)
+         |         AS sum_value
          |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

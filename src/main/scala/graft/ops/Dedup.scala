@@ -111,11 +111,15 @@ object Dedup {
             .filter(col("jaccard") >= threshold),
           "d1", "d2")
       case Some(cap) =>
-        // Hot-shingle list is tiny by construction (shingles over the cap);
-        // anti-joining it away bounds every candidate key's fan-out to ≤ cap.
+        // Anti-joining the over-cap shingles away bounds every candidate
+        // key's fan-out to ≤ cap. No broadcast HINT on the hot list: it is
+        // tiny for sane caps (well above the df distribution's bulk), and
+        // Spark/AQE will broadcast it then — but a tiny cap makes it most
+        // of the vocabulary, where a forced broadcast would OOM the driver
+        // instead of degrading to a shuffle join.
         val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
           .filter(col("df_sh") > cap).select(col("h"))
-        val pruned = sh.join(broadcast(hot), Seq("h"), "left_anti")
+        val pruned = sh.join(hot, Seq("h"), "left_anti")
         // Count-bound pre-filter (ppjoin-style): per pair, the shared KEPT
         // shingles are a lower bound on the true overlap, and the true
         // overlap can exceed it by at most min(hot₁, hot₂) (a shared hot

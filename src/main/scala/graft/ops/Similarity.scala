@@ -126,13 +126,20 @@ object Similarity {
         val all = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
         val nrm = all.map(p => math.sqrt(blasDot(p._2, p._2)))
         def score(i: Int, j: Int): Option[(Long, Long, Double)] = {
-          val raw = blasDot(all(i)._2, all(j)._2) / (nrm(i) * nrm(j))
-          if (raw < rawCut) None
+          // Duplicate-id rows must not self-pair — the declarative twin
+          // joins on a.id < b.id (strict), and downstream consumers
+          // (embeddingNearDups) rely on v1 < v2.
+          if (all(i)._1 == all(j)._1) None
           else {
-            val c = roundHalfUp4(raw)
-            // ids are sorted ascending, so (i, j) with i < j is (smaller id,
-            // larger id) — each unordered pair owned by exactly one cell.
-            if (c >= threshold) Some((all(i)._1, all(j)._1, c)) else None
+            val raw = blasDot(all(i)._2, all(j)._2) / (nrm(i) * nrm(j))
+            if (raw < rawCut) None
+            else {
+              val c = roundHalfUp4(raw)
+              // ids are sorted ascending, so (i, j) with i < j is (smaller
+              // id, larger id) — each unordered pair owned by exactly one
+              // cell.
+              if (c >= threshold) Some((all(i)._1, all(j)._1, c)) else None
+            }
           }
         }
         if (bi == bj) {

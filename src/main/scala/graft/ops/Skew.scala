@@ -28,20 +28,21 @@ object Skew {
     * the merge collapses salts per keys. E.g.
     * `"n" -> (count(lit(1)), sum(_))`, `"sum_v" -> (sum(col("v")), sum(_))`.
     *
-    * Project `df` down to the needed columns FIRST: the salt hashes every
-    * column of the row (that's what makes it deterministic under retries),
-    * so an unprojected wide row pays a hash over payloads it never
-    * aggregates.
     */
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],
       salt: Int,
       aggs: Seq[(String, (Column, Column => Column))]): DataFrame = {
-    // Deterministic salt from a row-content hash — `rand()` would break
-    // retried-task determinism (a recomputed partition must salt the same
-    // way or partials double-count under speculative execution).
-    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt)).as("__salt")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    // SEEDED rand: deterministic per (partition, row position), so a
+    // speculatively re-executed task recomputes identical salts (the input
+    // partition's contents are fixed by deterministic lineage), yet the
+    // salt is independent of row CONTENT — a content hash would collapse a
+    // hot key's duplicate rows onto one salt and quietly disable the whole
+    // defense (duplicate rows are the norm in event data). Unseeded rand()
+    // would genuinely break retries.
+    val saltCol = floor(rand(0x5417L) * salt).cast("int").as("__salt")
     val partial = df
       .groupBy((keys.map(col) :+ saltCol): _*)
       .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),

@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
   *  3. window inside each bucket over (context ∪ own rows) ordered by the
   *     key, then drop the context rows from the output.
   *
-  * Exactness domain (documented, asserted by OpsSpec against the
-  * unpartitioned formulation): series whose keys are dense at bucket
-  * granularity — any `frameRows` consecutive buckets preceding a populated
-  * bucket contain at least `frameRows` rows or the series head. Trivially
-  * true for contiguous daily/hourly rollups; a sparser series wants a
-  * smaller `bucketSpan`. Carry replication is ≤ `frameRows`² rows per
-  * bucket — noise next to the partitioning it buys. Both windows partition
-  * by bucket, never by a constant (Spark's `EliminateWindowPartitions`
-  * folds constant keys right back to the single-partition fallback).
+  * Exactness domain (documented, asserted by OpsSpec/OpsPropertySpec
+  * against the unpartitioned formulation): every gap between CONSECUTIVE
+  * keys is smaller than `bucketSpan`. Then adjacent rows sit at most one
+  * bucket apart, so a frame's `frameRows` preceding rows lie within the
+  * `frameRows` preceding buckets — exactly what the carries cover.
+  * Trivially true for contiguous daily/hourly rollups (gap = 1); a series
+  * with larger gaps wants `bucketSpan` above its max gap. A gap ≥
+  * `bucketSpan` can strand a frame beyond carry reach and silently drop
+  * its tail — size `bucketSpan` from the data's known cadence, not from
+  * hope. Carry replication is ≤ `frameRows`² rows per bucket — noise next
+  * to the partitioning it buys. Both windows partition by bucket, never by
+  * a constant (Spark's `EliminateWindowPartitions` folds constant keys
+  * right back to the single-partition fallback).
   */
 object Windowed {
 
@@ -46,6 +50,8 @@ object Windowed {
       aggFn: Column => Column,
       outCol: String,
       bucketSpan: Long = 1024L): DataFrame = {
+    require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
+    require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
     val bkt = col("__bkt")
     val bucketed = df.withColumn("__bkt", floor(col(orderCol) / lit(bucketSpan)))
     val lastRows = Window.partitionBy(bkt).orderBy(col(orderCol).desc)

@@ -34,13 +34,20 @@ object StreamOps {
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), s"$widthSeconds seconds"), col(keyCol))
+      // Sum over EXACT decimals (associative) rather than doubles: partial
+      // merge order varies across micro-batch/shuffle layouts, and a
+      // double-sum's last-ulp wobble lands on round-N .5 boundaries when
+      // results are compared against a batch re-derivation (the gate does).
+      // The mean inherits determinism from the exact numerator.
       .agg(
         count(lit(1)).as("n"),
-        coalesce(avg(col(valueCol)), lit(0.0)).as("mean_value"),
-        coalesce(sum(col(valueCol)), lit(0.0)).as("sum_value"))
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("__sv"),
+        count(col(valueCol)).as("__nv"))
       .select(
         col("window.start").as("win_start"), col("window.end").as("win_end"),
-        col(keyCol), col("n"), col("mean_value"), col("sum_value"))
+        col(keyCol), col("n"),
+        coalesce(col("__sv") / col("__nv"), lit(0.0)).as("mean_value"),
+        coalesce(col("__sv"), lit(0.0)).as("sum_value"))
 
   /** Session windows (gap-based grouping — absent in the reference, noted in
     * SURVEY.md §2.9 as the Spark-native generalization): events for a key

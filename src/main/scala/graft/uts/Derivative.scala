@@ -37,7 +37,21 @@ object Derivative {
       intervalMs: Long,
       timeCol: String = "time",
       partitionCols: Seq[String] = Nil,
-      seqCol: Option[String] = None): DataFrame = {
+      seqCol: Option[String] = None): DataFrame =
+    core(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
+      .orderBy((partitionCols.map(col) :+ col("der_time").asc): _*)
+
+  /** The unordered grid — compose aggregations on this ([[points]] does):
+    * a global `orderBy`'s range-boundary sampling re-executes the whole
+    * derivative subtree, and a downstream shuffle discards the order anyway.
+    */
+  private def core(
+      df: DataFrame,
+      valueCol: String,
+      intervalMs: Long,
+      timeCol: String,
+      partitionCols: Seq[String],
+      seqCol: Option[String]): DataFrame = {
     val part = partitionCols.map(col)
     val seq0 = seqCol.map(col).getOrElse(lit(0L))
     val w = {
@@ -88,7 +102,6 @@ object Derivative {
         when(col("__k") === col("__kmax"), col("__tmax"))
           .otherwise(col("__t0") + col("__k") * lit(intervalMs)).as("der_time"),
         coalesce(col("__dv"), lit(0.0)).as("der_value")): _*)
-      .orderBy((part :+ col("der_time").asc): _*)
   }
 
   /** The reference's OUTPUT FORM: one row per series with the grid as a
@@ -106,8 +119,9 @@ object Derivative {
       partitionCols: Seq[String] = Nil,
       seqCol: Option[String] = None): DataFrame = {
     val part = partitionCols.map(col)
-    val exploded = apply(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
-    exploded
+    // array_sort orders each series' points; the grouped aggregate needs no
+    // pre-ordered input, so build on the unordered core.
+    core(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
       .groupBy(part: _*)
       .agg(array_sort(collect_list(struct(col("der_time"), col("der_value"))))
         .as("der_points"))

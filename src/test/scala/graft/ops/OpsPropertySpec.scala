@@ -16,12 +16,14 @@ class OpsPropertySpec extends SparkSpec {
     for (trial <- 0 until 8) {
       val rnd = new Random(11 + trial)
       val n = rnd.between(1, 80)
-      // Distinct keys with irregular gaps: the regime where bucket-boundary
-      // stitching and multi-hop carries actually engage.
-      val keys = Iterator.iterate(rnd.between(0L, 5L))(k => k + rnd.between(1L, 9L))
+      // Distinct keys with irregular gaps INSIDE the documented exactness
+      // domain (every consecutive gap < bucketSpan, up to span−1 so bucket
+      // boundaries and multi-hop carries genuinely engage). Out-of-domain
+      // series (gap ≥ span) are excluded by contract, not by seed luck.
+      val span = rnd.between(3, 20).toLong
+      val keys = Iterator.iterate(rnd.between(0L, 5L))(k => k + rnd.between(1L, span))
         .take(n).toSeq
       val frame = rnd.between(1, 8)
-      val span = rnd.between(frame + 1, 20).toLong
       val df = keys.map(k => (k, rnd.between(-50, 50).toDouble))
         .toDF("day", "n").repartition(4)
       val stitched = Windowed.trailingStitched(df, "day", "n", frame, c => avg(c), "ma", span)

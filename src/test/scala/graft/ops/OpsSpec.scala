@@ -97,6 +97,19 @@ class OpsSpec extends SparkSpec {
     assert(kern == expr && kern.length == 10) // all C(5,2) pairs, bit-identical
   }
 
+  test("pair kernel emits no self-pairs for duplicate ids") {
+    // Duplicate ingest rows share an id; the kernel must not pair a row
+    // with its twin (the declarative join is strict a.id < b.id).
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f)), (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val kern = Similarity.pairsAbove(dup, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expr = Similarity.pairsAboveExpr(dup, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(kern == expr && kern.forall(p => p._1 < p._2))
+  }
+
   test("ivf top-k: probing all clusters recovers brute-force head") {
     val brute = Similarity.topK(vecs, 0, 2).collect().map(_.getLong(0)).toSeq
     val ivf = Similarity.ivfTopK(vecs, 0, 2, nprobe = 3)
