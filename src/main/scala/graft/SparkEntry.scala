@@ -323,6 +323,20 @@ object SparkEntry {
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(T(s, dir, "embeddings"), threshold = 0.8)
 
+  /** Transitive near-dup cluster collapse over the exact Jaccard pairs —
+    * [[Dedup.connectedComponents]] under a recursive-CTE oracle (full
+    * reachability closure, independently computed).
+    */
+  private def dedupClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+      .select(col("d1"), col("d2"))
+    Dedup.connectedComponents(docs.select(col("doc_id")), pairs, idCol = "doc_id")
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"),
+        (col("rep") =!= col("id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- similarity
 
   private def simTopkCosine(s: SparkSession, dir: String): DataFrame =
@@ -525,6 +539,7 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_cluster_rep" -> (dedupClusterRep _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_topk_cosine" -> (simTopkCosine _),
@@ -745,6 +760,19 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> JaccardPairsSql,
     "dedup_jaccard_capped" -> JaccardPairsSql,
     "dedup_minhash_lsh" -> JaccardPairsSql,
+    // Transitive closure over the same pair edges via WITH RECURSIVE —
+    // min reachable id per doc, the independent check of the distributed
+    // min-label propagation.
+    "dedup_cluster_rep" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($JaccardPairsSql)),
+         |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)
+         |SELECT id AS doc_id, min(r) AS rep_id,
+         |       CAST(min(r) <> id AS INT) AS is_dup
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // FNV-1a-64 per token (HUGEINT arithmetic mod 2⁶⁴, matching the
     // SimHash64 kernel's byte loop exactly), per-bit ±1 votes, two's-
     // complement reassembly, then the same pigeonhole chunk join — an

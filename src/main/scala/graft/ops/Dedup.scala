@@ -293,6 +293,54 @@ object Dedup {
       "vec_id")
   }
 
+  /** Exact near-dup CLUSTER collapse: connected components over pair edges,
+    * labeling every vertex with the smallest id reachable through any chain
+    * of pairs. [[embeddingNearDups]]' min-lower-neighbor is the cheap
+    * one-hop approximation; this is the transitive closure (a near-dup of a
+    * near-dup joins the cluster).
+    *
+    * Shape: Pregel-style min-label propagation — each round, every vertex
+    * takes the min of its own label and its neighbors' labels (one shuffle
+    * join + partial-aggregated min); labels converge in O(component
+    * diameter) rounds, and near-dup clusters have tiny diameters. Edges and
+    * per-round labels are `localCheckpoint`ed: edges so the (possibly
+    * expensive) candidate pipeline runs once, labels so iterative lineage
+    * doesn't grow exponentially. The driver reads ONE changed-row count per
+    * round — an O(1) action, not a data collect.
+    *
+    * Output: `(id, rep)` — `rep` = min id of the component.
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      srcCol: String = "d1",
+      dstCol: String = "d2",
+      maxIters: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbr = und.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      val next = labels.as("l")
+        .join(nbr, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: bit i of the hash is the sign of
     * Σ_tokens ±1 according to bit i of xxhash64(token). Near-dups = pairs at
     * Hamming distance ≤ `maxDist`, found by the chunk trick: split the 64 bits

@@ -117,6 +117,23 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("connected components collapse chains transitively to the min id") {
+    // 0–1–2 is a CHAIN (0 and 2 share no edge): one-hop min-neighbor would
+    // leave 2 pointing at 1; the closure must pull it to 0. 4–5 separate;
+    // 3 isolated.
+    val vertices = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("d1", "d2")
+    val out = Dedup.connectedComponents(vertices, edges)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L), (5L, 4L)))
+    // Long path: convergence takes multiple label-propagation rounds.
+    val chain = (0L until 12L).toDF("id")
+    val chainEdges = (0L until 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val c = Dedup.connectedComponents(chain, chainEdges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(c.toSeq == Seq(0L))
+  }
+
   test("embedding near-dup collapses to min-id representative") {
     val out = Dedup.embeddingNearDups(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
