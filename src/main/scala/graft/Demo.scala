@@ -40,5 +40,33 @@ object Demo {
 
     println("== derivative of sum-like value for user 1, I=6h ==")
     ev.derivative("value", 6 * hour, partitionCols = Seq("user_id")).show(10, truncate = false)
+
+    import org.apache.spark.sql.functions._
+    val docs = Tsdb.table(spark, sfDir, "documents")
+
+    println("== near-dup pairs (exact n-gram Jaccard, J >= 0.6) ==")
+    val pairs = ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+    pairs.show(5, truncate = false)
+
+    println("== transitive cluster collapse (connected components) ==")
+    ops.Dedup.connectedComponents(
+      docs.select(col("doc_id")), pairs.select(col("d1"), col("d2")), idCol = "doc_id")
+      .filter(col("rep") =!= col("id")).show(5, truncate = false)
+
+    println("== cosine top-5 neighbors of vec 0 ==")
+    ops.Similarity.topK(Tsdb.table(spark, sfDir, "embeddings"), queryId = 0, k = 5)
+      .show(truncate = false)
+
+    println("== stitched 7-day trailing moving average (partitioned frames) ==")
+    val daily = ev.df.groupBy(expr("time div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    ops.Windowed.trailingStitched(daily, "day", "n", 6, c => avg(c), "ma7")
+      .orderBy(col("day")).show(8, truncate = false)
+
+    println("== salted aggregation (skew-safe two-phase) ==")
+    ops.Skew.saltedAgg(
+      ev.df.select(col("event_type"), col("value")), Seq("event_type"), salt = 8,
+      Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)))))
+      .orderBy(col("event_type")).show(truncate = false)
   }
 }

@@ -36,6 +36,27 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("asof join ≡ naive latest-at-or-before scan on random data") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(37 + trial)
+      val leftRows = (0 until rnd.between(1, 60)).map(i =>
+        (i.toLong, rnd.between(0L, 6L), rnd.between(0L, 100L)))
+      val rightRows = (0 until rnd.between(0, 80)).map(i =>
+        (rnd.between(0L, 6L), rnd.between(0L, 100L), i.toLong))
+      val left = leftRows.toDF("eid", "k", "t").repartition(3)
+      val right = rightRows.toDF("k", "rt", "ok").repartition(3)
+      val got = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("ok"), "ok")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sortBy(_._1)
+      val naive = leftRows.map { case (eid, k, t) =>
+        val cand = rightRows.filter(r => r._1 == k && r._2 <= t)
+        (eid, if (cand.isEmpty) -1L else cand.maxBy(r => (r._2, r._3))._3)
+      }.sortBy(_._1)
+      assert(got.toSeq == naive, s"trial $trial")
+    }
+  }
+
   test("block-grid pair kernel ≡ declarative nested-loop join on random vectors") {
     for (trial <- 0 until 4) {
       val rnd = new Random(23 + trial)
