@@ -348,6 +348,13 @@ object SparkEntry {
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(T(s, dir, "embeddings"), queryId = 0, k = 10, nprobe = 3)
 
+  /** Batch ANN — one plan answers a query SET (the realistic shape: nothing
+    * loops per query), checked against a per-query windowed re-derivation.
+    */
+  private def annIvfTopkBatch(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKBatch(T(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L),
+      k = 10, nprobe = 3)
+
   // ------------------------------------------------------------ text analysis
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -545,6 +552,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -853,6 +861,36 @@ object SparkEntry {
         |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_topk_batch" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cent AS (
+        |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cl, cs) AS cluster
+        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+        |  GROUP BY vec_id),
+        |probes AS (
+        |  SELECT qid, cl FROM (
+        |    SELECT q.qid, c.cl,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cl) AS pr
+        |    FROM q, cent c)
+        |  WHERE pr <= 3),
+        |scored AS (
+        |  SELECT p.qid, e.vec_id, e.label, a.cluster,
+        |         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |  FROM e JOIN assign a USING (vec_id)
+        |       JOIN probes p ON a.cluster = p.cl
+        |       JOIN q ON q.qid = p.qid
+        |  WHERE e.vec_id <> p.qid)
+        |SELECT qid, vec_id, label, cluster, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, cosine DESC, vec_id""".stripMargin,
     "text_stats" ->
       s"""WITH toks AS ($ToksCte)
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,

@@ -208,29 +208,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    val dim = 64
-    // Centroids: elementwise mean per label — aggregate on exploded positions
-    // keeps it a plain shuffle-by-(label,pos) partial aggregate.
-    val centroids = df
-      .select(col(labelCol).as("cl"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("cl"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("m"))
-      .groupBy(col("cl"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("cl"), transform(col("ps"), p => p.getField("m")).as("cvec"))
-    val cList = broadcast(centroids.groupBy().agg(
-      collect_list(struct(col("cl"), col("cvec"))).as("cs")))
-    // Assignment: argmax cosine over the broadcast centroid list, in one
-    // higher-order fold — no join explosion.
-    def bestCluster(vec: Column, cs: Column, n: Int): Column =
-      aggregate(cs, struct(lit(-2.0).as("s"), lit(-1).as("c")),
-        (acc, c) => {
-          val s = cosine(vec, c.getField("cvec"))
-          when(s > acc.getField("s"), struct(s.as("s"), c.getField("cl").as("c"))).otherwise(acc)
-        }).getField("c")
-    val assigned = df.crossJoin(cList)
-      .select(col(idCol), col(vecCol), col(labelCol),
-        bestCluster(col(vecCol), col("cs"), dim).as("cluster"))
+    val centroids = centroidsOf(df, vecCol, labelCol)
+    val assigned = assignedOf(df, centroids, idCol, vecCol, labelCol)
     // The query VECTOR comes straight off the base table — routing it through
     // `assigned` would re-execute the whole assignment scan once per consumer
     // (it feeds both the probe list and the final score pass).
@@ -249,5 +228,82 @@ object Similarity {
         round(cosine(col(vecCol), col("__q")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch IVF: top-k per query over a SET of query vectors in ONE plan —
+    * the realistic ANN workload (nothing loops over queries; the corpus is
+    * scanned and assigned once). Per-query probe lists and per-query top-k
+    * are window ranks partitioned by query id; queries and probe lists are
+    * broadcast (a query batch is small next to the corpus — chunk giant
+    * batches and union).
+    */
+  def ivfTopKBatch(
+      df: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = centroidsOf(df, vecCol, labelCol)
+    val assigned = assignedOf(df, centroids, idCol, vecCol, labelCol)
+    val queries = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cl").as("cluster"))
+    val scored = assigned
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(queries), "qid")
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col(labelCol), col("cluster"),
+        round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
+    // Per-query top-k: rank within qid partitions (a TakeOrdered per group);
+    // the result is |queries|·k rows — report-sized, single-partition sort.
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .repartition(1)
+      .sortWithinPartitions(col("qid"), col("cosine").desc, col(idCol))
+  }
+
+  /** Centroids = per-`labelCol` elementwise mean vectors (deterministic, no
+    * random init) — aggregate on exploded positions keeps it a plain
+    * shuffle-by-(label, pos) partial aggregate.
+    */
+  private def centroidsOf(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("cl"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cl"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+
+  /** Every vector labeled with its nearest centroid: argmax cosine over the
+    * broadcast centroid list in one higher-order fold — no join explosion.
+    */
+  private def assignedOf(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val cList = broadcast(centroids.groupBy().agg(
+      collect_list(struct(col("cl"), col("cvec"))).as("cs")))
+    def bestCluster(vec: Column, cs: Column): Column =
+      aggregate(cs, struct(lit(-2.0).as("s"), lit(-1).as("c")),
+        (acc, c) => {
+          val s = cosine(vec, c.getField("cvec"))
+          when(s > acc.getField("s"), struct(s.as("s"), c.getField("cl").as("c"))).otherwise(acc)
+        }).getField("c")
+    df.crossJoin(cList)
+      .select(col(idCol), col(vecCol), col(labelCol),
+        bestCluster(col(vecCol), col("cs")).as("cluster"))
   }
 }

@@ -134,6 +134,15 @@ class OpsSpec extends SparkSpec {
     assert(c.toSeq == Seq(0L))
   }
 
+  test("batch ivf: each query's slice equals the single-query result") {
+    val single = Similarity.ivfTopK(vecs, 0, 2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val batch = Similarity.ivfTopKBatch(vecs, Seq(0L, 2L), 2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(batch.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq == single)
+    assert(batch.map(_._1).distinct.sorted.toSeq == Seq(0L, 2L))
+  }
+
   test("embedding near-dup collapses to min-id representative") {
     val out = Dedup.embeddingNearDups(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
