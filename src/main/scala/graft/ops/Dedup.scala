@@ -308,6 +308,14 @@ object Dedup {
     * doesn't grow exponentially. The driver reads ONE changed-row count per
     * round — an O(1) action, not a data collect.
     *
+    * Convergence bound (documented): plain min-label propagation needs
+    * O(diameter) rounds, and a component with diameter > `maxIters` returns
+    * PARTIALLY collapsed labels. Near-dup graphs are dense star-like
+    * clusters (tiny diameters), which is why this shape is right here; a
+    * general graph with million-hop chains wants the alternating
+    * large-star/small-star contraction (O(log n) rounds), which this method
+    * deliberately does not implement.
+    *
     * Output: `(id, rep)` — `rep` = min id of the component.
     */
   def connectedComponents(
