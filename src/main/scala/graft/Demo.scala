@@ -45,7 +45,8 @@ object Demo {
     val docs = Tsdb.table(spark, sfDir, "documents")
 
     println("== near-dup pairs (exact n-gram Jaccard, J >= 0.6) ==")
-    val pairs = ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+    // Checkpointed: shown here AND fed to connectedComponents below.
+    val pairs = ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.6).localCheckpoint()
     pairs.show(5, truncate = false)
 
     println("== transitive cluster collapse (connected components) ==")
@@ -60,13 +61,16 @@ object Demo {
     println("== stitched 7-day trailing moving average (partitioned frames) ==")
     val daily = ev.df.groupBy(expr("time div 86400000").as("day"))
       .agg(count(lit(1)).as("n"))
-    ops.Windowed.trailingStitched(daily, "day", "n", 6, c => avg(c), "ma7")
-      .orderBy(col("day")).show(8, truncate = false)
+    ops.Ordered.smallResult(
+      ops.Windowed.trailingStitched(daily, "day", "n", 6, c => avg(c), "ma7"), "day")
+      .show(8, truncate = false)
 
     println("== salted aggregation (skew-safe two-phase) ==")
-    ops.Skew.saltedAgg(
-      ev.df.select(col("event_type"), col("value")), Seq("event_type"), salt = 8,
-      Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)))))
-      .orderBy(col("event_type")).show(truncate = false)
+    ops.Ordered.smallResult(
+      ops.Skew.saltedAgg(
+        ev.df.select(col("event_type"), col("value")), Seq("event_type"), salt = 8,
+        Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))),
+      "event_type")
+      .show(truncate = false)
   }
 }

@@ -325,10 +325,12 @@ object Dedup {
       srcCol: String = "d1",
       dstCol: String = "d2",
       maxIters: Int = 25): DataFrame = {
-    val und = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
+    // Checkpoint the edge projection BEFORE the symmetric union: the union
+    // embeds its child twice, and without an exchange boundary Spark's
+    // stage reuse cannot dedupe the branches — an expensive candidate
+    // pipeline would run twice.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint()
     var iter = 0
     var done = false
@@ -346,6 +348,12 @@ object Dedup {
       done = changed == 0L
       iter += 1
     }
+    // Silent partial collapse would be indistinguishable from a converged
+    // result — fail loudly instead; the caller raises maxIters (or uses a
+    // log-round contraction algorithm for genuinely deep graphs).
+    if (!done) sys.error(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "a component's diameter exceeds maxIters; raise it")
     labels
   }
 

@@ -248,8 +248,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val centroids = centroidsOf(df, vecCol, labelCol)
     val assigned = assignedOf(df, centroids, idCol, vecCol, labelCol)
+    // Materialize the (tiny) query set once: it feeds both the probe list
+    // and the score join, and each un-checkpointed use would re-scan the
+    // corpus for a handful of rows.
     val queries = df.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .localCheckpoint()
     val probes = broadcast(queries).crossJoin(broadcast(centroids))
       .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
       .withColumn("pr", row_number().over(

@@ -135,11 +135,13 @@ class OpsSpec extends SparkSpec {
   }
 
   test("batch ivf: each query's slice equals the single-query result") {
-    val single = Similarity.ivfTopK(vecs, 0, 2, nprobe = 3)
-      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     val batch = Similarity.ivfTopKBatch(vecs, Seq(0L, 2L), 2, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
-    assert(batch.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq == single)
+    for (qid <- Seq(0L, 2L)) {
+      val single = Similarity.ivfTopK(vecs, qid, 2, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      assert(batch.filter(_._1 == qid).map(t => (t._2, t._3)).toSeq == single, s"qid $qid")
+    }
     assert(batch.map(_._1).distinct.sorted.toSeq == Seq(0L, 2L))
   }
 
