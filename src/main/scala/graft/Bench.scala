@@ -9,11 +9,26 @@ import org.apache.spark.sql.SparkSession
   * Queries execute into the noop sink — full plan runs (projections,
   * rounding, ordering included); `count()` would let Spark prune most of the
   * work and flatter the numbers.
+  *
+  * Noise robustness: this VM exhibits multi-second stalls (one random query
+  * per run can regress 10-100×; see BASELINE.md). A single-shot-per-query
+  * harness therefore produces red runs regardless of plan quality. Each
+  * query runs REPS times after warmup; the reported per-query number is the
+  * MEDIAN of those runs and "value" is the sum of medians. Per-run raws go
+  * to stderr so a stall is visible in the log instead of poisoning the
+  * official artifact.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,15 +44,20 @@ object Bench {
         "text_stats", "sim_topk_cosine"))
       SparkEntry.queries(w)(spark, sfDir).write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val raws = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(
+        f"[bench] $name raws=${raws.map(r => f"$r%.3f").mkString(",")} median=${median(raws)}%.3f")
+      name -> median(raws)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

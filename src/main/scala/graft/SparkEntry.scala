@@ -493,9 +493,12 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"), s"graft_stream_src_${pathToken(dir)}")
       java.nio.file.Files.createDirectories(d)
       val link = d.resolve("events.parquet")
+      // exists+create races with a concurrent session on the same corpus;
+      // the link target is deterministic per dir, so losing the race is fine.
       if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
+        try java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       d.toString
     }
     val src = s.readStream.schema(schema).parquet(streamDir)

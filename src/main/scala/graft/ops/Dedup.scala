@@ -308,6 +308,13 @@ object Dedup {
     * doesn't grow exponentially. The driver reads ONE changed-row count per
     * round — an O(1) action, not a data collect.
     *
+    * Fault tolerance: `localCheckpoint` stores blocks on EXECUTORS — losing
+    * one mid-iteration kills the lineage-truncated RDD and the job. Fine in
+    * a single-JVM gate; at cluster scale pass `checkpointDir` (fault-
+    * tolerant storage, e.g. HDFS/object store) and the edge set plus every
+    * `checkpointInterval`-th label round use reliable `checkpoint` instead,
+    * bounding replay-after-loss to < `checkpointInterval` rounds.
+    *
     * Convergence bound (documented): plain min-label propagation needs
     * O(diameter) rounds, and a component with diameter > `maxIters` returns
     * PARTIALLY collapsed labels. Near-dup graphs are dense star-like
@@ -324,24 +331,34 @@ object Dedup {
       idCol: String = "id",
       srcCol: String = "d1",
       dstCol: String = "d2",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 5): DataFrame = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    // Reliable checkpoint (eager) when a dir is given; executor-local blocks
+    // otherwise. `round` 0 marks the always-reliable cuts (edges, seed).
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % checkpointInterval == 0) df.checkpoint()
+      else df.localCheckpoint()
     // Checkpoint the edge projection BEFORE the symmetric union: the union
     // embeds its child twice, and without an exchange boundary Spark's
     // stage reuse cannot dedupe the branches — an expensive candidate
     // pipeline would run twice.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), 0)
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint()
+    var labels = cut(vertices.select(col(idCol).as("id"), col(idCol).as("rep")), 0)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       val nbr = und.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
-      val next = labels.as("l")
+      val next = cut(labels.as("l")
         .join(nbr, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep"))
-        .localCheckpoint()
+          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep")),
+        iter + 1)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
       labels = next

@@ -35,13 +35,22 @@ object Skew {
       salt: Int,
       aggs: Seq[(String, (Column, Column => Column))]): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    require(!df.columns.contains("__salt"),
+      "saltedAgg reserves the __salt column name; rename the input column")
     // SEEDED rand: deterministic per (partition, row position), so a
-    // speculatively re-executed task recomputes identical salts (the input
-    // partition's contents are fixed by deterministic lineage), yet the
+    // speculatively re-executed task recomputes identical salts, yet the
     // salt is independent of row CONTENT — a content hash would collapse a
     // hot key's duplicate rows onto one salt and quietly disable the whole
     // defense (duplicate rows are the norm in event data). Unseeded rand()
-    // would genuinely break retries.
+    // would genuinely break retries. PRECONDITION: per-position determinism
+    // holds only when intra-partition row ORDER is deterministic. A scan or
+    // narrow lineage qualifies; a SHUFFLE OUTPUT does not (fetch arrival
+    // order varies across task re-executions — the classic
+    // rand-partitioning indeterminacy hazard), so callers salting a
+    // shuffle-produced input must materialize it first (e.g.
+    // localCheckpoint) or accept that a fetch-failure retry may re-salt
+    // rows and corrupt the partials.
     val saltCol = floor(rand(0x5417L) * salt).cast("int").as("__salt")
     val partial = df
       .groupBy((keys.map(col) :+ saltCol): _*)

@@ -170,7 +170,11 @@ object Text {
     * (term, doc) / term keys, never raw tokens.
     */
   def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val n = df.count() // scalar: corpus size for IDF
+    // Corpus size N for IDF stays INSIDE the plan: a 1-row broadcast
+    // cross-joined onto the per-term rollup. An eager df.count() here would
+    // scan the corpus at plan-construction time (even if the result is never
+    // executed) and a second time at execution.
+    val corpusN = df.agg(count(lit(1)).cast("double").as("__n"))
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -179,10 +183,11 @@ object Text {
     // constant per term — one multiply after the rollup instead of a join.
     tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+      .crossJoin(broadcast(corpusN))
       .select(
         col("term"),
         col("df"),
-        round(col("tf_sum").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 4)
+        round(col("tf_sum").cast("double") * log(col("__n") / col("df").cast("double")), 4)
           .as("tfidf"))
       .orderBy(col("tfidf").desc, col("term"))
       .limit(k)

@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   * `frameRows` preceding buckets — exactly what the carries cover.
   * Trivially true for contiguous daily/hourly rollups (gap = 1); a series
   * with larger gaps wants `bucketSpan` above its max gap. A gap ≥
-  * `bucketSpan` can strand a frame beyond carry reach and silently drop
-  * its tail — size `bucketSpan` from the data's known cadence, not from
-  * hope. Carry replication is ≤ `frameRows`² rows per bucket — noise next
-  * to the partitioning it buys. Both windows partition by bucket, never by
+  * `bucketSpan` can strand a frame beyond carry reach and drop its tail —
+  * so by default the plan carries a runtime guard that ERRORS on such a
+  * gap (`validateGaps`), the same fail-loud stance
+  * [[Dedup.connectedComponents]] takes on non-convergence. Carry
+  * replication is ≤ `frameRows`² rows per bucket — noise next to the
+  * partitioning it buys. Both windows partition by bucket, never by
   * a constant (Spark's `EliminateWindowPartitions` folds constant keys
   * right back to the single-partition fallback).
   */
@@ -41,6 +43,15 @@ object Windowed {
     * `orderCol` (a LONG key with unique values, e.g. a day number), globally
     * ordered, emitted as `outCol`. `aggFn` maps the value column to its frame
     * aggregate (e.g. `avg`).
+    *
+    * `validateGaps` (default ON) welds a one-row guard into the plan: the max
+    * gap between consecutive keys, computed WITHOUT a global sort (per-bucket
+    * sorted key lists of ≤ `bucketSpan` keys, then cross-bucket seams over
+    * the report-sized bucket summary), cross-joined in as an `assert_true`.
+    * A gap ≥ `bucketSpan` then fails the query at runtime instead of
+    * returning a silently wrong frame aggregate. Costs one extra pass over
+    * the input and a tiny shuffle; disable only when the cadence is known
+    * contiguous (e.g. a dense daily spine).
     */
   def trailingStitched(
       df: DataFrame,
@@ -49,7 +60,8 @@ object Windowed {
       frameRows: Int,
       aggFn: Column => Column,
       outCol: String,
-      bucketSpan: Long = 1024L): DataFrame = {
+      bucketSpan: Long = 1024L,
+      validateGaps: Boolean = true): DataFrame = {
     require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
     require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
     val bkt = col("__bkt")
@@ -64,10 +76,106 @@ object Windowed {
       .drop("__hop")
       .withColumn("__ctx", lit(true))
     val w = Window.partitionBy(bkt).orderBy(col(orderCol)).rowsBetween(-frameRows, 0)
-    bucketed.withColumn("__ctx", lit(false))
+    val stitched = bucketed.withColumn("__ctx", lit(false))
       .unionByName(carry)
       .withColumn(outCol, aggFn(col(valueCol)).over(w))
       .filter(!col("__ctx"))
       .drop("__bkt", "__ctx")
+    if (!validateGaps) stitched
+    else {
+      // assert_true yields NULL on success; the isNull filter keeps every
+      // row while referencing the guard column, so column pruning cannot
+      // eliminate the (1-row, broadcast) guard subtree.
+      stitched.crossJoin(broadcast(maxGapGuard(bucketed, orderCol, bucketSpan)))
+        .filter(col("__gap_ok").isNull)
+        .drop("__gap_ok")
+    }
+  }
+
+  /** Global `lag(valueCol, 1)` over `orderCols` WITHOUT WindowExec's
+    * single-partition fallback, exact for ARBITRARY key distributions (no
+    * cadence precondition, unlike [[trailingStitched]]): range-repartition
+    * on the order keys, lag inside each partition, and stitch the partition
+    * seams with a broadcast per-partition boundary summary — the first row
+    * of partition p takes the last value of the nearest non-empty earlier
+    * partition, resolved over the numPartitions-row summary with sorted-
+    * array expressions (no window at all on the summary, so the plan emits
+    * zero "No Partition Defined" fallbacks). Cost vs the fallback: the
+    * range exchange's sampling pass — and full parallelism afterwards.
+    *
+    * Equal order keys land in one partition (range boundaries are key
+    * values), so seam stitching never splits a tie; lag order among exact
+    * duplicates is unspecified, as in any window.
+    */
+  def lagStitched(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "lagStitched needs at least one order column")
+    val valueType = df.schema(valueCol).dataType
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    val ordKey = struct(orderCols.map(col): _*)
+    val lastPer = ranged.groupBy(col("__pid"))
+      .agg(max_by(col(valueCol), ordKey).as("__last"))
+    // (pid, predecessor-partition's last value), via one sorted struct list:
+    // entry i's predecessor is entry i-1 (1-based element_at(i)); the list
+    // holds only non-empty partitions, so this is the nearest earlier one.
+    val preds = lastPer
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__last")))).as("__a"))
+      .select(explode(transform(col("__a"), (x, i) =>
+        struct(
+          x.getField("__pid").as("__pid"),
+          when(i === 0, lit(null).cast(valueType))
+            .otherwise(element_at(col("__a"), i).getField("__last")).as("__pred"))))
+        .as("__p"))
+      .select(col("__p.__pid").as("__pid"), col("__p.__pred").as("__pred"))
+    ranged
+      .join(broadcast(preds), Seq("__pid"), "left")
+      .withColumn(outCol,
+        when(row_number().over(w) === 1, col("__pred"))
+          .otherwise(lag(col(valueCol), 1).over(w)))
+      .drop("__pid", "__pred")
+  }
+
+  /** One-row DataFrame whose single `__gap_ok` column is an `assert_true`
+    * over the max gap between consecutive `orderCol` keys in `bucketed`
+    * (which must carry `__bkt`). No global sort: intra-bucket gaps come from
+    * per-bucket sorted key lists (≤ bucketSpan keys each); cross-bucket
+    * seams (last key of a populated bucket → first key of the next) from
+    * one sorted struct list over the report-sized bucket summary.
+    */
+  private def maxGapGuard(bucketed: DataFrame, orderCol: String, bucketSpan: Long): DataFrame = {
+    def pairsMax(arr: Column, gap: (Column, Column) => Column): Column =
+      coalesce(
+        array_max(zip_with(
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          gap)),
+        lit(0L))
+    val perBucket = bucketed
+      .groupBy(col("__bkt"))
+      .agg(sort_array(collect_list(col(orderCol).cast("long"))).as("__ks"))
+      .select(
+        col("__bkt"),
+        element_at(col("__ks"), 1).as("__min"),
+        element_at(col("__ks"), -1).as("__max"),
+        pairsMax(col("__ks"), (a, b) => b - a).as("__intra"))
+    perBucket
+      .agg(sort_array(collect_list(
+        struct(col("__bkt"), col("__min"), col("__max"), col("__intra")))).as("__bs"))
+      .select(greatest(
+        coalesce(array_max(transform(col("__bs"), b => b("__intra"))), lit(0L)),
+        pairsMax(col("__bs"), (a, b) => b("__min") - a("__max"))).as("__maxgap"))
+      .select(assert_true(
+        col("__maxgap") < lit(bucketSpan),
+        concat(
+          lit("trailingStitched: consecutive-key gap "),
+          col("__maxgap").cast("string"),
+          lit(s" >= bucketSpan $bucketSpan strands frames beyond carry reach; " +
+            "raise bucketSpan above the series' max gap"))).as("__gap_ok"))
   }
 }

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * aggregate on the grid bucket, and a `sequence`-exploded spine left-joined
   * for gap fill — no driver-side collect anywhere. With `partitionCols` the
   * whole thing parallelizes per key (e.g. per `user_id`); without, the lag
-  * window is a single sorted partition (fine for one logical series, flagged
-  * for 100 TB use — always partition there).
+  * runs through [[graft.ops.Windowed.lagStitched]] — range-partitioned with
+  * broadcast seam stitching, so even the single-logical-series case never
+  * touches WindowExec's single-partition fallback, and `t0` comes from a
+  * broadcast scalar instead of an unpartitioned min window.
   *
   * Output: `partitionCols ++ (der_time: Long epoch-ms, der_value)` ordered by
   * (partitionCols, der_time).
@@ -54,20 +56,30 @@ object Derivative {
       seqCol: Option[String]): DataFrame = {
     val part = partitionCols.map(col)
     val seq0 = seqCol.map(col).getOrElse(lit(0L))
-    val w = {
-      val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-      base.orderBy(col(timeCol).asc, seq0.asc)
-    }
-    val whole = {
-      val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-      base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    }
 
-    val withDelta = df.select(
-      part ++ Seq(
-        col(timeCol).as("__t"),
-        coalesce(col(valueCol) - lag(col(valueCol), 1).over(w), lit(0.0)).as("__delta"),
-        min(col(timeCol)).over(whole).as("__t0")): _*)
+    val withDelta =
+      if (part.nonEmpty) {
+        val w = Window.partitionBy(part: _*).orderBy(col(timeCol).asc, seq0.asc)
+        val whole = Window.partitionBy(part: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.select(
+          part ++ Seq(
+            col(timeCol).as("__t"),
+            coalesce(col(valueCol) - lag(col(valueCol), 1).over(w), lit(0.0)).as("__delta"),
+            min(col(timeCol)).over(whole).as("__t0")): _*)
+      } else {
+        // Unpartitioned series: stitched lag (range-partitioned, broadcast
+        // seams) + broadcast scalar t0 — no single-partition window exec.
+        val lagged = graft.ops.Windowed.lagStitched(
+          df.select(col(timeCol).as("__t"), seq0.as("__seq"), col(valueCol).as("__v")),
+          Seq("__t", "__seq"), "__v", "__lagv")
+        lagged
+          .crossJoin(broadcast(df.agg(min(col(timeCol)).as("__t0"))))
+          .select(
+            col("__t"),
+            coalesce(col("__v") - col("__lagv"), lit(0.0)).as("__delta"),
+            col("__t0"))
+      }
 
     // Bucket k = max(ceil((t − t0)/I), 1); K = max(ceil((tmax − t0)/I), 1).
     // (t − t0) is a bounded window span, exact in double arithmetic.

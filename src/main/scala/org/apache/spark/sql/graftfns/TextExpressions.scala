@@ -273,11 +273,13 @@ object BpeRunCount {
   }
 }
 
-/** Order-sensitive rolling 31-bit fingerprint of a text's whitespace tokens
-  * in one byte pass: FNV-1a-64 per token (same per-token hash family as
+/** Order-sensitive rolling 31-bit fingerprint of a text's space-separated
+  * tokens (0x20 only, matching [[graft.ops.Text.tokens]] and the DuckDB
+  * oracle — tabs/newlines are token bytes, not separators) in one byte
+  * pass: FNV-1a-64 per token (same per-token hash family as
   * [[ShingleHashes]]/[[SimHash64]]), folded left-to-right as
   * `acc·31 + (h AND (2³¹−1))` mod 2³¹. Unlike an md5 of the raw string it
-  * tolerates whitespace differences but NOT token reordering — the
+  * tolerates repeated-space differences but NOT token reordering — the
   * provenance fingerprint for "same content, same order". FNV-1a is plain
   * integer arithmetic, so the DuckDB oracle reproduces it exactly (nested
   * `list_reduce` over chars then tokens, HUGEINT mod 2⁶⁴) — unlike the

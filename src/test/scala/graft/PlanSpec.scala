@@ -83,6 +83,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("tfidf builds its plan without driver-side jobs (corpus N is in-plan)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // The old implementation ran df.count() at construction time; N must
+      // now be a broadcast scalar inside the one plan.
+      graft.ops.Text.tfidfTopTerms(docs, 5).queryExecution.executedPlan
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("new aggregate queries prune the events scan to used columns") {
     // salted agg reads (event_type, value); sessions read (ts, event_type,
     // value) — neither may drag props/user_id through the shuffle.

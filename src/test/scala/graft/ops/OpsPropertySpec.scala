@@ -36,6 +36,27 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("stitched lag ≡ single-partition lag window on random series") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(91 + trial)
+      val n = rnd.between(0, 120)
+      // Distinct keys (duplicate keys make any lag's order unspecified),
+      // arbitrary gaps — lagStitched has no cadence precondition.
+      val keys = rnd.shuffle((0L until 1000L).toList).take(n)
+      val rows = keys.map(k => (k, rnd.between(-100, 100).toDouble))
+      val df = rows.toDF("t", "v").repartition(5)
+      val got = Windowed.lagStitched(df, Seq("t"), "v", "lv")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+        .sortBy(_._1)
+      val sorted = rows.sortBy(_._1)
+      val naive = sorted.zipWithIndex.map { case ((k, _), i) =>
+        (k, if (i == 0) Double.NaN else sorted(i - 1)._2)
+      }
+      assert(got.toSeq.map(_.toString) == naive.map(_.toString), s"trial $trial n=$n")
+    }
+  }
+
   test("asof join ≡ naive latest-at-or-before scan on random data") {
     for (trial <- 0 until 6) {
       val rnd = new Random(37 + trial)

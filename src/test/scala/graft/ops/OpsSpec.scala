@@ -134,6 +134,23 @@ class OpsSpec extends SparkSpec {
     assert(c.toSeq == Seq(0L))
   }
 
+  test("connected components with reliable checkpointing matches localCheckpoint path") {
+    // Same chain as above, routed through the fault-tolerant cut every 2
+    // rounds (the cluster-scale configuration — executor-local blocks don't
+    // survive executor loss).
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val chain = (0L until 12L).toDF("id")
+    val chainEdges = (0L until 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = Dedup.connectedComponents(chain, chainEdges,
+      checkpointDir = Some(dir), checkpointInterval = 2)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == (0L until 12L).map(i => (i, 0L)).toSeq)
+    // Reliable checkpoints actually landed in the given dir.
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no checkpoint files written under $dir")
+  }
+
   test("batch ivf: each query's slice equals the single-query result") {
     val batch = Similarity.ivfTopKBatch(vecs, Seq(0L, 2L), 2, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
@@ -193,6 +210,27 @@ class OpsSpec extends SparkSpec {
       .orderBy(col("day"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(stitched.toSeq == global.toSeq)
+  }
+
+  test("stitched trailing window errors loudly on a gap >= bucketSpan") {
+    // day 9 → 25 is a gap of 16 ≥ bucketSpan 8: the frame at 25 would
+    // silently lose its tail. The in-plan guard must fail the query instead.
+    val series = Seq(1L, 2L, 9L, 25L, 26L).zipWithIndex
+      .map { case (k, i) => (k, i.toDouble) }
+      .toDF("day", "n").repartition(3)
+    val ex = intercept[Exception] {
+      Windowed.trailingStitched(series, "day", "n", 3, c => avg(c), "ma", bucketSpan = 8L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("bucketSpan")), ex.toString)
+    // Same series with validateGaps=false keeps the old documented behavior
+    // (runs; out-of-domain frames are the caller's responsibility).
+    val rows = Windowed.trailingStitched(
+      series, "day", "n", 3, c => avg(c), "ma", bucketSpan = 8L, validateGaps = false)
+      .collect()
+    assert(rows.length == 5)
   }
 
   test("asof join picks latest right row at or before left time, max tie id") {
