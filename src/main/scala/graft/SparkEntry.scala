@@ -355,6 +355,17 @@ object SparkEntry {
     Similarity.ivfTopKBatch(T(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L),
       k = 10, nprobe = 3)
 
+  /** ANN without labels: centroids from the seed-deterministic k-means init
+    * ([[graft.ops.Similarity.centroidsKMeans]]) — the projection drops
+    * `label` BEFORE the operator, so the plan proves the path needs none
+    * (PlanSpec pins the pruned scan). Oracle re-derives the seeds and both
+    * Lloyd rounds as a CTE chain.
+    */
+  private def annIvfTopkNolabel(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKUnlabeled(
+      T(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      queryId = 0, k = 10, nprobe = 3, nCentroids = 8, rounds = 2)
+
   // ------------------------------------------------------------ text analysis
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -556,6 +567,7 @@ object SparkEntry {
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
+    "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -860,6 +872,39 @@ object SparkEntry {
         |probes AS (
         |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
         |SELECT e.vec_id, e.label, a.cluster,
+        |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // Unlabeled IVF: full re-derivation of the seeded k-means init — Knuth-
+    // hash seeds, two Lloyd rounds (argmax-cosine assign, per-position mean),
+    // then the same probe/score tail as ann_ivf_topk.
+    "ann_ivf_topk_nolabel" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |seeds AS (SELECT vec_id AS cl, v AS cvec FROM e
+        |          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
+        |         (SELECT e.vec_id, s.cl, list_cosine_similarity(e.v, s.cvec) AS cs
+        |          FROM e, seeds s) GROUP BY vec_id),
+        |c1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+        |         (SELECT a1.cl, ex.pos, avg(ex.x) AS m
+        |          FROM ex JOIN a1 USING (vec_id) GROUP BY a1.cl, ex.pos)
+        |       GROUP BY cl),
+        |a2 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
+        |         (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+        |          FROM e, c1 c) GROUP BY vec_id),
+        |c2 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+        |         (SELECT a2.cl, ex.pos, avg(ex.x) AS m
+        |          FROM ex JOIN a2 USING (vec_id) GROUP BY a2.cl, ex.pos)
+        |       GROUP BY cl),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+        |             (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+        |              FROM e, c2 c) GROUP BY vec_id),
+        |probes AS (SELECT cl FROM c2, q
+        |           ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
+        |SELECT e.vec_id, a.cluster,
         |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
         |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
         |WHERE e.vec_id <> 0

@@ -207,9 +207,38 @@ object Similarity {
       nprobe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val centroids = centroidsOf(df, vecCol, labelCol)
-    val assigned = assignedOf(df, centroids, idCol, vecCol, labelCol)
+      labelCol: String = "label"): DataFrame =
+    ivfWith(df, centroidsOf(df, vecCol, labelCol), queryId, k, nprobe,
+      idCol, vecCol, Seq(labelCol))
+
+  /** [[ivfTopK]] for a corpus WITHOUT labels: centroids come from
+    * [[centroidsKMeans]] (seed-deterministic Lloyd iterations) instead of
+    * per-label means — the self-sufficient ANN path. Output has no label
+    * column and the plan never reads one.
+    */
+  def ivfTopKUnlabeled(
+      df: DataFrame,
+      queryId: Long,
+      k: Int,
+      nprobe: Int,
+      nCentroids: Int,
+      rounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfWith(df, centroidsKMeans(df, nCentroids, rounds, idCol, vecCol),
+      queryId, k, nprobe, idCol, vecCol, Nil)
+
+  /** Shared IVF probe/score body over an arbitrary centroid set. */
+  private def ivfWith(
+      df: DataFrame,
+      centroids: DataFrame,
+      queryId: Long,
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String,
+      extraCols: Seq[String]): DataFrame = {
+    val assigned = assignedOf(df, centroids, idCol, vecCol, extraCols)
     // The query VECTOR comes straight off the base table — routing it through
     // `assigned` would re-execute the whole assignment scan once per consumer
     // (it feeds both the probe list and the final score pass).
@@ -224,8 +253,8 @@ object Similarity {
       .join(broadcast(probes), "cluster")
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), col(labelCol), col("cluster"),
-        round(cosine(col(vecCol), col("__q")), 4).as("cosine"))
+      .select((col(idCol) +: extraCols.map(col)) ++ Seq(col("cluster"),
+        round(cosine(col(vecCol), col("__q")), 4).as("cosine")): _*)
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -247,7 +276,7 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = centroidsOf(df, vecCol, labelCol)
-    val assigned = assignedOf(df, centroids, idCol, vecCol, labelCol)
+    val assigned = assignedOf(df, centroids, idCol, vecCol, Seq(labelCol))
     // Materialize the (tiny) query set once: it feeds both the probe list
     // and the score join, and each un-checkpointed use would re-scan the
     // corpus for a handful of rows.
@@ -282,12 +311,60 @@ object Similarity {
     * shuffle-by-(label, pos) partial aggregate.
     */
   private def centroidsOf(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
-    df.select(col(labelCol).as("cl"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+    meansBy(df.select(col(labelCol).as("cl"), col(vecCol).as("__v")))
+
+  /** Elementwise mean vector per `cl` over rows `(cl, __v)`. */
+  private def meansBy(rows: DataFrame): DataFrame =
+    rows.select(col("cl"), posexplode(col("__v")).as(Seq("pos", "x")))
       .groupBy(col("cl"), col("pos"))
       .agg(avg(col("x").cast("double")).as("m"))
       .groupBy(col("cl"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .select(col("cl"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+
+  /** Seed-deterministic k-means centroids for an UNLABELED corpus.
+    *
+    * Round 0 seeds = the `k` corpus vectors with the smallest Knuth
+    * multiplicative hash of their id (`(id·2654435761) mod 2³²` — a
+    * pseudo-random spread that is one ANSI expression, so the DuckDB oracle
+    * re-derives it verbatim); then `rounds` FIXED Lloyd iterations under
+    * cosine similarity: assign every vector to its argmax-cosine centroid
+    * (broadcast fold, no join explosion), recompute centroids as elementwise
+    * means. A cluster that captures no vectors vanishes — identically on
+    * both sides. Cluster ids are the seed vector ids throughout.
+    *
+    * Fixing `rounds` (vs iterate-to-convergence) keeps the whole init a
+    * finite expression chain: oracle-able, and at 100 TB each round is one
+    * broadcast-argmax corpus pass + one (cluster, pos) partial aggregate.
+    * The plan nests one level per round — production use at large `rounds`
+    * wants a `localCheckpoint` of the (k-row) centroid frame per round; at
+    * the fixed small `rounds` used here the pure plan is the point (zero
+    * driver jobs at construction). A k-means|| oversampling init would slot
+    * in behind the same interface for corpora where hash seeding lands all
+    * seeds in one region.
+    */
+  def centroidsKMeans(
+      df: DataFrame,
+      k: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var cents = df
+      .select(
+        col(idCol).cast("long").as("cl"),
+        col(vecCol).cast("array<double>").as("cvec"),
+        pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)).as("__h"))
+      .orderBy(col("__h"), col("cl"))
+      .limit(k)
+      .select(col("cl"), col("cvec"))
+    for (_ <- 0 until rounds)
+      cents = meansBy(
+        assignedOf(df, cents, idCol, vecCol, Nil)
+          .select(col("cluster").cast("long").as("cl"), col(vecCol).as("__v")))
+    cents
+  }
 
   /** Every vector labeled with its nearest centroid: argmax cosine over the
     * broadcast centroid list in one higher-order fold — no join explosion.
@@ -297,17 +374,21 @@ object Similarity {
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      labelCol: String): DataFrame = {
+      extraCols: Seq[String]): DataFrame = {
+    // The accumulator's cluster slot types after the centroid id (label for
+    // the labeled path, seed vec_id for k-means) — a fixed literal type here
+    // would silently retype the output's cluster column.
+    val clType = centroids.schema("cl").dataType
     val cList = broadcast(centroids.groupBy().agg(
       collect_list(struct(col("cl"), col("cvec"))).as("cs")))
     def bestCluster(vec: Column, cs: Column): Column =
-      aggregate(cs, struct(lit(-2.0).as("s"), lit(-1).as("c")),
+      aggregate(cs, struct(lit(-2.0).as("s"), lit(null).cast(clType).as("c")),
         (acc, c) => {
           val s = cosine(vec, c.getField("cvec"))
           when(s > acc.getField("s"), struct(s.as("s"), c.getField("cl").as("c"))).otherwise(acc)
         }).getField("c")
     df.crossJoin(cList)
-      .select(col(idCol), col(vecCol), col(labelCol),
-        bestCluster(col(vecCol), col("cs")).as("cluster"))
+      .select((col(idCol) +: col(vecCol) +: extraCols.map(col)) :+
+        bestCluster(col(vecCol), col("cs")).as("cluster"): _*)
   }
 }

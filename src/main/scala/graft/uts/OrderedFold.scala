@@ -69,4 +69,28 @@ object OrderedFold {
       def agg(ord: OrderCtx): Column = foldDouble(z, step)(ord.time, ord.seq, org.apache.spark.sql.functions.col(c))
       def emptyValue: Option[org.apache.spark.sql.types.DataType => Column] = None
     }
+
+  /** The reference's per-point `map(fn)` over ARBITRARY lambdas
+    * (`uts.ts:562-571`, its `Mapper` aggregate): apply `fn` to each point's
+    * payload in (t, seq) order and emit the ordered result list. Column
+    * expressions ([[MapCol]]) cover expressible projections — this is the
+    * escape hatch for genuine closures, built on the same stamped buffer as
+    * [[fold]], with the same bounded-group scale caveat. `outEnc` comes from
+    * `spark.implicits` (e.g. `newSequenceEncoder`).
+    */
+  def mapFn[V: TypeTag, O](fn: V => O, outEnc: Encoder[Seq[O]])(
+      t: Column, seq: Column, v: Column): Column =
+    fold[V, List[O], Seq[O]](Nil, (acc, x) => fn(x) :: acc, _.reverse, outEnc)(t, seq, v)
+
+  /** [[Metric]] adapter for [[mapFn]] — the reference's `map(fn)` as a
+    * packaged metric beside `MapCol`: empty bins report an empty list, like
+    * the reference's `Mapper` (fresh instance per empty bin ⇒ `[]`).
+    */
+  def mapMetric[V: TypeTag, O](c: String, fn: V => O, outEnc: Encoder[Seq[O]]): Metric =
+    new Metric {
+      def agg(ord: OrderCtx): Column =
+        mapFn(fn, outEnc)(ord.time, ord.seq, org.apache.spark.sql.functions.col(c))
+      def emptyValue: Option[org.apache.spark.sql.types.DataType => Column] =
+        Some(dt => org.apache.spark.sql.functions.array().cast(dt))
+    }
 }

@@ -24,6 +24,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang")) // unused column must not be read
   }
 
+  test("unlabeled ann plan never reads the label column") {
+    val p = plan("ann_ivf_topk_nolabel")
+    assert(!p.contains("label"), p.take(1500))
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("sim_topk_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))

@@ -162,6 +162,23 @@ class OpsSpec extends SparkSpec {
     assert(batch.map(_._1).distinct.sorted.toSeq == Seq(0L, 2L))
   }
 
+  test("unlabeled ivf: k-means clusters separate directions, top-k matches brute force") {
+    val unlabeled = vecs.select(col("vec_id"), col("embedding"))
+    // Seeds are deterministic (Knuth-hash order), rounds fixed: same input
+    // ⇒ byte-identical centroids on every run.
+    val c1 = Similarity.centroidsKMeans(unlabeled, k = 3, rounds = 2).collect()
+    val c2 = Similarity.centroidsKMeans(unlabeled, k = 3, rounds = 2).collect()
+    assert(c1.map(_.toString).sorted.toSeq == c2.map(_.toString).sorted.toSeq)
+    // With nprobe = all clusters the result must equal brute-force top-k
+    // (IVF only prunes which lists are SCANNED, never re-scores).
+    val ivf = Similarity.ivfTopKUnlabeled(unlabeled, queryId = 0, k = 2,
+      nprobe = 3, nCentroids = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = Similarity.topK(unlabeled, queryId = 0, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
+
   test("embedding near-dup collapses to min-id representative") {
     val out = Dedup.embeddingNearDups(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -53,6 +53,24 @@ class OrderedFoldSpec extends SparkSpec {
     assert(out == 4.0) // max 4.0 − min 0.0
   }
 
+  test("map(fn) metric applies a lambda per point, ordered, inside interval bins") {
+    // A NON-numeric column through an arbitrary closure — the reference's
+    // Mapper surface (uts.ts:562-571) beyond what column expressions cover.
+    val words = Seq(
+      (900L, 3L, "dd"), (600L, 0L, "a"), (1000L, 4L, "eee"), (700L, 1L, "bb"), (800L, 2L, "c")
+    ).toDF("time", "seq", "w").repartition(4)
+    val s = UtsSeries(words, timeCol = "time", seqCol = Some("seq"))
+    val out = s.query(UtsQuery(
+      Seq("mapped" -> OrderedFold.mapMetric[String, String](
+        "w", w => s"${w.toUpperCase}:${w.length}", newSequenceEncoder)),
+      group = IntervalGroup(250, fill = false, 1000L)))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](2).toList))
+    // (750,1000] → c, dd, eee in time order; (500,750] → a, bb.
+    assert(out.toSeq == Seq(
+      (750L, List("C:1", "DD:2", "EEE:3")),
+      (500L, List("A:1", "BB:2"))))
+  }
+
   test("fold works per interval bin through the Metric adapter") {
     val s = UtsSeries(df, timeCol = "time", seqCol = Some("seq"))
     val out = s.query(UtsQuery(
