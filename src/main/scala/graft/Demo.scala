@@ -72,5 +72,29 @@ object Demo {
         Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))),
       "event_type")
       .show(truncate = false)
+
+    println("== unlabeled ANN: IVF over seeded k-means centroids (no label column) ==")
+    ops.Similarity.ivfTopKUnlabeled(
+      Tsdb.table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding")),
+      queryId = 0, k = 5, nprobe = 3, nCentroids = 8)
+      .show(truncate = false)
+
+    println("== per-point map(fn): arbitrary closure per interval bin ==")
+    import spark.implicits._
+    val s7 = UtsSeries(
+      ev.df.filter(col("user_id") === 7).select(col("time"), col("event_id"), col("event_type")),
+      timeCol = "time", seqCol = Some("event_id"))
+    s7.query(UtsQuery(
+      Seq("types" -> OrderedFold.mapMetric[String, String](
+        "event_type", t => t.take(2).toUpperCase, newSequenceEncoder)),
+      group = IntervalGroup(6 * hour, fill = false, nowMs)))
+      .show(4, truncate = false)
+
+    println("== quirk-replica metrics beside standard ones (all-negative max) ==")
+    val neg = Seq((1L, 0L, -5.0), (2L, 1L, -3.0)).toDF("time", "seq", "v")
+    UtsSeries(neg, timeCol = "time", seqCol = Some("seq"))
+      .query(UtsQuery(Seq(
+        "max_ref_quirk" -> Quirk.max("v"), "max_standard" -> MaxM("v"))))
+      .show(truncate = false)
   }
 }

@@ -107,16 +107,18 @@ object SparkEntry {
   }
 
   private def utsMapSeries(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir).df.filter(col("user_id") === 7)
-      .select(col("event_id"), col("time"), col("value"))
-      .orderBy(col("time"), col("event_id"))
+    graft.ops.Ordered.smallResult(
+      ev(s, dir).df.filter(col("user_id") === 7)
+        .select(col("event_id"), col("time"), col("value")),
+      "time", "event_id")
 
+  // Derivative.apply already emits (partitionCols, der_time) order; the
+  // narrow projection preserves it — no second sort.
   private def utsDerivative(s: SparkSession, dir: String): DataFrame =
     graft.uts.Derivative(
       ev(s, dir).df.filter(col("user_id") === 1),
       "value", 6 * Hour, "time", Nil, Some("event_id"))
       .select(col("der_time"), round(col("der_value"), 4).as("der_value"))
-      .orderBy(col("der_time"))
 
   /** [[utsDerivative]] over ALL users with `partitionCols = user_id` — the
     * parallel path ([[graft.uts.Derivative]] windows/aggregates/spines per
@@ -128,7 +130,6 @@ object SparkEntry {
       ev(s, dir).df, "value", 6 * Hour, "time", Seq("user_id"), Some("event_id"))
       .select(col("user_id"), col("der_time"),
         round(col("der_value"), 4).as("der_value"))
-      .orderBy(col("user_id"), col("der_time"))
 
   private def utsRemove(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).remove(Seq(Pred.eq("event_type", "purchase")))
@@ -368,14 +369,16 @@ object SparkEntry {
 
   // ------------------------------------------------------------ text analysis
 
+  // Per-document outputs sort via Ordered.smallResult — one exchange, no
+  // resampling range sort; the total order is for the oracle compare only.
   private def textStats(s: SparkSession, dir: String): DataFrame =
-    Text.tokenStats(T(s, dir, "documents")).orderBy(col("doc_id"))
+    graft.ops.Ordered.smallResult(Text.tokenStats(T(s, dir, "documents")), "doc_id")
 
   private def textBpeStats(s: SparkSession, dir: String): DataFrame =
-    Text.bpeTokenStats(T(s, dir, "documents")).orderBy(col("doc_id"))
+    graft.ops.Ordered.smallResult(Text.bpeTokenStats(T(s, dir, "documents")), "doc_id")
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
-    Text.qualityScore(T(s, dir, "documents")).orderBy(col("doc_id"))
+    graft.ops.Ordered.smallResult(Text.qualityScore(T(s, dir, "documents")), "doc_id")
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -385,10 +388,10 @@ object SparkEntry {
       .orderBy(col("lang"), col("pred_lang"))
 
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Text.fingerprint(T(s, dir, "documents")).orderBy(col("doc_id"))
+    graft.ops.Ordered.smallResult(Text.fingerprint(T(s, dir, "documents")), "doc_id")
 
   private def textRollingFp(s: SparkSession, dir: String): DataFrame =
-    Text.rollingFingerprint(T(s, dir, "documents")).orderBy(col("doc_id"))
+    graft.ops.Ordered.smallResult(Text.rollingFingerprint(T(s, dir, "documents")), "doc_id")
 
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
@@ -470,9 +473,11 @@ object SparkEntry {
       .orderBy(col("event_type"))
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(s, Multimodal.withPayload(T(s, dir, "documents")))
-      .toDF()
-      .orderBy(col("doc_id"))
+    // smallResult, not orderBy: a range sort's sampling pass would run the
+    // whole decode/feature mapPartitions pipeline a second time.
+    graft.ops.Ordered.smallResult(
+      Multimodal.extractFeatures(s, Multimodal.withPayload(T(s, dir, "documents"))).toDF(),
+      "doc_id")
 
   // --------------------------------------------------------------- streaming
 

@@ -154,3 +154,41 @@ final case class AggExpr(e: Column, fill: Option[DataType => Column] = None) ext
   def agg(ord: OrderCtx): Column = e
   def emptyValue = fill
 }
+
+/** OPT-IN replicas of the reference's fold-quirk aggregates, for callers
+  * porting code that depends on them (our default [[MaxM]]/[[MinM]]/[[SumM]]
+  * use standard SQL semantics — decisions Q1-S/Q3-S in SURVEY.md §1.4).
+  *
+  * The reference builds these on `reduce(fn, 0)` over `pt.get(column)`
+  * (uts.ts:592-601, 622-624): the seed 0 caps `min` at ≤ 0 and floors `max`
+  * at ≥ 0, and a point MISSING the column makes `fn` see `undefined`, which
+  * poisons the whole fold to NaN (`Math.max(undefined, x)` and
+  * `x + undefined` are both NaN). Both behaviors replicate here: missing ⇒
+  * NaN via the count mismatch, seed 0 via the greatest/least clamp; empty
+  * bins report the bare seed, 0 — all mergeable aggregates, no fold buffer.
+  */
+object Quirk {
+  import org.apache.spark.sql.{functions => F}
+
+  private def poisoned(c: String): Column = F.count(lit(1)) =!= F.count(column(c))
+
+  /** `Analysis.max` (uts.ts:592-594): fold `Math.max` from 0. */
+  def max(c: String): Metric = AggExpr(
+    when(poisoned(c), lit(Double.NaN))
+      .otherwise(greatest(coalesce(F.max(column(c)).cast("double"), lit(0.0)), lit(0.0))),
+    Some(dt => lit(0.0).cast(dt)))
+
+  /** `Analysis.min` (uts.ts:599-601): fold `Math.min` from 0 — always ≤ 0. */
+  def min(c: String): Metric = AggExpr(
+    when(poisoned(c), lit(Double.NaN))
+      .otherwise(least(coalesce(F.min(column(c)).cast("double"), lit(0.0)), lit(0.0))),
+    Some(dt => lit(0.0).cast(dt)))
+
+  /** `Analysis.sum` (uts.ts:622-624): `sum + pt.get(col)` from 0 — one
+    * missing value poisons the bin's sum to NaN.
+    */
+  def sum(c: String): Metric = AggExpr(
+    when(poisoned(c), lit(Double.NaN))
+      .otherwise(coalesce(F.sum(column(c)).cast("double"), lit(0.0))),
+    Some(dt => lit(0.0).cast(dt)))
+}

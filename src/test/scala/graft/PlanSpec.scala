@@ -57,7 +57,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pair pipelines sort report output in one partition (no resampling range sort)") {
-    for (q <- Seq("dedup_jaccard_pairs", "sim_pairs_threshold", "asof_join_orders")) {
+    for (q <- Seq("dedup_jaccard_pairs", "sim_pairs_threshold", "asof_join_orders",
+        // Per-document gate outputs: a range sort's boundary sampling would
+        // re-execute the narrow scan (or the multimodal decode pipeline).
+        "text_stats", "text_bpe_stats", "text_quality", "text_fingerprint",
+        "text_rolling_fp", "multimodal_features", "uts_map_series")) {
       val p = plan(q)
       // A range sort would appear as Exchange rangepartitioning(...); the
       // report-sort shape is a single-partition exchange + in-partition Sort.
