@@ -396,6 +396,33 @@ object SparkEntry {
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
 
+  /** Concat-then-chunk packing layout over the whole corpus — the stitched
+    * distributed prefix sum under an exact window-sum oracle.
+    */
+  private def docPackBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.packByBudget(T(s, dir, "documents"), budget = 512), "doc_id")
+
+  /** Deterministic per-language cap (hash-rank stratified sample): exactly
+    * 5 docs per lang, reproducible across runs — no rand() anywhere.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.stratifiedExactN(
+        T(s, dir, "documents"), Seq("lang"), "doc_id", n = 5)
+        .select(col("lang"), col("doc_id"), col("sample_rank").cast("long").as("sample_rank")),
+      "lang", "sample_rank")
+
+  /** Shuffle-free fractional sample: a pure hash filter (pushable, no
+    * exchange — PlanSpec pins that) — the down-weighting shape in a data
+    * mix at 100 TB.
+    */
+  private def sampleFraction(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.fractionByHash(T(s, dir, "documents"), "doc_id", frac = 0.25)
+        .select(col("doc_id"), col("lang")),
+      "doc_id")
+
   /** Token-count distribution via the GK quantile sketch — same gate pattern
     * as `approx_distinct_users`: exact quantiles are the oracle-checked
     * values, and `within_bound` asserts the sketch landed within 5% (+2
@@ -580,6 +607,9 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_fp" -> (textRollingFp _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "doc_pack_budget" -> (docPackBudget _),
+    "sample_stratified" -> (sampleStratified _),
+    "sample_fraction" -> (sampleFraction _),
     "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
@@ -1016,6 +1046,31 @@ object SparkEntry {
         |SELECT term, CAST(df AS BIGINT) AS df,
         |       round(CAST(tf_sum AS DOUBLE) * ln(CAST(nn.n AS DOUBLE)/df), 4) AS tfidf
         |FROM t, nn ORDER BY tfidf DESC, term LIMIT 15""".stripMargin,
+    // Distributed prefix sum under the exact window-sum oracle (the window
+    // sum over BIGINT is HUGEINT in the oracle engine — cast back).
+    "doc_pack_budget" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |                       AS n_tokens
+        |              FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS excl
+        |      FROM toks)
+        |SELECT doc_id, n_tokens,
+        |       CAST(floor(excl / 512.0) AS BIGINT) AS pack_id,
+        |       CAST(excl % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+    "sample_fraction" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+        |ORDER BY doc_id""".stripMargin,
     // Exact quantiles pinned; within_bound asserts the GK sketch's error.
     "token_count_quantiles" ->
       s"""WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (data mixing, eval
+  * splits, per-stratum caps). Randomness comes from the Knuth multiplicative
+  * hash of the row's id — seed-free, reproducible across runs/retries (a
+  * `rand()` sample is neither), and one ANSI expression, so the DuckDB
+  * oracle re-derives every sample exactly.
+  */
+object Sampling {
+
+  /** Pseudo-random spread of an id: `(id·2654435761) mod 2³²` (Knuth's
+    * multiplicative hash — same family [[Similarity.centroidsKMeans]] seeds
+    * with).
+    */
+  def idHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Shuffle-free fractional sample per stratum: keep rows whose id-hash
+    * falls under `frac` of the hash space. The 100 TB shape — a pure filter,
+    * pushed to the scan, no shuffle, no window; per-stratum proportions hold
+    * in expectation (each stratum sees the same uniform hash). Use for
+    * down-weighting a source in a data mix where an exact count is not the
+    * contract.
+    */
+  def fractionByHash(df: DataFrame, idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    df.filter(idHash(col(idCol)) < lit((frac * 4294967296.0).toLong))
+  }
+
+  /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
+    * stratified sampling with a hard cap (eval sets, per-language caps).
+    * One shuffle by stratum; the rank window partitions by the stratum key,
+    * so no single-partition fallback. Emits the stratum columns, the id,
+    * and the 1-based `sample_rank`.
+    */
+  def stratifiedExactN(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      n: Int): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedExactN needs at least one stratum column")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.select((strataCols.map(col) :+ col(idCol)) :+
+        row_number().over(w).as("sample_rank"): _*)
+      .filter(col("sample_rank") <= n)
+  }
+}

@@ -164,6 +164,32 @@ object Text {
       col(idCol),
       org.apache.spark.sql.graftfns.TextFunctions.rollingFp(col(textCol)).as("rolling_fp"))
 
+  /** Token-budget document packing — the concat-then-chunk shape LLM
+    * training pipelines use: documents are laid out in `orderCol` order and
+    * the concatenation is split into fixed `budget`-token chunks; each
+    * document starts in pack `floor(excl / budget)` at offset
+    * `excl mod budget`, where `excl` is the exclusive running token count
+    * before it. Built on [[Windowed.runningSumStitched]] — the distributed
+    * two-pass prefix sum, so the global order costs a range exchange, never
+    * a single-partition window. (Documents longer than `budget` span packs;
+    * the chunker downstream splits them — this operator's contract is the
+    * deterministic layout, not truncation.)
+    */
+  def packByBudget(
+      df: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val counted = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    Windowed.runningSumStitched(counted, Seq(idCol), "n_tokens", "__cum")
+      .withColumn("__excl", (col("__cum") - col("n_tokens")).cast("long"))
+      .select(
+        col(idCol), col("n_tokens"),
+        floor(col("__excl") / lit(budget.toDouble)).cast("long").as("pack_id"),
+        pmod(col("__excl"), lit(budget)).as("pack_offset"))
+  }
+
   /** Corpus-level TF-IDF: sum over documents of tf(term, doc) · ln(N / df(term)),
     * top `k` terms. Two aggregations: (term, doc) counts then per-term rollup —
     * both partial-aggregated map-side, so the shuffle carries only distinct

@@ -141,6 +141,51 @@ object Windowed {
       .drop("__pid", "__pred")
   }
 
+  /** Global running SUM of `valueCol` over `orderCols` (rows from the start
+    * through the current row) WITHOUT the single-partition window fallback —
+    * the two-pass distributed prefix sum: range-repartition on the order
+    * keys, cumulative sum inside each partition, then add each partition's
+    * exclusive prefix offset, resolved like [[lagStitched]]'s seams from one
+    * sorted per-partition totals list (numPartitions rows, pure
+    * expressions, no window on the summary). Exact for arbitrary key
+    * distributions. Emits `outCol` (inclusive running sum) as DOUBLE —
+    * bit-exact (and addition-order-independent) for integral inputs below
+    * 2⁵³, the packing/counting domain this exists for; true floating-point
+    * inputs can differ from a sequential sum in the last ulps.
+    */
+  def runningSumStitched(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "runningSumStitched needs at least one order column")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("double")).as("__tot"))
+    // Exclusive prefix offset per partition: sum of all earlier partitions'
+    // totals, from one sorted (pid, total) list.
+    val offsets = totals
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__tot")))).as("__a"))
+      .select(explode(transform(col("__a"), (x, i) =>
+        struct(
+          x.getField("__pid").as("__pid"),
+          coalesce(
+            aggregate(slice(col("__a"), lit(1), i), lit(0.0),
+              (acc, e) => acc + e.getField("__tot")),
+            lit(0.0)).as("__off"))))
+        .as("__p"))
+      .select(col("__p.__pid").as("__pid"), col("__p.__off").as("__off"))
+    ranged
+      .join(broadcast(offsets), Seq("__pid"), "left")
+      .withColumn(outCol, sum(col(valueCol).cast("double")).over(w) + coalesce(col("__off"), lit(0.0)))
+      .drop("__pid", "__off")
+  }
+
   /** One-row DataFrame whose single `__gap_ok` column is an `assert_true`
     * over the max gap between consecutive `orderCol` keys in `bucketed`
     * (which must carry `__bkt`). No global sort: intra-bucket gaps come from

@@ -24,6 +24,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang")) // unused column must not be read
   }
 
+  test("fractional hash sample is a pure filter — no exchange anywhere") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Sampling.fractionByHash(df, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("unlabeled ann plan never reads the label column") {
     val p = plan("ann_ivf_topk_nolabel")
     assert(!p.contains("label"), p.take(1500))

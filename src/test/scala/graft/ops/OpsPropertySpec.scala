@@ -57,6 +57,25 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("stitched running sum ≡ single-partition cumulative window on random series") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(53 + trial)
+      val n = rnd.between(0, 150)
+      // Integral values: the distributed prefix sum is then bit-exact
+      // regardless of addition order (documented domain).
+      val keys = rnd.shuffle((0L until 2000L).toList).take(n)
+      val rows = keys.map(k => (k, rnd.between(0, 500).toLong))
+      val df = rows.toDF("k", "v").repartition(5)
+      val got = Windowed.runningSumStitched(df, Seq("k"), "v", "cum")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+      val sorted = rows.sortBy(_._1)
+      val naive = sorted.zipWithIndex.map { case ((k, _), i) =>
+        (k, sorted.take(i + 1).map(_._2).sum.toDouble)
+      }
+      assert(got.toSeq == naive, s"trial $trial n=$n")
+    }
+  }
+
   test("asof join ≡ naive latest-at-or-before scan on random data") {
     for (trial <- 0 until 6) {
       val rnd = new Random(37 + trial)

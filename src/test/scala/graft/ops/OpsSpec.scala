@@ -250,6 +250,35 @@ class OpsSpec extends SparkSpec {
     assert(rows.length == 5)
   }
 
+  test("hash sampling: exact-N ranks match a naive computation; fraction matches its predicate") {
+    def h(id: Long) = (id * 2654435761L) % 4294967296L
+    val rows = (0L until 40L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val df = rows.toDF("id", "grp").repartition(4)
+    val got = Sampling.stratifiedExactN(df, Seq("grp"), "id", n = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map(_._1).sortBy(id => (h(id), id)).take(4).zipWithIndex
+        .map { case (id, i) => (g, id, i + 1) }
+    }.toSet
+    assert(got == naive)
+    val frac = Sampling.fractionByHash(df, "id", 0.25)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(frac == rows.map(_._1).filter(h(_) < 1073741824L).sorted)
+  }
+
+  test("pack by budget: layout matches a sequential concat-then-chunk walk") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j"), (4L, "k l m")
+    ).toDF("doc_id", "text").repartition(3)
+    val got = Text.packByBudget(docs, budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // Token counts 3,2,4,1,3; exclusive cumsums 0,3,5,9,10 over budget 4:
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 0L), (1L, 2L, 0L, 3L), (2L, 4L, 1L, 1L),
+      (3L, 1L, 2L, 1L), (4L, 3L, 2L, 2L)))
+  }
+
   test("asof join picks latest right row at or before left time, max tie id") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 100L)).toDF("eid", "k", "t")
     val right = Seq(
