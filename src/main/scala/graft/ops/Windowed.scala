@@ -113,32 +113,56 @@ object Windowed {
       valueCol: String,
       outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "lagStitched needs at least one order column")
-    val valueType = df.schema(valueCol).dataType
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
-    val ordKey = struct(orderCols.map(col): _*)
-    val lastPer = ranged.groupBy(col("__pid"))
-      .agg(max_by(col(valueCol), ordKey).as("__last"))
-    // (pid, predecessor-partition's last value), via one sorted struct list:
+    val withBkt = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn("__bkt", spark_partition_id().cast("long"))
+    lagOverBuckets(withBkt, orderCols, valueCol, outCol).drop("__bkt")
+  }
+
+  /** Seam-stitched global lag over rows already carrying a `__bkt` column
+    * that is MONOTONE in the global (orderCols) order — every row of bucket
+    * b precedes every row of bucket b' > b. Callers that can derive such a
+    * bucket from the key itself (e.g. time sliced into `(max−min)/n` spans,
+    * [[graft.uts.Derivative]]) skip [[lagStitched]]'s range-exchange
+    * sampling pass AND its second per-pid exchange: here the window's hash
+    * exchange on `__bkt` is the only data movement. The per-bucket boundary
+    * summary comes off the window output itself (the `rn == 1` row carries
+    * the bucket's last value via an unbounded frame), so the input is
+    * scanned once — no separate summary aggregation over the source.
+    */
+  private[graft] def lagOverBuckets(
+      withBkt: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val valueType = withBkt.schema(valueCol).dataType
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col("__bkt")).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val winned = withBkt
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__lag", lag(col(valueCol), 1).over(w))
+      .withColumn("__lastv", last(col(valueCol)).over(wAll))
+    // One row per non-empty bucket — a filter on the window output, not a
+    // second aggregation over the source.
+    val summary = winned.filter(col("__rn") === 1).select(col("__bkt"), col("__lastv"))
+    // (bucket, predecessor bucket's last value), via one sorted struct list:
     // entry i's predecessor is entry i-1 (1-based element_at(i)); the list
-    // holds only non-empty partitions, so this is the nearest earlier one.
-    val preds = lastPer
-      .agg(sort_array(collect_list(struct(col("__pid"), col("__last")))).as("__a"))
+    // holds only non-empty buckets, so this is the nearest earlier one.
+    val preds = summary
+      .agg(sort_array(collect_list(struct(col("__bkt"), col("__lastv")))).as("__a"))
       .select(explode(transform(col("__a"), (x, i) =>
         struct(
-          x.getField("__pid").as("__pid"),
+          x.getField("__bkt").as("__bkt"),
           when(i === 0, lit(null).cast(valueType))
-            .otherwise(element_at(col("__a"), i).getField("__last")).as("__pred"))))
+            .otherwise(element_at(col("__a"), i).getField("__lastv")).as("__pred"))))
         .as("__p"))
-      .select(col("__p.__pid").as("__pid"), col("__p.__pred").as("__pred"))
-    ranged
-      .join(broadcast(preds), Seq("__pid"), "left")
+      .select(col("__p.__bkt").as("__bkt"), col("__p.__pred").as("__pred"))
+    winned
+      .join(broadcast(preds), Seq("__bkt"), "left")
       .withColumn(outCol,
-        when(row_number().over(w) === 1, col("__pred"))
-          .otherwise(lag(col(valueCol), 1).over(w)))
-      .drop("__pid", "__pred")
+        when(col("__rn") === 1, col("__pred")).otherwise(col("__lag")))
+      .drop("__rn", "__lag", "__lastv", "__pred")
   }
 
   /** Global running SUM of `valueCol` over `orderCols` (rows from the start

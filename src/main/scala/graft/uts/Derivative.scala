@@ -40,8 +40,15 @@ object Derivative {
       timeCol: String = "time",
       partitionCols: Seq[String] = Nil,
       seqCol: Option[String] = None): DataFrame =
-    core(df, valueCol, intervalMs, timeCol, partitionCols, seqCol)
-      .orderBy((partitionCols.map(col) :+ col("der_time").asc): _*)
+    // The grid is a DOWNSAMPLED series — report-sized by construction (one
+    // row per interval per key) — so the ordered form sorts it in a single
+    // shuffled partition: a range sort's boundary sampling would re-execute
+    // the whole derivative subtree just to pick split points. Massive grids
+    // (tiny interval × many keys) should compose on [[points]]/the unordered
+    // core instead.
+    graft.ops.Ordered.smallResult(
+      core(df, valueCol, intervalMs, timeCol, partitionCols, seqCol),
+      (partitionCols :+ "der_time"): _*)
 
   /** The unordered grid — compose aggregations on this ([[points]] does):
     * a global `orderBy`'s range-boundary sampling re-executes the whole
@@ -57,6 +64,22 @@ object Derivative {
     val part = partitionCols.map(col)
     val seq0 = seqCol.map(col).getOrElse(lit(0L))
 
+    // Bucket k = max(ceil((t − t0)/I), 1); K = max(ceil((tmax − t0)/I), 1).
+    // (t − t0) is a bounded window span, exact in double arithmetic.
+    def ceilDiv(c: org.apache.spark.sql.Column) =
+      greatest(ceil(c / lit(intervalMs.toDouble)).cast("long"), lit(1L))
+
+    // Per-partition bounds — feeds BOTH the spine and (global case) the
+    // broadcast t0, as the same DataFrame so the aggregation exchange is
+    // planned once and reused instead of scanning the input twice.
+    val bounds = df
+      .groupBy(part: _*)
+      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__tmax"))
+      // Global grouping over empty input yields one all-null row; drop it so
+      // empty series ⇒ empty output (test.js:130-136), never a null bucket.
+      .where(col("__t0").isNotNull)
+      .withColumn("__kmax", ceilDiv(col("__tmax") - col("__t0")))
+
     val withDelta =
       if (part.nonEmpty) {
         val w = Window.partitionBy(part: _*).orderBy(col(timeCol).asc, seq0.asc)
@@ -68,39 +91,33 @@ object Derivative {
             coalesce(col(valueCol) - lag(col(valueCol), 1).over(w), lit(0.0)).as("__delta"),
             min(col(timeCol)).over(whole).as("__t0")): _*)
       } else {
-        // Unpartitioned series: stitched lag (range-partitioned, broadcast
-        // seams) + broadcast scalar t0 — no single-partition window exec.
-        val lagged = graft.ops.Windowed.lagStitched(
-          df.select(col(timeCol).as("__t"), seq0.as("__seq"), col(valueCol).as("__v")),
-          Seq("__t", "__seq"), "__v", "__lagv")
-        lagged
-          .crossJoin(broadcast(df.agg(min(col(timeCol)).as("__t0"))))
+        // Unpartitioned series: stitched lag over VALUE buckets — the time
+        // axis sliced into numShufflePartitions equal spans from the
+        // broadcast bounds (already computed for the spine), so the lag
+        // costs one hash exchange: no single-partition window, no range-
+        // sampling pass, and the broadcast t0 rides along as __bmin.
+        // Equal spans balance time-uniform series; a pathologically
+        // clustered series degrades to fewer active buckets (still exact).
+        val nBkt = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+        val spanned = df
+          .select(col(timeCol).as("__t"), seq0.as("__seq"), col(valueCol).as("__v"))
+          .crossJoin(broadcast(bounds.select(col("__t0"), col("__tmax"))))
+          .withColumn("__bkt", least(
+            floor((col("__t") - col("__t0")).cast("double") /
+              greatest(ceil((col("__tmax") - col("__t0") + 1).cast("double") / nBkt.toDouble),
+                lit(1.0))).cast("long"),
+            lit(nBkt - 1)))
+        graft.ops.Windowed.lagOverBuckets(spanned, Seq("__t", "__seq"), "__v", "__lagv")
           .select(
             col("__t"),
             coalesce(col("__v") - col("__lagv"), lit(0.0)).as("__delta"),
             col("__t0"))
       }
 
-    // Bucket k = max(ceil((t − t0)/I), 1); K = max(ceil((tmax − t0)/I), 1).
-    // (t − t0) is a bounded window span, exact in double arithmetic.
-    def ceilDiv(c: org.apache.spark.sql.Column) =
-      greatest(ceil(c / lit(intervalMs.toDouble)).cast("long"), lit(1L))
-
     val bucketed = withDelta
       .withColumn("__k", ceilDiv(col("__t") - col("__t0")))
       .groupBy((part :+ col("__k")): _*)
       .agg(sum(col("__delta")).as("__dv"))
-
-    // Per-partition spine 1..K for gap fill (empty grid slots emit 0);
-    // bounds come straight off the input — a plain partial-aggregatable scan,
-    // no window needed.
-    val bounds = df
-      .groupBy(part: _*)
-      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__tmax"))
-      // Global grouping over empty input yields one all-null row; drop it so
-      // empty series ⇒ empty output (test.js:130-136), never a null bucket.
-      .where(col("__t0").isNotNull)
-      .withColumn("__kmax", ceilDiv(col("__tmax") - col("__t0")))
     val spine = bounds.select(
       part ++ Seq(col("__t0"), col("__tmax"), col("__kmax"),
         explode(sequence(lit(1L), col("__kmax"))).as("__k")): _*)
