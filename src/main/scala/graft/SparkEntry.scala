@@ -423,6 +423,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang")),
       "doc_id")
 
+  /** Per-source weighted data mix (down-weight dominant en, drop sources
+    * not in the recipe) — still a pure filter, weights as a CASE literal.
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.weightedBySource(
+        T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.25, "fr" -> 1.0, "de" -> 0.5))
+        .select(col("doc_id"), col("lang")),
+      "doc_id")
+
   /** Token-count distribution via the GK quantile sketch — same gate pattern
     * as `approx_distinct_users`: exact quantiles are the oracle-checked
     * values, and `within_bound` asserts the sketch landed within 5% (+2
@@ -610,6 +621,7 @@ object SparkEntry {
     "doc_pack_budget" -> (docPackBudget _),
     "sample_stratified" -> (sampleStratified _),
     "sample_fraction" -> (sampleFraction _),
+    "sample_weighted" -> (sampleWeighted _),
     "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
@@ -1070,6 +1082,14 @@ object SparkEntry {
     "sample_fraction" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+        |ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |      CASE WHEN lang = 'en' THEN 1073741824
+        |           WHEN lang = 'fr' THEN 4294967296
+        |           WHEN lang = 'de' THEN 2147483648
+        |           ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
     // Exact quantiles pinned; within_bound asserts the GK sketch's error.
     "token_count_quantiles" ->

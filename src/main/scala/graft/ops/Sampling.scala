@@ -31,6 +31,31 @@ object Sampling {
     df.filter(idHash(col(idCol)) < lit((frac * 4294967296.0).toLong))
   }
 
+  /** Per-source weighted mix: each source keeps its own hash fraction — the
+    * data-mixing shape (e.g. books 1.0, web 0.1, code 0.5) that builds a
+    * training corpus from unevenly-sized sources. Same pure-filter plan as
+    * [[fractionByHash]]: the per-source threshold is a CASE literal (a
+    * 10⁵-source registry would become a broadcast join against the same
+    * hash predicate), so there is still no shuffle and no rand(). Sources
+    * absent from `weights` are dropped.
+    */
+  def weightedBySource(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weightedBySource needs at least one source weight")
+    weights.foreach { case (s, w) =>
+      require(w >= 0.0 && w <= 1.0, s"weight for $s must be in [0,1], got $w")
+    }
+    val threshold = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (s, w)) =>
+        acc.when(col(srcCol) === lit(s), lit((w * 4294967296.0).toLong))
+      }
+      .otherwise(lit(0L))
+    df.filter(idHash(col(idCol)) < threshold)
+  }
+
   /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
     * stratified sampling with a hard cap (eval sets, per-language caps).
     * One shuffle by stratum; the rank window partitions by the stratum key,

@@ -68,6 +68,27 @@ object StreamOps {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n"))
 
+  /** Dedup-at-ingest: drop rows whose `keyCols` (e.g. a content
+    * fingerprint, [[graft.ops.Text.fingerprint]]) were already seen — the
+    * streaming twin of [[graft.ops.Dedup.exact]] for a landing pipeline.
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time, so state is bounded by the disorder
+    * horizon instead of growing with the corpus: the first arrival within
+    * the horizon wins, and a duplicate arriving later than `watermarkDelay`
+    * after the original is a (documented) re-admit — at 100 TB the
+    * unbounded-horizon exact pass is the batch op's job, downstream.
+    */
+  def dedupStream(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   final case class KeyedEvent(key: String, tsMs: Long, value: Double)
   final case class RunningLast(key: String, n: Long, last: Double)
 

@@ -264,6 +264,14 @@ class OpsSpec extends SparkSpec {
     val frac = Sampling.fractionByHash(df, "id", 0.25)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(frac == rows.map(_._1).filter(h(_) < 1073741824L).sorted)
+    // Weighted mix: per-source thresholds; sources absent from the recipe drop.
+    val weighted = Sampling.weightedBySource(df, "grp", "id", Map("a" -> 1.0, "b" -> 0.25))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = rows.filter { case (id, g) =>
+      h(id) < (if (g == "a") 4294967296L else 1073741824L)
+    }.map(_._1).sorted
+    assert(weighted == expected)
+    assert(Sampling.weightedBySource(df, "grp", "id", Map("zzz" -> 1.0)).count() == 0)
   }
 
   test("pack by budget: layout matches a sequential concat-then-chunk walk") {

@@ -49,6 +49,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-horizon duplicate fingerprints, first arrival wins") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "fp", "doc_id")
+    val out = StreamOps.dedupStream(df, "ts", Seq("fp"), watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (new Timestamp(1000L), "aaa", 1L),
+        (new Timestamp(2000L), "aaa", 2L), // dup within batch
+        (new Timestamp(3000L), "bbb", 3L))
+      q.processAllAvailable()
+      input.addData((new Timestamp(4000L), "aaa", 4L)) // dup across batches, in horizon
+      input.addData((new Timestamp(5000L), "ccc", 5L))
+      q.processAllAvailable()
+      val rows = spark.table("dedup")
+        .select(col("fp"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq(("aaa", 1L), ("bbb", 3L), ("ccc", 5L)))
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
