@@ -356,6 +356,35 @@ object SparkEntry {
     Similarity.ivfTopKBatch(T(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L),
       k = 10, nprobe = 3)
 
+  /** Top-k cosine over int8-DEQUANTIZED vectors, with a per-row
+    * `within_bound` flag asserting the quantized score stayed within 0.05
+    * of the exact one — the same self-calibrating gate pattern as the HLL
+    * and GK-sketch queries (the approximation ships, its error contract is
+    * what the oracle checks). The join against the raw vectors exists only
+    * for that comparison; production persists (qvec, qscale) alone.
+    */
+  private def embQuantTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val deq = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"),
+        transform(col("qvec"), b => b.cast("double") * col("qscale")).as("dvec"))
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("evec"))
+      .join(deq, "vec_id")
+    val q0 = base.filter(col("vec_id") === 0)
+      .select(col("evec").as("__qe"), col("dvec").as("__qd"))
+    base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(
+        col("vec_id"),
+        round(Similarity.cosine(col("dvec"), col("__qd")), 4).as("cosine_q"),
+        (abs(Similarity.cosine(col("dvec"), col("__qd")) -
+          Similarity.cosine(col("evec"), col("__qe"))) <= lit(0.05))
+          .cast("long").as("within_bound"))
+      .orderBy(col("cosine_q").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** ANN without labels: centroids from the seed-deterministic k-means init
     * ([[graft.ops.Similarity.centroidsKMeans]]) — the projection drops
     * `label` BEFORE the operator, so the plan proves the path needs none
@@ -611,6 +640,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
+    "emb_quant_topk" -> (embQuantTopk _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -956,6 +986,22 @@ object SparkEntry {
         |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // Full int8 re-derivation: per-vector scale, round-to-int quantize,
+    // dequantized cosine + the 0.05 error-contract flag.
+    "emb_quant_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qt AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+        |dq AS (SELECT vec_id, v,
+        |              list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+        |                                          ELSE round(x / s) * s END) AS d
+        |       FROM qt),
+        |q0 AS (SELECT v AS qe, d AS qd FROM dq WHERE vec_id = 0)
+        |SELECT dq.vec_id,
+        |       round(list_cosine_similarity(dq.d, q0.qd), 4) AS cosine_q,
+        |       CAST(abs(list_cosine_similarity(dq.d, q0.qd) -
+        |                list_cosine_similarity(dq.v, q0.qe)) <= 0.05 AS BIGINT) AS within_bound
+        |FROM dq, q0 WHERE dq.vec_id <> 0
+        |ORDER BY cosine_q DESC, dq.vec_id LIMIT 10""".stripMargin,
     "ann_ivf_topk_batch" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),

@@ -306,6 +306,26 @@ object Similarity {
       .sortWithinPartitions(col("qid"), col("cosine").desc, col(idCol))
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = max|xᵢ| / 127`,
+    * `qᵢ = round(xᵢ / scale) ∈ [−127, 127]` — 4× smaller vectors, the
+    * shuffle/IO lever for embedding pipelines at 100 TB (persist `qvec` +
+    * `qscale`; score on the dequantized `qᵢ·scale`). A zero vector
+    * quantizes to zeros. One narrow projection — no shuffle; scale-0
+    * rounding is engine-stable (0.5 is exactly representable, so
+    * HALF_UP/away-from-zero agree), which keeps the op oracle-able.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("qscale", array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .withColumn("qvec",
+        transform(col("__v"), x =>
+          when(col("qscale") === 0.0, lit(0).cast("tinyint"))
+            .otherwise(round(x / col("qscale")).cast("tinyint"))))
+      .select(col(idCol), col("qvec"), col("qscale"))
+
   /** Centroids = per-`labelCol` elementwise mean vectors (deterministic, no
     * random init) — aggregate on exploded positions keeps it a plain
     * shuffle-by-(label, pos) partial aggregate.

@@ -179,6 +179,24 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("int8 quantization: values in [-127,127], zero vector safe, small round-trip error") {
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(127.0f, -64.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toList, r.getDouble(2)))
+    assert(q.forall { case (_, bytes, _) => bytes.forall(b => b >= -127 && b <= 127) })
+    assert(q(1)._2 == List[Byte](0, 0, 0) && q(1)._3 == 0.0)
+    // max-magnitude element always lands exactly on ±127.
+    assert(q(0)._2(1) == -127 && q(2)._2(0) == 127)
+    // Dequantized round-trip error is bounded by scale/2 per element.
+    for ((i, bytes, s) <- q if s > 0; (b, x) <- bytes.zip(
+        Seq(Array(0.5, -1.0, 0.25), Array(), Array(127.0, -64.0, 1.0))(i.toInt)))
+      assert(math.abs(b * s - x) <= s / 2 + 1e-12, s"vec $i")
+  }
+
   test("embedding near-dup collapses to min-id representative") {
     val out = Dedup.embeddingNearDups(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
