@@ -311,9 +311,13 @@ object Dedup {
     * Fault tolerance: `localCheckpoint` stores blocks on EXECUTORS — losing
     * one mid-iteration kills the lineage-truncated RDD and the job. Fine in
     * a single-JVM gate; at cluster scale pass `checkpointDir` (fault-
-    * tolerant storage, e.g. HDFS/object store) and the edge set plus every
-    * `checkpointInterval`-th label round use reliable `checkpoint` instead,
-    * bounding replay-after-loss to < `checkpointInterval` rounds.
+    * tolerant storage, e.g. HDFS/object store): the edge set and every
+    * `checkpointInterval`-th label round take a reliable `checkpoint`, and
+    * the rounds BETWEEN them use `persist` — caching WITHOUT lineage
+    * truncation, so a lost block recomputes from the last reliable cut.
+    * (`localCheckpoint` between cuts would truncate lineage to executor
+    * blocks and reintroduce the very failure mode the dir bounds.) Replay
+    * after loss is therefore < `checkpointInterval` rounds.
     *
     * Convergence bound (documented): plain min-label propagation needs
     * O(diameter) rounds, and a component with diameter > `maxIters` returns
@@ -337,11 +341,15 @@ object Dedup {
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
     checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
-    // Reliable checkpoint (eager) when a dir is given; executor-local blocks
-    // otherwise. `round` 0 marks the always-reliable cuts (edges, seed).
+    // With a dir: reliable checkpoint on the interval rounds, persist (NOT
+    // localCheckpoint — it would truncate lineage to executor blocks) in
+    // between, so recovery replays from the last reliable cut. Without a
+    // dir: executor-local blocks everywhere (single-JVM gate mode).
+    // `round` 0 marks the always-reliable cuts (edges, seed).
     def cut(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isDefined && round % checkpointInterval == 0) df.checkpoint()
-      else df.localCheckpoint()
+      if (checkpointDir.isEmpty) df.localCheckpoint()
+      else if (round % checkpointInterval == 0) df.checkpoint()
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Checkpoint the edge projection BEFORE the symmetric union: the union
     // embeds its child twice, and without an exchange boundary Spark's
     // stage reuse cannot dedupe the branches — an expensive candidate

@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Pseudo-random spread of an id: `(id·2654435761) mod 2³²` (Knuth's
-    * multiplicative hash — same family [[Similarity.centroidsKMeans]] seeds
-    * with).
+    * multiplicative hash — [[Similarity.centroidsKMeans]] seeds with this
+    * same function). Computed overflow-free: a bare `id * 2654435761`
+    * exceeds Long for ids ≥ ~3.5e9 and THROWS under Spark 4's default ANSI
+    * mode — ids that large are routine at 100 TB. Splitting the (mod 2³²)
+    * id into 16-bit halves keeps every product under 2⁴⁸:
+    * `(id·C) mod 2³² = (hi·((C·2¹⁶) mod 2³²) + lo·C) mod 2³²`.
     */
-  def idHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+  def idHash(id: Column): Column = {
+    val a = pmod(id.cast("long"), lit(4294967296L))
+    val hi = floor(a / lit(65536L)).cast("long")
+    val lo = pmod(a, lit(65536L))
+    // 2041708544 = (2654435761 * 65536) mod 2^32
+    pmod(hi * lit(2041708544L) + lo * lit(2654435761L), lit(4294967296L))
+  }
 
   /** Shuffle-free fractional sample per stratum: keep rows whose id-hash
     * falls under `frac` of the hash space. The 100 TB shape — a pure filter,

@@ -375,7 +375,7 @@ object Similarity {
       .select(
         col(idCol).cast("long").as("cl"),
         col(vecCol).cast("array<double>").as("cvec"),
-        pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)).as("__h"))
+        Sampling.idHash(col(idCol)).as("__h"))
       .orderBy(col("__h"), col("cl"))
       .limit(k)
       .select(col("cl"), col("cvec"))

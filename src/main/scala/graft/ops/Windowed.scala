@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Exactness domain (documented, asserted by OpsSpec/OpsPropertySpec
   * against the unpartitioned formulation): every gap between CONSECUTIVE
-  * keys is smaller than `bucketSpan`. Then adjacent rows sit at most one
-  * bucket apart, so a frame's `frameRows` preceding rows lie within the
-  * `frameRows` preceding buckets — exactly what the carries cover.
+  * keys is at most `bucketSpan` (`floor((k+g)/span) ≤ floor(k/span)+1`
+  * for g ≤ span, so adjacent rows sit at most one bucket apart and a
+  * frame's `frameRows` preceding rows lie within the `frameRows`
+  * preceding buckets — exactly what the carries cover).
   * Trivially true for contiguous daily/hourly rollups (gap = 1); a series
-  * with larger gaps wants `bucketSpan` above its max gap. A gap ≥
+  * with larger gaps wants `bucketSpan` at or above its max gap. A gap >
   * `bucketSpan` can strand a frame beyond carry reach and drop its tail —
   * so by default the plan carries a runtime guard that ERRORS on such a
   * gap (`validateGaps`), the same fail-loud stance
@@ -48,7 +49,7 @@ object Windowed {
     * gap between consecutive keys, computed WITHOUT a global sort (per-bucket
     * sorted key lists of ≤ `bucketSpan` keys, then cross-bucket seams over
     * the report-sized bucket summary), cross-joined in as an `assert_true`.
-    * A gap ≥ `bucketSpan` then fails the query at runtime instead of
+    * A gap > `bucketSpan` then fails the query at runtime instead of
     * returning a silently wrong frame aggregate. Costs one extra pass over
     * the input and a tiny shuffle; disable only when the cadence is known
     * contiguous (e.g. a dense daily spine).
@@ -240,11 +241,11 @@ object Windowed {
         coalesce(array_max(transform(col("__bs"), b => b("__intra"))), lit(0L)),
         pairsMax(col("__bs"), (a, b) => b("__min") - a("__max"))).as("__maxgap"))
       .select(assert_true(
-        col("__maxgap") < lit(bucketSpan),
+        col("__maxgap") <= lit(bucketSpan),
         concat(
           lit("trailingStitched: consecutive-key gap "),
           col("__maxgap").cast("string"),
-          lit(s" >= bucketSpan $bucketSpan strands frames beyond carry reach; " +
-            "raise bucketSpan above the series' max gap"))).as("__gap_ok"))
+          lit(s" > bucketSpan $bucketSpan strands frames beyond carry reach; " +
+            "raise bucketSpan to at least the series' max gap"))).as("__gap_ok"))
   }
 }

@@ -95,7 +95,7 @@ object Derivative {
         // axis sliced into numShufflePartitions equal spans from the
         // broadcast bounds (already computed for the spine), so the lag
         // costs one hash exchange: no single-partition window, no range-
-        // sampling pass, and the broadcast t0 rides along as __bmin.
+        // sampling pass, and the broadcast t0 rides along as __t0.
         // Equal spans balance time-uniform series; a pathologically
         // clustered series degrades to fewer active buckets (still exact).
         val nBkt = df.sparkSession.sessionState.conf.numShufflePartitions.toLong

@@ -170,7 +170,16 @@ final case class AggExpr(e: Column, fill: Option[DataType => Column] = None) ext
 object Quirk {
   import org.apache.spark.sql.{functions => F}
 
-  private def poisoned(c: String): Column = F.count(lit(1)) =!= F.count(column(c))
+  /** A bin is poisoned when any point misses the column (count mismatch) OR
+    * any value is NaN: Spark ORDERS NaN as the largest double, so `F.min`
+    * would silently skip NaNs where the reference's `Math.min(NaN, x)`
+    * poisons the fold — `isnan(max(c))` is true iff any value is NaN and
+    * restores that. (`F.max`/`F.sum` happen to propagate NaN on their own;
+    * routing all three through one predicate keeps the replicas uniform.)
+    */
+  private def poisoned(c: String): Column =
+    F.count(lit(1)) =!= F.count(column(c)) ||
+      coalesce(isnan(F.max(column(c)).cast("double")), lit(false))
 
   /** `Analysis.max` (uts.ts:592-594): fold `Math.max` from 0. */
   def max(c: String): Metric = AggExpr(

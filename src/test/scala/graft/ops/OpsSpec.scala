@@ -266,6 +266,17 @@ class OpsSpec extends SparkSpec {
       series, "day", "n", 3, c => avg(c), "ma", bucketSpan = 8L, validateGaps = false)
       .collect()
     assert(rows.length == 5)
+    // Boundary: gap == bucketSpan is EXACT (adjacent buckets) — the guard
+    // must pass it and the result must equal the single-partition window.
+    val boundary = Seq(0L, 8L, 16L, 17L).zipWithIndex
+      .map { case (k, i) => (k, (i + 1).toDouble) }
+      .toDF("day", "n").repartition(3)
+    val got = Windowed.trailingStitched(boundary, "day", "n", 2, c => avg(c), "ma", bucketSpan = 8L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day")).rowsBetween(-2, 0)
+    val exp = boundary.select(col("day"), avg(col("n")).over(w).as("ma"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
   }
 
   test("hash sampling: exact-N ranks match a naive computation; fraction matches its predicate") {

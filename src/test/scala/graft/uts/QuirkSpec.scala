@@ -40,6 +40,17 @@ class QuirkSpec extends SparkSpec {
     assert(out.getDouble(2) == 6.0) // standard null-skipping sum
   }
 
+  test("quirk min/max/sum NaN-poison on NaN VALUES, not just missing columns") {
+    // Math.min(NaN, x) = NaN in the reference; Spark's min orders NaN as the
+    // LARGEST double and would silently skip it — the replica must not.
+    val withNaN = Seq((1L, 0L, Double.NaN), (2L, 1L, 5.0)).toDF("time", "seq", "v")
+    val s = UtsSeries(withNaN, timeCol = "time", seqCol = Some("seq"))
+    val out = s.query(UtsQuery(
+      Seq("qmin" -> Quirk.min("v"), "qmax" -> Quirk.max("v"), "qsum" -> Quirk.sum("v")),
+      group = AnyGroup)).head()
+    assert(out.getDouble(0).isNaN && out.getDouble(1).isNaN && out.getDouble(2).isNaN)
+  }
+
   test("quirk metrics report the bare 0 seed on empty and zero-filled bins") {
     val df = Seq((600L, 0L, 1.0)).toDF("time", "seq", "v")
     val s = UtsSeries(df, timeCol = "time", seqCol = Some("seq"))
