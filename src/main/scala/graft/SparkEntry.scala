@@ -425,6 +425,19 @@ object SparkEntry {
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
 
+  /** Fixed-width histogram of per-document token counts — the corpus-stats
+    * report an LLM data pipeline watches (length distribution shifts signal
+    * extraction bugs). One narrow scan + one tiny aggregate; entirely
+    * partial-aggregated, so the shuffle carries one row per bucket.
+    */
+  private def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.tokenStats(T(s, dir, "documents"))
+        .select((floor(col("n_tokens") / 10) * 10).cast("long").as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs")),
+      "bucket_lo")
+
   /** Concat-then-chunk packing layout over the whole corpus — the stitched
     * distributed prefix sum under an exact window-sum oracle.
     */
@@ -649,6 +662,7 @@ object SparkEntry {
     "text_rolling_fp" -> (textRollingFp _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_pack_budget" -> (docPackBudget _),
+    "token_histogram" -> (tokenHistogram _),
     "sample_stratified" -> (sampleStratified _),
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1118,6 +1132,12 @@ object SparkEntry {
         |       CAST(floor(excl / 512.0) AS BIGINT) AS pack_id,
         |       CAST(excl % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "token_histogram" ->
+      """WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |             AS n_tokens FROM documents)
+        |SELECT CAST(floor(n_tokens / 10) * 10 AS BIGINT) AS bucket_lo,
+        |       count(*) AS n_docs
+        |FROM t GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id,
