@@ -369,6 +369,12 @@ object Dedup {
         iter + 1)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      // The count materialized `next`; the superseded round's cache blocks
+      // are dead weight from here (persist registers in the CacheManager and
+      // is NOT reclaimed when the reference drops — without this, up to
+      // maxIters vertex-sized label sets pile up per call). Recovery after
+      // an unpersist just replays from the last reliable cut.
+      labels.unpersist(blocking = false)
       labels = next
       done = changed == 0L
       iter += 1

@@ -22,10 +22,12 @@ object Sampling {
     */
   def idHash(id: Column): Column = {
     val a = pmod(id.cast("long"), lit(4294967296L))
-    val hi = floor(a / lit(65536L)).cast("long")
-    val lo = pmod(a, lit(65536L))
-    // 2041708544 = (2654435761 * 65536) mod 2^32
-    pmod(hi * lit(2041708544L) + lo * lit(2654435761L), lit(4294967296L))
+    val hi = shiftright(a, 16)
+    val lo = a.bitwiseAND(lit(65535L))
+    // 2041643008 = 0x79B10000 = (2654435761 * 65536) mod 2^32; OpsSpec pins
+    // the decomposition against the naive BigInt product across 2^16/2^31
+    // boundaries.
+    pmod(hi * lit(2041643008L) + lo * lit(2654435761L), lit(4294967296L))
   }
 
   /** Shuffle-free fractional sample per stratum: keep rows whose id-hash

@@ -279,6 +279,22 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("idHash equals the naive Knuth product for ids across 2^16 and 2^31 boundaries") {
+    // The overflow-free 16-bit decomposition must agree with the plain
+    // (id * 2654435761) mod 2^32 everywhere — a wrong split constant is
+    // invisible below 2^16 (gate corpora) and flips sampling membership vs
+    // the oracle at real id scales.
+    val ids = Seq(0L, 1L, 65535L, 65536L, 65537L, 123456789L,
+      2147483647L, 2147483648L, 4294967295L, 4294967296L, 999999999999L)
+    val got = ids.toDF("id")
+      .select(col("id"), Sampling.idHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (id <- ids) {
+      val expected = ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+      assert(got(id) == expected, s"id=$id got=${got(id)} expected=$expected")
+    }
+  }
+
   test("hash sampling: exact-N ranks match a naive computation; fraction matches its predicate") {
     def h(id: Long) = (id * 2654435761L) % 4294967296L
     val rows = (0L until 40L).map(i => (i, if (i % 3 == 0) "a" else "b"))
