@@ -96,5 +96,18 @@ object Demo {
       .query(UtsQuery(Seq(
         "max_ref_quirk" -> Quirk.max("v"), "max_standard" -> MaxM("v"))))
       .show(truncate = false)
+
+    println("== token-budget packing (concat-then-chunk, distributed prefix sum) ==")
+    ops.Text.packByBudget(docs, budget = 512).orderBy(col("doc_id")).show(6, truncate = false)
+
+    println("== deterministic data mix: weighted per-source hash sampling ==")
+    ops.Sampling.weightedBySource(docs, "lang", "doc_id",
+      Map("en" -> 0.25, "fr" -> 1.0, "de" -> 0.5))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang")).show(truncate = false)
+
+    println("== int8 embedding quantization (4x smaller, bounded cosine error) ==")
+    ops.Similarity.quantizeInt8(Tsdb.table(spark, sfDir, "embeddings"))
+      .orderBy(col("vec_id")).show(3, truncate = false)
   }
 }
