@@ -76,6 +76,28 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("pack by budget ≡ sequential concat-then-chunk walk on random corpora") {
+    for (trial <- 0 until 5) {
+      val rnd = new Random(71 + trial)
+      val n = rnd.between(0, 60)
+      val docs = (0 until n).map { i =>
+        (i.toLong * rnd.between(1, 4), // sparse, non-contiguous ids
+          Seq.fill(rnd.between(0, 12))("w").mkString(" "))
+      }.distinctBy(_._1)
+      val budget = rnd.between(1, 20).toLong
+      val got = Text.packByBudget(docs.toDF("doc_id", "text"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      var cum = 0L
+      val naive = docs.sortBy(_._1).map { case (id, text) =>
+        val t = text.split(" ").count(_.nonEmpty).toLong
+        val row = (id, cum / budget, cum % budget)
+        cum += t
+        row
+      }
+      assert(got.toSeq == naive, s"trial $trial budget=$budget")
+    }
+  }
+
   test("asof join ≡ naive latest-at-or-before scan on random data") {
     for (trial <- 0 until 6) {
       val rnd = new Random(37 + trial)
