@@ -25,6 +25,21 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Fixed single-thread CPU workload (~0.2 s on a healthy core), timed at
+    * bench start and end and embedded in the artifact — host-level
+    * throttling of this VM then shows up as a number in the JSON instead
+    * of only as inflated query medians (this VM demonstrably degrades
+    * 2-10× for minutes at a time; see BASELINE.md).
+    */
+  private def cpuCalib(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0L
+    while (i < 200000000L) { x += i * 2654435761L; i += 1 }
+    if (x == 42L) System.err.print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,6 +52,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibBefore = cpuCalib()
     // JIT + parquet-footer + page-cache warmup so per-query numbers measure
     // the plan, not first-touch JVM/IO costs; excluded from all timings. One
     // cheap query per table family (lineitem+dims, events, documents,
@@ -58,7 +74,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val calibAfter = cpuCalib()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpu_calib_sec":[$calibBefore%.3f,$calibAfter%.3f]}""")
     spark.stop()
   }
 }
