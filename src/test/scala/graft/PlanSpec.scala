@@ -68,7 +68,12 @@ class PlanSpec extends SparkSpec {
         // Per-document gate outputs: a range sort's boundary sampling would
         // re-execute the narrow scan (or the multimodal decode pipeline).
         "text_stats", "text_bpe_stats", "text_quality", "text_fingerprint",
-        "text_rolling_fp", "multimodal_features", "uts_map_series")) {
+        "text_rolling_fp", "multimodal_features", "uts_map_series",
+        // The derivative grid sorts via smallResult, and its stitched lag
+        // must not reintroduce a range exchange on the data path.
+        // (doc_pack_budget is excluded: runningSumStitched's range
+        // REPARTITIONING is the prefix-sum's one legitimate range exchange.)
+        "uts_derivative", "uts_derivative_by_user")) {
       val p = plan(q)
       // A range sort would appear as Exchange rangepartitioning(...); the
       // report-sort shape is a single-partition exchange + in-partition Sort.
