@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.uts._
-import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, Text}
+import graft.ops.{AsofJoin, Dedup, Funnel, Joins, Layout, Multimodal, Similarity, Text}
 
 /** Driver contract — one `queries` entry (+ `oracleSql` ANSI SQL when
   * expressible) per operator from SURVEY.md §2 and the extended-mandate ops.
@@ -187,6 +187,87 @@ object SparkEntry {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q6 shape: a pure filter-aggregate whose four predicates must all
+    * reach the parquet scan (`PushedFilters`) — the canonical
+    * full-table-scan-avoidance row, PlanSpec-pinned.
+    */
+  private def q6Revenue(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
+    * in-plan Bloom bitmap ([[graft.ops.Joins.bloomSemiJoin]]) may pass false
+    * positives into the exact semi-join but never drops a match, so the
+    * result must be row-identical to the unpruned join.
+    */
+  private def joinBloomPruned(s: SparkSession, dir: String): DataFrame =
+    Joins.bloomSemiJoin(
+      T(s, dir, "lineitem"),
+      T(s, dir, "orders").filter(col("o_totalprice") > 450000),
+      "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+
+  /** Salted replicated join under the plain join oracle: the skew-spreading
+    * salt ([[graft.ops.Joins.saltedRepJoin]]) only changes row routing, so
+    * the aggregate over the joined output must equal the direct join's.
+    */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame =
+    Joins.saltedRepJoin(
+      T(s, dir, "lineitem"), T(s, dir, "supplier"),
+      "l_suppkey", "s_suppkey", replicate = 4)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("s_nationkey"))
+
+  private def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    Funnel.steps(ev(s, dir).df, Seq("signup", "click", "purchase"), 3 * Day)
+
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame =
+    Funnel.conversion(ev(s, dir).df, "signup", "purchase", 3 * Day)
+
+  /** Exact grouped percentiles (Spark `percentile` ≡ ANSI interpolated
+    * `quantile_cont`): the holistic-aggregate coverage row. At 100 TB a
+    * holistic percentile per group is the one aggregate that canNOT salt
+    * (no merge) — the sketch twin is `token_count_quantiles`' GK path.
+    */
+  private def valueQuantilesByType(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        round(element_at(col("qs"), 4), 4).as("p95"))
+      .orderBy(col("event_type"))
+
+  /** Z-order bucket stats — pins the Morton-interleave kernel
+    * ([[graft.ops.Layout.zvalue]]) against an arithmetic re-derivation, and
+    * the min/max spread per bucket IS the layout claim: a bucket of z-width
+    * 4^6 spans ≤ 2^6 distinct values per coordinate, so row-group min/max
+    * stats stay tight on BOTH join keys.
+    */
+  private def zorderBucketStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(
+        pmod(col("l_partkey"), lit(1024L)).as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).as("y"))
+      .withColumn("z_bucket", shiftrightunsigned(Layout.zvalue(col("x"), col("y"), 10), 12))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("z_bucket"))
 
   private def windowTopOrders(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
@@ -633,6 +714,13 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
+    "q6_revenue" -> (q6Revenue _),
+    "join_bloom_pruned" -> (joinBloomPruned _),
+    "join_skew_salted" -> (joinSkewSalted _),
+    "funnel_steps" -> (funnelSteps _),
+    "funnel_conversion" -> (funnelConversion _),
+    "value_quantiles_by_type" -> (valueQuantilesByType _),
+    "zorder_bucket_stats" -> (zorderBucketStats _),
     "window_top_orders" -> (windowTopOrders _),
     "rollup_lineitem" -> (rollupLineitem _),
     "cube_lineitem" -> (cubeLineitem _),
@@ -818,6 +906,72 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "join_bloom_pruned" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "funnel_steps" ->
+      s"""WITH e AS ($EvCte),
+         |s1 AS (SELECT user_id, min(time) AS t FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT s1.user_id, min(e.time) AS t FROM s1 JOIN e
+         |       ON e.user_id = s1.user_id AND e.event_type = 'click'
+         |          AND e.time > s1.t AND e.time <= s1.t + 259200000 GROUP BY 1),
+         |s3 AS (SELECT s2.user_id, min(e.time) AS t FROM s2 JOIN e
+         |       ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         |          AND e.time > s2.t AND e.time <= s2.t + 259200000 GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+         |         (SELECT count(*) FROM s1) AS n_users
+         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3))
+         |ORDER BY step_idx""".stripMargin,
+    "funnel_conversion" ->
+      s"""WITH e AS ($EvCte),
+         |f AS (SELECT user_id, min(time) AS t0 FROM e
+         |      WHERE event_type = 'signup' GROUP BY 1),
+         |c AS (SELECT f.user_id,
+         |             max(CASE WHEN p.time > f.t0 AND p.time <= f.t0 + 259200000
+         |                      THEN 1 ELSE 0 END) AS conv
+         |      FROM f LEFT JOIN e p
+         |        ON p.user_id = f.user_id AND p.event_type = 'purchase'
+         |      GROUP BY 1)
+         |SELECT count(*) AS n_start, CAST(sum(conv) AS BIGINT) AS n_converted,
+         |       round(sum(conv)*1.0/count(*), 4) AS conv_rate
+         |FROM c""".stripMargin,
+    "value_quantiles_by_type" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.75), 4) AS p75,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Morton code re-derived arithmetically: bit i of x lands at 4^i, bit i
+    // of y at 2·4^i — integer div/mod only, no bit ops needed.
+    "zorder_bucket_stats" -> {
+      val zTerms = (0 until 10).flatMap { i =>
+        Seq(s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}",
+          s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+         |z AS (SELECT x, y, $zTerms AS zv FROM c)
+         |SELECT zv // 4096 AS z_bucket, count(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
     "window_top_orders" ->
       """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS total
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

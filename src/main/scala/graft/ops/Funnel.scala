@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequential event-funnel analysis over an event log.
+  *
+  * A funnel `A → B → C (each hop within w)` counts, per step, the users who
+  * reached that step under FIRST-TOUCH semantics: a user reaches step i+1 if
+  * they have a step-i+1 event strictly after their step-i arrival time and
+  * within `withinMs` of it, and their step-i+1 arrival is the EARLIEST such
+  * event. First-touch is the common product-analytics definition and is
+  * deterministic, but it is not a maximal matching: a user whose earliest B
+  * leads to no C in range is counted out of step C even if a later B would
+  * have led to one. (A maximal-matching funnel needs per-user sequence
+  * search — `flatMapGroups` territory, not a join chain.)
+  *
+  * Plan shape: one aggregation per step (`groupBy(user).agg(min(time))`),
+  * each joined against the next step's filtered events. Every join is
+  * key-equality on the user id, so at 100 TB each step is one hash shuffle
+  * of the (tiny) per-user arrival table against a type-filtered event scan —
+  * the event scan is filtered by `event_type` BEFORE the shuffle (scan-level
+  * pushdown), so the shuffled volume per step is the step's own events, not
+  * the log. Step count is a query constant, so the linear join chain is a
+  * fixed-depth plan, not an iteration.
+  */
+object Funnel {
+
+  /** Per-step reach counts: one row per funnel step,
+    * `(step_idx, step, n_users)`, n_users non-increasing in step_idx.
+    */
+  def steps(
+      events: DataFrame,
+      stepTypes: Seq[String],
+      withinMs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      timeCol: String = "time"): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+
+    // arrivals(i): (user, t) = earliest time the user reached step i.
+    val first = events.filter(col(typeCol) === stepTypes.head)
+      .groupBy(col(userCol)).agg(min(col(timeCol)).as("t"))
+    val arrivals = stepTypes.tail.scanLeft(first) { (prev, tpe) =>
+      val next = events.filter(col(typeCol) === tpe)
+        .select(col(userCol), col(timeCol).as("t2"))
+      prev.join(next, Seq(userCol))
+        .filter(col("t2") > col("t") && col("t2") <= col("t") + withinMs)
+        .groupBy(col(userCol)).agg(min(col("t2")).as("t"))
+    }
+
+    arrivals.zip(stepTypes).zipWithIndex.map { case ((df, tpe), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(tpe).as("step"), col("n_users"))
+    }.reduce(_ union _).orderBy(col("step_idx"))
+  }
+
+  /** Two-step conversion-rate summary: of the users who did `from`, the
+    * share with a `to` event within `withinMs` after their FIRST `from`.
+    * One output row `(n_start, n_converted, conv_rate)`.
+    */
+  def conversion(
+      events: DataFrame,
+      from: String,
+      to: String,
+      withinMs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      timeCol: String = "time"): DataFrame = {
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val starts = events.filter(col(typeCol) === from)
+      .groupBy(col(userCol)).agg(min(col(timeCol)).as("t0"))
+    val targets = events.filter(col(typeCol) === to)
+      .select(col(userCol), col(timeCol).as("t2"))
+    starts.join(targets, Seq(userCol), "left")
+      .groupBy(col(userCol), col("t0"))
+      .agg(max(when(col("t2") > col("t0") && col("t2") <= col("t0") + withinMs, 1L)
+        .otherwise(0L)).as("conv"))
+      .agg(count(lit(1)).as("n_start"), sum(col("conv")).as("n_converted"))
+      .select(col("n_start"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_start"), 4).as("conv_rate"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-side shuffle reducers for the 100 TB regime.
+  *
+  * Two patterns that both preserve EXACT join semantics while changing how
+  * many bytes cross the wire:
+  *
+  *  - [[bloomSemiJoin]]: when the probe side is huge and the build side is
+  *    selective-but-not-broadcastable (say 10M surviving keys — too many rows
+  *    to broadcast as a hash relation, but only a few MB as a Bloom bitmap),
+  *    filter the probe side through an in-plan Bloom filter BEFORE the exact
+  *    shuffle semi-join. False positives just ride through to the exact join;
+  *    true matches are never dropped, so the result is identical — only the
+  *    shuffled volume shrinks (by ~selectivity of the build predicate).
+  *
+  *  - [[saltedRepJoin]]: when one join key is hot (1% of 100 TB on a single
+  *    key pins the whole key's rows on one task), split each probe row across
+  *    `replicate` sub-keys and replicate the small side once per sub-key.
+  *    Every probe row still meets every matching small row exactly once, so
+  *    the join output is row-for-row identical — the hot key's rows just
+  *    spread over `replicate` tasks. AQE's skew-join split covers sort-merge
+  *    joins after the fact; explicit salting also covers shuffled-hash joins
+  *    and keeps the partials bounded from the first shuffle on.
+  */
+object Joins {
+
+  /** Bloom-prune `large` against `build`'s `buildKey` set, then exact
+    * left-semi join on `largeKey == buildKey`. Output = `large` rows with at
+    * least one `build` match, all original `large` columns.
+    *
+    * The Bloom bitmap is built INSIDE the plan: k hash positions per build
+    * key, positions aggregated into 64-bit words with `bit_or`, words
+    * collapsed into one map row that is broadcast to the probe side. No
+    * driver-side collect — the bitmap travels the same broadcast path a
+    * small dim would, and the whole thing is one Catalyst plan (lazy until
+    * an action, checked by PlanSpec's zero-jobs listener).
+    *
+    * `build` is scanned twice (bitmap + exact semi-join) — intended: at
+    * scale the build side is orders of magnitude smaller than the probe
+    * side, and the second scan is the price of exactness. Callers joining
+    * against an expensive build SUBQUERY should cache it.
+    *
+    * With numBits = 2²⁰ and k = 3 the false-positive rate at 1M build keys
+    * is ~(1 − e^(−3·1M/1M))³ ≈ 0.2 — size numBits ≳ 8–10 bits/key to keep
+    * leakage low; a power of two keeps pmod/shift cheap.
+    */
+  def bloomSemiJoin(
+      large: DataFrame,
+      build: DataFrame,
+      largeKey: String,
+      buildKey: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1, 8], got $numHashes")
+    require(!large.columns.contains("__bloom"),
+      "bloomSemiJoin reserves the __bloom column name; rename the input column")
+
+    // k independent-enough hashes: xxhash64 over (key, hash index).
+    def positions(key: Column): Seq[Column] =
+      (0 until numHashes).map(i => pmod(xxhash64(key, lit(i)), lit(numBits.toLong)))
+    def wordIdx(p: Column): Column = shiftrightunsigned(p, 6)
+    def mask(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+
+    val bitmap = build
+      .select(explode(array(positions(col(buildKey)): _*)).as("__pos"))
+      .select(wordIdx(col("__pos")).as("__w"), mask(col("__pos")).as("__m"))
+      .groupBy(col("__w"))
+      .agg(bit_or(col("__m")).as("__word"))
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__word"))))
+        .as("__bloom"))
+
+    val probeHit = positions(col(largeKey))
+      .map(p => coalesce(element_at(col("__bloom"), wordIdx(p)), lit(0L))
+        .bitwiseAND(mask(p)) =!= 0)
+      .reduce(_ && _)
+
+    val pruned = large
+      .crossJoin(broadcast(bitmap))
+      .filter(probeHit)
+      .drop("__bloom")
+    // Name-based using-join: `build`'s lineage is already inside `pruned`
+    // (the bitmap subtree), so exprId-based refs like `build(buildKey)`
+    // dangle after the analyzer deduplicates the self-join — a renamed
+    // projection + using-column resolves by name after dedup instead.
+    pruned.join(build.select(col(buildKey).as(largeKey)), Seq(largeKey), "left_semi")
+  }
+
+  /** Salted replicated inner join: `large ⋈ small` on `largeKey == smallKey`,
+    * exact output, hot probe keys spread over `replicate` tasks.
+    *
+    * The salt is a CONTENT hash of the probe row (all columns), so a task
+    * retry recomputes the identical salt — no rand-partitioning retry hazard
+    * (contrast [[Skew.saltedAgg]], where a content hash would collapse
+    * duplicate rows onto one salt and break the spreading; for a JOIN,
+    * identical duplicate rows landing on one replica is a load imbalance of
+    * exactly those duplicates, never a correctness issue, because each row
+    * joins only the one replica carrying its salt and every replica holds
+    * the full small side).
+    *
+    * `small` must be small enough to replicate `replicate`× through a
+    * shuffle (it is NOT broadcast — if it were broadcastable, salting would
+    * be pointless; the `shuffle_hash` hint models the at-scale shape where
+    * the dim exceeds the broadcast threshold).
+    */
+  def saltedRepJoin(
+      large: DataFrame,
+      small: DataFrame,
+      largeKey: String,
+      smallKey: String,
+      replicate: Int): DataFrame = {
+    require(replicate >= 1, s"replicate must be >= 1, got $replicate")
+    require(!(large.columns ++ small.columns).contains("__salt"),
+      "saltedRepJoin reserves the __salt column name; rename the input column")
+    val salted = large.withColumn(
+      "__salt", pmod(xxhash64(large.columns.map(col): _*), lit(replicate)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until replicate).map(lit): _*)))
+      .hint("shuffle_hash")
+    salted
+      .join(replicated,
+        salted(largeKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}

@@ -140,6 +140,58 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q6 predicates all reach the parquet scan") {
+    // The plan's toString truncates PushedFilters; read the scan node's
+    // metadata directly for the untruncated list.
+    val root = SparkEntry.queries("q6_revenue")(spark, dir)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val scans = root.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+    // Only the four referenced columns may be read.
+    val p = plan("q6_revenue")
+    assert(!p.contains("l_orderkey") && !p.contains("l_returnflag"), p.take(2500))
+  }
+
+  test("salted join honors the shuffle-hash shape (no broadcast of the dim)") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("bloom semi-join builds its bitmap lazily (zero jobs at construction)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val l0 = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b0 = Seq(Tuple1(1L)).toDF("bk")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.ops.Joins.bloomSemiJoin(l0, b0, "k", "bk").queryExecution.executedPlan
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("funnel step scans push the event-type filter down") {
+    val p = plan("funnel_steps")
+    assert(p.contains("EqualTo(event_type,signup)"), p.take(3000))
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(3000))
+  }
+
   test("report windows run inside an explicit partition (no empty window spec)") {
     // An empty partitionSpec sends WindowExec down its move-everything-to-one-
     // partition warning path; report windows state the single frame explicitly,
