@@ -228,6 +228,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("s_nationkey"))
 
+  /** Deterministic corpus split (train/val/test + implicit holdout) — the
+    * eval-leakage defense: membership is a pure function of doc_id, stable
+    * across runs/engines, so re-processing the corpus can never move a
+    * document between splits ([[graft.ops.Sampling.assignSplit]]).
+    */
+  private def sampleSplitCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.assignSplit(T(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05))
+      .withColumn("split", coalesce(col("split"), lit("holdout")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
   private def funnelSteps(s: SparkSession, dir: String): DataFrame =
     Funnel.steps(ev(s, dir).df, Seq("signup", "click", "purchase"), 3 * Day)
 
@@ -404,6 +417,26 @@ object SparkEntry {
 
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(T(s, dir, "embeddings"), threshold = 0.8)
+
+  /** SRP (random-hyperplane) LSH pairs under the exact all-pairs oracle.
+    * The corpus has no organic high-cosine pairs (max ≈ 0.55), so the query
+    * plants exact duplicates — 50 vectors re-inserted scaled by 2, the
+    * re-crawled-identical-content model. Scaled duplicates have IDENTICAL
+    * SRP signatures by fp exactness (power-of-two scaling commutes with
+    * rounding; [[graft.ops.Similarity.srpPairs]] scaladoc), so recall here
+    * is certain, not probabilistic; candidates are exact-verified — the
+    * LSH output therefore equals the exact computation and legitimately
+    * shares its oracle (the `dedup_minhash_lsh` pattern).
+    */
+  private def dedupSrpPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    graft.ops.Ordered.smallResult(
+      Similarity.srpPairs(e.unionByName(planted), threshold = 0.9, dim = 64),
+      "v1", "v2")
+  }
 
   /** Transitive near-dup cluster collapse over the exact Jaccard pairs —
     * [[Dedup.connectedComponents]] under a recursive-CTE oracle (full
@@ -736,6 +769,7 @@ object SparkEntry {
     "dedup_cluster_rep" -> (dedupClusterRep _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_srp_pairs" -> (dedupSrpPairs _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -754,6 +788,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified _),
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
+    "sample_split_counts" -> (sampleSplitCounts _),
     "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
@@ -1076,6 +1111,19 @@ object SparkEntry {
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
         |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
         |SELECT d1, d2, dist FROM cand WHERE dist <= 3 ORDER BY d1, d2""".stripMargin,
+    // Exact all-pairs over the planted-duplicate corpus — the SRP query's
+    // recall is certain for scaled duplicates (identical signatures), so
+    // LSH output ≡ exact output, like dedup_minhash_lsh.
+    "dedup_srp_pairs" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2) AS v
+        |            FROM base WHERE vec_id < 50),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+        |ORDER BY v1, v2""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2
@@ -1311,6 +1359,17 @@ object SparkEntry {
         |           WHEN lang = 'de' THEN 2147483648
         |           ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    // Cumulative Knuth-hash thresholds: floor(0.8·2³²), floor(0.9·2³²),
+    // floor(0.95·2³²) — same truncation as the Scala .toLong.
+    "sample_split_counts" ->
+      """WITH s AS (SELECT n_chars,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |       WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'test'
+        |       ELSE 'holdout' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     // Exact quantiles pinned; within_bound asserts the GK sketch's error.
     "token_count_quantiles" ->
       s"""WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)

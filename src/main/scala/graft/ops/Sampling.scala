@@ -67,6 +67,36 @@ object Sampling {
     df.filter(idHash(col(idCol)) < threshold)
   }
 
+  /** Deterministic train/validation/test assignment: each row gets the
+    * first split whose cumulative hash-fraction bound exceeds its id-hash.
+    * `splits` maps split name to fraction; fractions must sum to ≤ 1 (any
+    * remainder is labeled NULL — an explicit holdout). The same pure-filter
+    * posture as [[fractionByHash]]: one CASE projection, no shuffle, no
+    * rand(), so membership is stable across runs, retries, engines — the
+    * property that keeps eval sets from leaking into training data when
+    * the corpus is re-processed.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    splits.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for $s must be in [0,1], got $f")
+    }
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val h = idHash(col(idCol))
+    val label = splits.zip(bounds)
+      .foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (acc, ((name, _), bound)) =>
+          acc.when(h < lit((bound * 4294967296.0).toLong), lit(name))
+      }
+      .otherwise(lit(null).cast("string"))
+    df.withColumn("split", label)
+  }
+
   /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
     * stratified sampling with a hard cap (eval sets, per-language caps).
     * One shuffle by stratum; the rank window partitions by the stratum key,

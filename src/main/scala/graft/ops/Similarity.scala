@@ -411,4 +411,84 @@ object Similarity {
       .select((col(idCol) +: col(vecCol) +: extraCols.map(col)) :+
         bestCluster(col(vecCol), col("cs")).as("cluster"): _*)
   }
+
+  // -------------------------------------------------- SRP (hyperplane) LSH
+
+  /** Rademacher (±1) hyperplane weight for signed random projections,
+    * derived from a two-round integer mixer over (bit index, dimension):
+    * `h₁ = ((bit·65599 + d + 1) · 2654435761) mod 2³²`,
+    * `h₂ = ((⌊h₁/2¹⁶⌋ + h₁) · 2246822519) mod 2³²`, sign = top bit of h₂.
+    * ONE multiplicative round is not enough: with `(bit·A + d)·C`, the
+    * bit-to-bit step size is `A·C mod 2³²`, and an unlucky constant pair
+    * makes every hyperplane near-identical (observed — the LSH silently
+    * degenerates to all-pairs). The high-half fold between the two
+    * multiplications is the standard finalizer fix, and the whole thing is
+    * still plain integer arithmetic (div/mod/add/mul), re-derivable in
+    * ANSI SQL. Seed-free, so retries and oracles see the same planes.
+    */
+  private[ops] def srpWeight(bit: Int, d: Int): Double = {
+    val h1 = ((bit.toLong * 65599L + d.toLong + 1L) * 2654435761L) & 0xffffffffL
+    val h2 = (((h1 >> 16) + h1) * 2246822519L) & 0xffffffffL
+    if ((h2 >> 31) == 1L) 1.0 else -1.0
+  }
+
+  /** All pairs (v1 < v2) with cosine ≥ threshold via signed-random-projection
+    * LSH — the embedding-space analog of [[Dedup.simhashPairs]]: signature
+    * bit j = [dot(v, hⱼ) ≥ 0] for fixed ±1 hyperplanes hⱼ, signatures cut
+    * into `bands`, candidates = band-equality join, every candidate verified
+    * with the exact cosine. Per-vector state is `numBits` bits — like
+    * MinHash/SimHash, the shuffle payload is a fixed-width signature, and
+    * candidate generation is an equality join, never an all-pairs scan: the
+    * 100 TB near-duplicate shape.
+    *
+    * Recall: a pair at angle θ collides per bit with p = 1 − θ/π, per band
+    * with p^(numBits/bands) — size bands for the target cosine (this is a
+    * HIGH-similarity family; below ~0.9 prefer [[pairsAbove]] or IVF).
+    * Exact and positively-SCALED duplicates are found with certainty, not
+    * probability: scaling by a power of two commutes with fp rounding, so
+    * dot(2v, hⱼ) = 2·dot(v, hⱼ) exactly and the signatures are identical —
+    * the re-crawled-identical-content case that dominates real dedup.
+    * Precision is exact (verification). False candidates cost only a
+    * verify, never a wrong pair.
+    */
+  def srpPairs(
+      df: DataFrame,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 16,
+      bands: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(numBits >= 1 && numBits <= 62, s"numBits must be in [1, 62], got $numBits")
+    require(bands >= 1 && numBits % bands == 0,
+      s"bands ($bands) must divide numBits ($numBits)")
+    val bandBits = numBits / bands
+    val v = col(vecCol).cast("array<double>")
+    val sigs = (0 until bands).map { b =>
+      val sig = (0 until bandBits).map { k =>
+        val j = b * bandBits + k
+        val w = typedlit((0 until dim).map(d => srpWeight(j, d)))
+        when(dot(v, w) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    // Signatures only — the vectors join back by id for verification, so the
+    // band explode never replicates the payload.
+    val sigDf = df.select(col(idCol).cast("long").as("id"),
+      explode(array(sigs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = sigDf.as("a")
+      .join(sigDf.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("v1"), col("b.id").as("v2"))
+      .distinct()
+    val vecs = df.select(col(idCol).cast("long").as("id"), v.as("vv"))
+    cand
+      .join(vecs.select(col("id").as("v1"), col("vv").as("va")), Seq("v1"))
+      .join(vecs.select(col("id").as("v2"), col("vv").as("vb")), Seq("v2"))
+      .select(col("v1"), col("v2"), round(cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -97,6 +97,30 @@ class OpsSpec extends SparkSpec {
     assert(kern == expr && kern.length == 10) // all C(5,2) pairs, bit-identical
   }
 
+  test("srp pairs equal exact pairs on a planted-duplicate corpus") {
+    // Scaled duplicates (×2) have bit-identical SRP signatures (power-of-two
+    // scaling commutes with fp rounding), so recall is certain here and the
+    // LSH path must reproduce the exact all-pairs result.
+    val planted = vecs.select((col("vec_id") + 100L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"), col("label"))
+    val corpus = vecs.unionByName(planted)
+    val exact = Similarity.pairsAbove(corpus, 0.999, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val srp = Similarity.srpPairs(corpus, 0.999, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(exact == srp)
+    assert(srp.length == 5 && srp.forall(_._3 == 1.0)) // the 5 planted pairs
+  }
+
+  test("srp weights mix: distinct hyperplanes, both signs in each") {
+    val w = Array.tabulate(16, 8)((j, d) => Similarity.srpWeight(j, d))
+    // A degenerate mixer collapses hyperplanes into near-identical rows (the
+    // one-multiplicative-round trap — LSH silently becomes all-pairs).
+    assert(w.map(_.toSeq).distinct.length == 16)
+    assert(w.forall(row => row.distinct.length == 2))
+  }
+
   test("pair kernel emits no self-pairs for duplicate ids") {
     // Duplicate ingest rows share an id; the kernel must not pair a row
     // with its twin (the declarative join is strict a.id < b.id).
@@ -317,6 +341,29 @@ class OpsSpec extends SparkSpec {
     }.map(_._1).sorted
     assert(weighted == expected)
     assert(Sampling.weightedBySource(df, "grp", "id", Map("zzz" -> 1.0)).count() == 0)
+  }
+
+  test("assignSplit: disjoint cumulative bands, first band equals fractionByHash") {
+    def h(id: Long) = (id * 2654435761L) % 4294967296L
+    val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "x").repartition(4)
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.1)
+    val got = Sampling.assignSplit(df, "id", splits)
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    // Naive: first cumulative bound the hash falls under; remainder → None.
+    val bounds = Seq(("train", 0.5), ("val", 0.75), ("test", 0.85))
+      .map { case (n, b) => (n, (b * 4294967296.0).toLong) }
+    for (id <- 0L until 200L) {
+      val expected = bounds.collectFirst { case (n, b) if h(id) < b => n }
+      assert(got(id) == expected, s"id=$id got=${got(id)} expected=$expected")
+    }
+    // train band ≡ fractionByHash at the same fraction (same predicate).
+    val train = got.collect { case (id, Some("train")) => id }.toSeq.sorted
+    val frac = Sampling.fractionByHash(df, "id", 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(train == frac)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq("a" -> 0.8, "b" -> 0.3))
+    }
   }
 
   test("pack by budget: layout matches a sequential concat-then-chunk walk") {
