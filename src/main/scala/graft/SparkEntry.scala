@@ -228,6 +228,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("s_nationkey"))
 
+  private def ngramTopCounts(s: SparkSession, dir: String): DataFrame =
+    Text.ngramCounts(T(s, dir, "documents"), n = 2, k = 20)
+
+  /** Train/eval contamination check — the eval-integrity gate of a training
+    * pipeline: after splitting, does any eval document's content fingerprint
+    * appear in the train split? The corpus has no duplicate texts, so the
+    * query plants re-crawled copies (50 docs re-inserted under new ids, the
+    * `dedup_srp_pairs` pattern); split membership hashes the NEW id, so
+    * copies legitimately land in different splits and the semi-join surfaces
+    * exactly the eval docs whose text also trains.
+    */
+  private def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val split = graft.ops.Sampling.assignSplit(docs.unionByName(planted), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .withColumn("fp", md5(lower(trim(col("text")))))
+    val trainFp = split.filter(col("split") === "train").select(col("fp")).distinct()
+    graft.ops.Ordered.smallResult(
+      split.filter(col("split") =!= "train")
+        .join(trainFp, Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("split"), col("fp")),
+      "doc_id")
+  }
+
   /** Deterministic corpus split (train/val/test + implicit holdout) — the
     * eval-leakage defense: membership is a pure function of doc_id, stable
     * across runs/engines, so re-processing the corpus can never move a
@@ -789,6 +815,8 @@ object SparkEntry {
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_split_counts" -> (sampleSplitCounts _),
+    "ngram_top_counts" -> (ngramTopCounts _),
+    "contamination_check" -> (contaminationCheck _),
     "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
@@ -1358,6 +1386,28 @@ object SparkEntry {
         |           WHEN lang = 'fr' THEN 4294967296
         |           WHEN lang = 'de' THEN 2147483648
         |           ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "ngram_top_counts" ->
+      s"""WITH toks AS ($ToksCte),
+         |g AS (SELECT ts[i] || ' ' || ts[i+1] AS gram
+         |      FROM toks, unnest(range(1, greatest(len(ts), 1))) AS t(i))
+         |SELECT gram, count(*) AS n FROM g
+         |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // Same cumulative-hash split as sample_split_counts, over the corpus
+    // plus 50 planted re-crawled copies; contamination = eval docs whose
+    // md5(lower(trim(text))) also occurs in train.
+    "contamination_check" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM c)
+        |SELECT doc_id, split, fp FROM s
+        |WHERE split <> 'train'
+        |  AND fp IN (SELECT fp FROM s WHERE split = 'train')
         |ORDER BY doc_id""".stripMargin,
     // Cumulative Knuth-hash thresholds: floor(0.8·2³²), floor(0.9·2³²),
     // floor(0.95·2³²) — same truncation as the Scala .toLong.

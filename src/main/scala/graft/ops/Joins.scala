@@ -58,8 +58,9 @@ object Joins {
       s"numBits must be a power of two >= 64, got $numBits")
     require(numHashes >= 1 && numHashes <= 8,
       s"numHashes must be in [1, 8], got $numHashes")
-    require(!large.columns.contains("__bloom"),
-      "bloomSemiJoin reserves the __bloom column name; rename the input column")
+    val reserved = (0 until numHashes).map(i => s"__bw$i")
+    require(!large.columns.exists(c => reserved.contains(c) || c == "__w"),
+      "bloomSemiJoin reserves the __w/__bwN column names; rename the input column")
 
     // k independent-enough hashes: xxhash64 over (key, hash index).
     def positions(key: Column): Seq[Column] =
@@ -68,23 +69,34 @@ object Joins {
     def mask(p: Column): Column =
       call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
 
-    val bitmap = build
+    // Sparse bitmap: one (word index, 64-bit word) row per word with any bit
+    // set — ≤ k·|build| rows regardless of numBits. The probe reads its k
+    // words via k broadcast hash LEFT joins (O(1) lookups in codegen, probe
+    // rows gain k longs). Do NOT ship the bitmap as one dense-array row
+    // through a join: every probe row then drags the whole numBits/8-byte
+    // payload (measured 10× slower than the unpruned join at 2²⁰ bits), and
+    // a MAP row is no better — Spark's element_at on maps is a linear key
+    // scan. A missing word reads NULL → coalesce(0) → miss, so false
+    // negatives stay impossible.
+    val sparse = build
       .select(explode(array(positions(col(buildKey)): _*)).as("__pos"))
       .select(wordIdx(col("__pos")).as("__w"), mask(col("__pos")).as("__m"))
       .groupBy(col("__w"))
       .agg(bit_or(col("__m")).as("__word"))
-      .agg(map_from_entries(collect_list(struct(col("__w"), col("__word"))))
-        .as("__bloom"))
 
-    val probeHit = positions(col(largeKey))
-      .map(p => coalesce(element_at(col("__bloom"), wordIdx(p)), lit(0L))
-        .bitwiseAND(mask(p)) =!= 0)
+    val probes = positions(col(largeKey))
+    val withWords = probes.zipWithIndex.foldLeft(large) { case (df, (p, i)) =>
+      df.join(
+          broadcast(sparse.select(col("__w"), col("__word").as(s"__bw$i"))),
+          wordIdx(p) === col("__w"), "left")
+        .drop("__w")
+    }
+    val probeHit = probes.zipWithIndex
+      .map { case (p, i) =>
+        coalesce(col(s"__bw$i"), lit(0L)).bitwiseAND(mask(p)) =!= 0
+      }
       .reduce(_ && _)
-
-    val pruned = large
-      .crossJoin(broadcast(bitmap))
-      .filter(probeHit)
-      .drop("__bloom")
+    val pruned = withWords.filter(probeHit).drop(reserved: _*)
     // Name-based using-join: `build`'s lineage is already inside `pruned`
     // (the bitmap subtree), so exprId-based refs like `build(buildKey)`
     // dangle after the analyzer deduplicates the self-join — a renamed

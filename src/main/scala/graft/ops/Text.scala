@@ -218,4 +218,28 @@ object Text {
       .orderBy(col("tfidf").desc, col("term"))
       .limit(k)
   }
+
+  /** Top-k token n-grams by corpus frequency — the language-model corpus
+    * statistic (bigram/trigram tables, contamination shingles, vocabulary
+    * induction). Grams are built per document with an index-sequence
+    * `transform` (no self-join of token positions), exploded, and counted:
+    * the groupBy partial-aggregates map-side, so the shuffle carries one row
+    * per DISTINCT gram per partition, not one per occurrence; the top-k is
+    * `orderBy + limit` = TakeOrderedAndProject (per-partition heaps), never
+    * a global sort of the gram table.
+    */
+  def ngramCounts(df: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = tokens(col(textCol))
+    // sequence(a, b) counts DOWN when b < a — guard short documents to an
+    // empty gram list instead of a descending index range.
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
+    df.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -343,6 +343,16 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.weightedBySource(df, "grp", "id", Map("zzz" -> 1.0)).count() == 0)
   }
 
+  test("ngram counts: bigrams counted with deterministic ties, short docs contribute nothing") {
+    val df = Seq((0L, "a b c a b"), (1L, "a b"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Text.ngramCounts(df, n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 3L), ("b c", 1L), ("c a", 1L)))
+    // k caps the result through the TakeOrdered path.
+    assert(Text.ngramCounts(df, 2, 1).collect().map(_.getString(0)).toSeq == Seq("a b"))
+  }
+
   test("assignSplit: disjoint cumulative bands, first band equals fractionByHash") {
     def h(id: Long) = (id * 2654435761L) % 4294967296L
     val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "x").repartition(4)
