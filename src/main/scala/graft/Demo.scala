@@ -109,5 +109,34 @@ object Demo {
     println("== int8 embedding quantization (4x smaller, bounded cosine error) ==")
     ops.Similarity.quantizeInt8(Tsdb.table(spark, sfDir, "embeddings"))
       .orderBy(col("vec_id")).show(3, truncate = false)
+
+    println("== funnel: signup -> click -> purchase, 3-day hops, first-touch ==")
+    ops.Funnel.steps(ev.df, Seq("signup", "click", "purchase"), 3 * 24 * hour)
+      .show(truncate = false)
+
+    println("== bloom-pruned semi-join: lineitems of expensive orders ==")
+    val li = Tsdb.table(spark, sfDir, "lineitem")
+    val expensive = Tsdb.table(spark, sfDir, "orders").filter(col("o_totalprice") > 450000)
+    ops.Joins.bloomSemiJoin(li, expensive, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).show(truncate = false)
+
+    println("== z-order layout: per-bucket coordinate bounds stay tight ==")
+    li.select(pmod(col("l_partkey"), lit(1024L)).as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).as("y"))
+      .withColumn("zb", shiftrightunsigned(ops.Layout.zvalue(col("x"), col("y"), 10), 12))
+      .groupBy(col("zb"))
+      .agg(count(lit(1)).as("n"), (max(col("x")) - min(col("x"))).as("x_span"),
+        (max(col("y")) - min(col("y"))).as("y_span"))
+      .orderBy(col("zb")).show(5, truncate = false)
+
+    println("== deterministic train/val/test split + contamination posture ==")
+    ops.Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split")).show(truncate = false)
+
+    println("== top bigrams (LM corpus statistics) ==")
+    ops.Text.ngramCounts(docs, n = 2, k = 5).show(truncate = false)
   }
 }

@@ -138,4 +138,74 @@ class OpsPropertySpec extends SparkSpec {
       assert(kern == expr, s"trial $trial blocks=$blocks threshold=$threshold")
     }
   }
+
+  test("bloom semi-join ≡ plain left-semi join on random key sets") {
+    for (trial <- 0 until 5) {
+      val rnd = new Random(47 + trial)
+      // Overlapping and disjoint key ranges, duplicate probe rows, random
+      // bitmap sizes down to saturation (64 bits) — exactness must hold
+      // through any false-positive rate.
+      val probe = Seq.fill(rnd.between(1, 120))(
+        (rnd.between(0L, 60L), rnd.between(0, 5))).toDF("k", "v")
+      val builds = Seq.fill(rnd.between(1, 25))(Tuple1(rnd.between(0L, 90L)))
+        .toDF("bk")
+      val bits = 1 << rnd.between(6, 14)
+      val hashes = rnd.between(1, 5)
+      val expected = probe.join(builds, probe("k") === builds("bk"), "left_semi")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val got = Joins.bloomSemiJoin(probe, builds, "k", "bk", bits, hashes)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(got == expected, s"trial $trial bits=$bits hashes=$hashes")
+    }
+  }
+
+  test("funnel steps ≡ naive per-user first-touch simulation on random logs") {
+    val types = Seq("a", "b", "c")
+    for (trial <- 0 until 5) {
+      val rnd = new Random(77 + trial)
+      val events = Seq.fill(rnd.between(5, 200))(
+        (rnd.between(0L, 12L), types(rnd.between(0, 3)), rnd.between(0L, 50L)))
+      val within = rnd.between(3L, 15L)
+      // Duplicate (user, type, time) rows are fine: min() dedups arrivals.
+      val df = events.toDF("user_id", "event_type", "time").repartition(3)
+      def naive(): Seq[Long] = {
+        val byUser = events.groupBy(_._1)
+        val reach = Array.fill(3)(0L)
+        for ((_, evs) <- byUser) {
+          var t = evs.filter(_._2 == "a").map(_._3).minOption
+          var step = 0
+          while (t.isDefined && step < 3) {
+            reach(step) += 1
+            step += 1
+            if (step < 3) {
+              val t0 = t.get
+              t = evs.filter(e => e._2 == types(step) && e._3 > t0 && e._3 <= t0 + within)
+                .map(_._3).minOption
+            }
+          }
+        }
+        reach.toSeq
+      }
+      val got = Funnel.steps(df, types, within)
+        .collect().map(r => r.getLong(2)).toSeq
+      assert(got == naive(), s"trial $trial within=$within")
+    }
+  }
+
+  test("zvalue ≡ bit-interleave reference on random coordinates") {
+    def zRef(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    for (trial <- 0 until 3) {
+      val rnd = new Random(13 + trial)
+      val bits = rnd.between(1, 20)
+      val max = 1L << math.min(bits + 3, 30) // also exercise wrap-around (mod 2^bits)
+      val pts = Seq.fill(300)((rnd.between(0L, max), rnd.between(0L, max)))
+      val got = pts.toDF("x", "y")
+        .select($"x", $"y", Layout.zvalue($"x", $"y", bits).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (x, y, z) =>
+        assert(z == zRef(x, y, bits), s"trial $trial bits=$bits ($x, $y)")
+      }
+    }
+  }
 }
