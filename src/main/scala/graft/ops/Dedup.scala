@@ -40,15 +40,10 @@ object Dedup {
     * Documents shorter than `n` tokens produce no shingles (guarded — Spark's
     * `sequence` would otherwise generate a descending range).
     */
-  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ts = Text.tokens(col(textCol))
-    val sh = when(size(ts) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
-  }
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        Text.wordGrams(Text.tokens(col(textCol)), n))).as("shingle"))
 
   /** Exact n-gram-Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over distinct
     * shingle sets, emitted for J ≥ `threshold`.

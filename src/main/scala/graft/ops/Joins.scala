@@ -61,6 +61,14 @@ object Joins {
     val reserved = (0 until numHashes).map(i => s"__bw$i")
     require(!large.columns.exists(c => reserved.contains(c) || c == "__w"),
       "bloomSemiJoin reserves the __w/__bwN column names; rename the input column")
+    // xxhash64 is TYPE-sensitive (an INT 5 and a BIGINT 5 hash differently)
+    // while the exact semi-join coerces — mismatched key types would prune
+    // true matches and silently break the exactness contract. Demand a
+    // common type instead of guessing a coercion.
+    require(large.schema(largeKey).dataType == build.schema(buildKey).dataType,
+      s"bloomSemiJoin keys must share one type (xxhash64 is type-sensitive): " +
+        s"$largeKey is ${large.schema(largeKey).dataType}, " +
+        s"$buildKey is ${build.schema(buildKey).dataType} — cast one side first")
 
     // k independent-enough hashes: xxhash64 over (key, hash index).
     def positions(key: Column): Seq[Column] =

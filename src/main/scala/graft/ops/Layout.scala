@@ -40,6 +40,8 @@ object Layout {
     */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String, bits: Int,
       numPartitions: Int): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "clusterByZ reserves the __z column name; rename the input column")
     val z = zvalue(col(xCol), col(yCol), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))

@@ -81,17 +81,29 @@ object Sampling {
       idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(!df.columns.contains("split"),
+      "assignSplit reserves the split column name; a second assignment pass " +
+        "would silently relabel membership — rename or drop the existing column")
     splits.foreach { case (s, f) =>
       require(f >= 0.0 && f <= 1.0, s"fraction for $s must be in [0,1], got $f")
     }
-    require(splits.map(_._2).sum <= 1.0 + 1e-9,
-      s"split fractions must sum to <= 1, got ${splits.map(_._2).sum}")
-    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // Cumulative bounds in exact DECIMAL arithmetic: double summation can
+    // land 1 ulp under the analytic value (0.7 + 0.2 = 0.8999999999999999),
+    // which would shift the integer threshold by one and flip the boundary
+    // id's split relative to any oracle that writes floor(0.9·2³²) — the
+    // Knuth multiplier is bijective mod 2³², so some id always sits exactly
+    // on the threshold. BigDecimal.valueOf sums shortest-decimal values
+    // exactly.
+    val bounds = splits
+      .scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal.valueOf(f) }
+      .tail
+    require(bounds.last <= BigDecimal(1),
+      s"split fractions must sum to <= 1, got ${bounds.last}")
     val h = idHash(col(idCol))
     val label = splits.zip(bounds)
       .foldLeft(when(lit(false), lit(null).cast("string"))) {
         case (acc, ((name, _), bound)) =>
-          acc.when(h < lit((bound * 4294967296.0).toLong), lit(name))
+          acc.when(h < lit((bound * BigDecimal(4294967296L)).toLong), lit(name))
       }
       .otherwise(lit(null).cast("string"))
     df.withColumn("split", label)

@@ -231,15 +231,22 @@ object Text {
   def ngramCounts(df: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = tokens(col(textCol))
-    // sequence(a, b) counts DOWN when b < a — guard short documents to an
-    // empty gram list instead of a descending index range.
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
-    df.select(explode(grams).as("gram"))
+    df.select(explode(wordGrams(tokens(col(textCol)), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
   }
+
+  /** Word n-gram array over a token-array column, WITH duplicates and in
+    * document order; empty for documents shorter than `n` tokens. The guard
+    * matters: Spark's `sequence(a, b)` counts DOWN when `b < a`, so an
+    * unguarded short document would produce a descending index range instead
+    * of no grams. Shared by [[ngramCounts]] and [[Dedup.shingles]] so that
+    * trap is handled in exactly one place.
+    */
+  private[ops] def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -42,6 +42,18 @@ class JoinsLayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Joins.bloomSemiJoin(large, build, "k", "bk", numHashes = 0)
     }
+    // xxhash64 hashes INT 5 and BIGINT 5 differently while the exact join
+    // coerces — mismatched key types would silently prune true matches.
+    val intProbe = (0 until 10).map(i => (i, s"p$i")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(intProbe, build, "k", "bk")
+    }
+  }
+
+  test("clusterByZ refuses a pre-existing __z column instead of clobbering it") {
+    intercept[IllegalArgumentException] {
+      Layout.clusterByZ(Seq((1L, 2L, 3L)).toDF("x", "y", "__z"), "x", "y", 4, 2)
+    }
   }
 
   test("saltedRepJoin equals the plain inner join, duplicates and all") {

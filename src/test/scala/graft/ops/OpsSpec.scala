@@ -374,6 +374,19 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(df, "id", Seq("a" -> 0.8, "b" -> 0.3))
     }
+    // Re-splitting an already-labeled frame must fail loudly, not relabel.
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(Sampling.assignSplit(df, "id", splits), "id", splits)
+    }
+    // Exact-decimal cumulative bounds: 0.7 + 0.2 sums to 0.8999999999999999
+    // in doubles, one ulp under the analytic 0.9 — id 3523866869 hashes to
+    // exactly floor(0.9·2³²) − 1 = 3865470565 and must land INSIDE band "b"
+    // (an engine deriving floor(0.9·2³²) agrees); the double-summed bound
+    // would exclude it.
+    val edge = Seq((3523866869L, 0L)).toDF("id", "x")
+    val lbl = Sampling.assignSplit(edge, "id", Seq("a" -> 0.7, "b" -> 0.2))
+      .collect().head.getString(2)
+    assert(lbl == "b")
   }
 
   test("pack by budget: layout matches a sequential concat-then-chunk walk") {
