@@ -366,11 +366,14 @@ object SparkEntry {
     */
   private def saltedAggByType(s: SparkSession, dir: String): DataFrame =
     graft.ops.Skew.saltedAgg(
-      ev(s, dir).df.select(col("event_type"), col("value")),
+      ev(s, dir).df.select(col("event_type"), col("value"), col("event_id")),
       Seq("event_type"), salt = 8,
       Seq(
         "n" -> ((count(lit(1)), (c: Column) => sum(c))),
-        "sum_value" -> ((sum(col("value")), (c: Column) => sum(c)))))
+        "sum_value" -> ((sum(col("value")), (c: Column) => sum(c)))),
+      // events carry a unique id — salt by its hash: retry-safe by
+      // construction, no row-order precondition.
+      saltBy = Some(col("event_id")))
       .select(col("event_type"), col("n"),
         round(coalesce(col("sum_value"), lit(0.0)), 4).as("sum_value"))
       .orderBy(col("event_type"))

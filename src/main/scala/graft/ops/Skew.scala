@@ -33,25 +33,31 @@ object Skew {
       df: DataFrame,
       keys: Seq[String],
       salt: Int,
-      aggs: Seq[(String, (Column, Column => Column))]): DataFrame = {
+      aggs: Seq[(String, (Column, Column => Column))],
+      saltBy: Option[Column] = None): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
     require(!df.columns.contains("__salt"),
       "saltedAgg reserves the __salt column name; rename the input column")
-    // SEEDED rand: deterministic per (partition, row position), so a
-    // speculatively re-executed task recomputes identical salts, yet the
-    // salt is independent of row CONTENT — a content hash would collapse a
-    // hot key's duplicate rows onto one salt and quietly disable the whole
-    // defense (duplicate rows are the norm in event data). Unseeded rand()
-    // would genuinely break retries. PRECONDITION: per-position determinism
-    // holds only when intra-partition row ORDER is deterministic. A scan or
-    // narrow lineage qualifies; a SHUFFLE OUTPUT does not (fetch arrival
-    // order varies across task re-executions — the classic
-    // rand-partitioning indeterminacy hazard), so callers salting a
-    // shuffle-produced input must materialize it first (e.g.
-    // localCheckpoint) or accept that a fetch-failure retry may re-salt
-    // rows and corrupt the partials.
-    val saltCol = floor(rand(0x5417L) * salt).cast("int").as("__salt")
+    // Salt choice, strongest first:
+    //  - `saltBy = Some(uniqueKey)` (e.g. an event id): hash of the key —
+    //    retry/speculation-safe BY CONSTRUCTION (pure function of content)
+    //    and still spreads duplicate-content rows because the key is unique
+    //    per row. Prefer this whenever a unique row key exists.
+    //  - `saltBy = None`: SEEDED rand — deterministic per (partition, row
+    //    position), so a re-executed task recomputes identical salts, and
+    //    independent of row content (a hash of NON-unique columns would
+    //    collapse a hot key's duplicate rows onto one salt and quietly
+    //    disable the defense). PRECONDITION: per-position determinism holds
+    //    only when intra-partition row ORDER is deterministic. A scan or
+    //    narrow lineage qualifies; a SHUFFLE OUTPUT does not (fetch arrival
+    //    order varies across re-executions — the classic rand-partitioning
+    //    indeterminacy hazard), so callers salting a shuffle-produced input
+    //    must materialize it first (e.g. localCheckpoint) or pass `saltBy`.
+    val saltCol = saltBy
+      .map(c => pmod(xxhash64(c), lit(salt)).cast("int"))
+      .getOrElse(floor(rand(0x5417L) * salt).cast("int"))
+      .as("__salt")
     val partial = df
       .groupBy((keys.map(col) :+ saltCol): _*)
       .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),

@@ -251,6 +251,18 @@ class OpsSpec extends SparkSpec {
       .orderBy(col("k"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(salted.toSeq == direct.toSeq)
+    // Unique-key salt (retry-safe by construction): same totals, including
+    // duplicate-content rows under one group key.
+    val keyed = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 3.0), (4L, "b", 10.0), (5L, "b", 20.0)
+    ).toDF("id", "k", "v").repartition(4)
+    val byId = Skew.saltedAgg(keyed, Seq("k"), salt = 4, Seq(
+      "n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))),
+      "sum_v" -> ((sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c)))),
+      saltBy = Some(col("id")))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(byId.toSeq == Seq(("a", 3L, 5.0), ("b", 2L, 30.0)))
   }
 
   test("stitched trailing window is bit-identical to the single-partition window") {
