@@ -273,6 +273,43 @@ object SparkEntry {
   private def funnelConversion(s: SparkSession, dir: String): DataFrame =
     Funnel.conversion(ev(s, dir).df, "signup", "purchase", 3 * Day)
 
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; `n_users` = distinct users from that cohort active again
+    * `week_offset` weeks later — the classic product-analytics retention
+    * triangle. Two aggregations and an equality join, all on `user_id`:
+    * one shuffle lineage at scale, no window, no self-cartesian.
+    */
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).df
+    val firstWeek = e.groupBy(col("user_id"))
+      .agg(expr("CAST(min(time) DIV 604800000 AS BIGINT)").as("cohort_week"))
+    val weekly = e.select(col("user_id"), expr("time div 604800000").as("week"))
+      .distinct()
+    graft.ops.Ordered.smallResult(
+      firstWeek.join(weekly, Seq("user_id"))
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users")),
+      "cohort_week", "week_offset")
+  }
+
+  /** Daily counts pivoted wide by event type — the pivot operator family.
+    * Pivot values are passed EXPLICITLY: without them Spark runs an eager
+    * distinct job at plan-construction time to discover columns, the same
+    * anti-pattern as an eager count (and nondeterministic output schema if
+    * a type appears late at 100 TB).
+    */
+  private def pivotEventDaily(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      ev(s, dir).df
+        .select(expr("time div 86400000").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      "day")
+
   /** Exact grouped percentiles (Spark `percentile` ≡ ANSI interpolated
     * `quantile_cont`): the holistic-aggregate coverage row. At 100 TB a
     * holistic percentile per group is the one aggregate that canNOT salt
@@ -783,6 +820,8 @@ object SparkEntry {
     "funnel_conversion" -> (funnelConversion _),
     "value_quantiles_by_type" -> (valueQuantilesByType _),
     "zorder_bucket_stats" -> (zorderBucketStats _),
+    "retention_cohorts" -> (retentionCohorts _),
+    "pivot_event_daily" -> (pivotEventDaily _),
     "window_top_orders" -> (windowTopOrders _),
     "rollup_lineitem" -> (rollupLineitem _),
     "cube_lineitem" -> (cubeLineitem _),
@@ -1018,6 +1057,23 @@ object SparkEntry {
          |SELECT count(*) AS n_start, CAST(sum(conv) AS BIGINT) AS n_converted,
          |       round(sum(conv)*1.0/count(*), 4) AS conv_rate
          |FROM c""".stripMargin,
+    "retention_cohorts" ->
+      s"""WITH e AS ($EvCte),
+         |f AS (SELECT user_id, min(time) // 604800000 AS cohort_week FROM e GROUP BY 1),
+         |w AS (SELECT DISTINCT user_id, time // 604800000 AS week FROM e)
+         |SELECT cohort_week, week - cohort_week AS week_offset,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM f JOIN w USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "pivot_event_daily" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT time // 86400000 AS day,
+         |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         |FROM e GROUP BY 1 ORDER BY day""".stripMargin,
     "value_quantiles_by_type" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.25), 4) AS p25,

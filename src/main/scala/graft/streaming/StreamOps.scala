@@ -182,4 +182,55 @@ object StreamOps {
           }
       }
   }
+
+  final case class TypedEvent(key: Long, tpe: String, tsMs: Long)
+  final case class FunnelState(step: Int, arrivalMs: Long)
+  final case class FunnelReach(key: Long, step_idx: Long, step: String, arrival: Long)
+
+  /** Streaming counterpart of [[graft.ops.Funnel.steps]]: a per-user state
+    * machine (steps completed + last arrival time) that emits one row the
+    * moment a user reaches a funnel step. Counting rows per `step_idx`
+    * downstream reproduces the batch reach counts incrementally.
+    *
+    * Equivalence contract: first-touch batch semantics take the EARLIEST
+    * qualifying event per hop; the state machine takes the first qualifying
+    * event it PROCESSES. These agree when per-user events are processed in
+    * event-time order — events are sorted per micro-batch, and across
+    * batches arrival order is trusted (the same in-order contract as
+    * [[streamingDerivative]]; bound disorder upstream with a watermark).
+    * State is two fields per user — O(users), not O(events).
+    */
+  def streamingFunnel(
+      spark: SparkSession,
+      stream: Dataset[TypedEvent],
+      stepTypes: Seq[String],
+      withinMs: Long): Dataset[FunnelReach] = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    import spark.implicits._
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, events: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tsMs, e.tpe))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          for (e <- sorted) {
+            if (st.step < stepTypes.length) {
+              val hit =
+                if (st.step == 0) e.tpe == stepTypes.head
+                else e.tpe == stepTypes(st.step) &&
+                  e.tsMs > st.arrivalMs && e.tsMs <= st.arrivalMs + withinMs
+              if (hit) {
+                out += FunnelReach(key, st.step.toLong, stepTypes(st.step), e.tsMs)
+                st = FunnelState(st.step + 1, e.tsMs)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -156,4 +156,43 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch.take(3) == got.toSeq)
     } finally q.stop()
   }
+
+  test("streamingFunnel reach counts match batch funnel across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.TypedEvent]
+    val out = StreamOps.streamingFunnel(spark, input.toDS(), Seq("a", "b", "c"), withinMs = 10L)
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      // The JoinsLayoutSpec batch fixture split by event time (the in-order
+      // contract): u3 and u4 progress ACROSS the batch boundary, so their
+      // state machines must resume from stored state.
+      input.addData(
+        StreamOps.TypedEvent(1L, "a", 0L), StreamOps.TypedEvent(2L, "a", 0L),
+        StreamOps.TypedEvent(3L, "b", 0L), StreamOps.TypedEvent(4L, "a", 0L),
+        StreamOps.TypedEvent(5L, "a", 0L), StreamOps.TypedEvent(5L, "b", 1L),
+        StreamOps.TypedEvent(3L, "a", 5L), StreamOps.TypedEvent(1L, "b", 5L))
+      q.processAllAvailable()
+      input.addData(
+        StreamOps.TypedEvent(4L, "b", 8L), StreamOps.TypedEvent(3L, "b", 9L),
+        StreamOps.TypedEvent(3L, "c", 11L), StreamOps.TypedEvent(1L, "c", 12L),
+        StreamOps.TypedEvent(5L, "c", 15L), StreamOps.TypedEvent(2L, "b", 20L),
+        StreamOps.TypedEvent(4L, "c", 30L))
+      q.processAllAvailable()
+      val got = spark.table("sfunnel").groupBy(col("step_idx")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == Seq((0L, 5L), (1L, 4L), (2L, 2L)))
+      // Batch funnel over the union of both batches agrees per step.
+      val batchDf = Seq(
+        (1L, "a", 0L), (1L, "b", 5L), (1L, "c", 12L),
+        (2L, "a", 0L), (2L, "b", 20L),
+        (3L, "b", 0L), (3L, "a", 5L), (3L, "b", 9L), (3L, "c", 11L),
+        (4L, "a", 0L), (4L, "b", 8L), (4L, "c", 30L),
+        (5L, "a", 0L), (5L, "b", 1L), (5L, "c", 15L)
+      ).toDF("user_id", "event_type", "time")
+      val batch = graft.ops.Funnel.steps(batchDf, Seq("a", "b", "c"), 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
