@@ -247,9 +247,15 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .withColumn("fp", md5(lower(trim(col("text")))))
     val trainFp = split.filter(col("split") === "train").select(col("fp")).distinct()
+    // Membership via the Bloom-pruned semi-join — at 100 TB the train
+    // fingerprint set outgrows a broadcast hash relation long before its
+    // bitmap does, and false positives are absorbed by the exact join, so
+    // this is the same result as a plain semi-join (the oracle computes
+    // exactly that) with the probe pruned before the shuffle. Also gates
+    // the bloom path on a STRING key.
     graft.ops.Ordered.smallResult(
-      split.filter(col("split") =!= "train")
-        .join(trainFp, Seq("fp"), "left_semi")
+      Joins.bloomSemiJoin(
+        split.filter(col("split") =!= "train"), trainFp, "fp", "fp")
         .select(col("doc_id"), col("split"), col("fp")),
       "doc_id")
   }

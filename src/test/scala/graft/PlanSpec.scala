@@ -73,7 +73,10 @@ class PlanSpec extends SparkSpec {
         // must not reintroduce a range exchange on the data path.
         // (doc_pack_budget is excluded: runningSumStitched's range
         // REPARTITIONING is the prefix-sum's one legitimate range exchange.)
-        "uts_derivative", "uts_derivative_by_user")) {
+        "uts_derivative", "uts_derivative_by_user",
+        // Report-sized round-4 outputs sort via smallResult too.
+        "retention_cohorts", "pivot_event_daily", "contamination_check",
+        "dedup_srp_pairs")) {
       val p = plan(q)
       // A range sort would appear as Exchange rangepartitioning(...); the
       // report-sort shape is a single-partition exchange + in-partition Sort.
