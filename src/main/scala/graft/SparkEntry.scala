@@ -316,6 +316,22 @@ object SparkEntry {
         .na.fill(0L),
       "day")
 
+  /** Statistical-moment aggregates (sample stddev/variance, correlation,
+    * covariance) — all algebraic (mergeable partials), so they salt and
+    * partial-aggregate like sums. Rounded to 4 decimals: both engines use
+    * numerically stable one-pass updates whose results agree well past the
+    * rounding point at these magnitudes.
+    */
+  private def statsMomentsByType(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"))
+      .orderBy(col("event_type"))
+
   /** Exact grouped percentiles (Spark `percentile` ≡ ANSI interpolated
     * `quantile_cont`): the holistic-aggregate coverage row. At 100 TB a
     * holistic percentile per group is the one aggregate that canNOT salt
@@ -828,6 +844,7 @@ object SparkEntry {
     "zorder_bucket_stats" -> (zorderBucketStats _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
+    "stats_moments_by_type" -> (statsMomentsByType _),
     "window_top_orders" -> (windowTopOrders _),
     "rollup_lineitem" -> (rollupLineitem _),
     "cube_lineitem" -> (cubeLineitem _),
@@ -1080,6 +1097,13 @@ object SparkEntry {
          |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
          |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
          |FROM e GROUP BY 1 ORDER BY day""".stripMargin,
+    "stats_moments_by_type" ->
+      """SELECT event_type,
+        |       round(stddev_samp(value), 4) AS sd_value,
+        |       round(var_samp(value), 4) AS var_value,
+        |       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+        |       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "value_quantiles_by_type" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.25), 4) AS p25,
