@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftfns.{BpeRunCount, DotProduct, MinHashSignature, RollingFp, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graftfns.{BpeRunCount, DotProduct, MinHashSignature, RollingFp, ShingleHashes, SimHash64, WordGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions at session build. Enable with
@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", classOf[SimHash64], es => SimHash64(es(0)))
     inject("bpe_run_count", classOf[BpeRunCount], es => BpeRunCount(es(0)))
     inject("rolling_fp", classOf[RollingFp], es => RollingFp(es(0)))
+    inject("word_grams", classOf[WordGrams], es => WordGrams(es(0), es(1)))
   }
 }

@@ -42,8 +42,7 @@ object Dedup {
     */
   def shingles(df: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(array_distinct(
-        Text.wordGrams(Text.tokens(col(textCol)), n))).as("shingle"))
+      explode(array_distinct(Text.wordGrams(col(textCol), n))).as("shingle"))
 
   /** Exact n-gram-Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over distinct
     * shingle sets, emitted for J ≥ `threshold`.

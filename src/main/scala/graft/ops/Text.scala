@@ -231,22 +231,20 @@ object Text {
   def ngramCounts(df: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(explode(wordGrams(tokens(col(textCol)), n)).as("gram"))
+    df.select(explode(wordGrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
   }
 
-  /** Word n-gram array over a token-array column, WITH duplicates and in
-    * document order; empty for documents shorter than `n` tokens. The guard
-    * matters: Spark's `sequence(a, b)` counts DOWN when `b < a`, so an
-    * unguarded short document would produce a descending index range instead
-    * of no grams. Shared by [[ngramCounts]] and [[Dedup.shingles]] so that
-    * trap is handled in exactly one place.
+  /** Word n-gram array over a TEXT column, WITH duplicates and in document
+    * order; empty for documents shorter than `n` tokens. One codegen'd byte
+    * pass ([[org.apache.spark.sql.graftfns.WordGrams]]) — the declarative
+    * `transform(sequence)+slice+concat_ws` chain computes the same grams but
+    * interpreted per element (TextExpressionsSpec pins the equivalence; it
+    * dominated n-gram counting wall-clock). Shared by [[ngramCounts]] and
+    * [[Dedup.shingles]].
     */
-  private[ops] def wordGrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  private[ops] def wordGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftfns.TextFunctions.wordGrams(text, n)
 }

@@ -96,6 +96,80 @@ object ShingleHashes {
   }
 }
 
+/** Word n-gram STRINGS of a text, with duplicates, in document order — the
+  * counting-side sibling of [[ShingleHashes]] (which emits distinct hashes
+  * for candidate joins). One byte pass over the text: token boundaries from
+  * the same 0x20 scan, each gram assembled as token bytes joined by single
+  * spaces (normalizing runs of separators exactly like `concat_ws(" ",
+  * slice(tokens, …))`, which this kernel replaces — the HOF chain is
+  * interpreted per element and dominated n-gram counting wall-clock).
+  *
+  * Fewer than `n` tokens ⇒ empty array.
+  */
+final case class WordGrams(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    WordGrams.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"org.apache.spark.sql.graftfns.WordGrams.compute($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordGrams {
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // Same boundary scan as ShingleHashes: 0x20 never occurs inside a
+    // multi-byte UTF-8 sequence, so a byte scan is a correct split.
+    var tokenCount = 0
+    var i = 0
+    val len = bytes.length
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    while (i < len) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < len && bytes(i) != 0x20) i += 1
+        starts(tokenCount) = s
+        ends(tokenCount) = i
+        tokenCount += 1
+      } else i += 1
+    }
+    if (tokenCount < n) return new GenericArrayData(Array.empty[Any])
+    val windows = tokenCount - n + 1
+    val out = new Array[Any](windows)
+    var w = 0
+    while (w < windows) {
+      var size = n - 1 // single-space separators
+      var k = w
+      while (k < w + n) { size += ends(k) - starts(k); k += 1 }
+      val buf = new Array[Byte](size)
+      var pos = 0
+      k = w
+      while (k < w + n) {
+        if (k > w) { buf(pos) = 0x20; pos += 1 }
+        val l = ends(k) - starts(k)
+        System.arraycopy(bytes, starts(k), buf, pos, l)
+        pos += l
+        k += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** MinHash signature over a shingle-hash set: element `i` of the output is
   * `min over x in hashes of mix(x ^ seed_i)` where `mix` is the SplitMix64
   * finalizer — the standard "one base hash + k cheap derived hash functions"
@@ -332,6 +406,13 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(
       ShingleHashes(
+        ExpressionUtils.expression(text),
+        ExpressionUtils.expression(org.apache.spark.sql.functions.lit(n))))
+
+  /** Word n-gram strings of `text` (duplicates kept, document order). */
+  def wordGrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordGrams(
         ExpressionUtils.expression(text),
         ExpressionUtils.expression(org.apache.spark.sql.functions.lit(n))))
 

@@ -92,5 +92,7 @@ object VectorFunctions {
       "bpe_run_count", exprs => BpeRunCount(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "rolling_fp", exprs => RollingFp(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "word_grams", exprs => WordGrams(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -107,6 +107,33 @@ class TextExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("wordGrams kernel equals the declarative transform/slice/concat_ws chain") {
+    import org.apache.spark.sql.Column
+    // The formulation the kernel replaced, kept here as the reference.
+    def declarative(text: Column, n: Int): Column = {
+      val toks = filter(split(text, " "), t => t =!= "")
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val edge = Seq(
+      "", " ", "x", "a b", "a  b   c", "  lead and trail  ",
+      "héllo wörld héllo wörld", "a b c a b c", "one"
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = edge.select($"id", TextFunctions.wordGrams($"text", n).as("g"))
+        .collect().map(r => (r.getInt(0), r.getSeq[String](1))).toMap
+      val ref = edge.select($"id", declarative($"text", n).as("g"))
+        .collect().map(r => (r.getInt(0), r.getSeq[String](1))).toMap
+      assert(kernel == ref, s"n=$n")
+    }
+    // Duplicates preserved in order — the counting contract.
+    val g = edge.filter($"text" === "a b c a b c")
+      .select(TextFunctions.wordGrams($"text", 2)).head().getSeq[String](0)
+    assert(g == Seq("a b", "b c", "c a", "a b", "b c"))
+  }
+
   test("kernels work through SQL registration and the session extension path") {
     org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
     docs.createOrReplaceTempView("texpr_docs")
