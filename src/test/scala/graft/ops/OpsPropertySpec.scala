@@ -159,6 +159,25 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("salted replicated join ≡ plain inner join on random skewed data") {
+    for (trial <- 0 until 4) {
+      val rnd = new Random(31 + trial)
+      // Hot key 0 takes ~half the probe rows; exact duplicate rows included.
+      val probe = Seq.fill(rnd.between(1, 150))(
+        (if (rnd.nextBoolean()) 0L else rnd.between(0L, 8L), rnd.between(0, 3)))
+        .toDF("k", "v")
+      // Small side with duplicate join keys (multi-match fan-out must survive).
+      val dim = Seq.fill(rnd.between(1, 12))(
+        (rnd.between(0L, 8L), rnd.between(0, 100))).toDF("dk", "d")
+      val replicate = rnd.between(1, 7)
+      val expected = probe.join(dim, probe("k") === dim("dk"))
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val got = Joins.saltedRepJoin(probe, dim, "k", "dk", replicate)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(got == expected, s"trial $trial replicate=$replicate")
+    }
+  }
+
   test("funnel steps ≡ naive per-user first-touch simulation on random logs") {
     val types = Seq("a", "b", "c")
     for (trial <- 0 until 5) {
