@@ -367,6 +367,36 @@ object SparkEntry {
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
       .orderBy(col("z_bucket"))
 
+  /** Anti-join family: customers with no high-value order, rolled up by
+    * segment. `left_anti` is the relational NOT EXISTS — same hash shuffle
+    * as a semi-join, and the build side is pre-filtered at its scan.
+    */
+  private def antiJoinCustomers(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Set-operation family (EXCEPT / INTERSECT) over per-type high-value
+    * user sets: both compile to aggregate + join shapes (no sort-based
+    * distinct), tagged and unioned into one result.
+    */
+  private def setopActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).df
+    def users(tpe: String) = e
+      .filter(col("event_type") === tpe && col("value") > 250)
+      .select(col("user_id")).distinct()
+    graft.ops.Ordered.smallResult(
+      users("view").except(users("purchase"))
+        .select(lit("view_only").as("set_op"), col("user_id"))
+        .unionByName(
+          users("view").intersect(users("purchase"))
+            .select(lit("both").as("set_op"), col("user_id"))),
+      "set_op", "user_id")
+  }
+
   private def windowTopOrders(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .withColumn("rk",
@@ -845,6 +875,8 @@ object SparkEntry {
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
     "stats_moments_by_type" -> (statsMomentsByType _),
+    "anti_join_customers" -> (antiJoinCustomers _),
+    "setop_active_users" -> (setopActiveUsers _),
     "window_top_orders" -> (windowTopOrders _),
     "rollup_lineitem" -> (rollupLineitem _),
     "cube_lineitem" -> (cubeLineitem _),
@@ -1097,6 +1129,21 @@ object SparkEntry {
          |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
          |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
          |FROM e GROUP BY 1 ORDER BY day""".stripMargin,
+    "anti_join_customers" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "setop_active_users" ->
+      s"""WITH e AS ($EvCte),
+         |v AS (SELECT DISTINCT user_id FROM e
+         |      WHERE event_type = 'view' AND value > 250),
+         |p AS (SELECT DISTINCT user_id FROM e
+         |      WHERE event_type = 'purchase' AND value > 250)
+         |SELECT 'view_only' AS set_op, user_id FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+         |UNION ALL
+         |SELECT 'both', user_id FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+         |ORDER BY set_op, user_id""".stripMargin,
     "stats_moments_by_type" ->
       """SELECT event_type,
         |       round(stddev_samp(value), 4) AS sd_value,
