@@ -506,7 +506,7 @@ object SparkEntry {
   // ------------------------------------------------------------ dedup family
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(T(s, dir, "documents"), "text")
+    graft.ops.Ordered.smallResult(Dedup.exact(T(s, dir, "documents"), "text"), "doc_id")
 
   private def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(T(s, dir, "documents"), n = 3, threshold = 0.6)

@@ -27,15 +27,23 @@ object AsofJoin {
     val lCols = left.columns.toSeq
     val tagged = {
       // Right rows sort before left rows at the same timestamp (tag 0 < 1),
-      // making the match inclusive (right.time ≤ left.time).
-      val r = right.select(
+      // making the match inclusive (right.time ≤ left.time). Rows with a
+      // NULL right time are EXCLUDED up front: `t ≤ left.time` is unknown
+      // for them, but the window's nulls-first ascending sort would place
+      // them before every real row and carry them as the match for left
+      // rows that precede all genuine right rows.
+      val r = right.filter(col(rightTime).isNotNull).select(
         keyCols.map(col) ++ Seq(
           col(rightTime).as("__t"), lit(0).as("__tag"), col(rightTieCol).as("__tie"),
           struct(rightPayload.map(col): _*).as("__payload")) ++
           lCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+      // Left rows never compete on __tie (ordering among left rows at one
+      // (t, tag) is irrelevant); a typed NULL keeps the union working for
+      // non-numeric tie columns (timestamps, strings).
       val l = left.select(
         keyCols.map(col) ++ Seq(
-          col(leftTime).as("__t"), lit(1).as("__tag"), lit(0L).as("__tie"),
+          col(leftTime).as("__t"), lit(1).as("__tag"),
+          lit(null).cast(right.schema(rightTieCol).dataType).as("__tie"),
           lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
           lCols.filterNot(keyCols.contains).map(col): _*)
       r.unionByName(l)

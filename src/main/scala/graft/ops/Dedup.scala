@@ -22,10 +22,13 @@ object Dedup {
     * via [[hashed]].
     */
   def exact(df: DataFrame, keyCol: String, idCol: String = "doc_id"): DataFrame =
+    // Unordered by design: the output is row-per-distinct-key (NOT report-
+    // sized at scale), and a bare orderBy's range-boundary sampling would
+    // re-execute the whole scan+shuffle+aggregate — gate queries sort the
+    // (small) gate corpus via Ordered.smallResult instead.
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
-      .orderBy(col(idCol))
 
   /** Exact dedup keyed on md5(text): identical output to [[exact]] but the
     * shuffle carries a 16-byte key instead of the document body.
@@ -34,7 +37,6 @@ object Dedup {
     df.groupBy(md5(col(keyCol)))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
-      .orderBy(col(idCol))
 
   /** Distinct word n-gram shingles per document: `(id, shingle)` rows.
     * Documents shorter than `n` tokens produce no shingles (guarded — Spark's
@@ -159,6 +161,12 @@ object Dedup {
     * so per-shingle join fan-out stays bounded even when some shingles appear
     * in millions of documents (the stopword-shingle skew case the count
     * formulation can't survive).
+    *
+    * Caching contract: the shingle/prefix/set relations are `.cache()`d
+    * because each feeds several branches of the one returned plan; the
+    * blocks stay registered in the CacheManager after the query runs, so a
+    * driver sweeping many corpora/thresholds through this op should
+    * `spark.catalog.clearCache()` between sweeps (or accept LRU eviction).
     */
   def jaccardPairsPrefixFiltered(
       df: DataFrame,
@@ -226,6 +234,7 @@ object Dedup {
       bands: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val hashed = df.select(
@@ -394,6 +403,9 @@ object Dedup {
       maxDist: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // maxDist+1 chunks need >= 1 bit each: maxDist >= 64 would give every
+    // chunk value 0 and silently degenerate the candidate join to all-pairs.
+    require(maxDist >= 0 && maxDist <= 63, s"maxDist must be in [0, 63], got $maxDist")
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // Per-document scalar kernel: simhash is a pure function of the text, so

@@ -58,6 +58,10 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, payload: Array[Byte], orig_bytes: Long, new_bytes: Long)
   def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
+    require(targetW >= 1 && targetH >= 1,
+      s"target dimensions must be >= 1, got ${targetW}x$targetH")
+    require(targetW.toLong * targetH <= Int.MaxValue,
+      s"target byte size ${targetW.toLong * targetH} overflows a JVM array")
     val target = targetW * targetH
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
@@ -80,6 +84,8 @@ object Multimodal {
       media: DataFrame,
       frameBytes: Int,
       everyN: Int): Dataset[Frame] = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val total = r.payload.length / frameBytes

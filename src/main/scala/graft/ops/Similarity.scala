@@ -132,7 +132,10 @@ object Similarity {
           if (all(i)._1 == all(j)._1) None
           else {
             val raw = blasDot(all(i)._2, all(j)._2) / (nrm(i) * nrm(j))
-            if (raw < rawCut) None
+            // A zero-norm vector (failed encode, padding row) makes raw NaN;
+            // drop the pair like the declarative twin's filter does — NaN
+            // would crash BigDecimal in roundHalfUp4 otherwise.
+            if (java.lang.Double.isNaN(raw) || raw < rawCut) None
             else {
               val c = roundHalfUp4(raw)
               // ids are sorted ascending, so (i, j) with i < j is (smaller
@@ -173,8 +176,12 @@ object Similarity {
     // them per pair triples the inner-loop work for the same values.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // Zero-norm vectors (failed encode, padding) have no defined cosine:
+    // drop their pairs explicitly — under ANSI mode the bare division would
+    // THROW on the zero divisor, and the block kernel drops the same pairs.
     Ordered.smallResult(
-      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      v.as("a").join(v.as("b"),
+          col("a.id") < col("b.id") && col("a.nrm") > 0 && col("b.nrm") > 0)
         .select(col("a.id").as("v1"), col("b.id").as("v2"),
           round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
         .filter(col("cosine") >= threshold),
@@ -404,8 +411,18 @@ object Similarity {
     def bestCluster(vec: Column, cs: Column): Column =
       aggregate(cs, struct(lit(-2.0).as("s"), lit(null).cast(clType).as("c")),
         (acc, c) => {
-          val s = cosine(vec, c.getField("cvec"))
-          when(s > acc.getField("s"), struct(s.as("s"), c.getField("cl").as("c"))).otherwise(acc)
+          // nanvl: a zero-norm vector scores NaN against every centroid —
+          // mapped to a constant so it lands in a cluster deterministically
+          // (strict NaN comparisons would leave it NULL and silently drop
+          // it from probes). Equal scores break toward the SMALLER cluster
+          // id: collect_list arrival order varies across retries, and a
+          // list-order tie-break would make duplicate-seed centroids (near-
+          // dup corpora) assign nondeterministically.
+          val s = nanvl(cosine(vec, c.getField("cvec")), lit(-1.5))
+          val cl = c.getField("cl")
+          when(s > acc.getField("s") ||
+              (s === acc.getField("s") && cl < acc.getField("c")),
+            struct(s.as("s"), cl.as("c"))).otherwise(acc)
         }).getField("c")
     df.crossJoin(cList)
       .select((col(idCol) +: col(vecCol) +: extraCols.map(col)) :+

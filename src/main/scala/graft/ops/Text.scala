@@ -111,8 +111,11 @@ object Text {
       .groupBy(col("id"))
       .pivot("lang", Seq("en", "es", "fr", "de"))
       .agg(count(lit(1)))
+    // Name-based using-join on the renamed key: an exprId condition is
+    // ambiguous when the caller's idCol is literally "id" (both sides would
+    // expose it), and `hits` shares `df`'s lineage anyway.
     df.select(col(idCol))
-      .join(hits, col(idCol) === col("id"), "left")
+      .join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .na.fill(0L, Seq("en", "es", "fr", "de"))
       .select(col(idCol),
         when(greatest(col("en"), col("es"), col("fr"), col("de")) === 0, lit("und"))

@@ -40,6 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object Windowed {
 
+  /** Every op here stages state in `__`-prefixed columns that `withColumn`
+    * would silently overwrite — fail loudly instead (same contract as
+    * `Layout.clusterByZ` / `Skew.saltedAgg` / `Joins`).
+    */
+  private def requireFree(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = df.columns.filter(names.contains)
+    require(clash.isEmpty,
+      s"$op reserves column name(s) ${clash.mkString(", ")}; rename the input column(s)")
+  }
+
   /** Trailing `frameRows`-preceding-to-current aggregate of `valueCol` over
     * `orderCol` (a LONG key with unique values, e.g. a day number), globally
     * ordered, emitted as `outCol`. `aggFn` maps the value column to its frame
@@ -65,6 +75,7 @@ object Windowed {
       validateGaps: Boolean = true): DataFrame = {
     require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
     require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
+    requireFree(df, "trailingStitched", "__bkt", "__rn", "__hop", "__ctx", "__gap_ok")
     val bkt = col("__bkt")
     val bucketed = df.withColumn("__bkt", floor(col(orderCol) / lit(bucketSpan)))
     val lastRows = Window.partitionBy(bkt).orderBy(col(orderCol).desc)
@@ -114,6 +125,7 @@ object Windowed {
       valueCol: String,
       outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "lagStitched needs at least one order column")
+    requireFree(df, "lagStitched", "__bkt", "__rn", "__lag", "__lastv", "__pred")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val withBkt = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__bkt", spark_partition_id().cast("long"))
@@ -184,6 +196,7 @@ object Windowed {
       valueCol: String,
       outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "runningSumStitched needs at least one order column")
+    requireFree(df, "runningSumStitched", "__pid", "__off", "__a", "__p")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())

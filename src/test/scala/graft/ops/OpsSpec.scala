@@ -15,9 +15,13 @@ class OpsSpec extends SparkSpec {
   ).toDF("doc_id", "text", "lang")
 
   test("exact dedup keeps min id and counts copies") {
-    val out = Dedup.exact(docs, "text").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // The op is unordered by contract (a bare orderBy would re-execute the
+    // aggregate in range sampling); sort collected results here.
+    val out = Dedup.exact(docs, "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
-    val hashed = Dedup.hashed(docs, "text").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hashed = Dedup.hashed(docs, "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(hashed.toSeq == out.toSeq)
   }
 
@@ -424,6 +428,28 @@ class OpsSpec extends SparkSpec {
       .orderBy(col("eid")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
     assert(out.toSeq == Seq((1L, 9L), (2L, 11L), (3L, -1L)))
+  }
+
+  test("asof join ignores right rows with a NULL time") {
+    // A null right time is 'unknown ≤ t' — it must never become the carried
+    // match (nulls-first ordering would otherwise hand it to every left row
+    // preceding all real right rows).
+    val left = Seq((1L, 10L, 50L)).toDF("eid", "k", "t")
+    val right = Seq((10L, Option.empty[Long], 7L), (10L, Some(100L), 9L))
+      .toDF("k", "rt", "ok")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("ok"), "ok").collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
+  test("pair kernel survives a zero-norm vector (NaN cosine dropped, like the expr twin)") {
+    val withZero = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val kern = Similarity.pairsAbove(withZero, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expr = Similarity.pairsAboveExpr(withZero, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(kern == expr && kern == Seq((0L, 1L))) // zero-vector pairs dropped
   }
 
   test("token stats and quality are deterministic") {
