@@ -752,7 +752,7 @@ object SparkEntry {
     ev0.groupBy(session_window(col("ts_event"), "1800 seconds"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(coalesce(sum(col("value").cast("decimal(18,6)")).cast("double"), lit(0.0)), 4)
+        round(coalesce(sum(col("value").cast("decimal(30,10)")).cast("double"), lit(0.0)), 4)
           .as("sum_value"))
       .select(
         unix_millis(col("session_window.start")).as("sess_start"),
@@ -1594,7 +1594,7 @@ object SparkEntry {
          |         FROM o)
          |SELECT min(time) AS sess_start, max(time) + 1800000 AS sess_end, event_type,
          |       count(*) AS n,
-         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 0), 4)
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM sgrp GROUP BY event_type, sid
          |ORDER BY event_type, sess_start""".stripMargin,
@@ -1605,7 +1605,7 @@ object SparkEntry {
       s"""WITH e AS ($EvCte)
          |SELECT (time // 86400000) * 86400000 AS win_start, event_type,
          |       count(*) AS n,
-         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 0), 4)
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "multimodal_features" ->

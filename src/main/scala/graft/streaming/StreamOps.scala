@@ -38,10 +38,13 @@ object StreamOps {
       // merge order varies across micro-batch/shuffle layouts, and a
       // double-sum's last-ulp wobble lands on round-N .5 boundaries when
       // results are compared against a batch re-derivation (the gate does).
-      // The mean inherits determinism from the exact numerator.
+      // The mean inherits determinism from the exact numerator. (30,10):
+      // 10 fractional digits keep the per-row quantization bias below 5e-11
+      // and 20 integer digits keep |value| sums far from the ANSI overflow
+      // a (18,6) cast hits at 1e12 — must match the oracle's cast exactly.
       .agg(
         count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("__sv"),
+        sum(col(valueCol).cast("decimal(30,10)")).cast("double").as("__sv"),
         count(col(valueCol)).as("__nv"))
       .select(
         col("window.start").as("win_start"), col("window.end").as("win_end"),
@@ -89,7 +92,10 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
-  final case class KeyedEvent(key: String, tsMs: Long, value: Double)
+  /** `seq` is the insertion-order tiebreak for equal timestamps (the batch
+    * ops order by (time, seqCol)); defaults to 0 for sources without one.
+    */
+  final case class KeyedEvent(key: String, tsMs: Long, value: Double, seq: Long = 0L)
   final case class RunningLast(key: String, n: Long, last: Double)
 
   final case class DerivState(t0: Long, lastVal: Double, curK: Long, acc: Double)
@@ -119,7 +125,10 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (key: String, events: Iterator[KeyedEvent], state: GroupState[DerivState]) =>
-          val sorted = events.toSeq.sortBy(e => (e.tsMs, e.value))
+          // (tsMs, seq): the same tie order as batch Derivative's
+          // (time, seqCol) — a value-based tiebreak would diverge from
+          // batch whenever tied timestamps end a bucket.
+          val sorted = events.toSeq.sortBy(e => (e.tsMs, e.seq))
           val out = scala.collection.mutable.ArrayBuffer.empty[DerivPoint]
           var st = state.getOption.orNull
           for (e <- sorted) {
@@ -163,14 +172,17 @@ object StreamOps {
       else GroupStateTimeout.NoTimeout()
     stream
       .groupByKey(_.key)
-      .mapGroupsWithState(timeout) {
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(), timeout) {
         (key: String, events: Iterator[KeyedEvent], state: GroupState[RunningLast]) =>
           if (state.hasTimedOut) {
-            val out = state.get
+            // Eviction only clears state — re-emitting the stale row here
+            // (the mapGroupsWithState shape, which MUST return a value)
+            // duplicated the key's last update at every timeout.
             state.remove()
-            out
+            Iterator.empty
           } else {
-            val sorted = events.toSeq.sortBy(e => e.tsMs)
+            val sorted = events.toSeq.sortBy(e => (e.tsMs, e.seq))
             val prev = state.getOption.getOrElse(RunningLast(key, 0L, 0.0))
             val next = RunningLast(
               key,
@@ -178,7 +190,7 @@ object StreamOps {
               if (sorted.nonEmpty) sorted.last.value else prev.last)
             state.update(next)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-            next
+            Iterator.single(next)
           }
       }
   }

@@ -62,13 +62,26 @@ object OrderedFold {
 
   /** [[Metric]] adapter so a user fold drops into `UtsQuery.metrics` beside
     * the built-ins — the reference's third-party `Aggregate` surface
-    * (uts.ts:386-396).
+    * (uts.ts:386-396). NULL values are SKIPPED, the SQL-aggregate
+    * convention every built-in [[Metric]] follows (the uts data model makes
+    * missing columns NULL, so a primitive-encoded fold would crash on the
+    * first absent value; the reference's NaN-poisoning fold lives in
+    * [[Quirk]], opt-in).
     */
-  def metric(c: String, z: Double, step: (Double, Double) => Double): Metric =
+  def metric(c: String, z: Double, step: (Double, Double) => Double): Metric = {
+    // Hoisted OUTSIDE the anonymous Metric: a lambda written inside it would
+    // close over the (non-serializable) anonymous instance and fail task
+    // serialization; this one captures only `step`.
+    val nullSkipping: (Double, Option[Double]) => Double =
+      (acc, v) => v.fold(acc)(x => step(acc, x))
     new Metric {
-      def agg(ord: OrderCtx): Column = foldDouble(z, step)(ord.time, ord.seq, org.apache.spark.sql.functions.col(c))
+      def agg(ord: OrderCtx): Column =
+        fold[Option[Double], Double, Double](
+          z, nullSkipping, identity, Encoders.scalaDouble)(
+          ord.time, ord.seq, org.apache.spark.sql.functions.col(c))
       def emptyValue: Option[org.apache.spark.sql.types.DataType => Column] = None
     }
+  }
 
   /** The reference's per-point `map(fn)` over ARBITRARY lambdas
     * (`uts.ts:562-571`, its `Mapper` aggregate): apply `fn` to each point's

@@ -51,6 +51,21 @@ final case class UtsSeries(
       copy(df = df.filter(pred))
     }
 
+  /** [[retain]] anchored at the series' own newest point, computed IN-PLAN
+    * (broadcast max, no driver action) — the retention anchor for queries
+    * that carry no time anchor of their own (global/categorical groups).
+    * The newest point is the batch analog of the reference sweep's
+    * wall-clock `now` (uts.ts:257-269): deterministic per corpus.
+    */
+  def retainLatest(ttlMs: Long): UtsSeries =
+    if (ttlMs == 0L) this
+    else {
+      val mx = df.agg(max(col(timeCol)).as("__uts_now"))
+      copy(df = df.crossJoin(broadcast(mx))
+        .filter(col(timeCol) >= col("__uts_now") - ttlMs)
+        .drop("__uts_now"))
+    }
+
   /** Run a query (uts.ts:362-375). */
   def query(q: UtsQuery): DataFrame =
     UtsCompiler.run(df, q.copy(timeCol = timeCol, seqCol = seqCol, rawTimeNs = rawTimeNs))
@@ -117,8 +132,11 @@ final class UtsDb(
   }
 
   /** Query with retention enforced as of the query's `nowMs` (for interval
-    * groups) or the given asOf — the lazy, deterministic form of the
-    * reference's eviction sweep.
+    * groups), the given asOf, or — for anchor-less queries (global and
+    * categorical groups) — the series' own newest point via
+    * [[UtsSeries.retainLatest]], so retention holds for EVERY query shape,
+    * not only time-anchored ones (the lazy, deterministic form of the
+    * reference's eviction sweep).
     */
   def query(name: String, q: UtsQuery, asOfMs: Option[Long] = None): DataFrame = {
     val ttl = retentionMs.getOrElse(name, 0L)
@@ -128,6 +146,7 @@ final class UtsDb(
     })
     val s = (ttl, now) match {
       case (t, Some(n)) if t > 0 => series(name).retain(t, n)
+      case (t, None) if t > 0 => series(name).retainLatest(t)
       case _ => series(name)
     }
     s.query(q)

@@ -66,6 +66,7 @@ object UtsCompiler {
   }
 
   def run(df: DataFrame, q: UtsQuery): DataFrame = {
+    require(q.metrics.nonEmpty, "UtsQuery needs at least one metric")
     val ord = OrderCtx(col(q.timeCol), q.seqCol.map(col).getOrElse(lit(0L)))
     val aggs = q.metrics.map { case (name, m) => m.agg(ord).as(name) }
     val filtered = df.filter(Pred.conj(q.where ++ rawTimePreds(q)))
@@ -111,7 +112,11 @@ object UtsCompiler {
             }
             val spine = bound match {
               case Some(b) =>
-                val count = math.max(((now - b) / width) + 1L, 0L)
+                // floorDiv, not Scala's truncating `/`: a bound in
+                // (now, now+width) makes now−b negative, where trunc yields
+                // 0 (one spurious zero-filled bin) but the reference's
+                // Math.floor yields −1 (empty spine, uts.ts:113-122).
+                val count = math.max(Math.floorDiv(now - b, width) + 1L, 0L)
                 df.sparkSession.range(count).select(col("id").as(BucketCol))
               case None =>
                 inRange

@@ -49,16 +49,25 @@ final case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object ShingleHashes {
-  private val FnvOffset = 0xcbf29ce484222325L
-  private val FnvPrime = 0x100000001b3L
+/** FNV-1a 64-bit constants, shared by every token-hashing kernel in this
+  * file AND re-derived in DuckDB oracle SQL — one definition so the kernels
+  * cannot silently disagree.
+  */
+private[graftfns] object Fnv {
+  val Offset = 0xcbf29ce484222325L
+  val Prime = 0x100000001b3L
+}
 
-  /** Called from both interpreted eval and generated code. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val bytes = text.getBytes
-    // Token boundaries: split on 0x20. A space byte never occurs inside a
-    // multi-byte UTF-8 sequence (continuation bytes are >= 0x80), so a plain
-    // byte scan is a correct character-level split.
+/** Shared 0x20 token-boundary scan for the kernels that need random access
+  * to token extents (ShingleHashes, WordGrams). A space byte never occurs
+  * inside a multi-byte UTF-8 sequence (continuation bytes are >= 0x80), so a
+  * plain byte scan is a correct character-level split; semantics match
+  * `graft.ops.Text.tokens` (split on 0x20 only, empties dropped).
+  */
+private[graftfns] object TokenScan {
+  final class Bounds(val starts: Array[Int], val ends: Array[Int], val count: Int)
+
+  def bounds(bytes: Array[Byte]): Bounds = {
     var tokenCount = 0
     var i = 0
     val len = bytes.length
@@ -73,6 +82,21 @@ object ShingleHashes {
         tokenCount += 1
       } else i += 1
     }
+    new Bounds(starts, ends, tokenCount)
+  }
+}
+
+object ShingleHashes {
+  private val FnvOffset = Fnv.Offset
+  private val FnvPrime = Fnv.Prime
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val tb = TokenScan.bounds(bytes)
+    val starts = tb.starts
+    val ends = tb.ends
+    val tokenCount = tb.count
     if (tokenCount < n) return new GenericArrayData(Array.empty[Long])
     val windows = tokenCount - n + 1
     val seen = new java.util.HashSet[java.lang.Long](windows * 2)
@@ -129,22 +153,10 @@ object WordGrams {
   /** Called from both interpreted eval and generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
-    // Same boundary scan as ShingleHashes: 0x20 never occurs inside a
-    // multi-byte UTF-8 sequence, so a byte scan is a correct split.
-    var tokenCount = 0
-    var i = 0
-    val len = bytes.length
-    val starts = new Array[Int](len / 2 + 1)
-    val ends = new Array[Int](len / 2 + 1)
-    while (i < len) {
-      if (bytes(i) != 0x20) {
-        val s = i
-        while (i < len && bytes(i) != 0x20) i += 1
-        starts(tokenCount) = s
-        ends(tokenCount) = i
-        tokenCount += 1
-      } else i += 1
-    }
+    val tb = TokenScan.bounds(bytes)
+    val starts = tb.starts
+    val ends = tb.ends
+    val tokenCount = tb.count
     if (tokenCount < n) return new GenericArrayData(Array.empty[Any])
     val windows = tokenCount - n + 1
     val out = new Array[Any](windows)
@@ -210,6 +222,11 @@ object MinHashSignature {
   }
 
   def compute(hashes: ArrayData, k: Int): ArrayData = {
+    // SQL-reachable via the registered function: name the bad argument
+    // instead of a bare NegativeArraySizeException (k = 0 would also be
+    // indistinguishable from the empty-input unshingleable-doc sentinel).
+    if (k < 1)
+      throw new IllegalArgumentException(s"minhash_signature k must be >= 1, got $k")
     val m = hashes.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](k)
@@ -257,8 +274,8 @@ final case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  private val FnvOffset = 0xcbf29ce484222325L
-  private val FnvPrime = 0x100000001b3L
+  private val FnvOffset = Fnv.Offset
+  private val FnvPrime = Fnv.Prime
 
   /** Called from both interpreted eval and generated code. */
   def compute(text: UTF8String): Long = {
@@ -378,8 +395,8 @@ final case class RollingFp(child: Expression)
 }
 
 object RollingFp {
-  private val FnvOffset = 0xcbf29ce484222325L
-  private val FnvPrime = 0x100000001b3L
+  private val FnvOffset = Fnv.Offset
+  private val FnvPrime = Fnv.Prime
   private val Mask = (1L << 31) - 1
 
   /** Called from both interpreted eval and generated code. */

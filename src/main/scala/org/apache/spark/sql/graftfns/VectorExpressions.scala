@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * custom Expression → custom operator), a scalar kernel like this is exactly
   * the custom-Expression case.
   *
-  * Semantics match the HOF formulation bit-for-bit: sequential left-to-right
-  * double accumulation over min(len(a), len(b)) elements; NULL if either side
+  * Semantics match the HOF formulation (`aggregate(zip_with(a, b, _*_),
+  * 0d, _+_)`) bit-for-bit: sequential left-to-right double accumulation;
+  * NULL if either side is NULL, if the lengths differ (zip_with pads the
+  * short side with NULL — a truncated partial sum would be a plausible-
+  * looking WRONG similarity for mixed-dimension corpora), or if any element
   * is NULL. The DuckDB oracle's double-cast cosine reproduces the same fold.
   */
 final case class DotProduct(left: Expression, right: Expression)
@@ -32,17 +35,23 @@ final case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) {
-      sum += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var sum = 0.0
+      var i = 0
+      var hasNull = false
+      while (i < n && !hasNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) hasNull = true
+        else { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+      }
+      if (hasNull) null else java.lang.Double.valueOf(sum)
     }
-    sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -51,12 +60,17 @@ final case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -36,6 +36,9 @@ class DotProductSpec extends SparkSpec {
         |       dot_product(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d)) AS b""".stripMargin)
       .head()
     assert(out.isNullAt(0))
-    assert(out.getDouble(1) == 11.0) // min-length semantics
+    // Length mismatch is NULL (the zip_with HOF's null-pad semantics): a
+    // truncated min-length partial sum would be a plausible-looking wrong
+    // similarity for mixed-dimension corpora.
+    assert(out.isNullAt(1))
   }
 }

@@ -107,6 +107,20 @@ class TextExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("dot_product: NULL on length mismatch, matching the zip_with HOF") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), (Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .toDF("a", "b")
+    val kernel = df.select(
+      org.apache.spark.sql.graftfns.VectorFunctions.dot($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), _ + _)).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // A truncated partial sum over min(len) would be a plausible-looking
+    // WRONG similarity for mixed-dimension corpora.
+    assert(kernel.toSeq == hof.toSeq && kernel.toSeq == Seq(None, Some(11.0)))
+  }
+
   test("wordGrams kernel equals the declarative transform/slice/concat_ws chain") {
     import org.apache.spark.sql.Column
     // The formulation the kernel replaced, kept here as the reference.

@@ -81,4 +81,17 @@ class OrderedFoldSpec extends SparkSpec {
     // (500,750]→v=0,1 fold= (0*2+0)*2+1 = 1
     assert(out.toSeq == Seq((750L, 18.0), (500L, 1.0)))
   }
+
+  test("metric skips NULL values instead of crashing (missing-column rows)") {
+    // The uts insert model leaves missing columns NULL; the fold must skip
+    // them like every built-in aggregate (the reference's NaN-poisoning is
+    // the opt-in Quirk surface).
+    val withNulls = Seq(
+      (100L, 1L, Some(2.0)), (200L, 2L, None), (300L, 3L, Some(5.0))
+    ).toDF("time", "seq", "v")
+    val out = UtsSeries(withNulls, timeCol = "time", seqCol = Some("seq"))
+      .query(UtsQuery(Seq("s" -> OrderedFold.metric("v", 0.0, _ + _))))
+      .head().getDouble(0)
+    assert(out == 7.0)
+  }
 }

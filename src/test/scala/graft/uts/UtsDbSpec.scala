@@ -43,6 +43,26 @@ class UtsDbSpec extends SparkSpec {
     assert(all.agg(sum($"n")).head().getLong(0) == 2L)
   }
 
+  test("retention applies to anchor-less queries via the series' newest point") {
+    val db = new UtsDb(spark).defaultRetention(150L)
+    db.insert("a", rows(100L -> 1.0, 200L -> 2.0, 300L -> 3.0))
+    // Global group carries no time anchor; retention must still hold,
+    // anchored at max(time)=300 → keep time >= 150 → 2 points.
+    val out = db.query("a", UtsQuery(Seq("n" -> CountM())))
+    assert(out.head().getLong(0) == 2L)
+  }
+
+  test("zero-fill spine is empty when the time bound exceeds now (floor, not trunc)") {
+    // bound ∈ (now, now+width): floorDiv(now−b, w)+1 = 0 bins; Scala's
+    // truncating division would emit one spurious zero-filled bin.
+    val s = UtsSeries(rows(100L -> 1.0))
+    val out = s.query(UtsQuery(
+      Seq("n" -> CountM()),
+      where = Seq(Pred.gt("time", 105L)),
+      group = IntervalGroup(10L, fill = true, 100L)))
+    assert(out.count() == 0L)
+  }
+
   test("binds a corpus directory: events table resolves, unknown name is empty") {
     val db = new UtsDb(spark, dir = Some("/root/testdata/sf0.001"), timeCol = "event_id")
     assert(db.series("orders").df.count() > 0)
