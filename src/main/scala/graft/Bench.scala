@@ -14,19 +14,30 @@ import org.apache.spark.sql.SparkSession
   * per run can regress 10-100×; see BASELINE.md). A single-shot-per-query
   * harness therefore produces red runs regardless of plan quality. Each
   * query runs REPS times after warmup; the reported per-query number is the
-  * MEDIAN of those runs and "value" is the sum of medians. Per-run raws go
-  * to stderr so a stall is visible in the log instead of poisoning the
-  * official artifact.
+  * MEDIAN of those runs and "value" is the sum of medians.
+  *
+  * Self-adjudication: the artifact alone must distinguish a host stall from
+  * a plan regression and a failure from a fast run, so the JSON carries
+  *   - "raws": per-query per-rep wall times (every rep, not just medians);
+  *   - "queries": median, or the string "err" when ANY rep threw — a broken
+  *     query never contributes a wall time to "value";
+  *   - "errors": query -> first exception message, when any;
+  *   - "cpu_calib_sec": a fixed CPU workload timed at start/end AND every
+  *     [[CalibEvery]] queries mid-run (a stall window between two clean
+  *     endpoint calibrations is otherwise invisible).
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Interleave a calibration sample after every this-many queries. */
+  private val CalibEvery = 10
+
   /** Fixed single-thread CPU workload (~0.2 s on a healthy core), timed at
-    * bench start and end and embedded in the artifact — host-level
+    * bench start/end and mid-run and embedded in the artifact — host-level
     * throttling of this VM then shows up as a number in the JSON instead
     * of only as inflated query medians (this VM demonstrably degrades
     * 2-10× for minutes at a time; see BASELINE.md).
@@ -38,6 +49,59 @@ object Bench {
     while (i < 200000000L) { x += i * 2654435761L; i += 1 }
     if (x == 42L) System.err.print("") // defeat dead-code elimination
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Time `run` `reps` times: Right(seconds) per clean rep, Left(message)
+    * for a rep that threw. Separated from main so BenchSpec can prove a
+    * throwing query yields an error marker, never a timing.
+    */
+  private[graft] def timeReps(run: () => Unit, reps: Int): Seq[Either[String, Double]] =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      try {
+        run()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  /** Render the artifact line. Queries with any errored rep report the
+    * literal "err" (and an entry in "errors") and are EXCLUDED from
+    * "value" — a broken query must never read as a fast one.
+    */
+  private[graft] def renderJson(
+      results: Seq[(String, Seq[Either[String, Double]])],
+      sfDir: String,
+      reps: Int,
+      calib: Seq[Double]): String = {
+    val qs = results.map { case (name, raws) =>
+      val v =
+        if (raws.exists(_.isLeft)) "\"err\""
+        else f"${median(raws.collect { case Right(t) => t })}%.3f"
+      jsonStr(name) + ":" + v
+    }.mkString("{", ",", "}")
+    val rawsJson = results.map { case (name, raws) =>
+      jsonStr(name) + ":" + raws.map {
+        case Right(t) => f"$t%.3f"
+        case Left(_)  => "\"err\""
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect {
+      case (name, raws) if raws.exists(_.isLeft) =>
+        jsonStr(name) + ":" + jsonStr(raws.collectFirst { case Left(m) => m }.get.take(200))
+    }.mkString("{", ",", "}")
+    val total = results.collect {
+      case (_, raws) if raws.forall(_.isRight) =>
+        median(raws.collect { case Right(t) => t })
+    }.sum
+    val nErr = results.count(_._2.exists(_.isLeft))
+    val calibJson = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"cpu_calib_sec":$calibJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,7 +116,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val calibBefore = cpuCalib()
+    val calib = scala.collection.mutable.ArrayBuffer(cpuCalib())
     // JIT + parquet-footer + page-cache warmup so per-query numbers measure
     // the plan, not first-touch JVM/IO costs; excluded from all timings. One
     // cheap query per table family (lineitem+dims, events, documents,
@@ -60,22 +124,22 @@ object Bench {
     for (w <- Seq("q1_agg", "q5_nation_revenue", "uts_global_metrics",
         "text_stats", "sim_topk_cosine"))
       SparkEntry.queries(w)(spark, sfDir).write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val raws = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.zipWithIndex.map { case ((name, fn), i) =>
+      val raws = timeReps(
+        () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(), reps)
+      raws.collect { case Left(m) => m }.headOption.foreach(m =>
+        System.err.println(s"[bench] $name failed: $m"))
       System.err.println(
-        f"[bench] $name raws=${raws.map(r => f"$r%.3f").mkString(",")} median=${median(raws)}%.3f")
-      name -> median(raws)
+        s"[bench] $name raws=" + raws.map {
+          case Right(t) => f"$t%.3f"
+          case Left(_)  => "err"
+        }.mkString(","))
+      if ((i + 1) % CalibEvery == 0) calib += cpuCalib()
+      name -> raws
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val calibAfter = cpuCalib()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpu_calib_sec":[$calibBefore%.3f,$calibAfter%.3f]}""")
+    calib += cpuCalib()
+    println(renderJson(results, sfDir, reps, calib.toSeq))
     spark.stop()
   }
 }

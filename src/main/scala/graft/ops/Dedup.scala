@@ -162,11 +162,16 @@ object Dedup {
     * in millions of documents (the stopword-shingle skew case the count
     * formulation can't survive).
     *
-    * Caching contract: the shingle/prefix/set relations are `.cache()`d
-    * because each feeds several branches of the one returned plan; the
-    * blocks stay registered in the CacheManager after the query runs, so a
-    * driver sweeping many corpora/thresholds through this op should
-    * `spark.catalog.clearCache()` between sweeps (or accept LRU eviction).
+    * Materialization contract: the shingle/prefix/set relations each feed
+    * several branches of the returned plan, so they are EAGERLY
+    * `localCheckpoint`ed when this method is called (three jobs run here,
+    * not at the caller's action). Unlike `.cache()`, nothing registers in
+    * the CacheManager — the blocks die with the returned DataFrame via the
+    * ContextCleaner, so sweeping many corpora/thresholds through this op
+    * leaves no session-lifetime residue. Executor-local blocks mean a lost
+    * executor fails the query (recompute the call); a cluster run that
+    * needs fault tolerance should pre-materialize the shingle relation to
+    * reliable storage instead.
     */
   def jaccardPairsPrefixFiltered(
       df: DataFrame,
@@ -175,9 +180,9 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // The shingle relation feeds four branches (df counts, ranking, both join
-    // sides, verification sets) — cache it, or every branch re-runs the
-    // tokenize/shingle scan. Same for the prefix relation (self-joined).
-    val sh = shingles(df, n, idCol, textCol).cache()
+    // sides, verification sets) — materialize it, or every branch re-runs
+    // the tokenize/shingle scan. Same for the prefix relation (self-joined).
+    val sh = shingles(df, n, idCol, textCol).localCheckpoint()
     // Prefix filtering (ppjoin-style): order each document's shingles by a
     // global canonical order (ascending document frequency, then shingle) and
     // keep only the first |A| − ⌈t·|A|⌉ + 1. Two sets with J ≥ t MUST share a
@@ -195,14 +200,14 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("id"), col("shingle"))
-      .cache()
+      .localCheckpoint()
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
     // Exact verification on the candidates only, via full sorted shingle sets.
-    val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh")).cache()
+    val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh")).localCheckpoint()
     Ordered.smallResult(
       candidates
         .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
@@ -320,7 +325,10 @@ object Dedup {
     * truncation, so a lost block recomputes from the last reliable cut.
     * (`localCheckpoint` between cuts would truncate lineage to executor
     * blocks and reintroduce the very failure mode the dir bounds.) Replay
-    * after loss is therefore < `checkpointInterval` rounds.
+    * after loss is therefore < `checkpointInterval` rounds. `checkpointDir`
+    * is applied ONLY when the SparkContext has no checkpoint dir configured
+    * yet — an existing session-level dir is respected, never clobbered
+    * (reliable cuts then write there instead).
     *
     * Convergence bound (documented): plain min-label propagation needs
     * O(diameter) rounds, and a component with diameter > `maxIters` returns
@@ -343,7 +351,13 @@ object Dedup {
       checkpointInterval: Int = 5): DataFrame = {
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
-    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { dir =>
+      val sc = vertices.sparkSession.sparkContext
+      // Respect a caller-configured session-level checkpoint dir: setting it
+      // unconditionally would silently redirect every other job's
+      // checkpoints on this shared SparkContext.
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
     // With a dir: reliable checkpoint on the interval rounds, persist (NOT
     // localCheckpoint — it would truncate lineage to executor blocks) in
     // between, so recovery replays from the last reliable cut. Without a
@@ -373,11 +387,18 @@ object Dedup {
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
       // The count materialized `next`; the superseded round's cache blocks
-      // are dead weight from here (persist registers in the CacheManager and
-      // is NOT reclaimed when the reference drops — without this, up to
-      // maxIters vertex-sized label sets pile up per call). Recovery after
-      // an unpersist just replays from the last reliable cut.
+      // are dead weight from here — without this, up to maxIters
+      // vertex-sized label sets pile up per call. Recovery after an
+      // unpersist just replays from the last reliable cut. Two release
+      // paths: Dataset.unpersist clears CacheManager entries (the persist
+      // rounds), but a localCheckpoint'd round persists its RDD DIRECTLY —
+      // release that handle through the plan's LogicalRDD leaf or the no-dir
+      // path reclaims nothing.
       labels.unpersist(blocking = false)
+      labels.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+      }
       labels = next
       done = changed == 0L
       iter += 1

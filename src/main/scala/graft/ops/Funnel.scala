@@ -50,10 +50,15 @@ object Funnel {
         .groupBy(col(userCol)).agg(min(col("t2")).as("t"))
     }
 
-    arrivals.zip(stepTypes).zipWithIndex.map { case ((df, tpe), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i.toLong).as("step_idx"), lit(tpe).as("step"), col("n_users"))
-    }.reduce(_ union _).orderBy(col("step_idx"))
+    // smallResult, not orderBy: a range sort's boundary sampling would
+    // re-execute the whole unioned join chain a second time for a
+    // steps-count-sized output.
+    Ordered.smallResult(
+      arrivals.zip(stepTypes).zipWithIndex.map { case ((df, tpe), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("step_idx"), lit(tpe).as("step"), col("n_users"))
+      }.reduce(_ union _),
+      "step_idx")
   }
 
   /** Two-step conversion-rate summary: of the users who did `from`, the

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** `xxhash64` fails analysis on maps anywhere in a type. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
+  }
+
   /** Bloom-prune `large` against `build`'s `buildKey` set, then exact
     * left-semi join on `largeKey == buildKey`. Output = `large` rows with at
     * least one `build` match, all original `large` columns.
@@ -115,14 +126,20 @@ object Joins {
   /** Salted replicated inner join: `large ⋈ small` on `largeKey == smallKey`,
     * exact output, hot probe keys spread over `replicate` tasks.
     *
-    * The salt is a CONTENT hash of the probe row (all columns), so a task
-    * retry recomputes the identical salt — no rand-partitioning retry hazard
-    * (contrast [[Skew.saltedAgg]], where a content hash would collapse
-    * duplicate rows onto one salt and break the spreading; for a JOIN,
-    * identical duplicate rows landing on one replica is a load imbalance of
-    * exactly those duplicates, never a correctness issue, because each row
-    * joins only the one replica carrying its salt and every replica holds
-    * the full small side).
+    * The salt is a CONTENT hash of the probe row, so a task retry recomputes
+    * the identical salt — no rand-partitioning retry hazard (contrast
+    * [[Skew.saltedAgg]], where a content hash would collapse duplicate rows
+    * onto one salt and break the spreading; for a JOIN, identical duplicate
+    * rows landing on one replica is a load imbalance of exactly those
+    * duplicates, never a correctness issue, because each row joins only the
+    * one replica carrying its salt and every replica holds the full small
+    * side).
+    *
+    * `saltBy`: the column(s) to content-hash. Pass a unique-ish row key when
+    * one exists — identical duplicate payloads then spread evenly instead of
+    * piling on one replica. Default (None) hashes every HASHABLE probe
+    * column (map-typed columns are excluded — `xxhash64` rejects maps at
+    * analysis time).
     *
     * `small` must be small enough to replicate `replicate`× through a
     * shuffle (it is NOT broadcast — if it were broadcastable, salting would
@@ -134,12 +151,23 @@ object Joins {
       small: DataFrame,
       largeKey: String,
       smallKey: String,
-      replicate: Int): DataFrame = {
+      replicate: Int,
+      saltBy: Seq[String] = Nil): DataFrame = {
     require(replicate >= 1, s"replicate must be >= 1, got $replicate")
     require(!(large.columns ++ small.columns).contains("__salt"),
       "saltedRepJoin reserves the __salt column name; rename the input column")
+    val saltCols: Seq[Column] =
+      if (saltBy.nonEmpty) saltBy.map(col)
+      else {
+        val hashable = large.schema.fields
+          .filterNot(f => containsMap(f.dataType)).map(f => col(f.name)).toSeq
+        require(hashable.nonEmpty,
+          "saltedRepJoin: every probe column is map-typed (unhashable); " +
+            "pass saltBy naming a hashable column")
+        hashable
+      }
     val salted = large.withColumn(
-      "__salt", pmod(xxhash64(large.columns.map(col): _*), lit(replicate)).cast("int"))
+      "__salt", pmod(xxhash64(saltCols: _*), lit(replicate)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(array((0 until replicate).map(lit): _*)))
       .hint("shuffle_hash")

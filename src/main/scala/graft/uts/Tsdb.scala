@@ -106,15 +106,19 @@ final class UtsDb(
 
   /** Get-or-create (uts.ts:540-547): resolves `dir/<name>.parquet` when a
     * corpus directory is bound and the table exists; otherwise an empty
-    * series with just the time column.
+    * series with just the time column. Existence goes through Hadoop's
+    * `FileSystem` (scheme-resolved from the path), not `java.io.File` — a
+    * 100 TB corpus lives on HDFS/S3, where a local-filesystem probe would
+    * report every table absent.
     */
   def series(name: String): UtsSeries =
     seriesMap.getOrElseUpdate(name, {
       retentionMs(name) = defaultRetentionMs
       val df = dir
-        .map(d => new java.io.File(s"$d/$name.parquet"))
-        .filter(_.exists())
-        .map(f => spark.read.parquet(f.getPath))
+        .map(d => new org.apache.hadoop.fs.Path(s"$d/$name.parquet"))
+        .filter(p =>
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        .map(p => spark.read.parquet(p.toString))
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(

@@ -31,9 +31,14 @@ class OpsSpec extends SparkSpec {
     // docs 0/4 identical (J=1); 0/1 and 1/4 share 6 of 8 distinct shingles (J=0.6).
     assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 4L), (1L, 4L)))
     assert(out.find(p => p._1 == 0 && p._2 == 4).get._3 == 1.0)
+    spark.catalog.clearCache()
     val prefixed = Dedup.jaccardPairsPrefixFiltered(docs, n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(prefixed.toSeq == out.toSeq)
+    // Intermediates are localCheckpoint'ed, not cache()'d: running the op
+    // must leave nothing registered in the session CacheManager.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardPairsPrefixFiltered leaked CacheManager entries")
   }
 
   test("minhash LSH recovers the same pairs as exact jaccard here") {

@@ -68,4 +68,12 @@ class UtsDbSpec extends SparkSpec {
     assert(db.series("orders").df.count() > 0)
     assert(db.series("no_such_table").df.count() == 0)
   }
+
+  test("corpus directory resolves through Hadoop FileSystem (scheme URIs work)") {
+    // java.io.File("file:/x").exists is always false — the probe must go
+    // through the path's FileSystem so HDFS/S3-style scheme URIs resolve.
+    val db = new UtsDb(spark, dir = Some("file:/root/testdata/sf0.001"), timeCol = "event_id")
+    assert(db.series("orders").df.count() > 0)
+    assert(db.series("no_such_table").df.count() == 0)
+  }
 }
