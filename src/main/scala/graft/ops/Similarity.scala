@@ -443,6 +443,98 @@ object Similarity {
         bestCluster(col(vecCol), col("cs")).as("cluster"): _*)
   }
 
+  // -------------------------------------------------- persisted IVF index
+
+  /** Write a persisted IVF index at `path`: every vector assigned to its
+    * nearest per-`labelCol`-mean centroid and stored as CLUSTER-PARTITIONED
+    * parquet (`path/vectors/cluster=<c>/…`), the (k-row) centroid table
+    * beside it (`path/centroids`).
+    *
+    * This is the piece that makes IVF an INDEX rather than a query shape:
+    * [[ivfTopK]] re-runs the whole-corpus assignment pass inside every
+    * query plan, which at 100 TB IS the cost — here the assignment runs
+    * once at build time, and every probe afterwards is a partition-pruned
+    * read of `nprobe` inverted lists (nprobe/k of the data touched, zero
+    * assignment work). Same write shape as [[Layout.clusterByZ]]: layout
+    * decided at write time so the engine's scan pruning does the work at
+    * read time.
+    */
+  def ivfBuild(
+      df: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): Unit =
+    ivfBuildWith(df, centroidsOf(df, vecCol, labelCol), path, idCol, vecCol, Seq(labelCol))
+
+  /** [[ivfBuild]] over an arbitrary centroid set — pass
+    * [[centroidsKMeans]]'s output to persist an index for an unlabeled
+    * corpus.
+    */
+  def ivfBuildWith(
+      df: DataFrame,
+      centroids: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      extraCols: Seq[String]): Unit = {
+    val assigned = assignedOf(df, centroids, idCol, vecCol, extraCols)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: top-k by cosine against the literal
+    * `query` vector, scanning ONLY the `nprobe` nearest cluster partitions.
+    *
+    * The centroid table is collected to the driver to pick the probe list —
+    * deliberate and tiny (k rows; every ANN service holds its routing table
+    * in RAM), and it is exactly what turns the cluster predicate into a
+    * LITERAL `IN` the scan prunes partitions with at planning time
+    * (StorageLayoutSpec asserts only probed `cluster=` directories are
+    * read). The driver-side scoring replays the in-plan [[cosine]] fold
+    * (same left-to-right double accumulation), so probe selection matches
+    * [[ivfTopK]] bit-for-bit.
+    *
+    * Results are identical to [[ivfTopK]] over the same corpus (same
+    * centroids, same assignment, same probe list, same scoring) — minus the
+    * corpus-wide assignment pass.
+    */
+  def ivfProbePersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      k: Int,
+      nprobe: Int,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qn = math.sqrt(blasDot(query, query))
+    val probed = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](r.fieldIndex("cvec")).toArray
+        val cs = blasDot(cv, query) / (math.sqrt(blasDot(cv, cv)) * qn)
+        (r.get(r.fieldIndex("cl")), cs)
+      }
+      // cs desc, cl asc — the same probe-list order as ivfTopK's
+      // `orderBy(cs.desc, cl)`.
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 &&
+          a._1.asInstanceOf[Comparable[Any]].compareTo(b._1) < 0))
+      .take(nprobe)
+      .map(_._1)
+      .toSeq
+    val qlit = typedlit(query.toSeq)
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cluster").isin(probed: _*))
+    val base = excludeId.fold(vecs)(id => vecs.filter(col(idCol) =!= id))
+    val outCols = base.columns.filter(c => c != vecCol && c != "cluster")
+    base.select(outCols.map(col) :+ col("cluster") :+
+        round(cosine(col(vecCol), qlit), 4).as("cosine"): _*)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   // -------------------------------------------------- SRP (hyperplane) LSH
 
   /** Rademacher (±1) hyperplane weight for signed random projections,
