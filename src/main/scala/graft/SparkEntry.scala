@@ -581,6 +581,27 @@ object SparkEntry {
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(T(s, dir, "embeddings"), queryId = 0, k = 10, nprobe = 3)
 
+  /** Persisted-index ANN: [[graft.ops.Similarity.ivfBuild]] writes the
+    * cluster-partitioned index once, then the probe answers the query from
+    * `nprobe` partition-pruned inverted lists alone — zero assignment work
+    * at read time, the shape that amortizes at 100 TB (build cost is paid
+    * here too, so the bench row prices the full build+probe; a production
+    * index is built once and probed millions of times). Same approximation
+    * as `ann_ivf_topk` — the oracle is shared verbatim, so a divergence
+    * between the persisted and in-plan paths turns the driver red.
+    */
+  private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.ivfBuild(emb, path)
+    // The query vector itself is one driver-side row — the same "routing
+    // state in RAM" envelope as the probe's k-row centroid table.
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(0L))
+  }
+
   /** Batch ANN — one plan answers a query SET (the realistic shape: nothing
     * loops per query), checked against a per-query windowed re-derivation.
     */
@@ -896,6 +917,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
@@ -945,6 +967,31 @@ object SparkEntry {
        |FROM inter JOIN sizes s1 ON s1.id = d1 JOIN sizes s2 ON s2.id = d2
        |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
        |ORDER BY d1, d2""".stripMargin
+
+  /** Full IVF re-derivation — shared by `ann_ivf_topk` (in-plan assignment)
+    * and `ann_ivf_persisted` (index built at write time, probed by partition
+    * pruning): both compute the identical approximation, so one oracle gates
+    * both paths.
+    */
+  private val IvfTopkSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+      |cent AS (
+      |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
+      |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+      |  GROUP BY label),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT vec_id, arg_max(cl, cs) AS cluster
+      |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+      |  GROUP BY vec_id),
+      |probes AS (
+      |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
+      |SELECT e.vec_id, e.label, a.cluster,
+      |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "uts_interval_mean" ->
@@ -1314,25 +1361,12 @@ object SparkEntry {
     // Full IVF re-derivation: per-label mean centroids, argmax-cosine
     // assignment, nprobe=3 probe list, exact re-scoring within probed
     // clusters — same approximation, independently computed.
-    "ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
-        |cent AS (
-        |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
-        |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
-        |  GROUP BY label),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |assign AS (
-        |  SELECT vec_id, arg_max(cl, cs) AS cluster
-        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
-        |  GROUP BY vec_id),
-        |probes AS (
-        |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
-        |SELECT e.vec_id, e.label, a.cluster,
-        |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
-        |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
-        |WHERE e.vec_id <> 0
-        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_topk" -> IvfTopkSql,
+    // The persisted index is the SAME approximation (same centroids, same
+    // assignment, same probe list, same scoring) answered from the
+    // cluster-partitioned files instead of an in-plan assignment pass — the
+    // oracle is shared verbatim.
+    "ann_ivf_persisted" -> IvfTopkSql,
     // Unlabeled IVF: full re-derivation of the seeded k-means init — Knuth-
     // hash seeds, two Lloyd rounds (argmax-cosine assign, per-position mean),
     // then the same probe/score tail as ann_ivf_topk.

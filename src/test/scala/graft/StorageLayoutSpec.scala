@@ -41,6 +41,55 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF probe prunes to the probed cluster partitions and matches ivfTopK") {
+    val dir = tmpDir()
+    // Four well-separated direction clusters in 3-d (labels 0..3), with
+    // per-vector jitter so in-cluster cosines are distinct. vec 0 is the
+    // query.
+    val bases = Seq(
+      Array(1.0, 0.05, 0.0), Array(0.0, 1.0, 0.05),
+      Array(0.05, 0.0, 1.0), Array(0.6, 0.6, 0.2))
+    val rows = (0L until 40L).map { i =>
+      val lab = (i % 4).toInt
+      val v = bases(lab).zipWithIndex.map { case (x, d) =>
+        (x + 0.003 * (i / 4) * (d + 1)).toFloat
+      }.toSeq
+      (i, v, lab)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    graft.ops.Similarity.ivfBuild(df, s"$dir/idx")
+    val q = rows.head._2.map(_.toDouble).toArray
+    val probe = graft.ops.Similarity.ivfProbePersisted(
+      spark, s"$dir/idx", q, k = 5, nprobe = 2, excludeId = Some(0L))
+    val got = probe.collect()
+
+    // 1. Results equal the in-plan ivfTopK over the same corpus: same
+    //    centroids, same assignment, same probe list, same scoring.
+    val want = graft.ops.Similarity.ivfTopK(df, queryId = 0, k = 5, nprobe = 2).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.get(2).toString, r.getDouble(3))
+    assert(got.map(key).toSeq == want.map(key).toSeq)
+    assert(got.length == 5)
+
+    // 2. The probe is a partition-pruned read: the cluster predicate is a
+    //    planning-time literal IN, and the executed scan read exactly the
+    //    nprobe=2 of 4 cluster= directories.
+    val root = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = root.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("vectors") => f
+    }
+    assert(scans.nonEmpty, root.toString.take(2000))
+    assert(scans.head.metadata("PartitionFilters").contains("cluster"),
+      scans.head.metadata.toString)
+    assert(scans.head.metrics("numPartitions").value == 2L,
+      scans.head.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+  }
+
   test("date-partitioned parquet prunes partitions at the scan") {
     val dir = tmpDir()
     val events = (0L until 500L)
