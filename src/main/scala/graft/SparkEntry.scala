@@ -511,6 +511,15 @@ object SparkEntry {
   private def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(T(s, dir, "documents"), n = 3, threshold = 0.6)
 
+  /** The ppjoin-style prefix-filtered plan under the same exact-Jaccard
+    * oracle as `dedup_jaccard_pairs`: prefix filtering is lossless for
+    * J ≥ threshold (two sets over a common total order must share a prefix
+    * shingle), so the output is identical — the gate turns any divergence
+    * between the prefix plan and the count-bound plan red.
+    */
+  private def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefixFiltered(T(s, dir, "documents"), n = 3, threshold = 0.6)
+
   /** The `maxShingleDf` skew-cap plan (hot-shingle anti-join → candidate
     * join → exact verify) under the exact-Jaccard oracle: the corpus's max
     * shingle df is ~25 at sf0.1, so a cap of 200 never prunes a pair here —
@@ -668,6 +677,19 @@ object SparkEntry {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
+
+  /** [[graft.ops.Text.langIdByJoin]] (broadcast-dictionary formulation)
+    * under the `text_langid` confusion-matrix oracle: the true `lang` joins
+    * back on doc_id, then the same (lang, pred_lang) rollup.
+    */
+  private def textLangidJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Text.langIdByJoin(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
 
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ordered.smallResult(Text.fingerprint(T(s, dir, "documents")), "doc_id")
@@ -908,6 +930,7 @@ object SparkEntry {
     "asof_join_orders" -> (asofJoinOrders _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -925,6 +948,7 @@ object SparkEntry {
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid_join" -> (textLangidJoin _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_fp" -> (textRollingFp _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -992,6 +1016,30 @@ object SparkEntry {
       |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
       |WHERE e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** Language-ID confusion matrix, re-derived from the stopword lists and
+    * the argmax CASE chain — shared by `text_langid` (codegen'd CASE) and
+    * `text_langid_join` (broadcast dictionary join): same counts, same
+    * preference order, one oracle for both plans.
+    */
+  private val LangidSql: String = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+       |           FROM documents),
+       |s AS (SELECT lang,
+       |             len(list_filter(ts, x -> list_contains(${lst(Text.StopEn)}, x))) AS en,
+       |             len(list_filter(ts, x -> list_contains(${lst(Text.StopEs)}, x))) AS es,
+       |             len(list_filter(ts, x -> list_contains(${lst(Text.StopFr)}, x))) AS fr,
+       |             len(list_filter(ts, x -> list_contains(${lst(Text.StopDe)}, x))) AS de
+       |      FROM t),
+       |p AS (SELECT lang, CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+       |                        WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+       |                        WHEN es >= fr AND es >= de THEN 'es'
+       |                        WHEN fr >= de THEN 'fr' ELSE 'de' END AS pred_lang
+       |      FROM s)
+       |SELECT lang, pred_lang, count(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "uts_interval_mean" ->
@@ -1272,6 +1320,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> JaccardPairsSql,
+    "dedup_jaccard_prefix" -> JaccardPairsSql,
     "dedup_jaccard_capped" -> JaccardPairsSql,
     "dedup_minhash_lsh" -> JaccardPairsSql,
     // Transitive closure over the same pair edges via WITH RECURSIVE —
@@ -1473,24 +1522,11 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio,
          |       round(least(1.0, greatest(0.0, 0.2 + 1.5*sr - 2.0*pr + 0.02*n_tokens)), 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
-    "text_langid" -> {
-      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-         |           FROM documents),
-         |s AS (SELECT lang,
-         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopEn)}, x))) AS en,
-         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopEs)}, x))) AS es,
-         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopFr)}, x))) AS fr,
-         |             len(list_filter(ts, x -> list_contains(${lst(Text.StopDe)}, x))) AS de
-         |      FROM t),
-         |p AS (SELECT lang, CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
-         |                        WHEN en >= es AND en >= fr AND en >= de THEN 'en'
-         |                        WHEN es >= fr AND es >= de THEN 'es'
-         |                        WHEN fr >= de THEN 'fr' ELSE 'de' END AS pred_lang
-         |      FROM s)
-         |SELECT lang, pred_lang, count(*) AS n FROM p
-         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
-    },
+    "text_langid" -> LangidSql,
+    // The broadcast-dictionary-join formulation computes the identical
+    // confusion matrix — shared oracle, so the two language-ID plans gate
+    // each other.
+    "text_langid_join" -> LangidSql,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
     // The RollingFp kernel re-derived in SQL: nested list_reduce — FNV-1a-64
