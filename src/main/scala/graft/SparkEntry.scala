@@ -834,6 +834,30 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.withPayload(T(s, dir, "documents"))).toDF(),
       "doc_id")
 
+  /** [[graft.ops.Multimodal.resize]] gated BYTE-EXACTLY: the corpus text is
+    * pure ASCII, so the oracle re-derives the truncated/zero-padded payload
+    * as a VARCHAR (DuckDB's md5 hashes the raw bytes, NULs included) and the
+    * md5s must match. Target 64 bytes sits inside the corpus length range
+    * (44..577 at every SF), so BOTH the truncate and the pad path execute.
+    */
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Multimodal.resize(s, Multimodal.withPayload(T(s, dir, "documents")),
+          targetW = 8, targetH = 8).toDF()
+        .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+          col("orig_bytes"), col("new_bytes")),
+      "doc_id")
+
+  /** [[graft.ops.Multimodal.sampleFrames]] gated byte-exactly: every 4th
+    * 16-byte frame, md5 per frame against the oracle's substr re-derivation.
+    */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Multimodal.sampleFrames(s, Multimodal.withPayload(T(s, dir, "documents")),
+          frameBytes = 16, everyN = 4).toDF()
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5")),
+      "doc_id", "frame_idx")
+
   // --------------------------------------------------------------- streaming
 
   /** §2.9 batch-equivalence gate: the events table replayed through the FILE
@@ -964,6 +988,8 @@ object SparkEntry {
     "json_props_stats" -> (jsonPropsStats _),
     "json_props_typed" -> (jsonPropsTyped _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "session_counts_by_type" -> (sessionCountsByType _),
   )
@@ -1683,5 +1709,24 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
         |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Byte-exact resize re-derivation: ASCII corpus ⇒ VARCHAR ops are byte
+    // ops; md5 over a NUL-padded VARCHAR hashes the raw bytes, matching
+    // Spark's md5(binary) of the truncated/zero-padded payload.
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |       md5(CASE WHEN n >= 64 THEN substr(text, 1, 64)
+        |                ELSE text || repeat(chr(0), CAST(64 - n AS INT)) END) AS payload_md5,
+        |       CAST(n AS BIGINT) AS orig_bytes, CAST(64 AS BIGINT) AS new_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Frame sampling re-derivation: every 4th 16-byte frame of the payload,
+    // one md5 per frame; docs shorter than one frame emit nothing.
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, i AS frame_idx,
+        |       md5(substr(text, CAST(i*16 + 1 AS INT), 16)) AS frame_md5
+        |FROM d, unnest(range(0, n // 16)) AS t(i)
+        |WHERE i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
