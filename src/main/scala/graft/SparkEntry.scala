@@ -276,6 +276,14 @@ object SparkEntry {
   private def funnelSteps(s: SparkSession, dir: String): DataFrame =
     Funnel.steps(ev(s, dir).df, Seq("signup", "click", "purchase"), 3 * Day)
 
+  /** The single-scan funnel (greedy per-user state machine over one
+    * type-filtered event scan) under the same oracle as the join-chain
+    * `funnel_steps` — first-touch over time order is the same function
+    * computed two ways, so one oracle gates both plans.
+    */
+  private def funnelStepsOneScan(s: SparkSession, dir: String): DataFrame =
+    Funnel.stepsOneScan(ev(s, dir).df, Seq("signup", "click", "purchase"), 3 * Day)
+
   private def funnelConversion(s: SparkSession, dir: String): DataFrame =
     Funnel.conversion(ev(s, dir).df, "signup", "purchase", 3 * Day)
 
@@ -936,6 +944,7 @@ object SparkEntry {
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "funnel_steps" -> (funnelSteps _),
+    "funnel_steps_onescan" -> (funnelStepsOneScan _),
     "funnel_conversion" -> (funnelConversion _),
     "value_quantiles_by_type" -> (valueQuantilesByType _),
     "zorder_bucket_stats" -> (zorderBucketStats _),
@@ -1066,6 +1075,27 @@ object SparkEntry {
        |SELECT lang, pred_lang, count(*) AS n FROM p
        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
+
+  /** First-touch funnel reach, re-derived as the per-step min-time join
+    * chain — shared by `funnel_steps` (join-chain plan) and
+    * `funnel_steps_onescan` (single-scan greedy state machine).
+    */
+  private val FunnelStepsSql =
+    s"""WITH e AS ($EvCte),
+       |s1 AS (SELECT user_id, min(time) AS t FROM e
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT s1.user_id, min(e.time) AS t FROM s1 JOIN e
+       |       ON e.user_id = s1.user_id AND e.event_type = 'click'
+       |          AND e.time > s1.t AND e.time <= s1.t + 259200000 GROUP BY 1),
+       |s3 AS (SELECT s2.user_id, min(e.time) AS t FROM s2 JOIN e
+       |       ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+       |          AND e.time > s2.t AND e.time <= s2.t + 259200000 GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+       |         (SELECT count(*) FROM s1) AS n_users
+       |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+       |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3))
+       |ORDER BY step_idx""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "uts_interval_mean" ->
@@ -1204,22 +1234,10 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    "funnel_steps" ->
-      s"""WITH e AS ($EvCte),
-         |s1 AS (SELECT user_id, min(time) AS t FROM e
-         |       WHERE event_type = 'signup' GROUP BY 1),
-         |s2 AS (SELECT s1.user_id, min(e.time) AS t FROM s1 JOIN e
-         |       ON e.user_id = s1.user_id AND e.event_type = 'click'
-         |          AND e.time > s1.t AND e.time <= s1.t + 259200000 GROUP BY 1),
-         |s3 AS (SELECT s2.user_id, min(e.time) AS t FROM s2 JOIN e
-         |       ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-         |          AND e.time > s2.t AND e.time <= s2.t + 259200000 GROUP BY 1)
-         |SELECT * FROM (
-         |  SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
-         |         (SELECT count(*) FROM s1) AS n_users
-         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
-         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3))
-         |ORDER BY step_idx""".stripMargin,
+    "funnel_steps" -> FunnelStepsSql,
+    // One-scan state-machine formulation, same first-touch function — the
+    // join-chain oracle gates it verbatim.
+    "funnel_steps_onescan" -> FunnelStepsSql,
     "funnel_conversion" ->
       s"""WITH e AS ($EvCte),
          |f AS (SELECT user_id, min(time) AS t0 FROM e

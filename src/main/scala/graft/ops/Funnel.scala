@@ -61,6 +61,89 @@ object Funnel {
       "step_idx")
   }
 
+  /** One greedy first-touch transition test: does event `(tpe, tsMs)` advance
+    * a user sitting at `step` (arrived `arrivalMs`)? Shared by the batch
+    * [[stepsOneScan]] and the streaming
+    * [[graft.streaming.StreamOps.streamingFunnel]] state machine, so the two
+    * formulations cannot drift. Over a per-user event-time-ordered scan,
+    * greedy first-qualifying ≡ the join chain's min-time-qualifying: the
+    * first qualifying event encountered in time order IS the earliest one.
+    */
+  private[graft] def advances(
+      step: Int,
+      arrivalMs: Long,
+      tpe: String,
+      tsMs: Long,
+      stepTypes: Seq[String],
+      withinMs: Long): Boolean =
+    step < stepTypes.length && {
+      if (step == 0) tpe == stepTypes.head
+      else tpe == stepTypes(step) && tsMs > arrivalMs && tsMs <= arrivalMs + withinMs
+    }
+
+  private[graft] final case class FEvent(key: Long, tpe: String, tsMs: Long)
+
+  /** [[steps]] in ONE scan of the event log: the per-user greedy state
+    * machine (the streaming formulation's logic, [[advances]]) over
+    * `groupByKey(user).flatMapGroups` instead of one type-filtered scan +
+    * join per step. Identical first-touch output.
+    *
+    * Trade: the join chain reads the log `steps` times but shuffles only
+    * per-step arrival tables; this reads it ONCE (with a pushed
+    * `type IN (steps)` filter) and shuffles the funnel-type events by user.
+    * At 100 TB the one-scan form wins when the log dominates (deep funnels,
+    * wide logs); the join chain wins when the funnel types are a tiny, well
+    *-pruned slice. Per-user memory is that user's funnel-type events only —
+    * bounded by the isin pushdown, not the log.
+    */
+  def stepsOneScan(
+      events: DataFrame,
+      stepTypes: Seq[String],
+      withinMs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      timeCol: String = "time"): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val st = stepTypes // avoid closing over `this`-adjacent state in the lambda
+    val within = withinMs
+    val typed = events
+      .filter(col(typeCol).isin(stepTypes.distinct: _*))
+      .select(col(userCol).cast("long").as("key"), col(typeCol).as("tpe"),
+        col(timeCol).cast("long").as("tsMs"))
+      .as[FEvent]
+    val reached = typed
+      .groupByKey(_.key)
+      .flatMapGroups { (key: Long, it: Iterator[FEvent]) =>
+        // (ts, tpe) sort: same deterministic tie order as the streaming twin.
+        val sorted = it.toArray.sortBy(e => (e.tsMs, e.tpe))
+        var step = 0
+        var arrival = Long.MinValue
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (e <- sorted)
+          if (advances(step, arrival, e.tpe, e.tsMs, st, within)) {
+            out += step.toLong
+            arrival = e.tsMs
+            step += 1
+          }
+        out.iterator.map(si => (si, key))
+      }
+      .toDF("step_idx", "key")
+    // Each user contributes a step_idx at most once (the machine is
+    // monotone), so count(*) per step is the user reach count. The literal
+    // step spine restores zero rows for unreached steps, matching [[steps]].
+    val spine = stepTypes.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("step_idx", "step")
+    Ordered.smallResult(
+      spine.join(reached.groupBy(col("step_idx")).agg(count(lit(1)).as("n_users")),
+          Seq("step_idx"), "left")
+        .select(col("step_idx"), col("step"),
+          coalesce(col("n_users"), lit(0L)).as("n_users")),
+      "step_idx")
+  }
+
   /** Two-step conversion-rate summary: of the users who did `from`, the
     * share with a `to` event within `withinMs` after their FIRST `from`.
     * One output row `(n_start, n_converted, conv_rate)`.

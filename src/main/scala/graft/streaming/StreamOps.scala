@@ -230,15 +230,13 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
           var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           for (e <- sorted) {
-            if (st.step < stepTypes.length) {
-              val hit =
-                if (st.step == 0) e.tpe == stepTypes.head
-                else e.tpe == stepTypes(st.step) &&
-                  e.tsMs > st.arrivalMs && e.tsMs <= st.arrivalMs + withinMs
-              if (hit) {
-                out += FunnelReach(key, st.step.toLong, stepTypes(st.step), e.tsMs)
-                st = FunnelState(st.step + 1, e.tsMs)
-              }
+            // Shared greedy transition — the batch one-scan funnel
+            // (Funnel.stepsOneScan) runs the same predicate, so the batch
+            // and streaming formulations cannot drift.
+            if (graft.ops.Funnel.advances(
+                st.step, st.arrivalMs, e.tpe, e.tsMs, stepTypes, withinMs)) {
+              out += FunnelReach(key, st.step.toLong, stepTypes(st.step), e.tsMs)
+              st = FunnelState(st.step + 1, e.tsMs)
             }
           }
           state.update(st)

@@ -98,6 +98,43 @@ class JoinsLayoutSpec extends SparkSpec {
     assert(out == Seq((0L, "a", 5L), (1L, "b", 4L), (2L, "c", 2L)))
   }
 
+  test("stepsOneScan equals the join-chain funnel on the pinned fixture") {
+    val out = Funnel.stepsOneScan(funnelEvents, Seq("a", "b", "c"), withinMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, "a", 5L), (1L, "b", 4L), (2L, "c", 2L)))
+  }
+
+  test("stepsOneScan emits zero rows for unreached steps, like steps") {
+    val want = Funnel.steps(funnelEvents, Seq("a", "b", "zz"), withinMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = Funnel.stepsOneScan(funnelEvents, Seq("a", "b", "zz"), withinMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(want.last == (2L, "zz", 0L))
+    assert(got == want)
+  }
+
+  test("stepsOneScan reads the event files once; the join chain once per step") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    funnelEvents.write.parquet(s"$dir/events")
+    val ev = spark.read.parquet(s"$dir/events")
+    def fileScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      root.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.size
+    }
+    assert(fileScans(Funnel.stepsOneScan(ev, Seq("a", "b", "c"), 10L)) == 1)
+    // The join chain plans one type-filtered scan per step per PREFIX: the
+    // per-step count union re-executes each arrival chain, so 3 steps plan
+    // 1+2+3 = 6 scans (exchange reuse may dedupe some at runtime). This is
+    // exactly the re-read the one-scan form removes.
+    assert(fileScans(Funnel.steps(ev, Seq("a", "b", "c"), 10L)) == 6)
+  }
+
   test("funnel conversion matches a hand count") {
     // Within 10 of FIRST a: u1 (c@12 no, but conversion is a→c? No —
     // conversion() is two-step from→to): purchase='c' within 10 of first a:
