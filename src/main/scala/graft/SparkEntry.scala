@@ -587,6 +587,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The same cluster collapse via the O(log n)-round large-star/small-star
+    * contraction ([[graft.ops.Dedup.connectedComponentsLogRounds]]) — the
+    * deep-diameter algorithm under the identical WITH RECURSIVE closure
+    * oracle as `dedup_cluster_rep`.
+    */
+  private def dedupClusterRepLogstar(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+      .select(col("d1"), col("d2"))
+    Dedup.connectedComponentsLogRounds(docs.select(col("doc_id")), pairs, idCol = "doc_id")
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"),
+        (col("rep") =!= col("id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- similarity
 
   private def simTopkCosine(s: SparkSession, dir: String): DataFrame =
@@ -967,6 +982,7 @@ object SparkEntry {
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
+    "dedup_cluster_rep_logstar" -> (dedupClusterRepLogstar _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_srp_pairs" -> (dedupSrpPairs _),
@@ -1096,6 +1112,22 @@ object SparkEntry {
        |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
        |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3))
        |ORDER BY step_idx""".stripMargin
+
+  /** Full reachability closure over the exact-Jaccard pair edges — shared
+    * by `dedup_cluster_rep` (min-label propagation) and
+    * `dedup_cluster_rep_logstar` (large-star/small-star contraction): two
+    * algorithms, one independently-computed answer.
+    */
+  private val ClusterRepSql =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($JaccardPairsSql)),
+       |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)
+       |SELECT id AS doc_id, min(r) AS rep_id,
+       |       CAST(min(r) <> id AS INT) AS is_dup
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "uts_interval_mean" ->
@@ -1370,16 +1402,10 @@ object SparkEntry {
     // Transitive closure over the same pair edges via WITH RECURSIVE —
     // min reachable id per doc, the independent check of the distributed
     // min-label propagation.
-    "dedup_cluster_rep" ->
-      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($JaccardPairsSql)),
-         |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id)
-         |SELECT id AS doc_id, min(r) AS rep_id,
-         |       CAST(min(r) <> id AS INT) AS is_dup
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_rep" -> ClusterRepSql,
+    // The O(log n)-round large-star/small-star contraction computes the
+    // same component minima — shared closure oracle gates both algorithms.
+    "dedup_cluster_rep_logstar" -> ClusterRepSql,
     // FNV-1a-64 per token (HUGEINT arithmetic mod 2⁶⁴, matching the
     // SimHash64 kernel's byte loop exactly), per-bit ±1 votes, two's-
     // complement reassembly, then the same pigeonhole chunk join — an

@@ -335,8 +335,8 @@ object Dedup {
     * PARTIALLY collapsed labels. Near-dup graphs are dense star-like
     * clusters (tiny diameters), which is why this shape is right here; a
     * general graph with million-hop chains wants the alternating
-    * large-star/small-star contraction (O(log n) rounds), which this method
-    * deliberately does not implement.
+    * large-star/small-star contraction (O(log n) rounds) —
+    * [[connectedComponentsLogRounds]], the deep-diameter complement.
     *
     * Output: `(id, rep)` — `rep` = min id of the component.
     */
@@ -410,6 +410,102 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds — " +
         "a component's diameter exceeds maxIters; raise it")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * contraction — O(log n) rounds on ANY graph shape (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14), the
+    * deep-diameter complement to [[connectedComponents]]'s O(diameter)
+    * min-label propagation. Same output contract: `(id, rep)`, `rep` = the
+    * component's min id; isolated vertices map to themselves.
+    *
+    * Per round, two edge rewrites, each one hash shuffle + partial-agg min
+    * (the neighborhood min joins back against a co-partitioned edge set):
+    *  - LARGE-STAR: every node attaches its strictly-LARGER neighbors to
+    *    `m = min(N(u) ∪ {u})` — cuts long chains in half while only ever
+    *    linking through a smaller hub, so the edge count never grows beyond
+    *    2|E| and monotone progress is guaranteed.
+    *  - SMALL-STAR: over smaller-pointing edges only, every node re-attaches
+    *    its neighbors (and itself) to its min neighbor — flattens the
+    *    two-level trees large-star leaves behind.
+    * The fixed point is a disjoint union of stars centered at component
+    * minima; convergence needs O(log n) rounds regardless of diameter. Edges
+    * stay canonically `(src > dst)` throughout, so the fixed-point test is
+    * a set compare (count + one anti-join probe, both O(1) driver reads).
+    *
+    * Same materialization lifecycle as [[connectedComponents]]'s no-dir
+    * mode: each round's edge set is `localCheckpoint`ed (iterative lineage
+    * would nest exponentially) and the superseded round's blocks are
+    * released immediately. Cluster runs needing fault tolerance follow the
+    * documented `checkpointDir` pattern there — omitted here to keep the
+    * deep-graph path lean; near-dup gates are minutes, not hours.
+    */
+  def connectedComponentsLogRounds(
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      srcCol: String = "d1",
+      dstCol: String = "d2",
+      maxIters: Int = 20): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    def release(df: DataFrame): Unit = {
+      df.unpersist(blocking = false)
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+      }
+    }
+    // Canonical larger→smaller edges, self-loops dropped. Both star steps
+    // preserve the invariant (they only ever emit (v, m) with m < v).
+    var e = cut(edges
+      .select(greatest(col(srcCol), col(dstCol)).as("src"),
+        least(col(srcCol), col(dstCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var eCount = e.count()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      // LARGE-STAR over the full (symmetric) neighborhood of each node.
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val minL = und.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val afterLarge = cut(und.join(minL, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+      // SMALL-STAR over the smaller-pointing orientation (already canonical):
+      // every neighbor v ≠ m re-attaches to m, and u itself attaches to m.
+      val minS = afterLarge.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val next = cut(afterLarge.join(minS, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minS.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+      // Fixed point ⇔ same canonical edge set: counts agree AND nothing in
+      // `next` is new (distinct sets of equal size with empty one-way
+      // difference are equal). Counts are carried across rounds, so the
+      // test is one count + one anti-join probe per round.
+      val nextCount = next.count()
+      val changed = nextCount != eCount ||
+        next.join(e, Seq("src", "dst"), "left_anti").limit(1).count() != 0L
+      release(e)
+      release(afterLarge)
+      e = next
+      eCount = nextCount
+      done = !changed
+      iter += 1
+    }
+    if (!done) sys.error(
+      s"connectedComponentsLogRounds did not converge in $maxIters rounds — " +
+        "raise maxIters (bound is O(log n) in the vertex count)")
+    // At the fixed point every non-center vertex carries exactly one star
+    // edge to its component min; isolated vertices and centers self-map.
+    vertices.select(col(idCol).as("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 
   /** 64-bit SimHash per document: bit i of the hash is the sign of

@@ -167,6 +167,41 @@ class OpsSpec extends SparkSpec {
     assert(c.toSeq == Seq(0L))
   }
 
+  test("log-round CC converges on a deep chain where propagation fails loudly") {
+    // Diameter 63 ≫ 10 rounds: min-label propagation must refuse (silent
+    // partial collapse is the failure mode it guards against)…
+    val chain = (0L until 64L).toDF("id")
+    val chainEdges = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val err = intercept[RuntimeException] {
+      Dedup.connectedComponents(chain, chainEdges, maxIters = 10)
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // …while large/small-star contraction needs O(log n) rounds: 12 covers
+    // n = 64 with slack (2·log₂ 64), nowhere near the 63 propagation needs.
+    val out = Dedup.connectedComponentsLogRounds(chain, chainEdges, maxIters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 64 && out.forall(_._2 == 0L))
+  }
+
+  test("log-round CC matches propagation on a random forest with isolated vertices") {
+    val rnd = new scala.util.Random(7)
+    val n = 80
+    val vertices = (0L until n.toLong).toDF("id")
+    // Random attachment: ~70% of vertices link to a random earlier one —
+    // several components of mixed shape, plus genuinely isolated vertices.
+    val attach = (1 until n).flatMap { i =>
+      if (rnd.nextDouble() < 0.7) Some((rnd.nextInt(i).toLong, i.toLong)) else None
+    }
+    val edges = attach.toDF("d1", "d2")
+    val a = Dedup.connectedComponents(vertices, edges)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Dedup.connectedComponentsLogRounds(vertices, edges)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(a.exists(p => p._1 == p._2 && !attach.exists(e => e._1 == p._1 || e._2 == p._1)),
+      "fixture lost its isolated-vertex case")
+  }
+
   test("connected components with reliable checkpointing matches localCheckpoint path") {
     // Same chain as above, routed through the fault-tolerant cut every 2
     // rounds (the cluster-scale configuration — executor-local blocks don't
