@@ -736,12 +736,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs")),
       "bucket_lo")
 
+  /** [[tokenHistogram]] over merge-table BPE counts — the histogram a
+    * context-window planner actually budgets with.
+    */
+  private def tokenHistogramBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.bpeMergeTokenCounts(T(s, dir, "documents"))
+        .select((floor(col("n_tokens_bpe") / 10) * 10).cast("long").as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs")),
+      "bucket_lo")
+
   /** Concat-then-chunk packing layout over the whole corpus — the stitched
     * distributed prefix sum under an exact window-sum oracle.
     */
   private def docPackBudget(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ordered.smallResult(
       Text.packByBudget(T(s, dir, "documents"), budget = 512), "doc_id")
+
+  /** Corpus-wide top merged tokens under the full WITH RECURSIVE BPE
+    * re-derivation — the end-to-end gate on the merge-table tokenizer
+    * (chained merges, self-pair overlap parity, vocabulary caching).
+    */
+  private def bpeMergeTopTokens(s: SparkSession, dir: String): DataFrame =
+    Text.bpeMergeTopTokens(T(s, dir, "documents"), k = 30)
+
+  /** [[docPackBudget]] on REAL merge-table BPE counts instead of whitespace
+    * counts — the budget a production tokenizer would bill. Same stitched
+    * prefix-sum packing, oracle re-derives the counts from the BPE fixpoint.
+    */
+  private def docPackBudgetBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.packCountsByBudget(
+        Text.bpeMergeTokenCounts(T(s, dir, "documents")),
+        budget = 512, countCol = "n_tokens_bpe"),
+      "doc_id")
 
   /** Deterministic per-language cap (hash-rank stratified sample): exactly
     * 5 docs per lang, reproducible across runs — no rand() anywhere.
@@ -1002,7 +1031,10 @@ object SparkEntry {
     "text_rolling_fp" -> (textRollingFp _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_pack_budget" -> (docPackBudget _),
+    "doc_pack_budget_bpe" -> (docPackBudgetBpe _),
+    "bpe_merge_top_tokens" -> (bpeMergeTopTokens _),
     "token_histogram" -> (tokenHistogram _),
+    "token_histogram_bpe" -> (tokenHistogramBpe _),
     "sample_stratified" -> (sampleStratified _),
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1128,6 +1160,53 @@ object SparkEntry {
        |SELECT id AS doc_id, min(r) AS rep_id,
        |       CAST(min(r) <> id AS INT) AS is_dup
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** WITH RECURSIVE prelude re-deriving the merge-table BPE fixpoint for
+    * every distinct pre-token: `rules` is the literal DefaultMerges table;
+    * each recursion step selects the min-rank applicable pair per word
+    * (rank-equality marks its occurrences), merges the leftmost-
+    * nonoverlapping ones (gaps-and-islands parity handles self-pairs like
+    * e+e), and rebuilds the symbol list. A converged word reproduces its own
+    * row, so UNION dedup terminates its recursion; symbol counts strictly
+    * decrease while active, so the fixpoint is `arg_min(syms, len(syms))`.
+    * Ends with `words(doc_id, word)` and `toks(word, syms)` in scope.
+    */
+  private val BpeFixpointCte: String = {
+    val rules = Text.DefaultMerges.zipWithIndex
+      .map { case ((l, r), i) => s"('$l', '$r', $i)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |rules(l, r, rnk) AS (SELECT * FROM (VALUES $rules) v(l, r, rnk)),
+       |words AS (SELECT doc_id,
+       |                 unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS word
+       |          FROM documents),
+       |vocab AS (SELECT DISTINCT word FROM words),
+       |bpe(word, syms) AS (
+       |  SELECT word, string_split(word, '') FROM vocab
+       |  UNION
+       |  SELECT word, list(CASE WHEN merged THEN sym || nxt ELSE sym END ORDER BY i)
+       |  FROM (
+       |    SELECT word, i, sym, merged,
+       |           coalesce(lag(merged) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed,
+       |           lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+       |    FROM (
+       |      SELECT word, i, sym, occ, g,
+       |             occ AND ((i - min(i) OVER (PARTITION BY word, occ, g)) % 2 = 0) AS merged
+       |      FROM (
+       |        SELECT word, i, sym, occ,
+       |               i - row_number() OVER (PARTITION BY word, occ ORDER BY i) AS g
+       |        FROM (
+       |          SELECT p.word, p.i, p.sym,
+       |                 coalesce(r1.rnk = min(r1.rnk) OVER (PARTITION BY p.word), FALSE) AS occ
+       |          FROM (SELECT b.word, t.i, b.syms[t.i] AS sym, b.syms[t.i + 1] AS nxtsym
+       |                FROM bpe b, unnest(range(1, len(b.syms) + 1)) AS t(i)) p
+       |          LEFT JOIN rules r1 ON r1.l = p.sym AND r1.r = p.nxtsym
+       |        )
+       |      )
+       |    )
+       |  ) WHERE NOT consumed GROUP BY word
+       |),
+       |toks AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM bpe GROUP BY word)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "uts_interval_mean" ->
@@ -1638,12 +1717,43 @@ object SparkEntry {
         |       CAST(floor(excl / 512.0) AS BIGINT) AS pack_id,
         |       CAST(excl % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "bpe_merge_top_tokens" ->
+      s"""$BpeFixpointCte,
+         |wc AS (SELECT word, count(*) AS n_occ FROM words GROUP BY word)
+         |SELECT u.tok AS token, CAST(sum(wc.n_occ) AS BIGINT) AS n
+         |FROM toks JOIN wc USING (word), unnest(toks.syms) AS u(tok)
+         |GROUP BY token
+         |ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "doc_pack_budget_bpe" ->
+      s"""$BpeFixpointCte,
+         |tc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM toks),
+         |agg AS (SELECT w.doc_id, sum(tc.n_toks) AS s
+         |        FROM words w JOIN tc USING (word) GROUP BY w.doc_id),
+         |dc AS (SELECT d.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS n_tokens_bpe
+         |       FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |c AS (SELECT doc_id, n_tokens_bpe,
+         |             CAST(sum(n_tokens_bpe) OVER (ORDER BY doc_id) - n_tokens_bpe AS BIGINT) AS excl
+         |      FROM dc)
+         |SELECT doc_id, n_tokens_bpe,
+         |       CAST(floor(excl / 512.0) AS BIGINT) AS pack_id,
+         |       CAST(excl % 512 AS BIGINT) AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
     "token_histogram" ->
       """WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
         |             AS n_tokens FROM documents)
         |SELECT CAST(floor(n_tokens / 10) * 10 AS BIGINT) AS bucket_lo,
         |       count(*) AS n_docs
         |FROM t GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "token_histogram_bpe" ->
+      s"""$BpeFixpointCte,
+         |tc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM toks),
+         |agg AS (SELECT w.doc_id, sum(tc.n_toks) AS s
+         |        FROM words w JOIN tc USING (word) GROUP BY w.doc_id),
+         |dc AS (SELECT d.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS n_tokens_bpe
+         |       FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT CAST(floor(n_tokens_bpe / 10) * 10 AS BIGINT) AS bucket_lo,
+         |       count(*) AS n_docs
+         |FROM dc GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id,

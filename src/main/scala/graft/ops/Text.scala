@@ -29,6 +29,124 @@ object Text {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(BpePattern), lit(0))
 
+  // ------------------------------------------------- merge-table BPE tokenizer
+
+  /** Default merge-rule table for the merge-table BPE tokenizer: pair →
+    * rank = list position (lower merges first). Tiny by design — the gate
+    * needs a table the DuckDB oracle can re-derive; a production tokenizer's
+    * 50k-rule table broadcasts through the identical plan. Chosen to
+    * exercise the hard paths: chained merges (`t+h`, then `th+e`; `i+n`,
+    * then `in+g`) and a self-pair (`e+e`) whose occurrences OVERLAP (the
+    * leftmost-nonoverlapping scan is where naive implementations drift).
+    */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("e", "r"), ("o", "n"), ("e", "e"), ("s", "t"), ("in", "g"))
+
+  /** Greedy BPE over one word: start from characters; repeatedly select the
+    * applicable pair with the LOWEST rank and merge all its leftmost-
+    * nonoverlapping occurrences; stop when no rule applies — the standard
+    * Sennrich/HF tokenizer semantics, so counts line up with a production
+    * tokenizer given its merge table. Ranks must be unique (they are list
+    * positions); occurrence testing uses rank equality, mirroring the
+    * oracle's `rnk = min(rnk) OVER word` formulation exactly.
+    */
+  private[ops] def bpeApply(word: String, rank: Map[(String, String), Int]): Vector[String] = {
+    var syms: Vector[String] = word.iterator.map(_.toString).toVector
+    var go = syms.length > 1
+    while (go) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Vocabulary-level BPE: tokenize each DISTINCT pre-token once —
+    * `(word, toks, n_toks)`. This is the production shape (HF tokenizers
+    * cache per-word results the same way): the merge loop runs |vocab|
+    * times, not once per corpus occurrence, and the corpus-sized side only
+    * ever does an equality join against this table. The loop itself is
+    * genuinely sequential per word (each merge depends on the previous), so
+    * it is JVM code over a typed Dataset — the mapPartitions-as-last-resort
+    * case the mandate carves out.
+    */
+  def bpeMergeVocab(
+      df: DataFrame,
+      merges: Seq[(String, String)] = DefaultMerges,
+      textCol: String = "text"): DataFrame = {
+    require(merges.distinct.size == merges.size, s"duplicate merge rule in $merges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    df.select(explode(bpeTokens(col(textCol))).as("word")).distinct()
+      .as[String]
+      .mapPartitions(_.map { w =>
+        val t = bpeApply(w, rank)
+        (w, t, t.length.toLong)
+      })
+      .toDF("word", "toks", "n_toks")
+  }
+
+  /** Per-document merged-token counts `(id, n_tokens_bpe)`: pre-token
+    * stream joined against the vocabulary tokenization, summed per doc;
+    * docs with no pre-tokens count 0. The REAL budget counter for
+    * [[packCountsByBudget]] — whitespace/pre-token counts drift from any
+    * production tokenizer's counts, this one matches the merge table.
+    */
+  def bpeMergeTokenCounts(
+      df: DataFrame,
+      merges: Seq[(String, String)] = DefaultMerges,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vocab = bpeMergeVocab(df, merges, textCol)
+    val perDoc = df.select(col(idCol), explode(bpeTokens(col(textCol))).as("word"))
+      .join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_toks")).as("__n"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n"), lit(0L)).as("n_tokens_bpe"))
+  }
+
+  /** Corpus-wide top-k merged tokens `(token, n)` — pre-token occurrence
+    * counts (vocab-sized aggregate) × per-word token lists, so the corpus
+    * text is scanned twice (vocab + counts) and never carried through the
+    * merge loop.
+    */
+  def bpeMergeTopTokens(
+      df: DataFrame,
+      k: Int,
+      merges: Seq[(String, String)] = DefaultMerges,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vocab = bpeMergeVocab(df, merges, textCol)
+    df.select(explode(bpeTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .join(vocab, "word")
+      .select(explode(col("toks")).as("token"), col("n_occ"))
+      .groupBy(col("token")).agg(sum(col("n_occ")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** Per-document BPE-ish token stats: pre-token count and chars-per-token
     * "fertility" (the cost estimate LLM pipelines budget by). One narrow
     * projection, no shuffle.
@@ -182,13 +300,25 @@ object Text {
       df: DataFrame,
       budget: Long,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    packCountsByBudget(
+      df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      budget, idCol, "n_tokens")
+
+  /** [[packByBudget]] over a caller-supplied count column — the hook that
+    * lets packing run on REAL tokenizer counts ([[bpeMergeTokenCounts]])
+    * instead of whitespace counts. `counted` = `(idCol, countCol)` rows.
+    */
+  def packCountsByBudget(
+      counted: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      countCol: String = "n_tokens"): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val counted = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
-    Windowed.runningSumStitched(counted, Seq(idCol), "n_tokens", "__cum")
-      .withColumn("__excl", (col("__cum") - col("n_tokens")).cast("long"))
+    Windowed.runningSumStitched(counted, Seq(idCol), countCol, "__cum")
+      .withColumn("__excl", (col("__cum") - col(countCol)).cast("long"))
       .select(
-        col(idCol), col("n_tokens"),
+        col(idCol), col(countCol),
         floor(col("__excl") / lit(budget.toDouble)).cast("long").as("pack_id"),
         pmod(col("__excl"), lit(budget)).as("pack_offset"))
   }

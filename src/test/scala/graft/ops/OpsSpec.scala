@@ -280,6 +280,43 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(3) == math.round(19.0 / 8.0 * 10000) / 10000.0)
   }
 
+  test("merge-table BPE: pinned greedy merges incl. chains and overlap parity") {
+    val rank = Text.DefaultMerges.zipWithIndex.toMap
+    // Chained merges across ranks: t+h → th, th+e → the; i+n → in, in+g.
+    assert(Text.bpeApply("the", rank) == Vector("the"))
+    assert(Text.bpeApply("seeing", rank) == Vector("s", "ee", "ing"))
+    assert(Text.bpeApply("standing", rank) == Vector("st", "and", "ing"))
+    // Self-pair e+e: overlapping occurrences merge leftmost-first.
+    assert(Text.bpeApply("eeee", rank) == Vector("ee", "ee"))
+    assert(Text.bpeApply("eeeee", rank) == Vector("ee", "ee", "e"))
+    // No applicable rule → characters; single char → itself.
+    assert(Text.bpeApply("xyz", rank) == Vector("x", "y", "z"))
+    assert(Text.bpeApply("a", rank) == Vector("a"))
+  }
+
+  test("merge-table BPE: tokens reassemble to the word on a real corpus slice") {
+    val docs = Seq(
+      (0L, "The thing standing there, seeing and interesting!"),
+      (1L, "thee thee eeee"),
+      (2L, "")).toDF("doc_id", "text")
+    val vocab = Text.bpeMergeVocab(docs).collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      val word = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.mkString("") == word, s"tokens of '$word' do not reassemble")
+      assert(r.getLong(2) == toks.length.toLong)
+    }
+    // Per-doc counts: empty doc counts 0; others = sum over their words.
+    val counts = Text.bpeMergeTokenCounts(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts(2L) == 0L)
+    val rank = Text.DefaultMerges.zipWithIndex.toMap
+    // BpePattern pre-tokens of doc 0, by hand:
+    val words0 = Seq("the", "thing", "standing", "there", ",", "seeing", "and", "interesting", "!")
+    assert(counts(0L) == words0.map(w => Text.bpeApply(w, rank).length.toLong).sum)
+  }
+
   test("salted aggregation equals direct groupBy for algebraic aggregates") {
     // Integer-valued doubles so sums are order-independent and exact.
     val df = Seq(
