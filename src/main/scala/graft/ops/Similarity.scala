@@ -393,6 +393,135 @@ object Similarity {
     cents
   }
 
+  /** k-means|| oversampling init (Bahmani et al., VLDB 2012) — the
+    * [[centroidsKMeans]] alternative for corpora where Knuth-hash seeding
+    * lands all `k` seeds in one region (hash order is data-blind; duplicate-
+    * direction seeds make Lloyd collapse clusters, since a centroid that
+    * captures no vectors vanishes). Seeds are spread BY THE DATA instead:
+    * starting from the single min-hash vector, each of `initRounds` rounds
+    * samples every vector with probability `min(1, ℓ·d²/φ)` where
+    * `d = 1 − cos(v, nearest candidate)`, `φ = Σ d²` and `ℓ = oversample·k`
+    * — far points are near-certain picks, so every distinct region seeds.
+    *
+    * Determinism without `rand()`: the per-round coin is the same Knuth hash
+    * as [[Sampling.idHash]] re-mixed with the round number — membership is
+    * stable across runs, retries and partitionings (the [[Sampling]]
+    * contract). Each round is one corpus pass (d² fold over the broadcast
+    * candidate list + a 1-row φ aggregate crossed back in); the candidate
+    * frame is `localCheckpoint`ed per round because round r's lineage would
+    * otherwise replay rounds 1..r−1's corpus scans.
+    *
+    * The final cut from ~`ℓ·initRounds` weighted candidates down to `k` runs
+    * on the driver (greedy weighted farthest-first: start at the max-weight
+    * candidate, then repeatedly take the candidate maximizing
+    * `weight · d²(c, chosen)`, ties to the smaller id) — the candidate set
+    * is k·oversample·rounds rows BY DESIGN, the same boundedness argument as
+    * [[ivfProbePersisted]]'s routing table. `lloydRounds` standard Lloyd
+    * iterations polish the chosen seeds. Output matches [[centroidsKMeans]]:
+    * `(cl, cvec)` with `cl` the seed vector's id — plug into
+    * [[ivfTopKCustom]] for the ANN path.
+    */
+  def centroidsKMeansParallel(
+      df: DataFrame,
+      k: Int,
+      oversample: Double = 2.0,
+      initRounds: Int = 3,
+      lloydRounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample > 0, s"oversample must be > 0, got $oversample")
+    require(initRounds >= 1, s"initRounds must be >= 1, got $initRounds")
+    require(lloydRounds >= 0, s"lloydRounds must be >= 0, got $lloydRounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("cl"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    var cands = base
+      .withColumn("__h", Sampling.idHash(col("cl")))
+      .orderBy(col("__h"), col("cl")).limit(1)
+      .select(col("cl"), col("cvec"))
+      .localCheckpoint()
+    val ell = oversample * k
+    for (r <- 1 to initRounds) {
+      val cList = broadcast(cands.groupBy().agg(
+        collect_list(struct(col("cl"), col("cvec"))).as("cs")))
+      // d to the nearest candidate under cosine distance; a NaN cosine
+      // (zero-norm side) counts as orthogonal — a zero vector is distance 1
+      // from everything, so it can seed, but never poisons φ with NaN.
+      def d2Of(vec: Column, cs: Column): Column = {
+        val dmin = aggregate(cs, lit(Double.MaxValue), (acc, c) =>
+          least(acc, lit(1.0) - nanvl(cosine(vec, c.getField("cvec")), lit(0.0))))
+        dmin * dmin
+      }
+      val scored = base.crossJoin(cList)
+        .select(col("cl"), col("cvec"), d2Of(col("cvec"), col("cs")).as("__d2"))
+      val phi = broadcast(scored.groupBy().agg(sum(col("__d2")).as("__phi")))
+      // Per-round uniform in [0,1): the id hash re-mixed with the round so
+      // a vector missed in round r gets a fresh coin in round r+1.
+      val u = Sampling.idHash(Sampling.idHash(col("cl")) + lit(r * 7919L)) /
+        lit(4294967296.0)
+      val fresh = scored.crossJoin(phi)
+        // φ = 0 means every vector already sits on a candidate — done (and
+        // the division below would be NaN).
+        .filter((col("__phi") > lit(0.0)) &&
+          (u < least(lit(1.0), lit(ell) * col("__d2") / col("__phi"))))
+        .select(col("cl"), col("cvec"))
+      cands = cands.union(fresh).localCheckpoint()
+    }
+    // Candidate weight = how many corpus vectors it attracts (ties in
+    // assignedOf break to the smaller id, so duplicate-direction candidates
+    // get deterministic weights).
+    val weightOf = assignedOf(base, cands, "cl", "cvec", Nil)
+      .groupBy(col("cluster")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = cands.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else d / den
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    if (byId.length <= k) chosen ++= byId
+    else {
+      def w(cl: Long): Long = weightOf.getOrElse(cl, 0L)
+      chosen += byId.maxBy { case (cl, _) => (w(cl), -cl) }
+      while (chosen.size < k) {
+        chosen += byId.filterNot(c => chosen.exists(_._1 == c._1))
+          .maxBy { case (cl, v) =>
+            val d2n = chosen.map { case (_, ch) =>
+              val d = 1.0 - cosLocal(v, ch); d * d
+            }.min
+            (w(cl) * d2n, -cl)
+          }
+      }
+    }
+    var cents = chosen.toSeq.map { case (cl, v) => (cl, v.toSeq) }.toDF("cl", "cvec")
+    for (_ <- 0 until lloydRounds)
+      cents = meansBy(
+        assignedOf(base, cents, "cl", "cvec", Nil)
+          .select(col("cluster").cast("long").as("cl"), col("cvec").as("__v")))
+    cents
+  }
+
+  /** [[ivfTopK]]'s probe/score body over a CALLER-SUPPLIED centroid frame
+    * `(cl, cvec)` — plug in [[centroidsKMeansParallel]] (or any routing
+    * table) without re-deriving the probe plan.
+    */
+  def ivfTopKCustom(
+      df: DataFrame,
+      centroids: DataFrame,
+      queryId: Long,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfWith(df, centroids, queryId, k, nprobe, idCol, vecCol, Nil)
+
   /** Every vector labeled with its nearest centroid: argmax cosine over the
     * broadcast centroid list in one higher-order fold — no join explosion.
     */

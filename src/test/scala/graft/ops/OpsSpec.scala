@@ -247,6 +247,52 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("k-means|| init recovers the cluster that hash seeding collapses away") {
+    // 21 identical e1 vectors own the 21 smallest Knuth hashes, so BOTH
+    // hash seeds land on the same direction: every point ties between two
+    // identical centroids, the smaller seed id captures everything, the
+    // other centroid vanishes — k=2 collapses to the global mean. The 3 e3
+    // vectors carry the largest hashes (hash seeding can never reach them),
+    // but k-means|| samples each with p = min(1, ℓ·d²/φ) = min(1, 4·1/3) = 1
+    // in round one — data-driven spread, still fully deterministic.
+    def knuth(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    val byHash = (0L until 24L).sortBy(id => (knuth(id), id))
+    val corpus = (byHash.take(21).map((_, Array(1.0f, 0.0f, 0.0f))) ++
+      byHash.drop(21).map((_, Array(0.0f, 0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    def collected(cents: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] =
+      cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (den == 0.0) 0.0 else d / den
+    }
+    // Mean over the corpus of best-centroid cosine (21 e1 pts, 3 e3 pts).
+    def meanCos(cents: Array[(Long, Array[Double])]): Double = {
+      def best(v: Array[Double]) = cents.map(c => cosL(v, c._2)).max
+      (21 * best(Array(1.0, 0.0, 0.0)) + 3 * best(Array(0.0, 0.0, 1.0))) / 24.0
+    }
+    val hashC = collected(Similarity.centroidsKMeans(corpus, k = 2, rounds = 2))
+    assert(hashC.length == 1, "fixture must make hash seeding collapse to one cluster")
+    val parDf = Similarity.centroidsKMeansParallel(corpus, k = 2)
+    val par = collected(parDf)
+    assert(par.length == 2)
+    assert(meanCos(par) > 0.999)
+    assert(meanCos(par) > meanCos(hashC) + 0.05)
+    // Deterministic: same input ⇒ byte-identical centroids on every run.
+    val par2 = collected(Similarity.centroidsKMeansParallel(corpus, k = 2))
+    assert(par.map(c => (c._1, c._2.toSeq)).toSeq == par2.map(c => (c._1, c._2.toSeq)).toSeq)
+    // The init composes into the ANN path: probing both clusters through
+    // ivfTopKCustom recovers brute-force top-k exactly.
+    val q = byHash.head
+    val ivf = Similarity.ivfTopKCustom(corpus, parDf, queryId = q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = Similarity.topK(corpus, queryId = q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
+
   test("int8 quantization: values in [-127,127], zero vector safe, small round-trip error") {
     val df = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f)),
