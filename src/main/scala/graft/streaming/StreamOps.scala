@@ -101,6 +101,30 @@ object StreamOps {
   final case class DerivState(t0: Long, lastVal: Double, curK: Long, acc: Double)
   final case class DerivPoint(key: String, der_time: Long, der_value: Double)
 
+  /** One event through the derivative state machine — shared by the trusting
+    * [[streamingDerivative]] and the watermark-ordered
+    * [[streamingDerivativeOrdered]] so the two formulations cannot drift.
+    * `st == null` means no state yet: the first point anchors the grid and
+    * contributes delta 0 (uts.ts:476-479).
+    */
+  private def derivStep(
+      key: String,
+      st: DerivState,
+      e: KeyedEvent,
+      intervalMs: Long): (DerivState, List[DerivPoint]) =
+    if (st == null) (DerivState(e.tsMs, e.value, 1L, 0.0), Nil)
+    else {
+      val delta = e.value - st.lastVal
+      val k = math.max(math.ceil((e.tsMs - st.t0).toDouble / intervalMs).toLong, 1L)
+      if (k > st.curK) {
+        val out = List.newBuilder[DerivPoint]
+        out += DerivPoint(key, st.t0 + st.curK * intervalMs, st.acc)
+        var j = st.curK + 1
+        while (j < k) { out += DerivPoint(key, st.t0 + j * intervalMs, 0.0); j += 1 }
+        (DerivState(st.t0, e.value, k, delta), out.result())
+      } else (st.copy(lastVal = e.value, acc = st.acc + delta), Nil)
+    }
+
   /** Streaming counterpart of [[graft.uts.Derivative]] (reference semantics at
     * uts.ts:458-507) as explicit keyed state: per-key rate-of-change resampled
     * onto a grid anchored at the key's FIRST point, emitting a grid point each
@@ -110,9 +134,10 @@ object StreamOps {
     * Deviation from batch, inherent to unboundedness: the trailing partial
     * bucket stays in state instead of being flushed at the last point's time —
     * a stream has no last point. Events are ordered per micro-batch; across
-    * batches arrival order is trusted (bound disorder upstream with a
-    * watermark + sort, or accept the reference's same in-order assumption,
-    * Q12).
+    * batches arrival order is trusted (the reference's same in-order
+    * assumption, Q12). For sources that disorder events across batches use
+    * [[streamingDerivativeOrdered]], which buys batch equivalence under a
+    * bounded disorder horizon.
     */
   def streamingDerivative(
       spark: SparkSession,
@@ -132,23 +157,81 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[DerivPoint]
           var st = state.getOption.orNull
           for (e <- sorted) {
-            if (st == null) {
-              // First point: anchors the grid, contributes delta 0 (uts.ts:476-479).
-              st = DerivState(e.tsMs, e.value, 1L, 0.0)
-            } else {
-              val delta = e.value - st.lastVal
-              val k = math.max(math.ceil((e.tsMs - st.t0).toDouble / intervalMs).toLong, 1L)
-              if (k > st.curK) {
-                out += DerivPoint(key, st.t0 + st.curK * intervalMs, st.acc)
-                var j = st.curK + 1
-                while (j < k) { out += DerivPoint(key, st.t0 + j * intervalMs, 0.0); j += 1 }
-                st = DerivState(st.t0, e.value, k, delta)
-              } else {
-                st = st.copy(lastVal = e.value, acc = st.acc + delta)
-              }
-            }
+            val (next, emitted) = derivStep(key, st, e, intervalMs)
+            st = next
+            out ++= emitted
           }
           if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Admit/release split at the watermark — the reorder buffer behind the
+    * `*Ordered` streaming ops. Arrivals AT or older than the watermark are
+    * beyond the declared disorder bound and DROPPED — mirroring Spark's own
+    * late-row filter, which discards `eventTime <= watermark` rows before a
+    * stateful operator even sees them (so this filter is a defensive twin,
+    * load-bearing only if the event-time column got projected away upstream
+    * of the exec). Buffered events strictly older than the watermark are
+    * released: the watermark guarantees no admissible future arrival can
+    * sort below them. Release is exhaustive per batch, so emissions are
+    * monotone in event time across batches: anything still buffered is ≥
+    * the watermark every released event was below.
+    */
+  private def splitAtWatermark[E](
+      buffered: Seq[E],
+      arrivals: Iterator[E],
+      watermarkMs: Long,
+      ts: E => Long): (Seq[E], Seq[E]) =
+    (buffered ++ arrivals.filter(ts(_) > watermarkMs))
+      .partition(ts(_) < watermarkMs)
+
+  final case class DerivOrdState(buffer: Seq[KeyedEvent], inner: Option[DerivState])
+
+  /** [[streamingDerivative]] with the in-order assumption REPLACED by a
+    * watermark reorder buffer: events wait in per-key state until the event-
+    * time watermark (driven by `maxDisorder`) passes them, then replay
+    * through the shared [[derivStep]] transition in exact (tsMs, seq) order.
+    * Under disorder bounded by `maxDisorder` the emitted grid points equal
+    * the batch op's on the same rows; events later than the bound are
+    * dropped, never emitted out of order (Spark's initial watermark is 0,
+    * so an epoch-0 event counts as late from the very first batch). State
+    * per key is the disorder horizon's worth of events plus the O(1)
+    * derivative state; an event-time timeout flushes keys that go quiet,
+    * so releases don't wait for the key's next arrival.
+    */
+  def streamingDerivativeOrdered(
+      spark: SparkSession,
+      stream: Dataset[KeyedEvent],
+      intervalMs: Long,
+      maxDisorder: String): Dataset[DerivPoint] = {
+    import spark.implicits._
+    val withWm = stream.toDF()
+      .withColumn("__evt", timestamp_millis(col("tsMs")))
+      .withWatermark("__evt", maxDisorder)
+      .as[KeyedEvent]
+    withWm
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[DerivOrdState]) =>
+          val st0 = state.getOption.getOrElse(DerivOrdState(Vector.empty, None))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = splitAtWatermark(st0.buffer, events, wm, (e: KeyedEvent) => e.tsMs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DerivPoint]
+          var inner = st0.inner.orNull
+          for (e <- ready.sortBy(e => (e.tsMs, e.seq))) {
+            val (next, emitted) = derivStep(key, inner, e, intervalMs)
+            inner = next
+            out ++= emitted
+          }
+          state.update(DerivOrdState(pending, Option(inner)))
+          // Flush when the watermark passes the oldest buffered event even
+          // if this key never receives another row (clamped: a timeout
+          // timestamp at or below the current watermark is rejected).
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_.tsMs).min, wm + 1L))
           out.iterator
       }
   }
@@ -209,8 +292,9 @@ object StreamOps {
     * event it PROCESSES. These agree when per-user events are processed in
     * event-time order — events are sorted per micro-batch, and across
     * batches arrival order is trusted (the same in-order contract as
-    * [[streamingDerivative]]; bound disorder upstream with a watermark).
-    * State is two fields per user — O(users), not O(events).
+    * [[streamingDerivative]]; [[streamingFunnelOrdered]] replaces the
+    * assumption with a watermark reorder buffer). State is two fields per
+    * user — O(users), not O(events).
     */
   def streamingFunnel(
       spark: SparkSession,
@@ -240,6 +324,56 @@ object StreamOps {
             }
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class FunnelOrdState(buffer: Seq[TypedEvent], step: Int, arrivalMs: Long)
+
+  /** [[streamingFunnel]] with the in-order assumption replaced by the same
+    * watermark reorder buffer as [[streamingDerivativeOrdered]]: events wait
+    * in per-key state until the watermark passes them, then replay through
+    * the shared [[graft.ops.Funnel.advances]] transition in event-time
+    * order — first-touch batch semantics hold under disorder bounded by
+    * `maxDisorder`, and beyond-bound stragglers are dropped rather than
+    * advancing the funnel out of order.
+    */
+  def streamingFunnelOrdered(
+      spark: SparkSession,
+      stream: Dataset[TypedEvent],
+      stepTypes: Seq[String],
+      withinMs: Long,
+      maxDisorder: String): Dataset[FunnelReach] = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    import spark.implicits._
+    val withWm = stream.toDF()
+      .withColumn("__evt", timestamp_millis(col("tsMs")))
+      .withWatermark("__evt", maxDisorder)
+      .as[TypedEvent]
+    withWm
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, events: Iterator[TypedEvent], state: GroupState[FunnelOrdState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelOrdState(Vector.empty, 0, Long.MinValue))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = splitAtWatermark(st0.buffer, events, wm, (e: TypedEvent) => e.tsMs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
+          var step = st0.step
+          var arrival = st0.arrivalMs
+          for (e <- ready.sortBy(e => (e.tsMs, e.tpe))) {
+            if (graft.ops.Funnel.advances(step, arrival, e.tpe, e.tsMs, stepTypes, withinMs)) {
+              out += FunnelReach(key, step.toLong, stepTypes(step), e.tsMs)
+              step += 1
+              arrival = e.tsMs
+            }
+          }
+          state.update(FunnelOrdState(pending, step, arrival))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_.tsMs).min, wm + 1L))
           out.iterator
       }
   }

@@ -157,6 +157,94 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDerivativeOrdered matches batch under bounded cross-batch disorder") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.KeyedEvent]
+    val out = StreamOps.streamingDerivativeOrdered(
+      spark, input.toDS(), intervalMs = 100L, maxDisorder = "150 milliseconds")
+    val q = out.writeStream.format("memory").queryName("sderiv_ord")
+      .outputMode("append").start()
+    try {
+      // The i² fixture (shifted +1000 ms: Spark's initial watermark is 0
+      // and its late filter drops eventTime ≤ watermark, so an epoch-0
+      // event would be late in the first batch) arriving OUT OF ORDER
+      // within and across batches — every event lands within 150 ms of the
+      // max event time seen, so the reorder buffer must recover exact
+      // batch semantics.
+      input.addData(
+        StreamOps.KeyedEvent("a", 1200L, 4.0),
+        StreamOps.KeyedEvent("a", 1000L, 0.0))
+      q.processAllAvailable() // watermark → 1050: only t=1000 released (anchors)
+      input.addData(
+        StreamOps.KeyedEvent("a", 1100L, 1.0), // earlier than batch-1's 1200
+        StreamOps.KeyedEvent("a", 1400L, 16.0),
+        StreamOps.KeyedEvent("a", 1300L, 9.0))
+      q.processAllAvailable() // watermark → 1250; timeout flushes t∈{1100,1200}
+      // A straggler BEYOND the bound (t=1100 ≤ watermark 1250) must be
+      // dropped, not replayed out of order; the far-future sentinel drives
+      // the watermark past every buffered event so timeouts flush them.
+      input.addData(
+        StreamOps.KeyedEvent("a", 1100L, 99.0),
+        StreamOps.KeyedEvent("z", 100000L, 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("sderiv_ord")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == "a").map(t => (t._2, t._3)).sortBy(_._1)
+      // Identical to the in-order test's completed buckets — and to batch.
+      import spark.implicits._
+      val batchDf = Seq((1000L, 0.0), (1100L, 1.0), (1200L, 4.0), (1300L, 9.0), (1400L, 16.0))
+        .toDF("time", "v")
+      val batch = graft.uts.Derivative(batchDf, "v", 100L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.toSeq == batch.take(3))
+      assert(got.toSeq == Seq((1100L, 1.0), (1200L, 3.0), (1300L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streamingFunnelOrdered advances on disorder the trusting variant misses") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.TypedEvent]
+    val ordered = StreamOps.streamingFunnelOrdered(
+      spark, input.toDS(), Seq("a", "b"), withinMs = 10000L, maxDisorder = "6 seconds")
+    val inputTrusting = MemoryStream[StreamOps.TypedEvent]
+    val trusting = StreamOps.streamingFunnel(
+      spark, inputTrusting.toDS(), Seq("a", "b"), withinMs = 10000L)
+    val qo = ordered.writeStream.format("memory").queryName("sfunnel_ord")
+      .outputMode("append").start()
+    val qt = trusting.writeStream.format("memory").queryName("sfunnel_trust")
+      .outputMode("append").start()
+    try {
+      // User 1's step-b event ARRIVES a batch before its step-a event
+      // (disorder 5 s, inside the 6 s bound; times sit above 0 because the
+      // initial watermark is 0 and Spark drops eventTime ≤ watermark).
+      val batch1 = Seq(StreamOps.TypedEvent(1L, "b", 6000L))
+      val batch2 = Seq(StreamOps.TypedEvent(1L, "a", 1000L))
+      val batch3 = Seq(StreamOps.TypedEvent(99L, "a", 50000L)) // advances watermark
+      for (b <- Seq(batch1, batch2, batch3)) {
+        input.addData(b); qo.processAllAvailable()
+        inputTrusting.addData(b); qt.processAllAvailable()
+      }
+      qo.processAllAvailable()
+      val got = spark.table("sfunnel_ord")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .filter(_._1 == 1L).sortBy(_._2)
+      // In event-time order u1 completes both steps — equal to batch.
+      assert(got.toSeq == Seq((1L, 0L, "a", 1000L), (1L, 1L, "b", 6000L)))
+      import spark.implicits._
+      val batchDf = Seq((1L, "b", 6000L), (1L, "a", 1000L), (99L, "a", 50000L))
+        .toDF("user_id", "event_type", "time")
+      val batch = graft.ops.Funnel.steps(batchDf, Seq("a", "b"), 10000L)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(batch == Seq((0L, 2L), (1L, 1L)))
+      // The trusting variant processes b before a and never reaches step 1 —
+      // the reorder buffer is load-bearing, not decorative.
+      val trust = spark.table("sfunnel_trust")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._1 == 1L)
+      assert(trust.toSeq == Seq((1L, 0L)))
+    } finally { qo.stop(); qt.stop() }
+  }
+
   test("streamingFunnel reach counts match batch funnel across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.TypedEvent]
