@@ -231,6 +231,31 @@ object SparkEntry {
   private def ngramTopCounts(s: SparkSession, dir: String): DataFrame =
     Text.ngramCounts(T(s, dir, "documents"), n = 2, k = 20)
 
+  /** Substring-level repeated-span detection: every bigram position whose
+    * gram recurs in ≥ 35 distinct documents (the scrub list, not a document
+    * verdict — [[graft.ops.Text.repeatedNgramSpans]]).
+    */
+  private def repeatedNgramSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.repeatedNgramSpans(T(s, dir, "documents"), n = 2, minDf = 35L),
+      "doc_id", "pos")
+
+  /** N-gram-level train/eval contamination over the standard split: for
+    * every train document, its trigram overlap against the eval split's
+    * distinct trigrams ([[graft.ops.Text.ngramContamination]]).
+    */
+  private def ngramContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val split = graft.ops.Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    graft.ops.Ordered.smallResult(
+      Text.ngramContamination(
+        split.filter(col("split") === "train").select(col("doc_id"), col("text")),
+        split.filter(col("split") =!= "train").select(col("doc_id"), col("text")),
+        n = 3),
+      "doc_id")
+  }
+
   /** Train/eval contamination check — the eval-integrity gate of a training
     * pipeline: after splitting, does any eval document's content fingerprint
     * appear in the train split? The corpus has no duplicate texts, so the
@@ -1040,6 +1065,8 @@ object SparkEntry {
     "sample_weighted" -> (sampleWeighted _),
     "sample_split_counts" -> (sampleSplitCounts _),
     "ngram_top_counts" -> (ngramTopCounts _),
+    "repeated_ngram_spans" -> (repeatedNgramSpans _),
+    "ngram_contamination" -> (ngramContamination _),
     "contamination_check" -> (contaminationCheck _),
     "token_count_quantiles" -> (tokenCountQuantiles _),
     "json_props_stats" -> (jsonPropsStats _),
@@ -1779,6 +1806,39 @@ object SparkEntry {
          |      FROM toks, unnest(range(1, greatest(len(ts), 1))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // Same bigram derivation with positions; df counts DISTINCT documents,
+    // every occurrence of a hot gram is a span row.
+    "repeated_ngram_spans" ->
+      s"""WITH toks AS ($ToksCte),
+         |g AS (SELECT doc_id, i - 1 AS pos, ts[i] || ' ' || ts[i+1] AS gram
+         |      FROM toks, unnest(range(1, greatest(len(ts), 1))) AS t(i)),
+         |hot AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g
+         |        GROUP BY gram HAVING count(DISTINCT doc_id) >= 35)
+         |SELECT g.doc_id, g.pos, g.gram, hot.df
+         |FROM g JOIN hot USING (gram)
+         |ORDER BY g.doc_id, g.pos""".stripMargin,
+    // Trigram occurrences of each TRAIN doc counted against the eval
+    // split's distinct trigrams; split = the assignSplit hash bands.
+    "ngram_contamination" ->
+      s"""WITH toks AS ($ToksCte),
+         |g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+         |      FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+         |       THEN 'train' ELSE 'eval' END AS sp FROM documents),
+         |ev AS (SELECT DISTINCT gram FROM g JOIN s USING (doc_id) WHERE sp = 'eval'),
+         |tot AS (SELECT t.doc_id,
+         |        CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 0 END AS n_grams
+         |        FROM toks t JOIN s USING (doc_id) WHERE sp = 'train'),
+         |hits AS (SELECT g.doc_id, count(*) AS n_overlap
+         |         FROM g JOIN s USING (doc_id) JOIN ev USING (gram)
+         |         WHERE sp = 'train' GROUP BY g.doc_id)
+         |SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+         |       coalesce(hits.n_overlap, 0) AS n_overlap,
+         |       round(coalesce(hits.n_overlap, 0) /
+         |             greatest(tot.n_grams, 1), 4) AS overlap_ratio
+         |FROM tot LEFT JOIN hits USING (doc_id)
+         |ORDER BY tot.doc_id""".stripMargin,
     // Same cumulative-hash split as sample_split_counts, over the corpus
     // plus 50 planted re-crawled copies; contamination = eval docs whose
     // md5(lower(trim(text))) also occurs in train.

@@ -53,8 +53,8 @@ object Dedup {
     * grouped by (d1, d2), and |A∪B| = |A| + |B| − |A∩B| from per-doc set
     * sizes — no per-doc collected arrays, no window functions, two shuffles
     * total (by shingle, then by pair). Cost is Σ_shingle df² joined rows; at
-    * corpus-like df distributions this beats the prefix-filtered variant by
-    * ~5× wall-clock (codegen + no cache churn). Hot stopword-shingles make
+    * corpus-like df distributions this is the fastest formulation (codegen,
+    * no materialization jobs). Hot stopword-shingles make
     * df² explode at 100 TB — cap them with `maxShingleDf`, or use
     * [[jaccardPairsPrefixFiltered]] (rare-prefix candidate generation) or
     * [[minhashLshPairs]] (fixed-size signatures), all of which bound per-key
@@ -162,16 +162,25 @@ object Dedup {
     * in millions of documents (the stopword-shingle skew case the count
     * formulation can't survive).
     *
-    * Materialization contract: the shingle/prefix/set relations each feed
-    * several branches of the returned plan, so they are EAGERLY
-    * `localCheckpoint`ed when this method is called (three jobs run here,
-    * not at the caller's action). Unlike `.cache()`, nothing registers in
-    * the CacheManager — the blocks die with the returned DataFrame via the
-    * ContextCleaner, so sweeping many corpora/thresholds through this op
-    * leaves no session-lifetime residue. Executor-local blocks mean a lost
-    * executor fails the query (recompute the call); a cluster run that
-    * needs fault tolerance should pre-materialize the shingle relation to
-    * reliable storage instead.
+    * Everything runs on the [[org.apache.spark.sql.graftfns.ShingleHashes]]
+    * kernel's 64-bit hashes — 16-byte join rows, like [[jaccardPairs]] and
+    * [[minhashLshPairs]] (hash distinctness ≡ shingle distinctness modulo
+    * 64-bit collisions, the same documented trade) — and verification is the
+    * count formulation over candidate-restricted narrow rows, never
+    * collected arrays: the first cut of this op shuffled two full shingle-
+    * set arrays per candidate (~2 KB/row) into interpreted array_intersect
+    * calls and spent 9× [[jaccardPairs]]' wall-clock on it.
+    *
+    * Materialization contract: the hashed relation feeds several branches
+    * (ranking, sizes, verification) and the prefix relation is self-joined,
+    * so both are EAGERLY `localCheckpoint`ed when this method is called (two
+    * jobs run here, not at the caller's action). Unlike `.cache()`, nothing
+    * registers in the CacheManager — the blocks die with the returned
+    * DataFrame via the ContextCleaner, so sweeping many corpora/thresholds
+    * through this op leaves no session-lifetime residue. Executor-local
+    * blocks mean a lost executor fails the query (recompute the call); a
+    * cluster run that needs fault tolerance should pre-materialize the
+    * hashed relation to reliable storage instead.
     */
   def jaccardPairsPrefixFiltered(
       df: DataFrame,
@@ -179,42 +188,48 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // The shingle relation feeds four branches (df counts, ranking, both join
-    // sides, verification sets) — materialize it, or every branch re-runs
-    // the tokenize/shingle scan. Same for the prefix relation (self-joined).
-    val sh = shingles(df, n, idCol, textCol).localCheckpoint()
+    val hashed = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      .localCheckpoint()
+    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
     // Prefix filtering (ppjoin-style): order each document's shingles by a
-    // global canonical order (ascending document frequency, then shingle) and
+    // global canonical order (ascending document frequency, then hash) and
     // keep only the first |A| − ⌈t·|A|⌉ + 1. Two sets with J ≥ t MUST share a
     // prefix shingle under a common total order, so joining prefixes loses no
-    // true pair — but rare-first prefixes collide far less than full sets
-    // (candidate volume drops ~an order of magnitude), and the hottest
-    // (stopword-like) shingles never enter the join at all.
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
-    val ranked = sh.join(dfreq, "shingle")
+    // true pair — but rare-first prefixes collide far less than full sets,
+    // and the hottest (stopword-like) shingles never enter the join at all.
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
+    val ranked = sh.join(dfreq, "h")
       .withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df_sh"), col("shingle"))))
-      .withColumn("n_sh",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-    val prefix = ranked
+          .partitionBy(col("id")).orderBy(col("df_sh"), col("h"))))
+    val prefix = ranked.join(sizes, "id")
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("h"))
       .localCheckpoint()
-    val candidates = prefix.as("a")
+    val candidates = prefix.as("a").hint("SHUFFLE_HASH")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
-    // Exact verification on the candidates only, via full sorted shingle sets.
-    val sets = sh.groupBy(col("id")).agg(collect_list(col("shingle")).as("sh")).localCheckpoint()
+    // Exact verification on candidates only, as counts: fan each candidate
+    // pair out to d1's shingle rows (|cand|·n̄_sh narrow long rows), keep the
+    // ones d2 also holds via an (id, h) equality join, count per pair —
+    // |A∩B| without ever shuffling a collected set. A candidate shares ≥ 1
+    // prefix shingle by construction, so the inner join drops no pair.
+    val ov = candidates
+      .join(sh.select(col("id").as("d1"), col("h")), "d1")
+      .join(sh.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
     Ordered.smallResult(
-      candidates
-        .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
-        .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      ov
+        .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
         .select(col("d1"), col("d2"),
-          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
+          round(col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"), 4)
+            .as("jaccard"))
         .filter(col("jaccard") >= threshold),
       "d1", "d2")
   }

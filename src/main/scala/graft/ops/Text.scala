@@ -380,4 +380,81 @@ object Text {
     */
   private[ops] def wordGrams(text: Column, n: Int): Column =
     org.apache.spark.sql.graftfns.TextFunctions.wordGrams(text, n)
+
+  /** Substring-level repeated-span detection (the Lee et al. 2021
+    * "Deduplicating Training Data" shape, at n-gram granularity): every
+    * position where a document carries an n-gram that occurs in ≥ `minDf`
+    * DISTINCT documents — the spans a scrubbing pass would excise, as
+    * opposed to [[Dedup]]'s whole-document verdicts. Output one row per
+    * occurrence: `(idCol, pos, gram, df)` with `pos` the 0-based token index
+    * the gram starts at.
+    *
+    * Shape at 100 TB: grams are built per document in one codegen'd pass
+    * (no position self-join), the document-frequency aggregate partial-
+    * aggregates map-side (the shuffle carries distinct grams per partition),
+    * and the join back is candidate-by-equality against the `minDf`-filtered
+    * hot-gram table only — never an all-pairs pass. For the 50-gram spans of
+    * the paper, key the aggregate on a rolling hash ([[rollingFingerprint]]'s
+    * kernel) instead of the gram text to keep shuffle rows fixed-width.
+    */
+  def repeatedNgramSpans(
+      df: DataFrame,
+      n: Int,
+      minDf: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2 (a span repeats across documents), got $minDf")
+    val grams = df.select(
+      col(idCol),
+      posexplode(wordGrams(col(textCol), n)).as(Seq("pos", "gram")))
+    val hot = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    grams
+      .join(hot, "gram")
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("gram"), col("df"))
+  }
+
+  /** N-gram-level train/eval contamination (the GPT-3 appendix-C shape,
+    * generalizing the exact-fingerprint `contamination_check` gate): for
+    * every training document, how many of its n-gram occurrences also
+    * appear anywhere in the eval set — `(idCol, n_grams, n_overlap,
+    * overlap_ratio)`, zero-filled for clean documents. Scrub (or flag)
+    * training docs whose ratio exceeds policy.
+    *
+    * The eval side is collapsed to DISTINCT grams and broadcast — an eval
+    * benchmark is benchmark-sized next to a training corpus, so the corpus
+    * never shuffles; it streams past the broadcast set with map-side
+    * partial aggregation. For an eval set beyond broadcast reach, the same
+    * counts compose from [[Joins.bloomSemiJoin]] (probe pruned before an
+    * exact shuffle join) at one extra stage.
+    */
+  def ngramContamination(
+      train: DataFrame,
+      evalDf: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val evalGrams = evalDf
+      .select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val perDoc = train
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    train
+      .select(col(idCol), size(wordGrams(col(textCol), n)).cast("long").as("n_grams"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_grams"),
+        coalesce(col("__hits"), lit(0L)).as("n_overlap"),
+        round(
+          coalesce(col("__hits"), lit(0L)).cast("double") /
+            greatest(col("n_grams"), lit(1L)).cast("double"),
+          4).as("overlap_ratio"))
+  }
 }

@@ -492,6 +492,38 @@ class OpsSpec extends SparkSpec {
     assert(Text.ngramCounts(df, 2, 1).collect().map(_.getString(0)).toSeq == Seq("a b"))
   }
 
+  test("repeated n-gram spans: every position of a cross-doc gram, within-doc repeats count once for df") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"), // "the cat" at pos 0 AND 4
+      (2L, "the cat ran"),
+      (3L, "dogs bark loud")
+    ).toDF("doc_id", "text")
+    val out = Text.repeatedNgramSpans(docs, n = 2, minDf = 2)
+      .orderBy(col("doc_id"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // df = 2 (distinct docs 1 and 2 — doc 1's repeat does NOT inflate it),
+    // but BOTH of doc 1's occurrences are span rows (scrubbing needs each).
+    assert(out.toSeq == Seq(
+      (1L, 0L, "the cat", 2L), (1L, 4L, "the cat", 2L), (2L, 0L, "the cat", 2L)))
+    // Raising minDf above the corpus ceiling empties the scrub list.
+    assert(Text.repeatedNgramSpans(docs, 2, 3).count() == 0)
+  }
+
+  test("ngram contamination: per-occurrence overlap counts, zero-filled clean and short docs") {
+    val train = Seq(
+      (1L, "a b c d"),       // trigrams: "a b c", "b c d" — both in eval
+      (2L, "x y z"),         // "x y z" — clean
+      (3L, "a b"),           // too short: 0 trigrams
+      (4L, "a b c a b c")    // "a b c"×2 (pos 0,3) + "b c a","c a b" → 2/4 hit
+    ).toDF("doc_id", "text")
+    val evalDf = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val out = Text.ngramContamination(train, evalDf, n = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 1L, 0L, 0.0), (3L, 0L, 0L, 0.0), (4L, 4L, 2L, 0.5)))
+  }
+
   test("assignSplit: disjoint cumulative bands, first band equals fractionByHash") {
     def h(id: Long) = (id * 2654435761L) % 4294967296L
     val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "x").repartition(4)
