@@ -553,6 +553,14 @@ object SparkEntry {
   private def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsPrefixFiltered(T(s, dir, "documents"), n = 3, threshold = 0.6)
 
+  /** SemDeDup over the embeddings corpus: same k-means init as
+    * `ann_ivf_topk_nolabel` (8 hash seeds, 2 Lloyd rounds) scoping the
+    * cosine-0.8 near-dup pass to within-cluster pairs.
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(T(s, dir, "embeddings"),
+      nClusters = 8, rounds = 2, threshold = 0.8)
+
   /** The `maxShingleDf` skew-cap plan (hot-shingle anti-join → candidate
     * join → exact verify) under the exact-Jaccard oracle: the corpus's max
     * shingle df is ~25 at sf0.1, so a cap of 200 never prunes a pair here —
@@ -1033,6 +1041,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -1570,6 +1579,44 @@ object SparkEntry {
         |       CAST(least(e.vec_id, coalesce(low.low, e.vec_id)) <> e.vec_id AS INT) AS is_dup
         |FROM e LEFT JOIN low ON low.id = e.vec_id
         |ORDER BY vec_id""".stripMargin,
+    // SemDeDup: the ann_ivf_topk_nolabel k-means re-derivation (hash seeds,
+    // two Lloyd rounds, argmax assignment) feeding a WITHIN-cluster pair
+    // join under the dedup_embedding keep rule — near-dup verdicts scoped by
+    // cluster, so a cross-cluster twin legitimately stays.
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |seeds AS (SELECT vec_id AS cl, v AS cvec FROM e
+        |          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
+        |         (SELECT e.vec_id, s.cl, list_cosine_similarity(e.v, s.cvec) AS cs
+        |          FROM e, seeds s) GROUP BY vec_id),
+        |c1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+        |         (SELECT a1.cl, ex.pos, avg(ex.x) AS m
+        |          FROM ex JOIN a1 USING (vec_id) GROUP BY a1.cl, ex.pos)
+        |       GROUP BY cl),
+        |a2 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
+        |         (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+        |          FROM e, c1 c) GROUP BY vec_id),
+        |c2 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+        |         (SELECT a2.cl, ex.pos, avg(ex.x) AS m
+        |          FROM ex JOIN a2 USING (vec_id) GROUP BY a2.cl, ex.pos)
+        |       GROUP BY cl),
+        |assign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+        |             (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+        |              FROM e, c2 c) GROUP BY vec_id),
+        |pairs AS (SELECT ea.vec_id AS v1, eb.vec_id AS v2
+        |          FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
+        |               JOIN e eb ON ea.vec_id < eb.vec_id
+        |               JOIN assign ab ON eb.vec_id = ab.vec_id
+        |                            AND aa.cluster = ab.cluster
+        |          WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.8),
+        |low AS (SELECT v2 AS id, min(v1) AS low FROM pairs GROUP BY v2)
+        |SELECT e.vec_id, a.cluster,
+        |       least(e.vec_id, coalesce(low.low, e.vec_id)) AS rep_id,
+        |       CAST(least(e.vec_id, coalesce(low.low, e.vec_id)) <> e.vec_id AS INT) AS is_dup
+        |FROM e JOIN assign a USING (vec_id) LEFT JOIN low ON low.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -234,6 +234,59 @@ object Dedup {
       "d1", "d2")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): near-duplicate
+    * removal by embedding cosine, scoped WITHIN k-means clusters. The
+    * corpus-quadratic all-pairs scan ([[embeddingNearDups]]'s verifier)
+    * becomes candidates-by-equality on the cluster id, so pair work is
+    * Σ|cluster|² — `nClusters` is the tractability knob, and a near-dup
+    * pair split across two clusters is never compared (the documented
+    * recall trade the paper accepts; raise `nClusters` only as far as the
+    * cluster-boundary miss rate tolerates).
+    *
+    * Deterministic end-to-end (hash-seeded [[Similarity.centroidsKMeans]],
+    * smaller-id assignment ties, round-4 threshold compare), so the whole
+    * pipeline — init, Lloyd rounds, assignment, in-cluster pairs, keep
+    * rule — is DuckDB-re-derivable. Keep rule mirrors [[embeddingNearDups]]:
+    * a vector drops iff a SMALLER id in its cluster scores ≥ `threshold`
+    * against it. Output: `(idCol, cluster, rep_id, is_dup)` per vector.
+    *
+    * The assigned relation feeds both self-join sides plus the final keep
+    * join, and the assignment pass (a corpus × centroid fold) is the
+    * expensive stage — it is eagerly `localCheckpoint`ed (same contract as
+    * [[jaccardPairsPrefixFiltered]]: executor-local blocks, nothing in the
+    * CacheManager; pre-materialize to reliable storage for fault tolerance
+    * at cluster scale, e.g. via [[graft.ops.Similarity.ivfBuild]]'s layout).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      nClusters: Int,
+      rounds: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
+    val slim = Similarity.assignClusters(df, cents, idCol, vecCol)
+      .select(col(idCol).as("__id"), col("cluster"), col(vecCol).as("__v"))
+      .localCheckpoint()
+    // SHUFFLE_HASH: equi-join on the cluster id needs no sort order, and
+    // the per-cluster nested pair loop is the intended work, not the join.
+    val pairs = slim.as("a").hint("SHUFFLE_HASH")
+      .join(slim.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("v1"), col("b.__id").as("v2"),
+        round(Similarity.cosine(col("a.__v"), col("b.__v")), 4).as("cs"))
+      .filter(col("cs") >= threshold)
+    val lowerMin = pairs.groupBy(col("v2").as("__dup")).agg(min(col("v1")).as("low"))
+    Ordered.smallResult(
+      slim.select(col("__id"), col("cluster"))
+        .join(lowerMin, col("__id") === col("__dup"), "left")
+        .select(
+          col("__id").as(idCol), col("cluster"),
+          least(col("__id"), coalesce(col("low"), col("__id"))).as("rep_id"))
+        .withColumn("is_dup", (col("rep_id") =!= col(idCol)).cast("int")),
+      idCol)
+  }
+
   /** MinHash + LSH near-dup pairs. Per document: a `numHashes`-element
     * minhash signature over its hashed shingle set (one base
     * [[org.apache.spark.sql.graftfns.ShingleHashes]] pass + SplitMix64-derived

@@ -508,6 +508,19 @@ object Similarity {
     cents
   }
 
+  /** Every vector labeled with its nearest centroid under cosine — the
+    * public composition point over a `(cl, cvec)` centroid frame (e.g.
+    * [[graft.ops.Dedup.semanticDedup]] scopes its pair scans by it). Output
+    * is the input columns plus `cluster`; ties break toward the smaller
+    * cluster id (see [[assignedOf]]).
+    */
+  def assignClusters(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignedOf(df, centroids, idCol, vecCol, Nil)
+
   /** [[ivfTopK]]'s probe/score body over a CALLER-SUPPLIED centroid frame
     * `(cl, cvec)` — plug in [[centroidsKMeansParallel]] (or any routing
     * table) without re-deriving the probe plan.

@@ -293,6 +293,41 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("semantic dedup: in-cluster near-dups drop, the cross-cluster pair is the documented miss") {
+    // Ids are placed by Knuth-hash order so the two k-means seeds land one
+    // per blob (the collapse case is k-means||'s test, not this one).
+    def knuth(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    val byHash = (0L until 10L).sortBy(id => (knuth(id), id))
+    val p = byHash(6); val q = byHash(7) // boundary twins: cos(p,q) ≈ 0.994, split A/B
+    val vecs =
+      Seq(byHash(0), byHash(2), byHash(4)).map((_, Array(1.0f, 0.0f))) ++
+      Seq(byHash(1), byHash(3), byHash(5)).map((_, Array(0.0f, 1.0f))) ++
+      Seq((p, Array(1.0f, 0.9f)), (q, Array(0.9f, 1.0f)),
+        (byHash(8), Array(2.0f, 0.0f)), (byHash(9), Array(0.0f, 3.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def dupsOf(out: Array[org.apache.spark.sql.Row]): Map[Long, Int] =
+      out.map(r => r.getLong(0) -> r.getInt(out.head.length - 1)).toMap
+    val global = dupsOf(Dedup.embeddingNearDups(df, 0.8).collect())
+    // One cluster ⇒ the scoping is a no-op: identical verdicts to the
+    // global all-pairs op, column for column.
+    val one = Dedup.semanticDedup(df, nClusters = 1, rounds = 1, threshold = 0.8)
+      .select(col("vec_id"), col("rep_id"), col("is_dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val glob = Dedup.embeddingNearDups(df, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(one.toSeq == glob.toSeq)
+    // Two clusters: every in-cluster near-dup still drops, but the p/q
+    // boundary twins are never compared — exactly one verdict flips.
+    val semantic = dupsOf(
+      Dedup.semanticDedup(df, nClusters = 2, rounds = 2, threshold = 0.8).collect())
+    val missed = math.max(p, q)
+    assert(global(missed) == 1 && semantic(missed) == 0,
+      "the cross-cluster twin must be the documented miss")
+    assert((0L until 10L).filter(_ != missed).forall(id => semantic(id) == global(id)),
+      "every other verdict must match the global op")
+  }
+
   test("int8 quantization: values in [-127,127], zero vector safe, small round-trip error") {
     val df = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f)),
