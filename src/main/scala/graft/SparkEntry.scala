@@ -231,6 +231,41 @@ object SparkEntry {
   private def ngramTopCounts(s: SparkSession, dir: String): DataFrame =
     Text.ngramCounts(T(s, dir, "documents"), n = 2, k = 20)
 
+  /** The mixture-gate recipe: three named sources get big budget shares,
+    * the long tail gets 2% each, against a 50k-char budget.
+    */
+  private val MixWeights = Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1)
+  private val MixDefault = 0.02
+
+  private def mixturePlanOf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixturePlan(T(s, dir, "documents"),
+      "source", "n_chars", MixWeights, defaultWeight = MixDefault, budget = 50000L)
+
+  private def mixturePlanQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(mixturePlanOf(s, dir), "source")
+
+  private def mixtureApplyQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.applyMixturePlan(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        mixturePlanOf(s, dir), "source", "doc_id"),
+      "doc_id")
+
+  /** PII scrub over the corpus with PLANTED addresses/numbers (the corpus
+    * itself is clean words — the `contamination_check` planting pattern):
+    * docs < 50 get an email + a long digit run appended in-query, so the
+    * gate exercises both replacement passes and the count columns.
+    */
+  private def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = T(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") < 50,
+        concat(col("text"), lit(" reach me at user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or 555123456"), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Ordered.smallResult(Text.redact(planted), "doc_id")
+  }
+
   /** Substring-level repeated-span detection: every bigram position whose
     * gram recurs in ≥ 35 distinct documents (the scrub list, not a document
     * verdict — [[graft.ops.Text.repeatedNgramSpans]]).
@@ -1070,6 +1105,9 @@ object SparkEntry {
     "token_histogram" -> (tokenHistogram _),
     "token_histogram_bpe" -> (tokenHistogramBpe _),
     "sample_stratified" -> (sampleStratified _),
+    "mixture_plan" -> (mixturePlanQ _),
+    "mixture_apply" -> (mixtureApplyQ _),
+    "text_redact" -> (textRedact _),
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_split_counts" -> (sampleSplitCounts _),
@@ -1092,6 +1130,14 @@ object SparkEntry {
     "SELECT epoch_ms(ts) AS time, event_id, user_id, event_type, value, props FROM events"
   private val ToksCte =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents"
+
+  /** The mixture gate's weight CASE, generated from [[MixWeights]] so the
+    * Spark plan and the oracle can never disagree on a share.
+    */
+  private def MixCaseSql: String =
+    MixWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("(CASE source ", " ", s" ELSE $MixDefault END)")
   private val StopEnSql = Text.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Exact n-gram-Jaccard pairs — the oracle for BOTH `dedup_jaccard_pairs`
@@ -1853,6 +1899,42 @@ object SparkEntry {
          |      FROM toks, unnest(range(1, greatest(len(ts), 1))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // Weight literals are ::DOUBLE — DuckDB parses bare 0.3 as DECIMAL,
+    // whose exact multiply would floor to 15000 where IEEE doubles (and
+    // Spark) floor 0.3·50000 to 14999.
+    "mixture_plan" ->
+      s"""WITH p AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available,
+         |  CAST(floor(CAST($MixCaseSql AS DOUBLE) * 50000) AS BIGINT) AS desired
+         |  FROM documents GROUP BY source)
+         |SELECT source, available, desired,
+         |  least(1.0, CAST(desired AS DOUBLE) / CAST(greatest(available, 1) AS DOUBLE)) AS fraction,
+         |  least(desired, available) AS expected
+         |FROM p ORDER BY source""".stripMargin,
+    "mixture_apply" ->
+      s"""WITH p AS (SELECT source,
+         |  least(1.0, CAST(CAST(floor(CAST($MixCaseSql AS DOUBLE) * 50000) AS BIGINT) AS DOUBLE) /
+         |             CAST(greatest(CAST(sum(n_chars) AS BIGINT), 1) AS DOUBLE)) AS fraction
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
+         |WHERE (d.doc_id * 2654435761) % 4294967296 < floor(p.fraction * 4294967296.0)
+         |ORDER BY d.doc_id""".stripMargin,
+    // Identical regex source strings (Text.EmailPattern/LongDigitPattern are
+    // Java/RE2-common by construction); counts come off the original text
+    // for emails and the post-email text for digit runs, same cascade.
+    "text_redact" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id < 50
+         |       THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+         |            '@mail.example.org or 555123456' || CAST(doc_id AS VARCHAR)
+         |       ELSE text END AS text
+         |  FROM documents),
+         |em AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${Text.EmailPattern}', '<EMAIL>', 'g') AS emailed FROM d)
+         |SELECT doc_id,
+         |  regexp_replace(emailed, '${Text.LongDigitPattern}', '<NUMBER>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '${Text.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(emailed, '${Text.LongDigitPattern}')) AS BIGINT) AS n_numbers
+         |FROM em ORDER BY doc_id""".stripMargin,
     // Same bigram derivation with positions; df counts DISTINCT documents,
     // every occurrence of a hot gram is a span row.
     "repeated_ngram_spans" ->

@@ -67,6 +67,70 @@ object Sampling {
     df.filter(idHash(col(idCol)) < threshold)
   }
 
+  /** Token-budget mixture plan — the step BEFORE [[weightedBySource]] in a
+    * training-corpus recipe: given target budget SHARES per source
+    * (`weights`, with `defaultWeight` for unlisted sources; caller
+    * normalizes shares to ≤ 1) and a total `budget` in `countCol` units,
+    * compute per-source availability and the sampling fraction that hits the
+    * share, capped at 1 when a source cannot fill its share ("epochs > 1"
+    * would be repetition policy, out of scope). Output one row per source:
+    * `(source, available, desired, fraction, expected)`.
+    *
+    * Entirely in-plan: one partial-aggregated groupBy (k = |sources| rows)
+    * plus literal CASE arithmetic — at a 10⁵-source registry the CASE
+    * becomes a broadcast join, same note as [[weightedBySource]]. All
+    * arithmetic is IEEE-deterministic (long sums, one multiply, one divide),
+    * so the DuckDB oracle re-derives the plan bit-for-bit — no rounding
+    * needed.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      srcCol: String,
+      countCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    (weights.valuesIterator ++ Iterator(defaultWeight)).foreach(w =>
+      require(w >= 0.0 && w <= 1.0, s"weights must be in [0,1], got $w"))
+    val w = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (s, wt)) =>
+        acc.when(col("source") === lit(s), lit(wt))
+      }
+      .otherwise(lit(defaultWeight))
+    df.groupBy(col(srcCol).as("source"))
+      .agg(sum(col(countCol)).cast("long").as("available"))
+      .withColumn("desired", floor(w * lit(budget.toDouble)).cast("long"))
+      .withColumn("fraction",
+        least(lit(1.0),
+          col("desired").cast("double") / greatest(col("available"), lit(1L)).cast("double")))
+      .withColumn("expected", least(col("desired"), col("available")))
+  }
+
+  /** Apply a [[mixturePlan]]: keep each row iff its id-hash falls under its
+    * source's planned fraction — the same pure-filter posture as
+    * [[weightedBySource]], except the thresholds come from a (k-row,
+    * broadcast) plan table instead of literals, so the plan can be derived
+    * from the data in the same job. Expected kept `countCol` mass per source
+    * ≈ `expected` (hash-uniform, exact only in expectation — the plan's
+    * contract is the layout, not an exact-N cut).
+    */
+  def applyMixturePlan(
+      df: DataFrame,
+      plan: DataFrame,
+      srcCol: String,
+      idCol: String): DataFrame = {
+    // Renamed: the caller's srcCol may itself be named "source", and a
+    // post-join drop(name) takes every column of that name with it.
+    val thresholds = plan.select(
+      col("source").as("__mix_src"), col("fraction").as("__mix_frac"))
+    df.join(broadcast(thresholds), df(srcCol) === col("__mix_src"))
+      // floor, not cast: engines disagree on double→int casts (truncate vs
+      // round-to-nearest); floor is unambiguous on both.
+      .filter(idHash(col(idCol)) < floor(col("__mix_frac") * lit(4294967296.0)))
+      .drop("__mix_src", "__mix_frac")
+  }
+
   /** Deterministic train/validation/test assignment: each row gets the
     * first split whose cumulative hash-fraction bound exceeds its id-hash.
     * `splits` maps split name to fraction; fractions must sum to ≤ 1 (any

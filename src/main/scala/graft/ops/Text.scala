@@ -381,6 +381,34 @@ object Text {
   private[ops] def wordGrams(text: Column, n: Int): Column =
     org.apache.spark.sql.graftfns.TextFunctions.wordGrams(text, n)
 
+  /** Redaction patterns — restricted (like [[BpePattern]]) to syntax Java
+    * regex and RE2 agree on: no lookaround, no \\p classes, no backrefs, so
+    * the DuckDB oracle applies the IDENTICAL pattern.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9]{7,}"
+
+  /** PII scrubbing: emails → `<EMAIL>` then long digit runs (≥ 7: phone /
+    * account / card shapes) → `<NUMBER>`, with per-pattern match counts off
+    * the ORIGINAL text — the audit trail a scrub pass reports. Order
+    * matters and is part of the contract: the email pass also consumes
+    * digit runs inside addresses, so `n_numbers` counts only runs that
+    * survive it. One narrow projection, no shuffle, no UDFs — regex
+    * replace/extract are codegen'd string expressions, so this scan-scales
+    * like the other per-document ops. A production deny-list beyond these
+    * two shapes is a `patterns` table driving the same fold.
+    */
+  def redact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val emailed = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    df.select(
+      col(idCol),
+      regexp_replace(emailed, LongDigitPattern, "<NUMBER>").as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(emailed, lit(LongDigitPattern), lit(0)))
+        .cast("long").as("n_numbers"))
+  }
+
   /** Substring-level repeated-span detection (the Lee et al. 2021
     * "Deduplicating Training Data" shape, at n-gram granularity): every
     * position where a document carries an n-gram that occurs in ≥ `minDf`

@@ -559,6 +559,53 @@ class OpsSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0), (2L, 1L, 0L, 0.0), (3L, 0L, 0L, 0.0), (4L, 4L, 2L, 0.5)))
   }
 
+  test("mixture plan caps oversubscribed sources; apply keeps the planned hash bands") {
+    val df = Seq(
+      (1L, "A", 50L), (2L, "A", 50L),                       // A: 100 available
+      (3L, "B", 400L), (4L, "B", 300L), (5L, "B", 300L),    // B: 1000 available
+      (6L, "C", 10L)                                        // C: 10 available
+    ).toDF("id", "src", "n")
+    val plan = Sampling.mixturePlan(df, "src", "n",
+      Map("A" -> 0.5, "B" -> 0.01), defaultWeight = 0.002, budget = 200L)
+    val rows = plan.orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("A", 100L, 100L, 1.0, 100L),   // share 100 = availability → capped at 1
+      ("B", 1000L, 2L, 0.002, 2L),
+      ("C", 10L, 0L, 0.0, 0L)))       // floor(0.002·200) = 0: priced out
+    val kept = Sampling.applyMixturePlan(df, plan, "src", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Hash-band re-derivation: id kept iff knuth(id) < floor(fraction·2³²).
+    def knuth(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    val expected = Seq(
+      (1L, "A", 50L), (2L, "A", 50L),
+      (3L, "B", 400L), (4L, "B", 300L), (5L, "B", 300L)
+    ).filter { case (id, s, _) =>
+      val frac = if (s == "A") 1.0 else 0.002
+      knuth(id) < math.floor(frac * 4294967296.0).toLong
+    }
+    assert(kept.sortBy(_._1).toSeq == expected)
+    // The caller's columns survive the threshold join untouched.
+    assert(kept.forall(_.productArity == 3))
+  }
+
+  test("redact: emails consumed before digit runs, counts follow the cascade") {
+    val df = Seq(
+      (1L, "mail bob123456789@x.co now"), // digits live INSIDE the email
+      (2L, "call 5551234567 or 555123"),  // 10-digit run hits, 6-digit run survives
+      (3L, "a@b.com 9999999 c@d.org"),
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = Text.redact(df).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "mail <EMAIL> now", 1L, 0L),
+      (2L, "call <NUMBER> or 555123", 0L, 1L),
+      (3L, "<EMAIL> <NUMBER> <EMAIL>", 2L, 1L),
+      (4L, "clean text", 0L, 0L)))
+  }
+
   test("assignSplit: disjoint cumulative bands, first band equals fractionByHash") {
     def h(id: Long) = (id * 2654435761L) % 4294967296L
     val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "x").repartition(4)
