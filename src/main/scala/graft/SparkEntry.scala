@@ -596,6 +596,15 @@ object SparkEntry {
     Dedup.semanticDedup(T(s, dir, "embeddings"),
       nClusters = 8, rounds = 2, threshold = 0.8)
 
+  /** Cluster-balanced coverage sample over the same k-means pipeline as
+    * `dedup_semantic`: ≤ 5 vectors per cluster by hash rank.
+    */
+  private def sampleDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Similarity.diversitySample(T(s, dir, "embeddings"),
+        nClusters = 8, rounds = 2, nPer = 5),
+      "cluster", "vec_id")
+
   /** The `maxShingleDf` skew-cap plan (hot-shingle anti-join → candidate
     * join → exact verify) under the exact-Jaccard oracle: the corpus's max
     * shingle df is ~25 at sf0.1, so a cap of 200 never prunes a pair here —
@@ -1077,6 +1086,7 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_semantic" -> (dedupSemantic _),
+    "sample_diversity" -> (sampleDiversity _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -1130,6 +1140,35 @@ object SparkEntry {
     "SELECT epoch_ms(ts) AS time, event_id, user_id, event_type, value, props FROM events"
   private val ToksCte =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents"
+
+  /** Shared k-means re-derivation (8 Knuth-hash seeds, two Lloyd rounds
+    * under cosine, argmax assignment — the `centroidsKMeans(k=8, rounds=2)`
+    * pipeline) as a CTE-chain fragment ending in
+    * `assign(vec_id, cluster)` — spliced into every oracle that clusters
+    * the embeddings corpus so they cannot drift from each other.
+    */
+  private val KMeans8Ctes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+      |seeds AS (SELECT vec_id AS cl, v AS cvec FROM e
+      |          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+      |a1 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
+      |         (SELECT e.vec_id, s.cl, list_cosine_similarity(e.v, s.cvec) AS cs
+      |          FROM e, seeds s) GROUP BY vec_id),
+      |c1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+      |         (SELECT a1.cl, ex.pos, avg(ex.x) AS m
+      |          FROM ex JOIN a1 USING (vec_id) GROUP BY a1.cl, ex.pos)
+      |       GROUP BY cl),
+      |a2 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
+      |         (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+      |          FROM e, c1 c) GROUP BY vec_id),
+      |c2 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+      |         (SELECT a2.cl, ex.pos, avg(ex.x) AS m
+      |          FROM ex JOIN a2 USING (vec_id) GROUP BY a2.cl, ex.pos)
+      |       GROUP BY cl),
+      |assign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+      |             (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+      |              FROM e, c2 c) GROUP BY vec_id)""".stripMargin
 
   /** The mixture gate's weight CASE, generated from [[MixWeights]] so the
     * Spark plan and the oracle can never disagree on a share.
@@ -1630,27 +1669,7 @@ object SparkEntry {
     // join under the dedup_embedding keep rule — near-dup verdicts scoped by
     // cluster, so a cross-cluster twin legitimately stays.
     "dedup_semantic" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
-        |seeds AS (SELECT vec_id AS cl, v AS cvec FROM e
-        |          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
-        |a1 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
-        |         (SELECT e.vec_id, s.cl, list_cosine_similarity(e.v, s.cvec) AS cs
-        |          FROM e, seeds s) GROUP BY vec_id),
-        |c1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
-        |         (SELECT a1.cl, ex.pos, avg(ex.x) AS m
-        |          FROM ex JOIN a1 USING (vec_id) GROUP BY a1.cl, ex.pos)
-        |       GROUP BY cl),
-        |a2 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
-        |         (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
-        |          FROM e, c1 c) GROUP BY vec_id),
-        |c2 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
-        |         (SELECT a2.cl, ex.pos, avg(ex.x) AS m
-        |          FROM ex JOIN a2 USING (vec_id) GROUP BY a2.cl, ex.pos)
-        |       GROUP BY cl),
-        |assign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
-        |             (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
-        |              FROM e, c2 c) GROUP BY vec_id),
+      s"""WITH $KMeans8Ctes,
         |pairs AS (SELECT ea.vec_id AS v1, eb.vec_id AS v2
         |          FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
         |               JOIN e eb ON ea.vec_id < eb.vec_id
@@ -1663,6 +1682,16 @@ object SparkEntry {
         |       CAST(least(e.vec_id, coalesce(low.low, e.vec_id)) <> e.vec_id AS INT) AS is_dup
         |FROM e JOIN assign a USING (vec_id) LEFT JOIN low ON low.id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // The same k-means pipeline feeding a per-cluster hash-rank window —
+    // the sample_stratified shape with the CLUSTER as the stratum.
+    "sample_diversity" ->
+      s"""WITH $KMeans8Ctes
+        |SELECT cluster, vec_id, sample_rank FROM (
+        |  SELECT a.cluster, a.vec_id,
+        |         row_number() OVER (PARTITION BY a.cluster
+        |           ORDER BY (a.vec_id * 2654435761) % 4294967296, a.vec_id) AS sample_rank
+        |  FROM assign a)
+        |WHERE sample_rank <= 5 ORDER BY cluster, vec_id""".stripMargin,
     "sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

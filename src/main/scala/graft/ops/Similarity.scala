@@ -521,6 +521,31 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     assignedOf(df, centroids, idCol, vecCol, Nil)
 
+  /** Cluster-balanced coverage sample ("diversity sampling"): at most
+    * `nPer` vectors per k-means cluster, picked by Knuth-hash rank — the
+    * cheap deterministic stand-in for facility-location selection that
+    * subset pipelines use to weight every embedding-space REGION equally
+    * regardless of density (a uniform sample of a skewed corpus is mostly
+    * its head; this is exactly-≤N per region). Composition of
+    * [[centroidsKMeans]] → [[assignClusters]] →
+    * [[Sampling.stratifiedExactN]] with the cluster as the stratum: one
+    * assignment fold plus one per-cluster rank window, deterministic
+    * end-to-end, so the DuckDB oracle re-derives the full pipeline. Output:
+    * `(cluster, idCol, sample_rank)`.
+    */
+  def diversitySample(
+      df: DataFrame,
+      nClusters: Int,
+      rounds: Int,
+      nPer: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
+    Sampling.stratifiedExactN(
+      assignClusters(df, cents, idCol, vecCol).select(col(idCol), col("cluster")),
+      Seq("cluster"), idCol, nPer)
+  }
+
   /** [[ivfTopK]]'s probe/score body over a CALLER-SUPPLIED centroid frame
     * `(cl, cvec)` — plug in [[centroidsKMeansParallel]] (or any routing
     * table) without re-deriving the probe plan.

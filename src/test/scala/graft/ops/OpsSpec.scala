@@ -328,6 +328,32 @@ class OpsSpec extends SparkSpec {
       "every other verdict must match the global op")
   }
 
+  test("diversity sample: ≤ nPer per cluster, exactly the hash-rank heads of the assignment") {
+    def knuth(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    val byHash = (0L until 12L).sortBy(id => (knuth(id), id))
+    // Two direction blobs, seeds split across them by construction.
+    val df = (byHash.indices.map { i =>
+      (byHash(i), if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f))
+    }).toDF("vec_id", "embedding")
+    val got = Similarity.diversitySample(df, nClusters = 2, rounds = 2, nPer = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // Re-derive from the public assignment: per cluster, the 3 smallest
+    // (knuth, id) members in rank order.
+    val cents = Similarity.centroidsKMeans(df, 2, 2)
+    val assigned = Similarity.assignClusters(df, cents)
+      .select(col("cluster"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = assigned.groupBy(_._1).toSeq.flatMap { case (cl, members) =>
+      members.map(_._2).sortBy(id => (knuth(id), id)).take(3)
+        .zipWithIndex.map { case (id, i) => (cl, id, i + 1) }
+    }
+    assert(got.sortBy(t => (t._1, t._3)).toSeq == expected.sortBy(t => (t._1, t._3)))
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+    // nPer ≥ cluster size degrades to the full per-cluster membership.
+    assert(Similarity.diversitySample(df, 2, 2, nPer = 100).count() == 12L)
+  }
+
   test("int8 quantization: values in [-127,127], zero vector safe, small round-trip error") {
     val df = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f)),
