@@ -76,7 +76,10 @@ class PlanSpec extends SparkSpec {
         "uts_derivative", "uts_derivative_by_user",
         // Report-sized round-4 outputs sort via smallResult too.
         "retention_cohorts", "pivot_event_daily", "contamination_check",
-        "dedup_srp_pairs")) {
+        "dedup_srp_pairs",
+        // Round-6 gates: per-doc/report outputs must keep the same posture.
+        "text_redact", "ngram_contamination", "repeated_ngram_spans",
+        "dedup_semantic", "sample_diversity", "mixture_apply")) {
       val p = plan(q)
       // A range sort would appear as Exchange rangepartitioning(...); the
       // report-sort shape is a single-partition exchange + in-partition Sort.
@@ -187,6 +190,22 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
       assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} job(s)")
     } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("contamination and mixture apply broadcast their small sides") {
+    // Eval-split grams / the k-row plan table broadcast; the corpus side
+    // must never reach a sort-merge join.
+    for (q <- Seq("ngram_contamination", "mixture_apply")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("mixture plan never reads the text column; redact reads only id+text") {
+    val mix = plan("mixture_plan")
+    assert(!mix.contains("text:string"), mix.take(1500))
+    val red = plan("text_redact")
+    assert(!red.contains("lang") && !red.contains("source"), red.take(1500))
   }
 
   test("funnel step scans push the event-type filter down") {

@@ -211,6 +211,105 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("repeated n-gram spans ≡ naive positional recount on random corpora") {
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 0 until 5) {
+      val rnd = new Random(19 + trial)
+      val docs = (0 until rnd.between(1, 25)).map(i =>
+        (i.toLong * rnd.between(1, 3),
+          Seq.fill(rnd.between(0, 10))(vocab(rnd.between(0, 4))).mkString(" ")))
+        .distinctBy(_._1)
+      val n = rnd.between(1, 4)
+      val minDf = rnd.between(2, 5).toLong
+      val got = Text.repeatedNgramSpans(docs.toDF("doc_id", "text"), n, minDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      val grams = docs.flatMap { case (id, text) =>
+        val ts = text.split(" ").filter(_.nonEmpty)
+        (0 to ts.length - n).map(p => (id, p.toLong, ts.slice(p, p + n).mkString(" ")))
+      }
+      val dfOf = grams.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      val naive = grams.filter(g => dfOf(g._3) >= minDf)
+        .map(g => (g._1, g._2, g._3, dfOf(g._3))).sortBy(t => (t._1, t._2))
+      assert(got.toSeq == naive, s"trial $trial n=$n minDf=$minDf")
+    }
+  }
+
+  test("ngram contamination ≡ naive overlap recount on random corpora") {
+    val vocab = Array("a", "b", "c", "d", "e")
+    def text(rnd: Random): String =
+      Seq.fill(rnd.between(0, 12))(vocab(rnd.between(0, 5))).mkString(" ")
+    for (trial <- 0 until 5) {
+      val rnd = new Random(83 + trial)
+      val train = (0 until rnd.between(1, 20)).map(i => (i.toLong, text(rnd)))
+      val evalD = (0 until rnd.between(1, 8)).map(i => (100L + i, text(rnd)))
+      val n = rnd.between(1, 4)
+      val got = Text.ngramContamination(
+        train.toDF("doc_id", "text"), evalD.toDF("doc_id", "text"), n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      def gramsOf(t: String): Seq[String] = {
+        val ts = t.split(" ").filter(_.nonEmpty)
+        (0 to ts.length - n).map(p => ts.slice(p, p + n).mkString(" "))
+      }
+      val evalSet = evalD.flatMap(d => gramsOf(d._2)).toSet
+      val naive = train.map { case (id, t) =>
+        val gs = gramsOf(t)
+        val hits = gs.count(evalSet.contains).toLong
+        val ratio = BigDecimal(hits.toDouble / math.max(gs.length, 1).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, gs.length.toLong, hits, ratio)
+      }.sortBy(_._1)
+      assert(got.toSeq == naive, s"trial $trial n=$n")
+    }
+  }
+
+  test("semantic dedup at one cluster ≡ global embedding near-dups on random vectors") {
+    for (trial <- 0 until 4) {
+      val rnd = new Random(59 + trial)
+      val dim = rnd.between(2, 6)
+      val vecs = (0 until rnd.between(2, 30)).map { i =>
+        (i.toLong * rnd.between(1, 4), Array.fill(dim)(rnd.between(-10, 10).toFloat))
+      }.distinctBy(_._1).toDF("vec_id", "embedding")
+      val threshold = rnd.between(2, 10) / 10.0
+      val semantic = Dedup.semanticDedup(vecs, nClusters = 1, rounds = 1, threshold)
+        .select($"vec_id", $"rep_id", $"is_dup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      val global = Dedup.embeddingNearDups(vecs, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      assert(semantic.toSeq == global.toSeq, s"trial $trial threshold=$threshold")
+    }
+  }
+
+  test("mixture apply ≡ naive per-row hash threshold on random plans") {
+    def knuth(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    for (trial <- 0 until 5) {
+      val rnd = new Random(29 + trial)
+      val srcs = Seq("s0", "s1", "s2", "s3").take(rnd.between(1, 5))
+      val rows = (0 until rnd.between(1, 80)).map(i =>
+        (i.toLong * rnd.between(1, 3), srcs(rnd.between(0, srcs.length)),
+          rnd.between(1L, 50L))).distinctBy(_._1)
+      val weights = srcs.take(rnd.between(0, srcs.length + 1))
+        .map(s => s -> rnd.between(0, 11) / 10.0).toMap
+      val defaultW = rnd.between(0, 11) / 10.0
+      val budget = rnd.between(1L, 2000L)
+      val df = rows.toDF("id", "src", "n").repartition(3)
+      val plan = Sampling.mixturePlan(df, "src", "n", weights, defaultW, budget)
+      val got = Sampling.applyMixturePlan(df, plan, "src", "id")
+        .collect().map(r => (r.getLong(0))).sorted.toSeq
+      val avail = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val naive = rows.filter { case (id, s, _) =>
+        val w = weights.getOrElse(s, defaultW)
+        val desired = math.floor(w * budget.toDouble)
+        val frac = math.min(1.0, desired / math.max(avail(s), 1L).toDouble)
+        knuth(id) < math.floor(frac * 4294967296.0).toLong
+      }.map(_._1).sorted
+      assert(got == naive, s"trial $trial budget=$budget weights=$weights default=$defaultW")
+    }
+  }
+
   test("zvalue ≡ bit-interleave reference on random coordinates") {
     def zRef(x: Long, y: Long, bits: Int): Long =
       (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
