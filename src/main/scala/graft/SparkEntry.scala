@@ -251,6 +251,28 @@ object SparkEntry {
         mixturePlanOf(s, dir), "source", "doc_id"),
       "doc_id")
 
+  /** Per-label mean embedding (pooling), exploded to (label, pos, m) rows —
+    * arrays stay out of the hash compare.
+    */
+  private def embMeanByLabel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Similarity.meanVectors(T(s, dir, "embeddings"), "label")
+        .select(col("label"), posexplode(col("mvec")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("m")),
+      "label", "pos")
+
+  /** Canonicalization gate over PLANTED messy whitespace/casing (the corpus
+    * itself is single-spaced lowercase words).
+    */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = T(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") < 50,
+        concat(lit("  "), col("text"), lit("\t\tmixed   CASE\n")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Ordered.smallResult(Text.normalize(messy), "doc_id")
+  }
+
   /** PII scrub over the corpus with PLANTED addresses/numbers (the corpus
     * itself is clean words — the `contamination_check` planting pattern):
     * docs < 50 get an email + a long digit run appended in-query, so the
@@ -1087,6 +1109,8 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_semantic" -> (dedupSemantic _),
     "sample_diversity" -> (sampleDiversity _),
+    "emb_mean_by_label" -> (embMeanByLabel _),
+    "text_normalize" -> (textNormalize _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -1947,6 +1971,27 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
          |WHERE (d.doc_id * 2654435761) % 4294967296 < floor(p.fraction * 4294967296.0)
          |ORDER BY d.doc_id""".stripMargin,
+    // Exact decimal sums make the per-position mean engine-deterministic
+    // (double partial-merge order would wobble the last ulp); pos is
+    // 0-based on both sides.
+    "emb_mean_by_label" ->
+      """SELECT label, pos - 1 AS pos,
+        |       CAST(sum(CAST(round(x, 10) AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // chr(9)/chr(10) spell the planted tabs/newline; the whitespace class
+    // is shared verbatim from Text.WhitespaceRun.
+    "text_normalize" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id < 50
+         |       THEN '  ' || text || chr(9) || chr(9) || 'mixed   CASE' || chr(10)
+         |       ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  trim(lower(regexp_replace(text, '${Text.WhitespaceRun}', ' ', 'g'))) AS norm_text
+         |FROM d ORDER BY doc_id""".stripMargin,
     // Identical regex source strings (Text.EmailPattern/LongDigitPattern are
     // Java/RE2-common by construction); counts come off the original text
     // for emails and the post-email text for digit runs, same cascade.

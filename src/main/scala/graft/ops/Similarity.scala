@@ -333,6 +333,33 @@ object Similarity {
             .otherwise(round(x / col("qscale")).cast("tinyint"))))
       .select(col(idCol), col("qvec"), col("qscale"))
 
+  /** Per-group elementwise mean vector — embedding POOLING (chunk→document
+    * rollup, per-class prototypes, custom [[ivfTopKCustom]] routing tables).
+    * Same shuffle shape as the private [[centroidsOf]] (explode positions →
+    * partial-aggregated (group, pos) mean) but with EXACT decimal sums:
+    * double partial-merge order varies across shuffle layouts, and the
+    * last-ulp wobble would break an oracle compare (the
+    * [[graft.streaming.StreamOps.tumblingStats]] determinism trick; (30,10)
+    * for the same bias/overflow bounds documented there). Output:
+    * `(byCol, mvec: array<double>)`.
+    */
+  def meanVectors(
+      df: DataFrame,
+      byCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(byCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("__g"), col("pos"))
+      // round(x, 10) BEFORE the decimal cast: a raw double can land exactly
+      // on the decimal grid's .5 tie, where Spark (HALF_UP) and other
+      // engines (HALF_EVEN) quantize differently; the pre-rounded double
+      // sits ~1e-18 from a grid point, so every tie policy agrees.
+      .agg((sum(round(col("x"), 10).cast("decimal(30,10)")).cast("double") /
+        count(col("x")).cast("double")).as("m"))
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("__g").as(byCol), transform(col("ps"), p => p.getField("m")).as("mvec"))
+
   /** Centroids = per-`labelCol` elementwise mean vectors (deterministic, no
     * random init) — aggregate on exploded positions keeps it a plain
     * shuffle-by-(label, pos) partial aggregate.

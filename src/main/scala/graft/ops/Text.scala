@@ -265,6 +265,22 @@ object Text {
       round(score, 4).as("quality"))
   }
 
+  /** Whitespace-run pattern for [[normalize]] — the class is spelled out
+    * because Java's `\s` includes `\x0B` (vertical tab) where RE2's does
+    * not; an explicit class means the same thing to the oracle engine.
+    */
+  val WhitespaceRun = "[ \\t\\n\\r\\f]+"
+
+  /** Canonical text form — the pre-dedup normalizer (lowercase, collapse
+    * internal whitespace runs to one space, trim): byte-identical inputs
+    * for [[fingerprint]]/[[Dedup.exact]] when sources differ only in
+    * casing or whitespace layout. One codegen'd projection, no shuffle.
+    */
+  def normalize(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      trim(lower(regexp_replace(col(textCol), WhitespaceRun, " "))).as("norm_text"))
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup /
     * provenance key. md5 is available verbatim in the oracle engine, making
     * this the one hash the DuckDB gate can check.

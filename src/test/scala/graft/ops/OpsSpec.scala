@@ -616,6 +616,27 @@ class OpsSpec extends SparkSpec {
     assert(kept.forall(_.productArity == 3))
   }
 
+  test("meanVectors pools per group elementwise; singleton group is identity") {
+    val df = Seq(
+      ("a", Array(1.0f, 3.0f)), ("a", Array(2.0f, 5.0f)),
+      ("b", Array(7.0f, -1.0f))
+    ).toDF("grp", "embedding")
+    val out = Similarity.meanVectors(df, "grp").orderBy(col("grp"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1).toList))
+    assert(out.toSeq == Seq(("a", List(1.5, 4.0)), ("b", List(7.0, -1.0))))
+  }
+
+  test("normalize lowercases, collapses whitespace runs, trims the edges") {
+    val df = Seq(
+      (1L, "  A\t\tb   c\n"),
+      (2L, "already clean"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Text.normalize(df).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a b c"), (2L, "already clean"), (3L, "")))
+  }
+
   test("redact: emails consumed before digit runs, counts follow the cascade") {
     val df = Seq(
       (1L, "mail bob123456789@x.co now"), // digits live INSIDE the email
