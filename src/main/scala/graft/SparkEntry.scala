@@ -593,6 +593,22 @@ object SparkEntry {
       "event_id")
   }
 
+  /** Forward as-of with a 7-day tolerance: each event's NEXT order by the
+    * same user within a week — the attribution-window shape.
+    */
+  private def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val left = ev(s, dir).df.select(col("event_id"), col("user_id"), col("time"))
+    val right = T(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ot"), col("o_orderkey"))
+    graft.ops.Ordered.smallResult(
+      AsofJoin(left, right, Seq("user_id"), "time", "ot",
+        rightPayload = Seq("o_orderkey"), rightTieCol = "o_orderkey",
+        direction = "forward", tolerance = Some(604800000L))
+        .select(col("event_id"), col("user_id"), col("o_orderkey")),
+      "event_id")
+  }
+
   // ------------------------------------------------------------ dedup family
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1110,6 +1126,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
+    "asof_join_orders_fwd" -> (asofJoinForward _),
     "text_normalize" -> (textNormalize _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1615,6 +1632,18 @@ object SparkEntry {
         |       (SELECT o_orderkey FROM o
         |        WHERE o.o_custkey = e.user_id AND o.ot <= e.t
         |        ORDER BY ot DESC, o_orderkey DESC LIMIT 1) AS o_orderkey
+        |FROM e ORDER BY event_id""".stripMargin,
+    // Forward direction + 7-day bound: earliest following order, greatest
+    // orderkey on time ties — NULL when the nearest is out of tolerance
+    // (any other candidate is farther still).
+    "asof_join_orders_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t FROM events),
+        |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot, o_orderkey FROM orders)
+        |SELECT e.event_id, e.user_id,
+        |       (SELECT o_orderkey FROM o
+        |        WHERE o.o_custkey = e.user_id AND o.ot >= e.t
+        |          AND o.ot - e.t <= 604800000
+        |        ORDER BY ot ASC, o_orderkey DESC LIMIT 1) AS o_orderkey
         |FROM e ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

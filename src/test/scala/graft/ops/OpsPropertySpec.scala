@@ -119,6 +119,37 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("asof join directions/tolerance ≡ naive nearest-bounded scan on random data") {
+    for (trial <- 0 until 8) {
+      val rnd = new Random(43 + trial)
+      val leftRows = (0 until rnd.between(1, 50)).map(i =>
+        (i.toLong, rnd.between(0L, 6L), rnd.between(0L, 100L)))
+      val rightRows = (0 until rnd.between(0, 70)).map(i =>
+        (rnd.between(0L, 6L), rnd.between(0L, 100L), i.toLong))
+      val direction = if (rnd.nextBoolean()) "backward" else "forward"
+      val tol = if (rnd.nextBoolean()) None else Some(rnd.between(0L, 30L))
+      val left = leftRows.toDF("eid", "k", "t").repartition(3)
+      val right = rightRows.toDF("k", "rt", "ok").repartition(3)
+      val got = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("ok"), "ok", direction, tol)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sortBy(_._1)
+      val naive = leftRows.map { case (eid, k, t) =>
+        val cand =
+          if (direction == "backward")
+            rightRows.filter(r => r._1 == k && r._2 <= t && tol.forall(t - r._2 <= _))
+          else
+            rightRows.filter(r => r._1 == k && r._2 >= t && tol.forall(r._2 - t <= _))
+        val best =
+          if (cand.isEmpty) -1L
+          else if (direction == "backward") cand.maxBy(r => (r._2, r._3))._3
+          else cand.minBy(r => (r._2, -r._3))._3
+        (eid, best)
+      }.sortBy(_._1)
+      assert(got.toSeq == naive, s"trial $trial direction=$direction tol=$tol")
+    }
+  }
+
   test("block-grid pair kernel ≡ declarative nested-loop join on random vectors") {
     for (trial <- 0 until 4) {
       val rnd = new Random(23 + trial)
