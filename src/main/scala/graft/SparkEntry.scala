@@ -739,7 +739,14 @@ object SparkEntry {
     */
   private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    // One deterministic index location per corpus dir, rebuilt per JVM and
+    // OVERWRITTEN on reuse — a fresh createTempDirectory per invocation
+    // leaked a full index copy into /tmp every bench rep / verify run (the
+    // corpora under /root/testdata are immutable, so a same-JVM rebuild is
+    // also byte-identical).
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-ivf-idx-${java.lang.Integer.toHexString(dir.hashCode)}").toString
     Similarity.ivfBuild(emb, path)
     // The query vector itself is one driver-side row — the same "routing
     // state in RAM" envelope as the probe's k-row centroid table.

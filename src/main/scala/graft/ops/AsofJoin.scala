@@ -63,7 +63,13 @@ object AsofJoin {
           lCols.filterNot(keyCols.contains).map(col): _*)
       r.unionByName(l)
     }
-    val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
+    // nulls FIRST in both directions: a left row with NULL time must sort
+    // before every right row so nothing is carried into it (desc's default
+    // NULLS LAST would hand it the key's minimum-time right row as a
+    // spurious forward match).
+    val timeOrder =
+      if (direction == "backward") col("__t").asc_nulls_first
+      else col("__t").desc_nulls_first
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(timeOrder, col("__tag").asc, col("__tie").asc)

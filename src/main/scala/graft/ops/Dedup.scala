@@ -369,6 +369,22 @@ object Dedup {
       "vec_id")
   }
 
+  /** Release a superseded round's storage: `Dataset.unpersist` clears
+    * CacheManager entries (persist-based rounds), but a `localCheckpoint`'d
+    * frame persists its RDD DIRECTLY — that handle is only reachable
+    * through the plan's `LogicalRDD` leaf, and skipping it reclaims
+    * nothing. Shared by BOTH connected-components algorithms so their
+    * block-release semantics cannot drift.
+    */
+  private def releaseLocalBlocks(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+    }
+    ()
+  }
+
   /** Exact near-dup CLUSTER collapse: connected components over pair edges,
     * labeling every vertex with the smallest id reachable through any chain
     * of pairs. [[embeddingNearDups]]' min-lower-neighbor is the cheap
@@ -457,16 +473,8 @@ object Dedup {
       // The count materialized `next`; the superseded round's cache blocks
       // are dead weight from here — without this, up to maxIters
       // vertex-sized label sets pile up per call. Recovery after an
-      // unpersist just replays from the last reliable cut. Two release
-      // paths: Dataset.unpersist clears CacheManager entries (the persist
-      // rounds), but a localCheckpoint'd round persists its RDD DIRECTLY —
-      // release that handle through the plan's LogicalRDD leaf or the no-dir
-      // path reclaims nothing.
-      labels.unpersist(blocking = false)
-      labels.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-      }
+      // unpersist just replays from the last reliable cut.
+      releaseLocalBlocks(labels)
       labels = next
       done = changed == 0L
       iter += 1
@@ -516,13 +524,6 @@ object Dedup {
       dstCol: String = "d2",
       maxIters: Int = 20): DataFrame = {
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    def release(df: DataFrame): Unit = {
-      df.unpersist(blocking = false)
-      df.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-      }
-    }
     // Canonical larger→smaller edges, self-loops dropped. Both star steps
     // preserve the invariant (they only ever emit (v, m) with m < v).
     var e = cut(edges
@@ -559,8 +560,8 @@ object Dedup {
       val nextCount = next.count()
       val changed = nextCount != eCount ||
         next.join(e, Seq("src", "dst"), "left_anti").limit(1).count() != 0L
-      release(e)
-      release(afterLarge)
+      releaseLocalBlocks(e)
+      releaseLocalBlocks(afterLarge)
       e = next
       eCount = nextCount
       done = !changed

@@ -86,7 +86,13 @@ object Funnel {
   /** [[steps]] in ONE scan of the event log: the per-user greedy state
     * machine (the streaming formulation's logic, [[advances]]) over
     * `groupByKey(user).flatMapGroups` instead of one type-filtered scan +
-    * join per step. Identical first-touch output.
+    * join per step. Identical first-touch output FOR ITS INPUT DOMAIN:
+    * integral user/time columns (checked loudly below — a silent
+    * cast('long') would fuse string ids '7' and '007' into one user and
+    * turn a timestamp column into SECONDS against a millisecond
+    * `withinMs`), and rows with a NULL user or time throw at runtime (the
+    * non-nullable state encoder), where the join-chain form would group
+    * them — pre-filter NULLs if the log has them.
     *
     * Trade: the join chain reads the log `steps` times but shuffles only
     * per-step arrival tables; this reads it ONCE (with a pushed
@@ -105,6 +111,13 @@ object Funnel {
       timeCol: String = "time"): DataFrame = {
     require(stepTypes.nonEmpty, "funnel needs at least one step")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    // Loud domain check instead of a lossy cast (see scaladoc).
+    for (c <- Seq(userCol, timeCol)) {
+      val dt = events.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"stepsOneScan needs an integral $c column (got ${dt.typeName}); " +
+          "map string ids / timestamps to longs upstream, or use Funnel.steps")
+    }
     val spark = events.sparkSession
     import spark.implicits._
     val st = stepTypes // avoid closing over `this`-adjacent state in the lambda

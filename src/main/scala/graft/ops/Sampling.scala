@@ -114,20 +114,29 @@ object Sampling {
     * from the data in the same job. Expected kept `countCol` mass per source
     * ≈ `expected` (hash-uniform, exact only in expectation — the plan's
     * contract is the layout, not an exact-N cut).
+    *
+    * A source ABSENT from the plan (the corpus gained one after the plan
+    * was computed) keeps rows at `unplannedFraction` — default 0.0, i.e.
+    * dropped, stated here explicitly because nothing errors; pass 1.0 to
+    * fail open instead, or recompute the plan.
     */
   def applyMixturePlan(
       df: DataFrame,
       plan: DataFrame,
       srcCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      unplannedFraction: Double = 0.0): DataFrame = {
+    require(unplannedFraction >= 0.0 && unplannedFraction <= 1.0,
+      s"unplannedFraction must be in [0,1], got $unplannedFraction")
     // Renamed: the caller's srcCol may itself be named "source", and a
     // post-join drop(name) takes every column of that name with it.
     val thresholds = plan.select(
       col("source").as("__mix_src"), col("fraction").as("__mix_frac"))
-    df.join(broadcast(thresholds), df(srcCol) === col("__mix_src"))
+    df.join(broadcast(thresholds), df(srcCol) === col("__mix_src"), "left")
       // floor, not cast: engines disagree on double→int casts (truncate vs
       // round-to-nearest); floor is unambiguous on both.
-      .filter(idHash(col(idCol)) < floor(col("__mix_frac") * lit(4294967296.0)))
+      .filter(idHash(col(idCol)) <
+        floor(coalesce(col("__mix_frac"), lit(unplannedFraction)) * lit(4294967296.0)))
       .drop("__mix_src", "__mix_frac")
   }
 

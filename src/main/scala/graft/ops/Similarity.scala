@@ -433,10 +433,14 @@ object Similarity {
     * Determinism without `rand()`: the per-round coin is the same Knuth hash
     * as [[Sampling.idHash]] re-mixed with the round number — membership is
     * stable across runs, retries and partitionings (the [[Sampling]]
-    * contract). Each round is one corpus pass (d² fold over the broadcast
-    * candidate list + a 1-row φ aggregate crossed back in); the candidate
-    * frame is `localCheckpoint`ed per round because round r's lineage would
-    * otherwise replay rounds 1..r−1's corpus scans.
+    * contract). Each round runs the d² fold TWICE over the corpus (once
+    * under the 1-row φ aggregate, once under the sample filter — the filter
+    * needs the global φ, and the only single-fold alternative is
+    * materializing the corpus-sized scored relation, which costs more than
+    * the second fold at scale; classical k-means‖ is the same two passes
+    * per round). The candidate frame is `localCheckpoint`ed per round
+    * because round r's lineage would otherwise replay rounds 1..r−1's
+    * corpus scans.
     *
     * The final cut from ~`ℓ·initRounds` weighted candidates down to `k` runs
     * on the driver (greedy weighted farthest-first: start at the max-weight

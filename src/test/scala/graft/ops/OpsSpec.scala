@@ -653,6 +653,49 @@ class OpsSpec extends SparkSpec {
       (4L, "clean text", 0L, 0L)))
   }
 
+  test("asof forward: NULL left time matches nothing; unplanned mixture source follows the knob") {
+    // A NULL left time sorts before every right row in BOTH directions
+    // (desc's default NULLS LAST would hand it the key's earliest right row
+    // as a spurious forward match).
+    val left = Seq((1L, 1L, Some(10L)), (2L, 1L, None))
+      .toDF("eid", "k", "t")
+    val right = Seq((1L, 20L, 100L)).toDF("k", "rt", "ok")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("ok"), "ok", dir)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toMap
+      assert(out(2L) == -1L, s"direction=$dir must not match a NULL left time")
+      assert(out(1L) == (if (dir == "forward") 100L else -1L))
+    }
+    // applyMixturePlan: a source absent from the plan drops by default and
+    // keeps everything at unplannedFraction = 1.0.
+    val df = Seq((1L, "A", 5L), (2L, "B", 5L)).toDF("id", "src", "n")
+    val planA = Sampling.mixturePlan(df.filter(col("src") === "A"), "src", "n",
+      Map("A" -> 1.0), defaultWeight = 0.0, budget = 100L)
+    val dropped = Sampling.applyMixturePlan(df, planA, "src", "id")
+      .collect().map(_.getString(1)).toSeq
+    assert(dropped == Seq("A"))
+    val kept = Sampling.applyMixturePlan(df, planA, "src", "id", unplannedFraction = 1.0)
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(kept == Seq("A", "B"))
+  }
+
+  test("stepsOneScan rejects non-integral user/time columns loudly") {
+    val strUsers = Seq(("7", "a", 1L), ("007", "a", 2L))
+      .toDF("user_id", "event_type", "time")
+    val err = intercept[IllegalArgumentException] {
+      Funnel.stepsOneScan(strUsers, Seq("a"), withinMs = 10L)
+    }
+    assert(err.getMessage.contains("integral"))
+    // A timestamp time column would silently become SECONDS under a cast —
+    // rejected the same way.
+    val tsTime = Seq((1L, "a", new java.sql.Timestamp(1000L)))
+      .toDF("user_id", "event_type", "time")
+    intercept[IllegalArgumentException] {
+      Funnel.stepsOneScan(tsTime, Seq("a"), withinMs = 10L)
+    }
+  }
+
   test("assignSplit: disjoint cumulative bands, first band equals fractionByHash") {
     def h(id: Long) = (id * 2654435761L) % 4294967296L
     val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "x").repartition(4)
