@@ -138,5 +138,60 @@ object Demo {
 
     println("== top bigrams (LM corpus statistics) ==")
     ops.Text.ngramCounts(docs, n = 2, k = 5).show(truncate = false)
+
+    // ---- the round-6 training-data pipeline, composed end to end ----
+
+    println("== canonicalize -> scrub -> exact dedup (the ingest cascade) ==")
+    val canon = ops.Text.normalize(docs)
+    val scrubbed = ops.Text.redact(canon, textCol = "norm_text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    ops.Dedup.exact(scrubbed, "text").orderBy(col("doc_id")).show(3, truncate = false)
+
+    println("== SemDeDup: cluster-scoped embedding near-dedup ==")
+    ops.Dedup.semanticDedup(Tsdb.table(spark, sfDir, "embeddings"),
+        nClusters = 8, rounds = 2, threshold = 0.8)
+      .filter(col("is_dup") === 1).show(5, truncate = false)
+
+    println("== diversity sample: 2 vectors per embedding cluster ==")
+    ops.Similarity.diversitySample(Tsdb.table(spark, sfDir, "embeddings"),
+        nClusters = 4, rounds = 2, nPer = 2)
+      .show(8, truncate = false)
+
+    println("== mixture plan -> apply: budget shares to kept rows per source ==")
+    val plan = ops.Sampling.mixturePlan(docs, "source", "n_chars",
+      Map("src0" -> 0.3, "src1" -> 0.2), defaultWeight = 0.02, budget = 20000L)
+    plan.orderBy(col("source")).show(4, truncate = false)
+    ops.Sampling.applyMixturePlan(docs, plan, "source", "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source")).show(4, truncate = false)
+
+    println("== repeated n-gram spans (the scrub list) + eval decontamination ==")
+    ops.Text.repeatedNgramSpans(docs, n = 2, minDf = 10).show(3, truncate = false)
+    val split = ops.Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    ops.Text.ngramContamination(
+        split.filter(col("split") === "train").select(col("doc_id"), col("text")),
+        split.filter(col("split") =!= "train").select(col("doc_id"), col("text")),
+        n = 3)
+      .orderBy(col("overlap_ratio").desc, col("doc_id")).show(3, truncate = false)
+
+    println("== forward as-of with tolerance: next order within 7 days of each event ==")
+    AsofJoinDemo.run(spark, sfDir)
+  }
+
+  /** Kept separate so the main flow reads as the pipeline story. */
+  private object AsofJoinDemo {
+    def run(spark: SparkSession, sfDir: String): Unit = {
+      import org.apache.spark.sql.functions._
+      val ev = Tsdb.events(spark, sfDir)
+      val orders = Tsdb.table(spark, sfDir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ot"), col("o_orderkey"))
+      ops.AsofJoin(
+        ev.df.select(col("event_id"), col("user_id"), col("time")), orders,
+        Seq("user_id"), "time", "ot", Seq("o_orderkey"), "o_orderkey",
+        direction = "forward", tolerance = Some(7L * 24 * 3600 * 1000))
+        .filter(col("o_orderkey").isNotNull).show(3, truncate = false)
+    }
   }
 }
