@@ -273,6 +273,28 @@ object SparkEntry {
     graft.ops.Ordered.smallResult(Text.normalize(messy), "doc_id")
   }
 
+  /** Quality-band survivors: keep the middle [p10, p90] of the corpus's own
+    * quality distribution ([[graft.ops.Text.filterByQualityBand]]).
+    */
+  private def qualityBand(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.filterByQualityBand(T(s, dir, "documents"), 0.1, 0.9), "doc_id")
+
+  /** Incremental ingest dedup: a new batch of 60 docs — 50 re-crawled
+    * copies and 10 genuinely edited ones — admitted against the existing
+    * corpus; only the edits survive ([[graft.ops.Dedup.exactAgainst]]).
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") < 60).select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      when(col("doc_id") < 50, col("text"))
+        .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+    graft.ops.Ordered.smallResult(
+      Dedup.exactAgainst(incoming, docs, "text", "text").select(col("doc_id")),
+      "doc_id")
+  }
+
   /** PII scrub over the corpus with PLANTED addresses/numbers (the corpus
     * itself is clean words — the `contamination_check` planting pattern):
     * docs < 50 get an email + a long digit run appended in-query, so the
@@ -1135,6 +1157,8 @@ object SparkEntry {
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
     "text_normalize" -> (textNormalize _),
+    "quality_band" -> (qualityBand _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -1880,6 +1904,35 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio,
          |       round(least(1.0, greatest(0.0, 0.2 + 1.5*sr - 2.0*pr + 0.02*n_tokens)), 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    // The text_quality derivation feeding corpus-level quantile_cont bounds
+    // (Spark `percentile` interpolation ≡ quantile_cont — the
+    // value_quantiles_by_type equivalence) and an inclusive band filter.
+    "quality_band" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |t AS (SELECT doc_id, lt, list_filter(string_split(lt, ' '), x -> x <> '') AS ts FROM d),
+         |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_filter(ts, x -> list_contains($StopEnSql, x))) AS DOUBLE)
+         |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS sr,
+         |             CAST(length(lt) - length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |               / greatest(length(lt), 1) AS pr
+         |      FROM t),
+         |q AS (SELECT doc_id,
+         |        round(least(1.0, greatest(0.0, 0.2 + 1.5*sr - 2.0*pr + 0.02*n_tokens)), 4) AS quality
+         |      FROM c),
+         |b AS (SELECT quantile_cont(quality, 0.1) AS qlo,
+         |             quantile_cont(quality, 0.9) AS qhi FROM q)
+         |SELECT q.doc_id, q.quality FROM q, b
+         |WHERE q.quality >= b.qlo AND q.quality <= b.qhi
+         |ORDER BY q.doc_id""".stripMargin,
+    // Ingest admission: md5-keyed anti-join of the planted batch against
+    // the existing corpus — only the 10 edited docs survive.
+    "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id + 10000 AS doc_id,
+        |  CASE WHEN doc_id < 50 THEN text ELSE text || ' v2' END AS text
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT inc.doc_id FROM inc
+        |WHERE md5(inc.text) NOT IN (SELECT md5(text) FROM documents)
+        |ORDER BY inc.doc_id""".stripMargin,
     "text_langid" -> LangidSql,
     // The broadcast-dictionary-join formulation computes the identical
     // confusion matrix — shared oracle, so the two language-ID plans gate

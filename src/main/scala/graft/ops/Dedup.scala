@@ -38,6 +38,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Incremental exact dedup — the INGEST shape: keep only `incoming` rows
+    * whose key is absent from the (already-deduplicated) `reference`
+    * corpus, keyed on md5 so the anti-join shuffles 16-byte hashes instead
+    * of document bodies. [[exact]] collapses a corpus against itself; this
+    * admits a new batch against an existing corpus without rescanning the
+    * corpus into a self-join — at 100 TB the reference side is typically a
+    * pre-materialized fingerprint table ([[graft.ops.Text.fingerprint]]
+    * output), which joins here identically. Duplicates WITHIN the incoming
+    * batch are kept (run [[exact]]/[[hashed]] on the batch first; the two
+    * concerns compose).
+    */
+  def exactAgainst(
+      incoming: DataFrame,
+      reference: DataFrame,
+      keyCol: String,
+      refKeyCol: String): DataFrame = {
+    val refKeys = reference.select(md5(col(refKeyCol)).as("__ref_fp")).distinct()
+    incoming
+      .join(refKeys, md5(col(keyCol)) === col("__ref_fp"), "left_anti")
+  }
+
   /** Distinct word n-gram shingles per document: `(id, shingle)` rows.
     * Documents shorter than `n` tokens produce no shingles (guarded — Spark's
     * `sequence` would otherwise generate a descending range).

@@ -281,6 +281,35 @@ object Text {
       col(idCol),
       trim(lower(regexp_replace(col(textCol), WhitespaceRun, " "))).as("norm_text"))
 
+  /** Keep documents whose [[qualityScore]] falls inside the corpus's own
+    * `[loQuantile, hiQuantile]` band — the actual FILTERING step behind
+    * quality scoring (drop the bottom tail as junk, optionally the top as
+    * boilerplate/templates, which in web corpora dominates the extreme
+    * high-stopword-ratio end). Quantiles are EXACT (`percentile`, the
+    * holistic aggregate — interpolation matches the oracle engine's
+    * `quantile_cont`, proven by the `value_quantiles_by_type` gate) and
+    * stay IN-PLAN as a broadcast 1-row bound, so construction runs zero
+    * driver jobs; at 100 TB swap `percentile_approx` in for the exact
+    * holistic sort at one line's change. Output: `(idCol, quality)` of the
+    * survivors.
+    */
+  def filterByQualityBand(
+      df: DataFrame,
+      loQuantile: Double,
+      hiQuantile: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(0.0 <= loQuantile && loQuantile <= hiQuantile && hiQuantile <= 1.0,
+      s"need 0 <= lo <= hi <= 1, got [$loQuantile, $hiQuantile]")
+    val scored = qualityScore(df, idCol, textCol).select(col(idCol), col("quality"))
+    val bounds = scored.agg(
+      percentile(col("quality"), lit(loQuantile)).as("__qlo"),
+      percentile(col("quality"), lit(hiQuantile)).as("__qhi"))
+    scored.crossJoin(broadcast(bounds))
+      .filter(col("quality") >= col("__qlo") && col("quality") <= col("__qhi"))
+      .select(col(idCol), col("quality"))
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup /
     * provenance key. md5 is available verbatim in the oracle engine, making
     * this the one hash the DuckDB gate can check.

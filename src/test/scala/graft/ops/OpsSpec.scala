@@ -637,6 +637,29 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a b c"), (2L, "already clean"), (3L, "")))
   }
 
+  test("quality band keeps the corpus's own middle; full band keeps everything") {
+    // Clean single-letter non-stopwords ("a" IS a stopword): quality =
+    // 0.2 + 0.02·n_tokens exactly, so quantiles are hand-checkable.
+    val df = Seq(
+      (1L, "x"), (2L, "x y"), (3L, "x y z"), (4L, "x y z w"), (5L, "x y z w v")
+    ).toDF("doc_id", "text") // qualities: .22 .24 .26 .28 .30
+    val mid = Text.filterByQualityBand(df, 0.5, 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // p50 of 5 values is the middle one (0.26), inclusive.
+    assert(mid.toSeq == Seq((3L, 0.26), (4L, 0.28), (5L, 0.30)))
+    assert(Text.filterByQualityBand(df, 0.0, 1.0).count() == 5)
+  }
+
+  test("exactAgainst admits only keys absent from the reference; in-batch dups kept") {
+    val reference = Seq((100L, "x"), (101L, "y")).toDF("doc_id", "text")
+    val incoming = Seq((1L, "x"), (2L, "z"), (3L, "z")).toDF("doc_id", "text")
+    val out = Dedup.exactAgainst(incoming, reference, "text", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // "x" is already in the corpus; both "z" rows pass (batch-internal
+    // dedup is exact()/hashed()'s job — the concerns compose).
+    assert(out == Seq(2L, 3L))
+  }
+
   test("redact: emails consumed before digit runs, counts follow the cascade") {
     val df = Seq(
       (1L, "mail bob123456789@x.co now"), // digits live INSIDE the email
