@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftfns.{BpeRunCount, DotProduct, MinHashSignature, RollingFp, ShingleHashes, SimHash64, WordGrams}
+import org.apache.spark.sql.graftfns.{BpeRunCount, DotProduct, MinHashSignature, RollingFp, ShingleHashes, SimHash64, StopHits, WordGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions at session build. Enable with
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("bpe_run_count", classOf[BpeRunCount], es => BpeRunCount(es(0)))
     inject("rolling_fp", classOf[RollingFp], es => RollingFp(es(0)))
     inject("word_grams", classOf[WordGrams], es => WordGrams(es(0), es(1)))
+    inject("stop_hits", classOf[StopHits], es => StopHits(es(0)))
   }
 }

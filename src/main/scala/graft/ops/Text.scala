@@ -198,10 +198,18 @@ object Text {
   /** Heuristic language ID: count stopword hits per language, take the argmax
     * with a fixed preference order (en > es > fr > de), `und` when nothing
     * hits. Deterministic, SQL-expressible (same CASE chain drives the oracle).
+    *
+    * The four hit counts come from ONE codegen'd byte pass
+    * ([[org.apache.spark.sql.graftfns.StopHits]], built from the same
+    * Stop* lists) instead of four interpreted `filter(array_contains)`
+    * traversals — whole-stage codegen's subexpression elimination evaluates
+    * the kernel once per row across the CASE chain's references
+    * (TextExpressionsSpec pins count equality with the HOF formulation).
     */
   def langId(text: Column): Column = {
-    val ts = tokens(lower(text))
-    val (en, es, fr, de) = (hits(ts, StopEn), hits(ts, StopEs), hits(ts, StopFr), hits(ts, StopDe))
+    val h = org.apache.spark.sql.graftfns.TextFunctions.stopHits(text)
+    val (en, es, fr, de) =
+      (element_at(h, 1), element_at(h, 2), element_at(h, 3), element_at(h, 4))
     when(greatest(en, es, fr, de) === 0, lit("und"))
       .when(en >= es && en >= fr && en >= de, lit("en"))
       .when(es >= fr && es >= de, lit("es"))

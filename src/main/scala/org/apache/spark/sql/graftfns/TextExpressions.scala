@@ -418,6 +418,103 @@ object RollingFp {
   }
 }
 
+/** Per-language stopword hit counts `(en, es, fr, de)` of a text in ONE byte
+  * pass — the language-ID hot path. The declarative formulation runs four
+  * interpreted `filter(array_contains(...))` traversals over the token
+  * array (one per language) plus the tokenize itself; this kernel streams
+  * the bytes once, packs each ≤4-byte token into a long key (every
+  * dictionary word is 1–4 ASCII letters) and binary-searches a 34-entry
+  * sorted key table built FROM [[graft.ops.Text.StopEn]]/Es/Fr/De at class
+  * load — one source of truth, so the kernel and the CASE-chain oracle
+  * cannot drift. A word shared by several dictionaries ("de", "la", "un")
+  * carries a language bitmask and increments every owner, exactly like the
+  * four independent `array_contains` passes.
+  *
+  * Tokens are 0x20-separated runs ([[graft.ops.Text.tokens]]); matching is
+  * ASCII-case-insensitive, and any token byte outside `A–Za–z` (digits,
+  * punctuation, every UTF-8 continuation byte) disqualifies the token —
+  * byte-equivalent to `lower()`+equality for all-ASCII text. Caveat (the
+  * [[BpeRunCount]] one): the rare non-ASCII chars whose UNICODE lowercase
+  * folds into `a–z` differ from `lower()`-then-match; no dictionary word is
+  * reachable that way from a single char (the corpora this targets are
+  * ASCII, verified for the test corpus).
+  */
+final case class StopHits(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "stop_hits"
+
+  override protected def nullSafeEval(text: Any): Any =
+    StopHits.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graftfns.StopHits.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StopHits {
+  /** `(length << 32) | up-to-4 packed lowercase bytes` — injective for 1–4
+    * letter words (the length tag keeps "a" and "\0a"-style prefixes apart).
+    */
+  private def keyOf(w: String): Long = {
+    require(w.nonEmpty && w.length <= 4 && w.forall(c => c >= 'a' && c <= 'z'),
+      s"stopword '$w' not 1-4 lowercase ASCII letters")
+    var packed = 0L
+    w.foreach(c => packed = (packed << 8) | c.toLong)
+    (w.length.toLong << 32) | packed
+  }
+
+  private val (keys, masks): (Array[Long], Array[Int]) = {
+    val m = scala.collection.mutable.LongMap.empty[Int]
+    val dicts = Seq(
+      graft.ops.Text.StopEn, graft.ops.Text.StopEs,
+      graft.ops.Text.StopFr, graft.ops.Text.StopDe)
+    for ((ws, bit) <- dicts.zipWithIndex; w <- ws)
+      m(keyOf(w)) = m.getOrElse(keyOf(w), 0) | (1 << bit)
+    val sorted = m.toArray.sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val counts = new Array[Long](4)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      if (bytes(i) != 0x20) {
+        var tl = 0
+        var packed = 0L
+        var letters = true
+        while (i < len && bytes(i) != 0x20) {
+          var b = bytes(i) & 0xff
+          if (b >= 'A' && b <= 'Z') b |= 0x20
+          if (b < 'a' || b > 'z') letters = false
+          else if (tl < 4) packed = (packed << 8) | b.toLong
+          tl += 1
+          i += 1
+        }
+        if (letters && tl <= 4) {
+          val idx = java.util.Arrays.binarySearch(keys, (tl.toLong << 32) | packed)
+          if (idx >= 0) {
+            val mask = masks(idx)
+            if ((mask & 1) != 0) counts(0) += 1
+            if ((mask & 2) != 0) counts(1) += 1
+            if ((mask & 4) != 0) counts(2) += 1
+            if ((mask & 8) != 0) counts(3) += 1
+          }
+        }
+      } else i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
 object TextFunctions {
   /** Distinct word-n-gram shingle hashes of `text` as `array<long>`. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -451,4 +548,8 @@ object TextFunctions {
   /** Order-sensitive rolling 31-bit token fingerprint of a text column. */
   def rollingFp(text: Column): Column =
     ExpressionUtils.column(RollingFp(ExpressionUtils.expression(text)))
+
+  /** Per-language stopword hit counts `(en, es, fr, de)` as `array<long>`. */
+  def stopHits(text: Column): Column =
+    ExpressionUtils.column(StopHits(ExpressionUtils.expression(text)))
 }

@@ -16,6 +16,33 @@ class TextExpressionsSpec extends SparkSpec {
     (4L, "a b c a b c a b c") // repeated shingles → distinct set is small
   ).toDF("doc_id", "text")
 
+  test("stop_hits equals the four filter(array_contains) counts on edges and the corpus") {
+    // The HOF formulation langId used before the kernel.
+    def hofHits(words: Seq[String]) =
+      size(filter(filter(split(lower(col("text")), " "), t => t =!= ""),
+        t => array_contains(lit(words.toArray), t))).cast("long")
+    val hof = array(hofHits(Text.StopEn), hofHits(Text.StopEs),
+      hofHits(Text.StopFr), hofHits(Text.StopDe))
+    val edges = Seq(
+      "The the THE of",       // case folding, duplicates counted
+      "el de la un es en",    // words shared across dictionaries hit each owner
+      "",                     // empty text
+      "the.",                 // punctuation disqualifies the token
+      "x  y the",             // empty tokens between double spaces
+      "that that4 thatx la",  // digit/5-letter variants must not match
+      "und la\tde den",       // tab is a token byte, not a separator
+      "DES Une dU"            // fr words in mixed case
+    ).toDF("text")
+    val both = edges.select(TextFunctions.stopHits(col("text")).as("k"), hof.as("h"))
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    for (((k, h), i) <- both.zipWithIndex) assert(k == h, s"edge row $i: kernel=$k hof=$h")
+    // And on every real corpus document.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFunctions.stopHits(col("text")).as("k"), hof.as("h"))
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    assert(corpus.nonEmpty && corpus.forall { case (k, h) => k == h })
+  }
+
   test("shingleHashes distinct-set sizes match the declarative string shingles") {
     val kernel = docs.select($"doc_id", size(TextFunctions.shingleHashes($"text", 3)).as("n"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
