@@ -273,6 +273,17 @@ object SparkEntry {
     graft.ops.Ordered.smallResult(Text.normalize(messy), "doc_id")
   }
 
+  /** Per-event session sequence per user (30-minute gap) — the composable
+    * row-level twin of the `session_counts_by_type` aggregate
+    * ([[graft.ops.Windowed.sessionIds]]).
+    */
+  private def sessionIdsByUser(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Windowed.sessionIds(
+        ev(s, dir).df.select(col("event_id"), col("user_id"), col("time")),
+        "user_id", "time", gapMs = 1800000L),
+      "event_id")
+
   /** Quality-band survivors: keep the middle [p10, p90] of the corpus's own
     * quality distribution ([[graft.ops.Text.filterByQualityBand]]).
     */
@@ -1205,6 +1216,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "session_counts_by_type" -> (sessionCountsByType _),
+    "session_ids_by_user" -> (sessionIdsByUser _),
   )
 
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
@@ -2200,6 +2212,18 @@ object SparkEntry {
          |         AS sum_value
          |FROM sgrp GROUP BY event_type, sid
          |ORDER BY event_type, sess_start""".stripMargin,
+    // The same lag/cumulative-break derivation as session_counts_by_type,
+    // partitioned by user and emitted per ROW (1-based).
+    "session_ids_by_user" ->
+      s"""WITH e AS ($EvCte),
+         |o AS (SELECT event_id, user_id, time,
+         |             CASE WHEN time - lag(time) OVER (PARTITION BY user_id ORDER BY time)
+         |                       >= 1800000 THEN 1 ELSE 0 END AS brk
+         |      FROM e)
+         |SELECT event_id, user_id, time,
+         |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY time
+         |                           ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+         |FROM o ORDER BY event_id""".stripMargin,
     // Streaming batch-equivalence: the windowed streaming rollup must equal
     // the plain batch rollup over the same replayed data (epoch-aligned
     // 1-day windows ⇒ win_start = floor(time/day)·day).

@@ -50,6 +50,35 @@ object Windowed {
       s"$op reserves column name(s) ${clash.mkString(", ")}; rename the input column(s)")
   }
 
+  /** Per-event session assignment: `outCol` (1-based per key) increments
+    * when ≥ `gapMs` of event time passed since the key's PREVIOUS event —
+    * `session_window`'s gap semantics as a composable per-row column (the
+    * `session_counts_by_type` gate aggregates these same breaks; this is
+    * the form that lets downstream ops join, window or dedup BY session).
+    * Deterministic under timestamp ties: a tied event's break indicator is
+    * 0 and tied rows share one prefix sum, so the output is independent of
+    * tie order. The window hash-partitions by the key — no single-partition
+    * fallback at any scale (skewed keys behave like any skewed window:
+    * AQE/salting upstream).
+    */
+  def sessionIds(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapMs: Long,
+      outCol: String = "session_seq"): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    requireFree(df, "sessionIds", "__brk", outCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df.withColumn("__brk",
+        when(col(tsCol) - lag(col(tsCol), 1).over(w) >= gapMs, lit(1L))
+          .otherwise(lit(0L))) // first event: lag NULL → unknown → 0
+      .withColumn(outCol,
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + lit(1L))
+      .drop("__brk")
+  }
+
   /** Trailing `frameRows`-preceding-to-current aggregate of `valueCol` over
     * `orderCol` (a LONG key with unique values, e.g. a day number), globally
     * ordered, emitted as `outCol`. `aggFn` maps the value column to its frame

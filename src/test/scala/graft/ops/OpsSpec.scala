@@ -637,6 +637,22 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a b c"), (2L, "already clean"), (3L, "")))
   }
 
+  test("sessionIds: gap-inclusive breaks, 1-based per key, tie-order stable") {
+    val df = Seq(
+      // key "a": gaps 10 (same), 30 (= gap → NEW), 5 (same); tie at 45
+      (1L, "a", 0L), (2L, "a", 10L), (3L, "a", 40L), (4L, "a", 45L), (5L, "a", 45L),
+      // key "b": single event
+      (6L, "b", 1000L)
+    ).toDF("id", "k", "ts")
+    val out = Windowed.sessionIds(df, "k", "ts", gapMs = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 1L))
+    // Reserved/output name collisions fail loudly.
+    intercept[IllegalArgumentException] {
+      Windowed.sessionIds(df.withColumnRenamed("ts", "session_seq"), "k", "session_seq", 30L)
+    }
+  }
+
   test("quality band keeps the corpus's own middle; full band keeps everything") {
     // Clean single-letter non-stopwords ("a" IS a stopword): quality =
     // 0.2 + 0.02·n_tokens exactly, so quantiles are hand-checkable.
