@@ -291,6 +291,31 @@ object SparkEntry {
     graft.ops.Ordered.smallResult(
       Text.filterByQualityBand(T(s, dir, "documents"), 0.1, 0.9), "doc_id")
 
+  /** The ingest pipeline COMPOSED under one oracle: normalize → exact dedup
+    * → corpus-relative quality band → per-source survivor counts. Planted
+    * messy re-crawls ('  ' + UPPER(text) for 20 docs) make every stage
+    * load-bearing: only normalization folds them onto their originals, only
+    * dedup then drops them (min-id keeps the original), and the band is
+    * computed over the survivors — a regression in ANY stage moves the
+    * final counts.
+    */
+  private def pipelineCleanMix(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val planted = base.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 9000L).as("doc_id"),
+      concat(lit("  "), upper(col("text"))).as("text"), col("source"))
+    val corpus = base.unionByName(planted)
+    val canon = Text.normalize(corpus)
+    val survivors = Dedup.exact(canon, "norm_text")
+    val kept = Text.filterByQualityBand(
+      canon.join(survivors.select(col("doc_id")), "doc_id"),
+      0.05, 0.95, textCol = "norm_text")
+    graft.ops.Ordered.smallResult(
+      kept.join(corpus.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      "source")
+  }
+
   /** Incremental ingest dedup: a new batch of 60 docs — 50 re-crawled
     * copies and 10 genuinely edited ones — admitted against the existing
     * corpus; only the edits survive ([[graft.ops.Dedup.exactAgainst]]).
@@ -1169,6 +1194,7 @@ object SparkEntry {
     "asof_join_orders_fwd" -> (asofJoinForward _),
     "text_normalize" -> (textNormalize _),
     "quality_band" -> (qualityBand _),
+    "pipeline_clean_mix" -> (pipelineCleanMix _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1936,6 +1962,35 @@ object SparkEntry {
          |SELECT q.doc_id, q.quality FROM q, b
          |WHERE q.quality >= b.qlo AND q.quality <= b.qhi
          |ORDER BY q.doc_id""".stripMargin,
+    // The ingest pipeline composed: normalize folds the planted messy
+    // re-crawls, min-id dedup drops them, quantile band over survivors,
+    // counts per source.
+    "pipeline_clean_mix" ->
+      s"""WITH c AS (SELECT doc_id, text, source FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 9000, '  ' || upper(text), source
+         |           FROM documents WHERE doc_id < 20),
+         |n AS (SELECT doc_id,
+         |        trim(lower(regexp_replace(text, '${Text.WhitespaceRun}', ' ', 'g'))) AS lt,
+         |        source FROM c),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY lt),
+         |t AS (SELECT n.doc_id, n.lt,
+         |        list_filter(string_split(n.lt, ' '), x -> x <> '') AS ts, n.source
+         |      FROM n JOIN surv USING (doc_id)),
+         |cq AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_filter(ts, x -> list_contains($StopEnSql, x))) AS DOUBLE)
+         |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS sr,
+         |             CAST(length(lt) - length(regexp_replace(lt, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |               / greatest(length(lt), 1) AS pr
+         |      FROM t),
+         |q AS (SELECT doc_id, source,
+         |        round(least(1.0, greatest(0.0, 0.2 + 1.5*sr - 2.0*pr + 0.02*n_tokens)), 4) AS quality
+         |      FROM cq),
+         |b AS (SELECT quantile_cont(quality, 0.05) AS qlo,
+         |             quantile_cont(quality, 0.95) AS qhi FROM q)
+         |SELECT source, count(*) AS n_docs FROM q, b
+         |WHERE quality >= b.qlo AND quality <= b.qhi
+         |GROUP BY source ORDER BY source""".stripMargin,
     // Ingest admission: md5-keyed anti-join of the planted batch against
     // the existing corpus — only the 10 edited docs survive.
     "dedup_incremental" ->

@@ -341,6 +341,30 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionIds ≡ naive per-key gap walk on random event logs") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(67 + trial)
+      val events = (0 until rnd.between(1, 120)).map(i =>
+        (i.toLong, rnd.between(0L, 5L), rnd.between(0L, 200L)))
+      val gap = rnd.between(1L, 40L)
+      val got = Windowed.sessionIds(
+        events.toDF("id", "k", "ts").repartition(3), "k", "ts", gap)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      val naive = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+        // Sort by (ts, id) — any tie order yields the same seq values.
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        var seq = 0L
+        var prev = Long.MinValue
+        sorted.map { case (id, _, ts) =>
+          if (prev == Long.MinValue || ts - prev >= gap) seq += 1
+          prev = ts
+          (id, seq)
+        }
+      }.sortBy(_._1)
+      assert(got.toSeq == naive, s"trial $trial gap=$gap")
+    }
+  }
+
   test("zvalue ≡ bit-interleave reference on random coordinates") {
     def zRef(x: Long, y: Long, bits: Int): Long =
       (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
