@@ -104,6 +104,22 @@ object Bench {
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"cpu_calib_sec":$calibJson}"""
   }
 
+  /** One short line the driver can always parse even when the full artifact
+    * line is tail-truncated: total (sum of clean medians), query count,
+    * error count, and the first/last CPU calibrations so a throttled run
+    * adjudicates itself.
+    */
+  private[graft] def renderCompact(
+      results: Seq[(String, Seq[Either[String, Double]])],
+      calib: Seq[Double]): String = {
+    val total = results.collect {
+      case (_, raws) if raws.forall(_.isRight) =>
+        median(raws.collect { case Right(t) => t })
+    }.sum
+    val nErr = results.count(_._2.exists(_.isLeft))
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"calib_first":${calib.head}%.3f,"calib_last":${calib.last}%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -139,7 +155,16 @@ object Bench {
       name -> raws
     }
     calib += cpuCalib()
-    println(renderJson(results, sfDir, reps, calib.toSeq))
+    val full = renderJson(results, sfDir, reps, calib.toSeq)
+    println(full)
+    // The full line above routinely exceeds the driver's capture window
+    // (BENCH_r05..r07 all came back tail-truncated, "parsed": null). Two
+    // independent survival paths: (a) the full artifact on disk, (b) a LAST
+    // compact line small enough that tail-truncation keeps it intact.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(renderCompact(results, calib.toSeq))
     spark.stop()
   }
 }

@@ -37,6 +37,11 @@ object AsofJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(!rightPayload.contains("__mt"), "__mt is reserved")
+    // A negative tolerance can never admit a match (the nearest candidate is
+    // at distance >= 0) — reject it loudly instead of returning all-NULL
+    // payloads that read as "no right rows existed".
+    require(tolerance.forall(_ >= 0),
+      s"tolerance must be >= 0, got ${tolerance.get}")
     val lCols = left.columns.toSeq
     val tagged = {
       // Right rows sort before left rows at the same timestamp (tag 0 < 1),

@@ -48,6 +48,13 @@ object Dedup {
     * output), which joins here identically. Duplicates WITHIN the incoming
     * batch are kept (run [[exact]]/[[hashed]] on the batch first; the two
     * concerns compose).
+    *
+    * NULL keys: md5(NULL) is NULL, and a plain equi-anti-join would admit
+    * every NULL-key incoming row on every batch (NULL = NULL is unknown) —
+    * a re-crawled null document ingests forever. The join is null-safe
+    * (`<=>`) instead, making NULL one ordinary key value exactly as
+    * [[exact]]/[[hashed]]'s groupBy treats it: a NULL-key incoming row is
+    * dropped iff the reference corpus already contains a NULL-key row.
     */
   def exactAgainst(
       incoming: DataFrame,
@@ -56,7 +63,7 @@ object Dedup {
       refKeyCol: String): DataFrame = {
     val refKeys = reference.select(md5(col(refKeyCol)).as("__ref_fp")).distinct()
     incoming
-      .join(refKeys, md5(col(keyCol)) === col("__ref_fp"), "left_anti")
+      .join(refKeys, md5(col(keyCol)) <=> col("__ref_fp"), "left_anti")
   }
 
   /** Distinct word n-gram shingles per document: `(id, shingle)` rows.

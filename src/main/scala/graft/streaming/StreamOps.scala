@@ -167,23 +167,27 @@ object StreamOps {
   }
 
   /** Admit/release split at the watermark — the reorder buffer behind the
-    * `*Ordered` streaming ops. Arrivals AT or older than the watermark are
-    * beyond the declared disorder bound and DROPPED — mirroring Spark's own
-    * late-row filter, which discards `eventTime <= watermark` rows before a
-    * stateful operator even sees them (so this filter is a defensive twin,
-    * load-bearing only if the event-time column got projected away upstream
-    * of the exec). Buffered events strictly older than the watermark are
-    * released: the watermark guarantees no admissible future arrival can
-    * sort below them. Release is exhaustive per batch, so emissions are
-    * monotone in event time across batches: anything still buffered is ≥
-    * the watermark every released event was below.
+    * `*Ordered` streaming ops. Arrivals strictly older than the watermark
+    * are beyond the declared disorder bound and DROPPED — mirroring Spark's
+    * own late-row filter, which keeps the `eventTime == watermark` boundary
+    * row and discards only strictly-older ones before a stateful operator
+    * sees them (so this filter is a defensive twin, load-bearing only if
+    * the event-time column got projected away upstream of the exec).
+    * Buffered events strictly older than the watermark are released: the
+    * watermark guarantees no admissible future arrival can sort below
+    * them. The boundary is symmetric — an event AT the watermark is
+    * admitted and held pending, whether it was buffered earlier or just
+    * arrived; it releases once the watermark passes it. Release is
+    * exhaustive per batch, so emissions are monotone in event time across
+    * batches: anything still buffered is ≥ the watermark every released
+    * event was below.
     */
-  private def splitAtWatermark[E](
+  private[streaming] def splitAtWatermark[E](
       buffered: Seq[E],
       arrivals: Iterator[E],
       watermarkMs: Long,
       ts: E => Long): (Seq[E], Seq[E]) =
-    (buffered ++ arrivals.filter(ts(_) > watermarkMs))
+    (buffered ++ arrivals.filter(ts(_) >= watermarkMs))
       .partition(ts(_) < watermarkMs)
 
   final case class DerivOrdState(buffer: Seq[KeyedEvent], inner: Option[DerivState])

@@ -283,4 +283,20 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("splitAtWatermark handles the ts == watermark boundary symmetrically") {
+    val (ready, pending) = StreamOps.splitAtWatermark[Long](
+      buffered = Seq(5L, 10L, 15L),
+      arrivals = Iterator(4L, 10L, 20L),
+      watermarkMs = 10L,
+      ts = identity)
+    // The strictly-late arrival (4) is dropped: nothing below the watermark
+    // may be newly admitted (the buffered 5 releases instead — it was
+    // admitted while still on time). The boundary arrival (10) is ADMITTED
+    // and held pending exactly like the buffered 10: an event at the
+    // watermark is not late (Spark keeps the boundary row too), it just
+    // isn't releasable until the watermark strictly passes it.
+    assert(ready == Seq(5L))
+    assert(pending.sorted == Seq(10L, 10L, 15L, 20L))
+  }
 }
