@@ -835,6 +835,24 @@ object SparkEntry {
     Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(0L))
   }
 
+  /** IVF over k-means‖-seeded centroids — the UNLABELED-corpus scale path:
+    * [[graft.ops.Similarity.centroidsKMeansParallel]]'s oversampled
+    * candidate rounds + greedy weighted cut + Lloyd polish feed
+    * [[graft.ops.Similarity.ivfTopKCustom]]. Every stage is deterministic
+    * (Knuth-hash coins, id tie-breaks), so the DuckDB oracle re-derives the
+    * WHOLE pipeline — sampling rounds as chained CTEs, the greedy cut as a
+    * recursive CTE carrying the chosen-seed list — and a drift anywhere in
+    * init, cut, Lloyd, assignment, or probe turns the driver red.
+    */
+  private def annIvfKmeanspar(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfTopKCustom(
+      emb,
+      Similarity.centroidsKMeansParallel(
+        emb, k = 8, oversample = 2.0, initRounds = 3, lloydRounds = 2),
+      queryId = 0, k = 10, nprobe = 3)
+  }
+
   /** Batch ANN — one plan answers a query SET (the realistic shape: nothing
     * loops per query), checked against a per-query windowed re-derivation.
     */
@@ -1227,6 +1245,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
@@ -1351,6 +1370,83 @@ object SparkEntry {
       |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
       |WHERE e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** Full k-means‖ + IVF re-derivation for `ann_ivf_kmeanspar`: the
+    * oversampled sampling rounds (Knuth-hash coins against `ℓ·d²/φ`),
+    * weighted greedy farthest-first cut (a recursive CTE appending one
+    * seed per step, exactly the driver-side loop in
+    * `Similarity.centroidsKMeansParallel`), two Lloyd rounds, then the
+    * shared probe/top-k shape of [[IvfTopkSql]]. Hash arithmetic runs in
+    * HUGEINT (the 2³² products overflow BIGINT); squares are written as
+    * explicit products, not pow(), to stay bit-identical with the Spark
+    * side's `d * d`.
+    */
+  private val KMeansParTopkSql: String = {
+    def h(x: String) =
+      s"((CAST($x AS HUGEINT) % 4294967296) * 2654435761) % 4294967296"
+    def u(r: Int) =
+      s"CAST(${h(s"(${h("vec_id")} + ${r * 7919})")} AS DOUBLE) / 4294967296.0"
+    // One k-means|| candidate round against the previous round's set: d² to
+    // the nearest candidate, φ = Σd², admit on the per-round hash coin.
+    def rnd(r: Int) =
+      s"""d$r AS (SELECT e.vec_id, e.v,
+         |          (1 - max(list_cosine_similarity(e.v, c.cvec))) *
+         |          (1 - max(list_cosine_similarity(e.v, c.cvec))) AS d2
+         |        FROM e, c${r - 1} c GROUP BY e.vec_id, e.v),
+         |p$r AS (SELECT sum(d2) AS phi FROM d$r),
+         |f$r AS (SELECT vec_id AS cl, v AS cvec FROM d$r, p$r
+         |        WHERE phi > 0 AND ${u(r)} < least(1.0, 16.0 * d2 / phi)),
+         |c$r AS (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM f$r)""".stripMargin
+    // One Lloyd round: nearest-seed assignment (ties to the smaller id,
+    // matching assignedOf), then per-position means.
+    def lloyd(i: Int, seeds: String) =
+      s"""al$i AS (SELECT e.vec_id,
+         |           first(s.cl ORDER BY list_cosine_similarity(e.v, s.cvec) DESC, s.cl) AS cl
+         |         FROM e, $seeds s GROUP BY e.vec_id),
+         |l$i AS (SELECT cl, list(m ORDER BY pos) AS cvec
+         |        FROM (SELECT al$i.cl, ex.pos, avg(ex.x) AS m
+         |              FROM ex JOIN al$i USING (vec_id) GROUP BY al$i.cl, ex.pos)
+         |        GROUP BY cl)""".stripMargin
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+       |c0 AS (SELECT vec_id AS cl, v AS cvec FROM e ORDER BY ${h("vec_id")}, vec_id LIMIT 1),
+       |${rnd(1)},
+       |${rnd(2)},
+       |${rnd(3)},
+       |aw AS (SELECT e.vec_id,
+       |         first(c.cl ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cl) AS cl
+       |       FROM e, c3 c GROUP BY e.vec_id),
+       |cand AS (SELECT c.cl, c.cvec, coalesce(w.wt, 0) AS wt
+       |         FROM c3 c LEFT JOIN (SELECT cl, count(*) AS wt FROM aw GROUP BY cl) w USING (cl)),
+       |cut(it, chosen) AS (
+       |  SELECT 1, [(SELECT cl FROM cand ORDER BY wt DESC, cl LIMIT 1)]
+       |  UNION ALL
+       |  SELECT it + 1, list_append(chosen, nxt) FROM (
+       |    SELECT it, chosen, first(cl ORDER BY score DESC, cl) AS nxt FROM (
+       |      SELECT g.it, g.chosen, c.cl,
+       |             c.wt * min((1 - list_cosine_similarity(c.cvec, ch.cvec)) *
+       |                        (1 - list_cosine_similarity(c.cvec, ch.cvec))) AS score
+       |      FROM cut g, cand c, cand ch
+       |      WHERE g.it < 8 AND NOT list_contains(g.chosen, c.cl)
+       |        AND list_contains(g.chosen, ch.cl)
+       |      GROUP BY g.it, g.chosen, c.cl, c.wt)
+       |    GROUP BY it, chosen)),
+       |s0 AS (SELECT c.cl, c.cvec FROM cand c, cut
+       |       WHERE cut.it = 8 AND list_contains(cut.chosen, c.cl)),
+       |${lloyd(1, "s0")},
+       |${lloyd(2, "l1")},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probes AS (SELECT cl FROM l2, q
+       |           ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3),
+       |afin AS (SELECT e.vec_id,
+       |           first(c.cl ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cl) AS cluster
+       |         FROM e, l2 c GROUP BY e.vec_id)
+       |SELECT e.vec_id, a.cluster, round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+       |FROM e JOIN afin a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+  }
 
   /** Language-ID confusion matrix, re-derived from the stopword lists and
     * the argmax CASE chain — shared by `text_langid` (codegen'd CASE) and
@@ -1852,6 +1948,7 @@ object SparkEntry {
     // assignment, nprobe=3 probe list, exact re-scoring within probed
     // clusters — same approximation, independently computed.
     "ann_ivf_topk" -> IvfTopkSql,
+    "ann_ivf_kmeanspar" -> KMeansParTopkSql,
     // The persisted index is the SAME approximation (same centroids, same
     // assignment, same probe list, same scoring) answered from the
     // cluster-partitioned files instead of an in-plan assignment pass — the
