@@ -1187,6 +1187,97 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** One-time-per-JVM out-of-order replay source for
+    * [[streamFunnelOrdered]]: funnel-typed events re-ordered by a BOUNDED
+    * perturbation of event time (`__arr = time + hash(event_id) mod D −
+    * D/2`, so arrival disorder never exceeds `D` = 1 h) and split into four
+    * arrival-time-range parquet files — consecutive micro-batches whose
+    * event-time ranges OVERLAP, so boundary events genuinely arrive after
+    * later-timestamped ones and must wait in the reorder buffer across
+    * batches. Two trailing single-row `__flush` sentinel batches (key −1,
+    * a type no funnel step matches) push the watermark past every real
+    * event and then give Spark a batch in which the event-time timeouts
+    * fire, flushing the tail of every key's buffer. File modification
+    * times are spaced 10 s apart so the file source's oldest-first order
+    * replays the batches deterministically.
+    */
+  private val funnelStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val FunnelDisorderMs = 3600000L
+  private def funnelStreamDir(s: SparkSession, dir: String): String =
+    funnelStreamDirs.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val d = FunnelDisorderMs
+      val ev0 = ev(s, dir).df
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("time").cast("long").as("time"), col("event_id"))
+      val pert = ev0.withColumn("__arr",
+        col("time") + graft.ops.Sampling.idHash(col("event_id")) % lit(d) - lit(d / 2))
+      // Bounds are 3 scalars — routing state, not data, on the driver.
+      val b = pert.agg(min(col("__arr")), max(col("__arr")), max(col("time"))).head()
+      val (lo, hi, maxT) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val span = math.max(hi - lo + 1, 1L)
+      val base = java.nio.file.Files.createTempDirectory("graft-funnel-stream-")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-funnel-scratch-")
+      def shipOne(df: DataFrame, idx: Int): Unit = {
+        val out = scratch.resolve(s"b$idx").toString
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        val part = new java.io.File(out).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head
+        val tgt = base.resolve(f"batch$idx%04d.parquet")
+        java.nio.file.Files.move(part.toPath, tgt)
+        tgt.toFile.setLastModified(1000000000000L + idx * 10000L): Unit
+      }
+      for (i <- 0 until 4)
+        shipOne(pert
+          .filter(least(lit(3L), expr(s"((__arr - ${lo}L) * 4) div ${span}L")) === i)
+          .select(col("user_id"), col("event_type"), col("time")), i)
+      for (i <- 4 to 5)
+        shipOne(Seq((-1L, "__flush", maxT + (i - 3) * 10 * d))
+          .toDF("user_id", "event_type", "time"), i)
+      base.toString
+    })
+
+  /** §2.9 DISORDER gate: the same funnel-step counts as `funnel_steps`, but
+    * computed by [[graft.streaming.StreamOps.streamingFunnelOrdered]] over
+    * the deliberately out-of-order micro-batches of [[funnelStreamDir]] —
+    * the watermark reorder buffer must hold boundary events across batches
+    * and replay them in (ts, type) order for the shared join-chain oracle
+    * to hold. Exercises admission, cross-batch buffering, release order,
+    * and the event-time-timeout tail flush; `funnel_steps`' oracle gates
+    * the result verbatim.
+    */
+  private def streamFunnelOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = funnelStreamDir(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.LongType)))
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .select(col("user_id").as("key"), col("event_type").as("tpe"),
+        col("time").as("tsMs"))
+      .as[graft.streaming.StreamOps.TypedEvent]
+    val reach = graft.streaming.StreamOps.streamingFunnelOrdered(
+      s, src, Seq("signup", "click", "purchase"), 3 * Day,
+      maxDisorder = s"${FunnelDisorderMs / 1000} seconds")
+    val name = s"graft_sfunnel_gate_${pathToken(dir)}"
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = reach.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("step_idx"), col("step"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("step_idx"))
+      .select(col("step_idx"), col("step"), col("n_users"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1281,6 +1372,7 @@ object SparkEntry {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
+    "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
@@ -1697,6 +1789,10 @@ object SparkEntry {
     // One-scan state-machine formulation, same first-touch function — the
     // join-chain oracle gates it verbatim.
     "funnel_steps_onescan" -> FunnelStepsSql,
+    // Streaming reorder-buffer replay of the same funnel over deliberately
+    // out-of-order micro-batches — disorder is bounded by the watermark
+    // delay, so the join-chain oracle gates it verbatim too.
+    "stream_funnel_ordered" -> FunnelStepsSql,
     "funnel_conversion" ->
       s"""WITH e AS ($EvCte),
          |f AS (SELECT user_id, min(time) AS t0 FROM e
