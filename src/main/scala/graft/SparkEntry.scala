@@ -853,6 +853,16 @@ object SparkEntry {
       queryId = 0, k = 10, nprobe = 3)
   }
 
+  /** Measured recall@10 of the IVF approximation vs brute force — the
+    * approximation contract as a gated NUMBER (see
+    * [[graft.ops.Similarity.ivfRecallBatch]]); covers the persisted probe
+    * transitively (it shares `ann_ivf_topk`'s oracle, and query 0 here is
+    * that same query).
+    */
+  private def annIvfRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallBatch(T(s, dir, "embeddings"),
+      queryIds = Seq(0L, 1L, 2L), k = 10, nprobe = 3)
+
   /** Batch ANN — one plan answers a query SET (the realistic shape: nothing
     * loops per query), checked against a per-query windowed re-derivation.
     */
@@ -1337,6 +1347,7 @@ object SparkEntry {
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
+    "ann_ivf_recall" -> (annIvfRecall _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
@@ -2045,6 +2056,47 @@ object SparkEntry {
     // clusters — same approximation, independently computed.
     "ann_ivf_topk" -> IvfTopkSql,
     "ann_ivf_kmeanspar" -> KMeansParTopkSql,
+    // Recall@10 vs brute force, both rankings re-derived over one scored
+    // frame — rounded cosine, id tie-break, exactly the Spark rule.
+    "ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cent AS (
+        |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cl, cs) AS cluster
+        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+        |  GROUP BY vec_id),
+        |probes AS (
+        |  SELECT qid, cl AS cluster FROM (
+        |    SELECT q.qid, c.cl,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cl) AS pr
+        |    FROM cent c, q)
+        |  WHERE pr <= 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, a.cluster,
+        |         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |  FROM e JOIN assign a USING (vec_id), q WHERE e.vec_id <> q.qid),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 10),
+        |ivf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT s.qid, s.vec_id,
+        |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rn
+        |    FROM scored s JOIN probes p ON s.qid = p.qid AND s.cluster = p.cluster)
+        |  WHERE rn <= 10)
+        |SELECT exact.qid AS query_id, count(*) AS n_exact, count(ivf.vec_id) AS n_hit,
+        |       round(count(ivf.vec_id) / 10.0, 4) AS recall_at_k
+        |FROM exact LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+        |GROUP BY exact.qid ORDER BY query_id""".stripMargin,
     // The persisted index is the SAME approximation (same centroids, same
     // assignment, same probe list, same scoring) answered from the
     // cluster-partitioned files instead of an in-plan assignment pass — the

@@ -313,6 +313,66 @@ object Similarity {
       .sortWithinPartitions(col("qid"), col("cosine").desc, col(idCol))
   }
 
+  /** Recall@k audit for the IVF approximation: per query, the exact
+    * brute-force top-k (the [[topK]] scoring rule — rounded cosine, id
+    * tie-break) joined against [[ivfTopKBatch]]'s answer, reduced to
+    * `n_hit` / `recall_at_k`. This turns the approximation CONTRACT into a
+    * measured, gateable number instead of prose: nprobe/k trade recall for
+    * scan fraction, and a regression in assignment, probe selection, or
+    * scoring moves the recall number and turns the gate red. One plan —
+    * the corpus is scanned and scored once; both top-k's are window ranks
+    * over that one `scored` frame. The persisted-index probe
+    * ([[ivfProbePersisted]]) computes the identical approximation as the
+    * in-plan path (shared oracle elsewhere), so its recall is this same
+    * number.
+    */
+  def ivfRecallBatch(
+      df: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = centroidsOf(df, vecCol, labelCol)
+    val assigned = assignedOf(df, centroids, idCol, vecCol, Nil)
+    val queries = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .localCheckpoint()
+    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cl").as("cluster"))
+    // One scored frame feeds BOTH rankings: exact ranks over all rows, IVF
+    // ranks only over rows whose cluster is probed for that query.
+    val scored = assigned
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col("cluster"),
+        round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
+    val exact = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol))
+    val ivf = scored
+      .join(broadcast(probes), Seq("qid", "cluster"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), lit(1).as("__hit"))
+    exact.join(ivf, Seq("qid", idCol), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Symmetric per-vector int8 quantization: `scale = max|xᵢ| / 127`,
     * `qᵢ = round(xᵢ / scale) ∈ [−127, 127]` — 4× smaller vectors, the
     * shuffle/IO lever for embedding pipelines at 100 TB (persist `qvec` +
