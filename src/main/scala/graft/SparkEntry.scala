@@ -1108,12 +1108,26 @@ object SparkEntry {
         count(when(col("k") > 50, lit(1))).as("n_big"))
       .orderBy(col("event_type"))
 
-  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+  /** Every 5th document's payload is a REAL parseable BMP (header fields
+    * from doc_id arithmetic, text bytes as the pixel array —
+    * [[graft.ops.Multimodal.bmpWrap]]); the rest stay raw text. So one row
+    * gates BOTH decode paths: `decodeBmp`'s little-endian header parse on
+    * the planted images (the oracle derives width/height from the same
+    * doc_id arithmetic — an endianness/offset slip turns it red) and the
+    * documented stub fallback on everything else.
+    */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = T(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        Multimodal.bmpWrap(lit(1) + col("doc_id") % 63, lit(1) + col("doc_id") % 37,
+          encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
     // smallResult, not orderBy: a range sort's sampling pass would run the
     // whole decode/feature mapPartitions pipeline a second time.
     graft.ops.Ordered.smallResult(
-      Multimodal.extractFeatures(s, Multimodal.withPayload(T(s, dir, "documents"))).toDF(),
+      Multimodal.extractFeatures(s, media).toDF(),
       "doc_id")
+  }
 
   /** [[graft.ops.Multimodal.resize]] gated BYTE-EXACTLY: the corpus text is
     * pure ASCII, so the oracle re-derives the truncated/zero-padded payload
@@ -2555,10 +2569,18 @@ object SparkEntry {
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes;
+    // width/height re-derived from the same doc_id arithmetic the planted
+    // header encodes — the Spark side must PARSE them back out of the
+    // little-endian bytes to agree. Other rows: the stub length formulas.
     "multimodal_features" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
-        |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS height
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN octet_length(encode(text)) + 54
+        |                 ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 63
+        |                 ELSE octet_length(encode(text)) % 64 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 37
+        |                 ELSE octet_length(encode(text)) // 64 END AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Byte-exact resize re-derivation: ASCII corpus ⇒ VARCHAR ops are byte
     // ops; md5 over a NUL-padded VARCHAR hashes the raw bytes, matching

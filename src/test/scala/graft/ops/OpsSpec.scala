@@ -888,4 +888,26 @@ class OpsSpec extends SparkSpec {
       Multimodal.withPayload(Seq((0L, "x" * 200)).toDF("doc_id", "text"))).head()
     assert(big.n_bytes == 200L && big.width == 200 % 64 && big.height == 200 / 64)
   }
+
+  test("BMP decode parses bmpWrap headers and rejects non-BMPs") {
+    // Round-trip: bmpWrap's little-endian header fields parse back out.
+    val wrapped = Seq((1L, "pixels go here!!"), (2L, "abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Multimodal.bmpWrap(lit(640), lit(480), encode(col("text"), "UTF-8")).as("payload"))
+    val feats = Multimodal.extractFeatures(spark, wrapped).collect().sortBy(_.doc_id)
+    assert(feats.forall(f => f.width == 640L && f.height == 480L))
+    assert(feats(0).n_bytes == 54L + 16L && feats(1).n_bytes == 54L + 3L)
+    // Negative height = top-down row order; magnitude reported.
+    val td = Multimodal.bmpWrap(lit(32), lit(-8), lit("d".getBytes))
+    val tdBytes = Seq(Tuple1(1)).toDF("x").select(td.as("p")).head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodeBmp(tdBytes) == Some((32L, 8L)))
+    // Rejections fall back to the stub: too short, wrong magic, and a
+    // payload whose stored file size doesn't match its actual length
+    // (text that merely STARTS with "BM" must never parse as an image).
+    assert(Multimodal.decodeBmp("BM".getBytes) == None)
+    assert(Multimodal.decodeBmp(Array.fill[Byte](60)(0x42)) == None)
+    assert(Multimodal.decodeBmp(("BM" + "x" * 58).getBytes) == None)
+    assert(Multimodal.decodeBmp(tdBytes.dropRight(1)) == None) // size field ≠ length
+  }
 }
