@@ -331,6 +331,50 @@ object SparkEntry {
       "doc_id")
   }
 
+  /** Persisted MinHash index per corpus dir, built at most once per JVM —
+    * same path discipline as [[ivfIndexPath]] (pid + sanitized corpus path,
+    * shutdown cleanup).
+    */
+  private val minhashIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashIndexPath(s: SparkSession, dir: String): String =
+    minhashIndexPaths.computeIfAbsent(dir, { d =>
+      val f = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-minhash-idx-p${ProcessHandle.current.pid}-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+      Dedup.minhashIndexBuild(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        f.toString, n = 3)
+      f.toString
+    })
+
+  /** Incremental NEAR-dup ingest: re-crawled-but-EDITED snapshots (every
+    * 50th long doc, re-id'd and suffixed — different md5, so
+    * [[dedupIncremental]]'s exact path admits them all) probed against the
+    * persisted MinHash signature index ([[minhashIndexPath]]); verified
+    * matches at J ≥ 0.6 are the output. The oracle recomputes exact
+    * shingle Jaccard between the same planted batch and the whole corpus —
+    * at the planted docs' J (≈ 0.9: a 3-word suffix on a > 200-char doc)
+    * the 8×4 banding's candidate recall is ≈ 1, so LSH-with-verification
+    * equals the exact computation, the same adjudication as
+    * `dedup_minhash_lsh`.
+    */
+  private def dedupNeardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val incoming = docs
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 200)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" updated crawl snapshot")).as("text"))
+    Dedup.nearDupAgainst(incoming, minhashIndexPath(s, dir), n = 3, threshold = 0.6)
+  }
+
   /** PII scrub over the corpus with PLANTED addresses/numbers (the corpus
     * itself is clean words — the `contamination_check` planting pattern):
     * docs < 50 get an email + a long digit run appended in-query, so the
@@ -1350,6 +1394,7 @@ object SparkEntry {
     "quality_band" -> (qualityBand _),
     "pipeline_clean_mix" -> (pipelineCleanMix _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_neardup_incremental" -> (dedupNeardupIncremental _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -2280,6 +2325,27 @@ object SparkEntry {
         |SELECT inc.doc_id FROM inc
         |WHERE md5(inc.text) NOT IN (SELECT md5(text) FROM documents)
         |ORDER BY inc.doc_id""".stripMargin,
+    // Incremental near-dup: exact shingle Jaccard of the planted re-crawl
+    // batch against every corpus doc — the LSH-candidates + exact-verify
+    // probe must equal it (candidate recall ≈ 1 at the planted J; same
+    // adjudication as dedup_minhash_lsh).
+    "dedup_neardup_incremental" ->
+      s"""WITH toks AS ($ToksCte),
+         |sh AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+         |inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' updated crawl snapshot' AS text
+         |        FROM documents WHERE doc_id % 50 = 0 AND length(text) > 200),
+         |itoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM inc),
+         |ish AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |        FROM itoks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |isizes AS (SELECT id, count(*) AS n_sh FROM ish GROUP BY id),
+         |inter AS (SELECT a.id AS new_id, b.id AS ref_id, count(*) AS i
+         |          FROM ish a JOIN sh b ON a.shingle = b.shingle GROUP BY 1, 2)
+         |SELECT new_id, ref_id, round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) AS jaccard
+         |FROM inter JOIN isizes s1 ON s1.id = new_id JOIN sizes s2 ON s2.id = ref_id
+         |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
+         |ORDER BY new_id, ref_id""".stripMargin,
     "text_langid" -> LangidSql,
     // The broadcast-dictionary-join formulation computes the identical
     // confusion matrix — shared oracle, so the two language-ID plans gate

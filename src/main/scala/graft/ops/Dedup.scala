@@ -335,22 +335,7 @@ object Dedup {
       bands: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(bands >= 1, s"bands must be >= 1, got $bands")
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val hashed = df.select(
-      col(idCol).as("id"),
-      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val sig = hashed.select(
-      col("id"),
-      org.apache.spark.sql.graftfns.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
-    // Bands: candidates share (band index, banded sub-signature).
-    val banded = sig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rows + 1, lit(rows)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
+    val (hashed, banded) = bandedSignatures(df, n, numHashes, bands, idCol, textCol)
     val candidates = banded.as("a").hint("SHUFFLE_HASH")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -368,6 +353,123 @@ object Dedup {
             size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold),
       "d1", "d2")
+  }
+
+  /** Shared signature pipeline behind [[minhashLshPairs]] and the persisted
+    * index: hashed shingle sets `(id, hs)` plus banded sub-signatures
+    * `(id, band, bsig)` — `numHashes` minhashes split into `bands` groups.
+    */
+  private def bandedSignatures(
+      df: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val hashed = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sig = hashed.select(
+      col("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
+    // Bands: candidates share (band index, banded sub-signature).
+    val banded = sig.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
+    (hashed, banded)
+  }
+
+  /** Persist a MinHash near-dup INDEX at `path` — [[Similarity.ivfBuild]]'s
+    * write-time-layout move applied to LSH signatures. Two tables:
+    * `path/signatures`, the banded sub-signatures partitioned by
+    * `(band, bucket = xxhash64(bsig) mod nBuckets)` so a probing batch
+    * reads only the partitions its own signatures hash to; and
+    * `path/shingles`, the per-document hashed shingle sets candidates are
+    * exact-verified against. Build once per corpus snapshot; every ingest
+    * batch afterwards probes it ([[nearDupAgainst]]) without rescanning or
+    * re-signing the corpus — the shape that amortizes at 100 TB.
+    */
+  def minhashIndexBuild(
+      df: DataFrame,
+      path: String,
+      n: Int,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val (hashed, banded) = bandedSignatures(df, n, numHashes, bands, idCol, textCol)
+    banded
+      .withColumn("bucket", pmod(xxhash64(col("bsig")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("band", "bucket")
+      .parquet(s"$path/signatures")
+    hashed.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Incremental NEAR-dup ingest — the re-crawled-but-edited docs
+    * [[exactAgainst]]'s fingerprint anti-join cannot see. The incoming
+    * batch is signed with the same hash family as the index, its banded
+    * signatures equality-join the persisted signature table, and the
+    * candidates are verified with exact Jaccard (hashed shingle sets, the
+    * [[minhashLshPairs]] rule) at `threshold`. Output: one row per
+    * verified match `(new_id, ref_id, jaccard)` — anti-join the batch
+    * against `new_id` to admit, or route matches to an update path.
+    *
+    * Scale shape: the batch's distinct `(band, bucket)` keys are a BOUNDED
+    * set (≤ bands·nBuckets — routing state, like the IVF probe's centroid
+    * list), collected only to turn the signature read into a planning-time
+    * partition-pruned scan; a small batch touches a small fraction of the
+    * corpus signature table and never the corpus text. The `numHashes`/
+    * `bands`/`n` parameters must match the index build — signatures from a
+    * different family would silently never collide.
+    */
+  def nearDupAgainst(
+      incoming: DataFrame,
+      path: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = incoming.sparkSession
+    val (ihashed, ibanded0) = bandedSignatures(incoming, n, numHashes, bands, idCol, textCol)
+    // Checkpointed: feeds both the probe-key collect and the candidate
+    // join; un-checkpointed it would re-sign the batch once per consumer.
+    val ibanded = ibanded0
+      .withColumn("bucket", pmod(xxhash64(col("bsig")), lit(nBuckets.toLong)))
+      .localCheckpoint()
+    val probeKeys = ibanded.select(col("band"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pruned = probeKeys
+      .map { case (b, k) => col("band") === lit(b) && col("bucket") === lit(k) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val sigs = spark.read.parquet(s"$path/signatures").filter(pruned)
+    val candidates = ibanded.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.bsig") === col("b.bsig"))
+      .select(col("a.id").as("new_id"), col("b.id").as("ref_id"))
+      .distinct()
+    val refShingles = spark.read.parquet(s"$path/shingles")
+    Ordered.smallResult(
+      candidates
+        .join(ihashed.select(col("id").as("new_id"), col("hs").as("sh1")), "new_id")
+        .join(refShingles.select(col("id").as("ref_id"), col("hs").as("sh2")), "ref_id")
+        .select(col("new_id"), col("ref_id"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      "new_id", "ref_id")
   }
 
   /** Embedding-cosine near-dup: assign every vector a representative — the

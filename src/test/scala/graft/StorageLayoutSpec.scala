@@ -90,6 +90,55 @@ class StorageLayoutSpec extends SparkSpec {
       scans.head.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
   }
 
+  test("minhash index probe prunes to the batch's (band, bucket) partitions") {
+    val dir = tmpDir()
+    // 40 distinct docs; doc 7 gets a near-identical twin (id 100) planted
+    // in the incoming batch, alongside a fresh doc (id 101) matching
+    // nothing.
+    val mk = (i: Long) =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel doc$i marker$i tail$i"
+    val corpus = (0L until 40L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    graft.ops.Dedup.minhashIndexBuild(corpus, s"$dir/idx", n = 3)
+    val incoming = Seq(
+      (100L, mk(7L) + " recrawl"),
+      (101L, "completely different words nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val matches = graft.ops.Dedup.nearDupAgainst(
+      incoming, s"$dir/idx", n = 3, threshold = 0.6)
+    val got = matches.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // The edited re-crawl matches its original; the fresh doc matches
+    // nothing (shared stopword-prefix shingles stay below threshold).
+    assert(got.contains((100L, 7L)), got.mkString(", "))
+    assert(got.forall(_._1 == 100L), got.mkString(", "))
+
+    // The signature read is partition-pruned at planning: the scan carries
+    // band/bucket partition filters and reads only partitions the 2-doc
+    // batch's signatures hash to — strictly fewer than the index holds.
+    // AQE wraps materialized stages in QueryStageExec leaves, so the scan
+    // hunt must descend into them explicitly.
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deepScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deepScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        deepScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(deepScans)
+    }
+    val scans = deepScans(matches.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("signatures"))
+    assert(scans.nonEmpty, matches.queryExecution.executedPlan.toString.take(2000))
+    val meta = scans.head.metadata("PartitionFilters")
+    assert(meta.contains("band") && meta.contains("bucket"), meta)
+    val allParts = spark.read.parquet(s"$dir/idx/signatures")
+      .select("band", "bucket").distinct().count()
+    val readParts = scans.head.metrics("numPartitions").value
+    assert(readParts > 0 && readParts < allParts,
+      s"read $readParts of $allParts partitions")
+  }
+
   test("date-partitioned parquet prunes partitions at the scan") {
     val dir = tmpDir()
     val events = (0L until 500L)
