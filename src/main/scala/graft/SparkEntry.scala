@@ -1255,39 +1255,39 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
   }
 
-  /** One-time-per-JVM out-of-order replay source for
-    * [[streamFunnelOrdered]]: funnel-typed events re-ordered by a BOUNDED
-    * perturbation of event time (`__arr = time + hash(event_id) mod D −
-    * D/2`, so arrival disorder never exceeds `D` = 1 h) and split into four
-    * arrival-time-range parquet files — consecutive micro-batches whose
-    * event-time ranges OVERLAP, so boundary events genuinely arrive after
-    * later-timestamped ones and must wait in the reorder buffer across
-    * batches. Two trailing single-row `__flush` sentinel batches (key −1,
-    * a type no funnel step matches) push the watermark past every real
-    * event and then give Spark a batch in which the event-time timeouts
-    * fire, flushing the tail of every key's buffer. File modification
-    * times are spaced 10 s apart so the file source's oldest-first order
-    * replays the batches deterministically.
+  /** One-time-per-JVM out-of-order replay sources for the `*Ordered`
+    * streaming gates: `rows` (any schema with `time` and `event_id` long
+    * columns) re-ordered by a BOUNDED perturbation of event time
+    * (`__arr = time + hash(event_id) mod D − D/2`, so arrival disorder
+    * never exceeds `D` = 1 h) and split into four arrival-time-range
+    * parquet files — consecutive micro-batches whose event-time ranges
+    * OVERLAP, so boundary events genuinely arrive after later-timestamped
+    * ones and must wait in the reorder buffer across batches. Two trailing
+    * single-row sentinel batches (from `sentinels(maxT)`, same schema)
+    * push the watermark past every real event and then give Spark a batch
+    * in which the event-time timeouts fire, flushing the tail of every
+    * key's buffer. File modification times are spaced 10 s apart so the
+    * file source's oldest-first order replays the batches
+    * deterministically.
     */
-  private val funnelStreamDirs =
+  private val oooStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val FunnelDisorderMs = 3600000L
-  private def funnelStreamDir(s: SparkSession, dir: String): String =
-    funnelStreamDirs.computeIfAbsent(dir, { _ =>
-      import s.implicits._
-      val d = FunnelDisorderMs
-      val ev0 = ev(s, dir).df
-        .filter(col("event_type").isin("signup", "click", "purchase"))
-        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("time").cast("long").as("time"), col("event_id"))
-      val pert = ev0.withColumn("__arr",
+  private val StreamDisorderMs = 3600000L
+  private def oooStreamDir(
+      cacheKey: String,
+      rows: DataFrame,
+      sentinels: Long => Seq[DataFrame]): String =
+    oooStreamDirs.computeIfAbsent(cacheKey, { _ =>
+      val d = StreamDisorderMs
+      val outCols = rows.columns.map(col).toSeq
+      val pert = rows.withColumn("__arr",
         col("time") + graft.ops.Sampling.idHash(col("event_id")) % lit(d) - lit(d / 2))
       // Bounds are 3 scalars — routing state, not data, on the driver.
       val b = pert.agg(min(col("__arr")), max(col("__arr")), max(col("time"))).head()
       val (lo, hi, maxT) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val span = math.max(hi - lo + 1, 1L)
-      val base = java.nio.file.Files.createTempDirectory("graft-funnel-stream-")
-      val scratch = java.nio.file.Files.createTempDirectory("graft-funnel-scratch-")
+      val base = java.nio.file.Files.createTempDirectory("graft-ooo-stream-")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ooo-scratch-")
       def shipOne(df: DataFrame, idx: Int): Unit = {
         val out = scratch.resolve(s"b$idx").toString
         df.coalesce(1).write.mode("overwrite").parquet(out)
@@ -1301,12 +1301,23 @@ object SparkEntry {
       for (i <- 0 until 4)
         shipOne(pert
           .filter(least(lit(3L), expr(s"((__arr - ${lo}L) * 4) div ${span}L")) === i)
-          .select(col("user_id"), col("event_type"), col("time")), i)
-      for (i <- 4 to 5)
-        shipOne(Seq((-1L, "__flush", maxT + (i - 3) * 10 * d))
-          .toDF("user_id", "event_type", "time"), i)
+          .select(outCols: _*), i)
+      sentinels(maxT).zipWithIndex.foreach { case (sdf, i) =>
+        shipOne(sdf.select(outCols: _*), 4 + i)
+      }
       base.toString
     })
+  private def funnelStreamDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    oooStreamDir(s"funnel:$dir",
+      ev(s, dir).df
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("time").cast("long").as("time"), col("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq((-1L, "__flush", maxT + i * 10 * StreamDisorderMs, -1L))
+          .toDF("user_id", "event_type", "time", "event_id")))
+  }
 
   /** §2.9 DISORDER gate: the same funnel-step counts as `funnel_steps`, but
     * computed by [[graft.streaming.StreamOps.streamingFunnelOrdered]] over
@@ -1331,7 +1342,7 @@ object SparkEntry {
       .as[graft.streaming.StreamOps.TypedEvent]
     val reach = graft.streaming.StreamOps.streamingFunnelOrdered(
       s, src, Seq("signup", "click", "purchase"), 3 * Day,
-      maxDisorder = s"${FunnelDisorderMs / 1000} seconds")
+      maxDisorder = s"${StreamDisorderMs / 1000} seconds")
     val name = s"graft_sfunnel_gate_${pathToken(dir)}"
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
     val q = reach.writeStream.format("memory").queryName(name)
@@ -1344,6 +1355,60 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("step_idx"))
       .select(col("step_idx"), col("step"), col("n_users"))
+  }
+
+  /** §2.9 DISORDER gate for the derivative:
+    * [[graft.streaming.StreamOps.streamingDerivativeOrdered]] over the
+    * same out-of-order micro-batch harness as [[streamFunnelOrdered]],
+    * gated by the `uts_derivative_by_user` grid re-derivation MINUS each
+    * key's final bucket — the one DOCUMENTED deviation from batch: a
+    * stream has no last point, so the trailing partial bucket stays in
+    * state instead of flushing at `tmax`. Everything else — grid anchor,
+    * bucket deltas, zero fills, (ts, seq) tie order — must match the batch
+    * op exactly after cross-batch reordering, or the hash gate turns red.
+    * NULL-value events are excluded on BOTH sides (the typed streaming
+    * event carries a primitive Double); the batch row (`uts_derivative_by_
+    * user`) keeps gating the NULL-bearing semantics.
+    */
+  private def streamDerivativeOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"deriv:$dir",
+      ev(s, dir).df.filter(col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("time").cast("long").as("time"),
+          col("value").cast("double").as("value"),
+          col("event_id").cast("long").as("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq((-1L, maxT + i * 10 * StreamDisorderMs, 0.0, -1L))
+          .toDF("user_id", "time", "value", "event_id")))
+    // Sentinels keep event_id in the file schema: it is the stream's `seq`
+    // tie-break, matching the batch op's (time, event_id) order.
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_id", lt)))
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .select(col("user_id").cast("string").as("key"), col("time").as("tsMs"),
+        col("value"), col("event_id").as("seq"))
+      .as[graft.streaming.StreamOps.KeyedEvent]
+    val pts = graft.streaming.StreamOps.streamingDerivativeOrdered(
+      s, src, intervalMs = 6 * Hour,
+      maxDisorder = s"${StreamDisorderMs / 1000} seconds")
+    val name = s"graft_sderiv_gate_${pathToken(dir)}"
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = pts.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .filter(col("key") =!= "-1")
+      .select(col("key").cast("long").as("user_id"), col("der_time"),
+        round(col("der_value"), 4).as("der_value"))
+      .orderBy(col("user_id"), col("der_time"))
   }
 
   // ---------------------------------------------------------------- registry
@@ -1443,6 +1508,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
+    "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
@@ -1863,6 +1929,28 @@ object SparkEntry {
     // out-of-order micro-batches — disorder is bounded by the watermark
     // delay, so the join-chain oracle gates it verbatim too.
     "stream_funnel_ordered" -> FunnelStepsSql,
+    // Ordered-streaming derivative over the same out-of-order harness: the
+    // uts_derivative_by_user grid re-derivation on non-NULL values, MINUS
+    // each key's final bucket (a stream has no last point — the trailing
+    // partial bucket stays in state, the documented deviation).
+    "stream_derivative_ordered" ->
+      s"""WITH p AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events
+         |           WHERE value IS NOT NULL),
+         |d AS (SELECT user_id, t,
+         |             coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id), 0) AS delta
+         |      FROM p),
+         |m AS (SELECT user_id, min(t) AS t0, max(t) AS tmax FROM p GROUP BY user_id),
+         |a AS (SELECT d.user_id, greatest(CAST(ceil((d.t - m.t0)/21600000.0) AS BIGINT), 1) AS k,
+         |             sum(d.delta) AS dv
+         |      FROM d JOIN m ON d.user_id = m.user_id GROUP BY 1, 2),
+         |km AS (SELECT user_id, greatest(CAST(ceil((tmax - t0)/21600000.0) AS BIGINT), 1) AS kmax,
+         |              t0 FROM m),
+         |s AS (SELECT user_id, unnest(range(1, kmax + 1)) AS k, t0, kmax FROM km)
+         |SELECT s.user_id, s.t0 + s.k*21600000 AS der_time,
+         |       round(coalesce(a.dv, 0), 4) AS der_value
+         |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.k = a.k
+         |WHERE s.k < s.kmax
+         |ORDER BY s.user_id, der_time""".stripMargin,
     "funnel_conversion" ->
       s"""WITH e AS ($EvCte),
          |f AS (SELECT user_id, min(time) AS t0 FROM e
