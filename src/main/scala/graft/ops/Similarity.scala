@@ -302,15 +302,40 @@ object Similarity {
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), col(labelCol), col("cluster"),
         round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
-    // Per-query top-k: rank within qid partitions (a TakeOrdered per group);
-    // the result is |queries|·k rows — report-sized, single-partition sort.
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    // Per-query top-k via the salted two-phase rank; the result is
+    // |queries|·k rows — report-sized, single-partition sort.
+    perQidTopK(scored, k, idCol)
       .repartition(1)
       .sortWithinPartitions(col("qid"), col("cosine").desc, col(idCol))
+  }
+
+  /** EXACT per-qid top-k without a corpus-sized window partition. A single
+    * `Window.partitionBy(qid)` funnels the whole scored corpus into
+    * |queries| partitions — with a small query batch that is a handful of
+    * straggler tasks at 100 TB. Phase 1 ranks within `(qid, salt = id mod
+    * S)` — S·|queries| bounded partitions — keeping k per salt; phase 2
+    * ranks the surviving ≤ S·k rows per qid. Every global top-k row wins
+    * its own salt group, so two-phase equals the single-window form
+    * row-for-row (same (cosine desc, id) order) while the widest shuffle
+    * partition shrinks by S.
+    */
+  private def perQidTopK(
+      scored: DataFrame,
+      k: Int,
+      idCol: String,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("__salt", pmod(col(idCol).cast("long"), lit(salts.toLong)))
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy(col("qid"), col("__salt"))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("__prn") <= k)
+      .drop("__prn", "__salt")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Recall@k audit for the IVF approximation: per query, the exact
@@ -353,16 +378,9 @@ object Similarity {
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), col("cluster"),
         round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
-    val exact = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .filter(col("rn") <= k)
+    val exact = perQidTopK(scored, k, idCol)
       .select(col("qid"), col(idCol))
-    val ivf = scored
-      .join(broadcast(probes), Seq("qid", "cluster"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .filter(col("rn") <= k)
+    val ivf = perQidTopK(scored.join(broadcast(probes), Seq("qid", "cluster")), k, idCol)
       .select(col("qid"), col(idCol), lit(1).as("__hit"))
     exact.join(ivf, Seq("qid", idCol), "left")
       .groupBy(col("qid"))
