@@ -1270,6 +1270,22 @@ object SparkEntry {
     * file source's oldest-first order replays the batches
     * deterministically.
     */
+  /** Plan a streaming query with state partitions sized to the gate's key
+    * cardinality instead of the session's CPU-count shuffle partitions.
+    * A stateful query's state-store count is fixed at first plan from
+    * `spark.sql.shuffle.partitions`; 32 stores × 6 micro-batches is pure
+    * per-task overhead for a gate with a few thousand keys. The conf is
+    * restored immediately after `start()` (planning has happened by then);
+    * the bench/verify harnesses run queries sequentially, so the scoped
+    * mutation cannot leak into another query's plan. At production scale
+    * the same knob is simply sized UP with key cardinality.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int = 8)(start: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val oooStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val StreamDisorderMs = 3600000L
@@ -1345,10 +1361,12 @@ object SparkEntry {
       maxDisorder = s"${StreamDisorderMs / 1000} seconds")
     val name = s"graft_sfunnel_gate_${pathToken(dir)}"
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = reach.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(s) {
+      reach.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(name)
       .groupBy(col("step_idx"), col("step"))
@@ -1399,10 +1417,12 @@ object SparkEntry {
       maxDisorder = s"${StreamDisorderMs / 1000} seconds")
     val name = s"graft_sderiv_gate_${pathToken(dir)}"
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = pts.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(s) {
+      pts.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(name)
       .filter(col("key") =!= "-1")
