@@ -1292,12 +1292,16 @@ object SparkEntry {
   private def oooStreamDir(
       cacheKey: String,
       rows: DataFrame,
-      sentinels: Long => Seq[DataFrame]): String =
+      sentinels: Long => Seq[DataFrame],
+      disorderMs: Long = StreamDisorderMs): String =
     oooStreamDirs.computeIfAbsent(cacheKey, { _ =>
-      val d = StreamDisorderMs
+      val d = disorderMs
       val outCols = rows.columns.map(col).toSeq
+      // d = 0 → NO perturbation: strictly time-ordered batches, for gates
+      // whose op trusts arrival order (the reference's Q12 contract).
       val pert = rows.withColumn("__arr",
-        col("time") + graft.ops.Sampling.idHash(col("event_id")) % lit(d) - lit(d / 2))
+        if (d == 0) col("time")
+        else col("time") + graft.ops.Sampling.idHash(col("event_id")) % lit(d) - lit(d / 2))
       // Bounds are 3 scalars — routing state, not data, on the driver.
       val b = pert.agg(min(col("__arr")), max(col("__arr")), max(col("time"))).head()
       val (lo, hi, maxT) = (b.getLong(0), b.getLong(1), b.getLong(2))
@@ -1431,6 +1435,55 @@ object SparkEntry {
       .orderBy(col("user_id"), col("der_time"))
   }
 
+  /** §2.9 LIFECYCLE gate: the reference's `setRetention(0)` running state
+    * (`Series.last`/count kept forever — uts.ts:250-269) as
+    * [[graft.streaming.StreamOps.runningLastWithTtl]] with `ttl = 0`,
+    * replayed over strictly IN-ORDER micro-batches (the op trusts arrival
+    * order, the reference's Q12 contract; the `*Ordered` gates cover
+    * disorder). Update-mode emissions accumulate one row per (key, batch);
+    * the per-key row with the max running count IS the final state, and it
+    * must equal the plain batch aggregate: count + last value by
+    * (time, event_id). The positive-TTL eviction path is wall-clock-driven
+    * and therefore spec-pinned, not oracle-gated (StreamOpsSpec).
+    */
+  private def streamRunningLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"rlast:$dir",
+      ev(s, dir).df.filter(col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("time").cast("long").as("time"),
+          col("value").cast("double").as("value"),
+          col("event_id").cast("long").as("event_id")),
+      _ => Seq.empty, disorderMs = 0L)
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_id", lt)))
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .select(col("user_id").cast("string").as("key"), col("time").as("tsMs"),
+        col("value"), col("event_id").as("seq"))
+      .as[graft.streaming.StreamOps.KeyedEvent]
+    val rl = graft.streaming.StreamOps.runningLastWithTtl(s, src, ttlMs = 0L)
+    val name = s"graft_rlast_gate_${pathToken(dir)}"
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = withStatePartitions(s) {
+      rl.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n"), max_by(col("last"), col("n")).as("lv"))
+      .select(col("key").cast("long").as("user_id"), col("n"),
+        round(col("lv"), 4).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1529,6 +1582,7 @@ object SparkEntry {
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
+    "stream_running_last" -> (streamRunningLast _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
@@ -1971,6 +2025,14 @@ object SparkEntry {
          |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.k = a.k
          |WHERE s.k < s.kmax
          |ORDER BY s.user_id, der_time""".stripMargin,
+    // Final keyed state after the full in-order replay = the plain batch
+    // aggregate (count + last value by (time, event_id)).
+    "stream_running_last" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events
+        |           WHERE value IS NOT NULL)
+        |SELECT user_id, count(*) AS n,
+        |       round(first(value ORDER BY t DESC, event_id DESC), 4) AS last_value
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "funnel_conversion" ->
       s"""WITH e AS ($EvCte),
          |f AS (SELECT user_id, min(time) AS t0 FROM e
