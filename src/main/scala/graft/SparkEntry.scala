@@ -1308,6 +1308,12 @@ object SparkEntry {
       val span = math.max(hi - lo + 1, 1L)
       val base = java.nio.file.Files.createTempDirectory("graft-ooo-stream-")
       val scratch = java.nio.file.Files.createTempDirectory("graft-ooo-scratch-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(base.toFile); rm(scratch.toFile)
+      }))
       def shipOne(df: DataFrame, idx: Int): Unit = {
         val out = scratch.resolve(s"b$idx").toString
         df.coalesce(1).write.mode("overwrite").parquet(out)
