@@ -375,6 +375,56 @@ object SparkEntry {
     Dedup.nearDupAgainst(incoming, minhashIndexPath(s, dir), n = 3, threshold = 0.6)
   }
 
+  /** MinHash index for the APPEND lifecycle gate, one per corpus dir, built
+    * at most once per JVM (the [[minhashIndexPath]] discipline — pid+path
+    * naming, shutdown cleanup). Separate from [[minhashIndexPath]]'s index
+    * because this one is MUTATED: built over the even-id half of the
+    * corpus, then [[graft.ops.Dedup.minhashIndexAppend]] ingests the odd
+    * half — so any probe match against an odd document is a row that can
+    * ONLY come from appended files.
+    */
+  private val appendMinhashIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def appendMinhashIndexPath(s: SparkSession, dir: String): String =
+    appendMinhashIndexPaths.computeIfAbsent(dir, { d =>
+      val f = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-minhash-apx-p${ProcessHandle.current.pid}-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.minhashIndexBuild(docs.filter(col("doc_id") % 2 === 0), f.toString, n = 3)
+      Dedup.minhashIndexAppend(docs.filter(col("doc_id") % 2 === 1), f.toString)
+      f.toString
+    })
+
+  /** Persisted-index APPEND lifecycle: the index is built over only the
+    * even-id half of the corpus, the odd half arrives later as an ingest
+    * batch ([[graft.ops.Dedup.minhashIndexAppend]] — new files into the
+    * existing (band, bucket) partitions, no rebuild), and a probe batch of
+    * edited re-crawls drawn from BOTH halves (doc_id % 25 = 0 covers even
+    * %50 = 0 and odd %50 = 25 sources) runs against the result. Every
+    * match whose ref_id is odd is evidence the probe read appended files —
+    * a silently-dropped append would return only the even matches, and the
+    * oracle (exact Jaccard against the full corpus, which IS even∪odd)
+    * would turn the gate red. Same candidate-recall adjudication as
+    * `dedup_neardup_incremental` (J ≈ 0.9 planted pairs; banding recall
+    * ≈ 1 there).
+    */
+  private def dedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val incoming = docs
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 200)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" appended crawl snapshot")).as("text"))
+    Dedup.nearDupAgainst(incoming, appendMinhashIndexPath(s, dir), n = 3, threshold = 0.6)
+  }
+
   /** PII scrub over the corpus with PLANTED addresses/numbers (the corpus
     * itself is clean words — the `contamination_check` planting pattern):
     * docs < 50 get an email + a long digit run appended in-query, so the
@@ -1539,6 +1589,7 @@ object SparkEntry {
     "pipeline_clean_mix" -> (pipelineCleanMix _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_neardup_incremental" -> (dedupNeardupIncremental _),
+    "dedup_index_append" -> (dedupIndexAppend _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -2493,13 +2544,18 @@ object SparkEntry {
          |WHERE quality >= b.qlo AND quality <= b.qhi
          |GROUP BY source ORDER BY source""".stripMargin,
     // Ingest admission: md5-keyed anti-join of the planted batch against
-    // the existing corpus — only the 10 edited docs survive.
+    // the existing corpus — only the 10 edited docs survive. NOT EXISTS
+    // with IS NOT DISTINCT FROM, not NOT IN: the engine's anti-join is
+    // null-safe (`<=>`), and NOT IN's NULL semantics would zero the whole
+    // result if a NULL-text row ever entered the corpus — the two sides
+    // must agree that NULL is one ordinary key value.
     "dedup_incremental" ->
       """WITH inc AS (SELECT doc_id + 10000 AS doc_id,
         |  CASE WHEN doc_id < 50 THEN text ELSE text || ' v2' END AS text
         |  FROM documents WHERE doc_id < 60)
         |SELECT inc.doc_id FROM inc
-        |WHERE md5(inc.text) NOT IN (SELECT md5(text) FROM documents)
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |                  WHERE md5(d.text) IS NOT DISTINCT FROM md5(inc.text))
         |ORDER BY inc.doc_id""".stripMargin,
     // Incremental near-dup: exact shingle Jaccard of the planted re-crawl
     // batch against every corpus doc — the LSH-candidates + exact-verify
@@ -2511,6 +2567,27 @@ object SparkEntry {
          |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
          |inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' updated crawl snapshot' AS text
          |        FROM documents WHERE doc_id % 50 = 0 AND length(text) > 200),
+         |itoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM inc),
+         |ish AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |        FROM itoks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |isizes AS (SELECT id, count(*) AS n_sh FROM ish GROUP BY id),
+         |inter AS (SELECT a.id AS new_id, b.id AS ref_id, count(*) AS i
+         |          FROM ish a JOIN sh b ON a.shingle = b.shingle GROUP BY 1, 2)
+         |SELECT new_id, ref_id, round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) AS jaccard
+         |FROM inter JOIN isizes s1 ON s1.id = new_id JOIN sizes s2 ON s2.id = ref_id
+         |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
+         |ORDER BY new_id, ref_id""".stripMargin,
+    // Append lifecycle: the oracle re-derives the index CONTENT from
+    // scratch — exact Jaccard of the probe batch against the full corpus,
+    // which is exactly build-half ∪ appended-half. A dropped append loses
+    // every odd-ref_id row and the hashes diverge.
+    "dedup_index_append" ->
+      s"""WITH toks AS ($ToksCte),
+         |sh AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+         |inc AS (SELECT doc_id + 2000000 AS doc_id, text || ' appended crawl snapshot' AS text
+         |        FROM documents WHERE doc_id % 25 = 0 AND length(text) > 200),
          |itoks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM inc),
          |ish AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
          |        FROM itoks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),

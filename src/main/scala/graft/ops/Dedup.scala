@@ -393,7 +393,14 @@ object Dedup {
     * `path/shingles`, the per-document hashed shingle sets candidates are
     * exact-verified against. Build once per corpus snapshot; every ingest
     * batch afterwards probes it ([[nearDupAgainst]]) without rescanning or
-    * re-signing the corpus — the shape that amortizes at 100 TB.
+    * re-signing the corpus, and appends itself ([[minhashIndexAppend]])
+    * without rebuilding — the shape that amortizes at 100 TB.
+    *
+    * A one-row MANIFEST (`path/manifest`: n, numHashes, bands, nBuckets)
+    * is written beside the tables: signatures from a different hash family
+    * never collide, so a probe or append with mismatched parameters would
+    * silently admit every near-dup — every reader `require()`s the
+    * manifest instead.
     */
   def minhashIndexBuild(
       df: DataFrame,
@@ -411,6 +418,68 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band", "bucket")
       .parquet(s"$path/signatures")
     hashed.write.mode("overwrite").parquet(s"$path/shingles")
+    df.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"), lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").json(s"$path/manifest")
+  }
+
+  /** Read the signature-family manifest written by [[minhashIndexBuild]]
+    * as (n, numHashes, bands, nBuckets).
+    */
+  private def readMinhashManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int, Int) = {
+    val m = spark.read.json(s"$path/manifest").head()
+    def g(c: String): Int = m.getLong(m.fieldIndex(c)).toInt
+    (g("n"), g("num_hashes"), g("bands"), g("n_buckets"))
+  }
+
+  /** Fail LOUD when a probe's parameters disagree with the index family —
+    * a mismatched family never collides, which reads as "no near-dups"
+    * and admits every incoming duplicate.
+    */
+  private def requireMinhashFamily(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String,
+      n: Int, numHashes: Int, bands: Int, nBuckets: Int): Unit = {
+    val (mn, mh, mb, mk) = readMinhashManifest(spark, path)
+    require(mn == n && mh == numHashes && mb == bands && mk == nBuckets,
+      s"$op(n=$n, numHashes=$numHashes, bands=$bands, nBuckets=$nBuckets) does not " +
+        s"match the index family at $path (n=$mn, numHashes=$mh, bands=$mb, " +
+        s"nBuckets=$mk): signatures from different families never collide, so " +
+        "the probe would silently admit every near-duplicate")
+  }
+
+  /** Append an ingest batch to a persisted MinHash index IN PLACE — the
+    * write half of the incremental lifecycle ([[nearDupAgainst]] is the
+    * read half). The batch is signed with the family recorded in the
+    * index manifest (parameters are READ, not passed — an append cannot
+    * diverge from the build), its banded signatures land in the existing
+    * `(band, bucket)` partition directories as new files (parquet
+    * `append` mode adds files without touching sibling partitions), and
+    * its hashed shingle sets append to `path/shingles`. After the append,
+    * the next batch's probe sees this batch's documents — no rebuild, no
+    * corpus rescan: at 100 TB the index ingests deltas forever and a
+    * rebuild happens only when recall drift says so.
+    *
+    * Dedup discipline: append AFTER admission — probe first
+    * ([[nearDupAgainst]]), route matches to your update path, then append
+    * the admitted rows. Appending unconditionally indexes duplicates too
+    * (harmless for lookup, wasteful at scale).
+    */
+  def minhashIndexAppend(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val (n, numHashes, bands, nBuckets) = readMinhashManifest(spark, path)
+    val (hashed, banded) = bandedSignatures(batch, n, numHashes, bands, idCol, textCol)
+    banded
+      .withColumn("bucket", pmod(xxhash64(col("bsig")), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("band", "bucket")
+      .parquet(s"$path/signatures")
+    hashed.write.mode("append").parquet(s"$path/shingles")
   }
 
   /** Incremental NEAR-dup ingest — the re-crawled-but-edited docs
@@ -428,7 +497,9 @@ object Dedup {
     * partition-pruned scan; a small batch touches a small fraction of the
     * corpus signature table and never the corpus text. The `numHashes`/
     * `bands`/`n` parameters must match the index build — signatures from a
-    * different family would silently never collide.
+    * different family never collide, so the index manifest is `require()`d
+    * to agree before any work runs (a mismatch fails loud instead of
+    * admitting every near-dup as "no match").
     */
   def nearDupAgainst(
       incoming: DataFrame,
@@ -442,6 +513,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = incoming.sparkSession
+    requireMinhashFamily(spark, path, "nearDupAgainst", n, numHashes, bands, nBuckets)
     val (ihashed, ibanded0) = bandedSignatures(incoming, n, numHashes, bands, idCol, textCol)
     // Checkpointed: feeds both the probe-key collect and the candidate
     // join; un-checkpointed it would re-sign the batch once per consumer.

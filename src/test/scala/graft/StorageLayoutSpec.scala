@@ -139,6 +139,74 @@ class StorageLayoutSpec extends SparkSpec {
       s"read $readParts of $allParts partitions")
   }
 
+  test("minhash index append: probe finds the appended doc, touches only batch partitions") {
+    val dir = tmpDir()
+    val mk = (i: Long) =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel doc$i marker$i tail$i"
+    val corpus = (0L until 40L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    graft.ops.Dedup.minhashIndexBuild(corpus, s"$dir/idx", n = 3)
+
+    // Doc 200 is brand new — it is in no near-dup family the built index
+    // knows. A probe for its re-crawl (id 300) BEFORE the append finds
+    // nothing.
+    val probe = Seq((300L, mk(200L) + " recrawl")).toDF("doc_id", "text")
+    val before = graft.ops.Dedup.nearDupAgainst(
+      probe, s"$dir/idx", n = 3, threshold = 0.6).collect()
+    assert(before.isEmpty, before.mkString(", "))
+
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/idx/signatures"))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val preFiles = files()
+
+    // Append the batch containing doc 200, then re-probe: the match
+    // appears — served purely from appended files.
+    val batch = Seq((200L, mk(200L))).toDF("doc_id", "text")
+    graft.ops.Dedup.minhashIndexAppend(batch, s"$dir/idx")
+    val after = graft.ops.Dedup.nearDupAgainst(
+      probe, s"$dir/idx", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.contains((300L, 200L)), after.mkString(", "))
+
+    // The append added files ONLY under the batch's own (band, bucket)
+    // partitions — sibling partitions are untouched (append-mode parquet
+    // adds files; it must not rewrite the index).
+    val newFiles = files() -- preFiles
+    assert(newFiles.nonEmpty)
+    val batchParts = spark.read.parquet(s"$dir/idx/signatures")
+      .filter(col("id") === 200L)
+      .select(col("band"), col("bucket")).distinct().collect()
+      .map(r => s"band=${r.get(0)}/bucket=${r.get(1)}").toSet
+    newFiles.foreach { f =>
+      assert(batchParts.exists(p => f.contains(p)),
+        s"append wrote outside the batch's partitions: $f not in $batchParts")
+    }
+  }
+
+  test("minhash probe and append fail loud on a signature-family mismatch") {
+    val dir = tmpDir()
+    val corpus = (0L until 10L)
+      .map(i => (i, s"some words for document number $i here")).toDF("doc_id", "text")
+    graft.ops.Dedup.minhashIndexBuild(corpus, s"$dir/idx", n = 3, numHashes = 32, bands = 8)
+    val probe = Seq((99L, "some words for document number 3 here")).toDF("doc_id", "text")
+    // Wrong numHashes/bands/n: each must be rejected by the manifest check,
+    // not silently return "no matches".
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.nearDupAgainst(probe, s"$dir/idx", n = 3, threshold = 0.6,
+        numHashes = 16, bands = 8)
+    }
+    assert(e1.getMessage.contains("family"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.nearDupAgainst(probe, s"$dir/idx", n = 5, threshold = 0.6)
+    }
+    assert(e2.getMessage.contains("family"))
+    // The matched family still works.
+    graft.ops.Dedup.nearDupAgainst(probe, s"$dir/idx", n = 3, threshold = 0.6).collect()
+  }
+
   test("date-partitioned parquet prunes partitions at the scan") {
     val dir = tmpDir()
     val events = (0L until 500L)
