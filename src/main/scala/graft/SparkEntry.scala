@@ -929,6 +929,49 @@ object SparkEntry {
     Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(0L))
   }
 
+  /** IVF index for the APPEND lifecycle gate — built over the even-id half
+    * of the corpus, then [[graft.ops.Similarity.ivfAppend]] ingests the odd
+    * half against the PERSISTED (even-only) centroids. Same build-once and
+    * cleanup discipline as [[ivfIndexPath]]; separate index because this
+    * one is mutated.
+    */
+  private val appendIvfIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def appendIvfIndexPath(emb: DataFrame, dir: String): String =
+    appendIvfIndexPaths.computeIfAbsent(dir, { d =>
+      val f = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivf-apx-p${ProcessHandle.current.pid}-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+      Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0), f.toString)
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 2 === 1), f.toString)
+      f.toString
+    })
+
+  /** Persisted-IVF APPEND lifecycle: the index is built over only even
+    * vec_ids (centroids = even-half label means), the odd half arrives as
+    * an ingest batch assigned to those FROZEN centroids and appended into
+    * the cluster partitions, and the probe answers from the result. Around
+    * half the top-10 are odd vectors — rows that can only come from
+    * appended files (a dropped append keeps the probe plan green but
+    * loses those rows, and the oracle — which re-derives even-half
+    * centroids and assigns the FULL corpus to them — turns red).
+    */
+  private def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = appendIvfIndexPath(emb, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(0L))
+  }
+
   /** IVF over k-means‖-seeded centroids — the UNLABELED-corpus scale path:
     * [[graft.ops.Similarity.centroidsKMeansParallel]]'s oversampled
     * candidate rounds + greedy weighted cut + Lloyd polish feed
@@ -1603,6 +1646,7 @@ object SparkEntry {
     "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
     "ann_ivf_recall" -> (annIvfRecall _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
+    "ann_ivf_append" -> (annIvfAppend _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
@@ -2388,6 +2432,30 @@ object SparkEntry {
     // cluster-partitioned files instead of an in-plan assignment pass — the
     // oracle is shared verbatim.
     "ann_ivf_persisted" -> IvfTopkSql,
+    // Append lifecycle: centroids re-derived from the EVEN half only (the
+    // built index), the FULL corpus assigned to them (odd rows = the
+    // appended batch, assigned to the same frozen centroids), then the
+    // shared probe/top-k tail. A lost append loses every odd row.
+    "ann_ivf_append" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+        |       FROM e WHERE vec_id % 2 = 0),
+        |cent AS (
+        |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+        |  GROUP BY label),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cl, cs) AS cluster
+        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+        |  GROUP BY vec_id),
+        |probes AS (
+        |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
+        |SELECT e.vec_id, e.label, a.cluster,
+        |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     // Unlabeled IVF: full re-derivation of the seeded k-means init — Knuth-
     // hash seeds, two Lloyd rounds (argmax-cosine assign, per-position mean),
     // then the same probe/score tail as ann_ivf_topk.

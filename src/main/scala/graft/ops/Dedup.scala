@@ -482,6 +482,20 @@ object Dedup {
     hashed.write.mode("append").parquet(s"$path/shingles")
   }
 
+  /** Fold a MinHash index's accumulated append files back to one file per
+    * `(band, bucket)` partition (and `numFiles` for the unpartitioned
+    * shingle table) — content unchanged, probes identical; see
+    * [[Layout.compactInPlace]] for the swap discipline. Run periodically
+    * from the index's single writer once appends dominate the file count.
+    */
+  def minhashIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numFiles: Int = 8): Unit = {
+    Layout.compactInPlace(spark, s"$path/signatures", Seq("band", "bucket"))
+    Layout.compactInPlace(spark, s"$path/shingles", Nil, numFiles)
+  }
+
   /** Incremental NEAR-dup ingest — the re-crawled-but-edited docs
     * [[exactAgainst]]'s fingerprint anti-join cannot see. The incoming
     * batch is signed with the same hash family as the index, its banded

@@ -48,4 +48,53 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Compact a parquet table IN PLACE: rewrite every `partitionCols`
+    * partition directory's accumulated small files into one file per
+    * directory (the append-mode lifecycle — [[graft.ops.Dedup
+    * .minhashIndexAppend]], [[graft.ops.Similarity.ivfAppend]] — adds a
+    * file per batch per partition; a daily-ingest index is thousands of
+    * files per partition within a quarter, and open-file overhead starts
+    * dominating the probes the layout exists to accelerate). Content is
+    * unchanged — only the file layout.
+    *
+    * The rewrite stages to `<path>.__compact_tmp` (reading the live table
+    * while overwriting it in place is not defined in Spark), then swaps
+    * via two FileSystem renames. The swap window is not transactional:
+    * concurrent probes can hit a vanished directory for the instant
+    * between renames, and a crash between them leaves
+    * `<path>.__compact_old` behind (the complete pre-compact table —
+    * rename it back to recover). Run compaction from the single writer
+    * that owns the index, the same owner appends already require.
+    *
+    * `partitionCols` empty = unpartitioned table → `numFiles` output
+    * files.
+    */
+  def compactInPlace(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      partitionCols: Seq[String],
+      numFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tablePath + ".__compact_tmp")
+    val old = new Path(tablePath + ".__compact_old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction crashed mid-swap; " +
+        "inspect and rename it back (complete pre-compact table) or delete it")
+    val df = spark.read.parquet(tablePath)
+    val rewrite =
+      if (partitionCols.nonEmpty)
+        // Hash-repartition on the partition keys: every directory's rows
+        // converge to one task → one file per directory.
+        df.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(numFiles).write
+    rewrite.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(table, old), s"compactInPlace: rename $table -> $old failed")
+    require(fs.rename(tmp, table), s"compactInPlace: rename $tmp -> $table failed " +
+      s"($old holds the pre-compact table)")
+    fs.delete(old, true): Unit
+  }
 }

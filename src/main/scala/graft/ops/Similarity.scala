@@ -759,6 +759,41 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append an ingest batch to a persisted IVF index IN PLACE — the write
+    * half of the index lifecycle ([[ivfProbePersisted]] is the read half).
+    * Each new vector is assigned to its nearest EXISTING centroid (the
+    * index's own routing table, read back from `path/centroids` — the
+    * assignment rule is [[assignedOf]], bit-identical to the build's) and
+    * its row lands in that cluster's inverted-list partition as a new file
+    * (parquet `append` adds files; sibling partitions are untouched).
+    * After the append the next probe sees the batch — no rebuild, no
+    * corpus re-assignment: at 100 TB the index ingests deltas forever and
+    * re-clusters only when the recall drift signal ([[ivfRecallBatch]]
+    * against stale centroids) says the centroids no longer describe the
+    * data. Appending does NOT update the centroids by design: moving them
+    * would silently re-route probes away from every already-written row.
+    *
+    * `extraCols` must match the build's (the vectors table's schema);
+    * parquet append fails loud on a schema mismatch.
+    */
+  def ivfAppend(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      extraCols: Seq[String] = Seq("label")): Unit = {
+    val centroids = batch.sparkSession.read.parquet(s"$path/centroids")
+    assignedOf(batch, centroids, idCol, vecCol, extraCols)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
+  /** Fold an IVF index's accumulated append files back to one file per
+    * cluster partition — content unchanged, probes identical; see
+    * [[Layout.compactInPlace]] for the swap discipline.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Layout.compactInPlace(spark, s"$path/vectors", Seq("cluster"))
+
   /** Probe a persisted IVF index: top-k by cosine against the literal
     * `query` vector, scanning ONLY the `nprobe` nearest cluster partitions.
     *

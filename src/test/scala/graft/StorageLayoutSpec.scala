@@ -186,6 +186,78 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("ivf append: probe finds appended vectors, assigned to frozen centroids only") {
+    val dir = tmpDir()
+    val bases = Seq(
+      Array(1.0, 0.05, 0.0), Array(0.0, 1.0, 0.05),
+      Array(0.05, 0.0, 1.0), Array(0.6, 0.6, 0.2))
+    def mk(i: Long) = {
+      val lab = (i % 4).toInt
+      (i, bases(lab).zipWithIndex.map { case (x, d) =>
+        (x + 0.003 * (i / 4) * (d + 1)).toFloat
+      }.toSeq, lab)
+    }
+    // Build over vectors 0..39; the probe (vector 1's direction) sees the
+    // index's answer.
+    val built = (0L until 40L).map(mk).toDF("vec_id", "embedding", "label")
+    graft.ops.Similarity.ivfBuild(built, s"$dir/idx")
+    val q = built.filter(col("vec_id") === 1L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val before = graft.ops.Similarity.ivfProbePersisted(
+      spark, s"$dir/idx", q, k = 3, nprobe = 1, excludeId = Some(1L))
+      .collect().map(_.getLong(0))
+    assert(!before.contains(101L))
+
+    // Vector 101 is a near-twin of the query, arriving later: after the
+    // append it must top the same probe.
+    val batch = Seq((101L, q.map(x => (x * 1.001).toFloat).toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    graft.ops.Similarity.ivfAppend(batch, s"$dir/idx")
+    val after = graft.ops.Similarity.ivfProbePersisted(
+      spark, s"$dir/idx", q, k = 3, nprobe = 1, excludeId = Some(1L))
+      .collect().map(_.getLong(0))
+    assert(after.contains(101L), after.mkString(", "))
+
+    // The centroids are FROZEN: append must not touch the routing table
+    // (moving centroids would re-route probes away from written rows).
+    val cents = spark.read.parquet(s"$dir/idx/centroids").count()
+    assert(cents == 4L)
+  }
+
+  test("index compaction folds append files to one per partition, probes unchanged") {
+    val dir = tmpDir()
+    val mk = (i: Long) =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel doc$i marker$i tail$i"
+    val corpus = (0L until 30L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    graft.ops.Dedup.minhashIndexBuild(corpus, s"$dir/idx", n = 3)
+    // Three ingest batches → up to 4 files per touched partition.
+    (30L until 33L).foreach { i =>
+      graft.ops.Dedup.minhashIndexAppend(
+        Seq((i, mk(i))).toDF("doc_id", "text"), s"$dir/idx")
+    }
+    val probe = Seq((200L, mk(31L) + " recrawl")).toDF("doc_id", "text")
+    val pre = graft.ops.Dedup.nearDupAgainst(probe, s"$dir/idx", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pre.exists(m => m._1 == 200L && m._2 == 31L), pre.mkString(", "))
+
+    def filesPerPartition(path: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).map(_.getPath).filter(_.endsWith(".parquet"))
+        .groupBy(p => p.substring(0, p.lastIndexOf('/'))).map { case (k, v) => (k, v.size) }
+    }
+    assert(filesPerPartition(s"$dir/idx/signatures").values.max > 1)
+
+    graft.ops.Dedup.minhashIndexCompact(spark, s"$dir/idx")
+    assert(filesPerPartition(s"$dir/idx/signatures").values.max == 1)
+    // Identical probe answer from the compacted layout.
+    val post = graft.ops.Dedup.nearDupAgainst(probe, s"$dir/idx", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(post == pre, s"pre=$pre post=$post")
+    // The manifest survives compaction (it lives beside the tables).
+    graft.ops.Dedup.nearDupAgainst(probe, s"$dir/idx", n = 3, threshold = 0.6).collect()
+  }
+
   test("minhash probe and append fail loud on a signature-family mismatch") {
     val dir = tmpDir()
     val corpus = (0L until 10L)
