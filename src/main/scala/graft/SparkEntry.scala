@@ -1000,6 +1000,31 @@ object SparkEntry {
     Similarity.ivfRecallBatch(T(s, dir, "embeddings"),
       queryIds = Seq(0L, 1L, 2L), k = 10, nprobe = 3)
 
+  /** Recall-after-append DRIFT gate: 40 planted drifted vectors
+    * (`v₀ + 0.9·vᵢ`, a new dense region none of the original label-mean
+    * centroids describes, labeled 99) are appended to the corpus, and the
+    * drifted queries' recall is measured twice — against the STALE
+    * centroids a persisted index was built with (the drifted region
+    * scatters across 7 of the 10 old clusters, so a 3-probe read misses
+    * most of its own neighborhood: recall 0.4–0.7) and against FRESH
+    * re-derived centroids (label 99 gets its own centroid: recall 1.0).
+    * The stale number IS the staleness signal [[graft.ops.Similarity
+    * .ivfAppend]]'s frozen-centroid contract defers to — this gate turns
+    * "re-cluster when recall drifts" from prose into a measured row.
+    */
+  private def annIvfRecallStale(s: SparkSession, dir: String): DataFrame = {
+    val e0 = T(s, dir, "embeddings").select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("embedding"))
+    val v0 = e0.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
+    val drift = e0.filter(col("vec_id").between(1, 40))
+      .crossJoin(broadcast(v0))
+      .select((col("vec_id") + 100000L).as("vec_id"), lit(99).as("label"),
+        zip_with(col("v0"), col("embedding"), (a, b) => a + lit(0.9) * b).as("embedding"))
+    val corpus = e0.unionByName(drift)
+    Similarity.ivfRecallDrift(corpus, Similarity.labelCentroids(e0),
+      queryIds = Seq(100001L, 100002L, 100003L), k = 10, nprobe = 3)
+  }
+
   /** Batch ANN — one plan answers a query SET (the realistic shape: nothing
     * loops per query), checked against a per-query windowed re-derivation.
     */
@@ -1645,6 +1670,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
     "ann_ivf_recall" -> (annIvfRecall _),
+    "ann_ivf_recall_stale" -> (annIvfRecallStale _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_append" -> (annIvfAppend _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
@@ -2431,6 +2457,68 @@ object SparkEntry {
     // assignment, same probe list, same scoring) answered from the
     // cluster-partitioned files instead of an in-plan assignment pass — the
     // oracle is shared verbatim.
+    // Drift audit: the full fresh-vs-stale re-derivation — planted drift
+    // region, exact top-10 (centroid-independent, computed once), per-
+    // centroid-set assignment/probe/rank, both recalls joined per query.
+    "ann_ivf_recall_stale" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q0 AS (SELECT v AS v0 FROM e0 WHERE vec_id = 0),
+        |drift AS (SELECT vec_id + 100000 AS vec_id, 99 AS label,
+        |                 list_transform(list_zip(q0.v0, e0.v), t -> t[1] + 0.9 * t[2]) AS v
+        |          FROM e0, q0 WHERE vec_id BETWEEN 1 AND 40),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM drift),
+        |exs AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e0),
+        |cstale AS (SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |           FROM (SELECT label, pos, avg(x) AS m FROM exs GROUP BY label, pos)
+        |           GROUP BY label),
+        |exf AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cfresh AS (SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |           FROM (SELECT label, pos, avg(x) AS m FROM exf GROUP BY label, pos)
+        |           GROUP BY label),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (100001, 100002, 100003)),
+        |scored AS (SELECT q.qid, e.vec_id, e.v,
+        |                  round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |           FROM e, q WHERE e.vec_id <> q.qid),
+        |exact AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10),
+        |asf AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+        |        (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+        |         FROM e, cfresh c) GROUP BY vec_id),
+        |ast AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+        |        (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+        |         FROM e, cstale c) GROUP BY vec_id),
+        |prf AS (SELECT qid, cl AS cluster FROM (
+        |    SELECT q.qid, c.cl, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cl) AS pr
+        |    FROM cfresh c, q) WHERE pr <= 3),
+        |prs AS (SELECT qid, cl AS cluster FROM (
+        |    SELECT q.qid, c.cl, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cl) AS pr
+        |    FROM cstale c, q) WHERE pr <= 3),
+        |ivff AS (SELECT qid, vec_id FROM (
+        |    SELECT s.qid, s.vec_id,
+        |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rn
+        |    FROM scored s JOIN asf a ON s.vec_id = a.vec_id
+        |         JOIN prf p ON s.qid = p.qid AND a.cluster = p.cluster)
+        |    WHERE rn <= 10),
+        |ivfs AS (SELECT qid, vec_id FROM (
+        |    SELECT s.qid, s.vec_id,
+        |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rn
+        |    FROM scored s JOIN ast a ON s.vec_id = a.vec_id
+        |         JOIN prs p ON s.qid = p.qid AND a.cluster = p.cluster)
+        |    WHERE rn <= 10),
+        |rf AS (SELECT exact.qid, count(*) AS n_exact, count(ivff.vec_id) AS n_hit_fresh
+        |       FROM exact LEFT JOIN ivff ON exact.qid = ivff.qid AND exact.vec_id = ivff.vec_id
+        |       GROUP BY exact.qid),
+        |rs AS (SELECT exact.qid, count(ivfs.vec_id) AS n_hit_stale
+        |       FROM exact LEFT JOIN ivfs ON exact.qid = ivfs.qid AND exact.vec_id = ivfs.vec_id
+        |       GROUP BY exact.qid)
+        |SELECT rf.qid AS query_id, rf.n_exact,
+        |       rf.n_hit_fresh, round(rf.n_hit_fresh / 10.0, 4) AS recall_fresh,
+        |       rs.n_hit_stale, round(rs.n_hit_stale / 10.0, 4) AS recall_stale
+        |FROM rf JOIN rs ON rf.qid = rs.qid ORDER BY query_id""".stripMargin,
     "ann_ivf_persisted" -> IvfTopkSql,
     // Append lifecycle: centroids re-derived from the EVEN half only (the
     // built index), the FULL corpus assigned to them (odd rows = the

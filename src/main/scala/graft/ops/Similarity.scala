@@ -358,9 +358,25 @@ object Similarity {
       nprobe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label"): DataFrame =
+    ivfRecallWith(df, centroidsOf(df, vecCol, labelCol), queryIds, k, nprobe,
+      idCol, vecCol)
+
+  /** [[ivfRecallBatch]] against an ARBITRARY centroid set — the form that
+    * measures STALENESS: pass the centroids a persisted index was built
+    * with and the corpus as it stands after appends, and the recall number
+    * is the drift signal that tells an operator when to re-cluster
+    * ([[ivfRecallDrift]] packages the fresh-vs-stale comparison).
+    */
+  def ivfRecallWith(
+      df: DataFrame,
+      centroids: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = centroidsOf(df, vecCol, labelCol)
     val assigned = assignedOf(df, centroids, idCol, vecCol, Nil)
     val queries = df.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -390,6 +406,46 @@ object Similarity {
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
       .orderBy(col("query_id"))
   }
+
+  /** Recall-after-append DRIFT audit: the same corpus scored twice — once
+    * against FRESH centroids (re-derived from the corpus as it stands,
+    * `labelCol` means) and once against the STALE set passed in (what a
+    * persisted index was built with, before the appends). One row per
+    * query with both numbers side by side: `recall_stale` is the
+    * operational staleness signal ([[ivfAppend]] freezes centroids by
+    * design, so drift accumulates until this number says re-cluster), and
+    * `recall_fresh` is the ceiling re-clustering would restore. Runs the
+    * [[ivfRecallWith]] machinery twice over one corpus — at 100 TB sample
+    * the query set, not the corpus: the cost is two broadcast-assignment
+    * passes, no extra shuffle.
+    */
+  def ivfRecallDrift(
+      df: DataFrame,
+      staleCentroids: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val fresh = ivfRecallBatch(df, queryIds, k, nprobe, idCol, vecCol, labelCol)
+      .select(col("query_id"), col("n_exact"),
+        col("n_hit").as("n_hit_fresh"), col("recall_at_k").as("recall_fresh"))
+    val stale = ivfRecallWith(df, staleCentroids, queryIds, k, nprobe, idCol, vecCol)
+      .select(col("query_id"),
+        col("n_hit").as("n_hit_stale"), col("recall_at_k").as("recall_stale"))
+    fresh.join(stale, Seq("query_id")).orderBy(col("query_id"))
+  }
+
+  /** Per-`labelCol` mean centroids, public for index-lifecycle callers
+    * that need "the centroids as of a past corpus snapshot" (the stale
+    * side of [[ivfRecallDrift]]); [[ivfBuild]] persists this same table.
+    */
+  def labelCentroids(
+      df: DataFrame,
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    centroidsOf(df, vecCol, labelCol)
 
   /** Symmetric per-vector int8 quantization: `scale = max|xᵢ| / 127`,
     * `qᵢ = round(xᵢ / scale) ∈ [−127, 127]` — 4× smaller vectors, the

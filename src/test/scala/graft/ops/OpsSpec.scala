@@ -150,6 +150,43 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("recall drift: a region stale centroids scatter scores below fresh recall") {
+    // Three original axis clusters (labels 0..2, ids 0..29) plus a drifted
+    // region labeled 9 (ids 100..119): each drifted vector mixes a shared
+    // new direction with a DIFFERENT original cluster's axis, so stale
+    // (pre-drift) centroids scatter the region while fresh centroids give
+    // it its own home.
+    val orig = (0L until 30L).map { i =>
+      val lab = (i % 3).toInt
+      val v = Array.fill(4)(0.01 * (i % 7))
+      v(lab) = 1.0
+      (i, v.toSeq, lab)
+    }
+    // 6 drifted, 2 per old-cluster pull: any drifted query's top-5 must
+    // cross pull-subgroups, and stale assignment splits the subgroups
+    // across old clusters (the pull term dominates the near-orthogonal
+    // centroids), so a 1-probe read sees only the query's own subgroup.
+    val drifted = (0L until 6L).map { i =>
+      val v = Array.fill(4)(0.0)
+      v(3) = 1.0                       // the shared new direction
+      v((i % 3).toInt) = 0.4           // weak pull toward a different old cluster
+      v((i % 4).toInt) += 0.001 * i    // distinct cosines
+      (100L + i, v.toSeq, 9)
+    }
+    val corpus = (orig ++ drifted).toDF("vec_id", "embedding", "label")
+    val stale = Similarity.labelCentroids(
+      corpus.filter(col("vec_id") < 100L))
+    val out = Similarity.ivfRecallDrift(corpus, stale,
+      queryIds = Seq(100L, 101L, 102L), k = 5, nprobe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(5))) // id, fresh, stale
+    assert(out.length == 3)
+    out.foreach { case (qid, fresh, stale) =>
+      assert(fresh == 1.0, s"qid=$qid fresh=$fresh")
+      assert(stale < fresh, s"qid=$qid stale=$stale not below fresh=$fresh")
+    }
+  }
+
   test("connected components collapse chains transitively to the min id") {
     // 0–1–2 is a CHAIN (0 and 2 share no edge): one-hop min-neighbor would
     // leave 2 pointing at 1; the closure must pull it to 0. 4–5 separate;
