@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two things used to break that: sbt's logger prefixes forked
+// output with "[info] ", and the "[success] Total time" epilogue prints
+// after the program's final line. Route forked run output straight to
+// stdout and drop the epilogue so the bench's compact JSON line is the
+// last thing on stdout (BENCH_r05..r08 all recorded "parsed": null).
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
