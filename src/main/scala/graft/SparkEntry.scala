@@ -1373,6 +1373,49 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** §2.9 SLIDING-window gate: the third standard window shape beside
+    * tumbling and session — [[graft.streaming.StreamOps.slidingStats]] with
+    * 1-day windows hopping every 12 h, so every event lands in exactly two
+    * overlapping windows. Same file-source replay harness as
+    * [[streamTumblingDaily]]; the oracle re-derives the overlap by
+    * cross-joining each event with its two epoch-aligned window starts.
+    * Runs on a private session ([[withStateSession]]) so the nanos conf and
+    * state-partition count never touch the shared session.
+    */
+  private def streamSlidingDaily(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsRaw(s, dir).schema)
+    val streamDir = {
+      val d = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_stream_src_${pathToken(dir)}")
+      java.nio.file.Files.createDirectories(d)
+      val link = d.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        try java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      d.toString
+    }
+    withStateSession(s) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = ss.readStream.schema(schema).parquet(streamDir)
+        .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamOps.slidingStats(
+        src, widthSeconds = 86400, slideSeconds = 43200,
+        watermarkDelay = "1 hour", tsCol = "ts_event")
+      val name = s"graft_sliding_gate_${pathToken(dir)}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .select(unix_millis(col("win_start")).as("win_start"), col("event_type"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }
+  }
+
   /** One-time-per-JVM out-of-order replay sources for the `*Ordered`
     * streaming gates: `rows` (any schema with `time` and `event_id` long
     * columns) re-ordered by a BOUNDED perturbation of event time
@@ -1388,20 +1431,23 @@ object SparkEntry {
     * file source's oldest-first order replays the batches
     * deterministically.
     */
-  /** Plan a streaming query with state partitions sized to the gate's key
+  /** Run a streaming gate on a PRIVATE session (shared SparkContext, own
+    * conf + temp views) with state partitions sized to the gate's key
     * cardinality instead of the session's CPU-count shuffle partitions.
     * A stateful query's state-store count is fixed at first plan from
     * `spark.sql.shuffle.partitions`; 32 stores × 6 micro-batches is pure
-    * per-task overhead for a gate with a few thousand keys. The conf is
-    * restored immediately after `start()` (planning has happened by then);
-    * the bench/verify harnesses run queries sequentially, so the scoped
-    * mutation cannot leak into another query's plan. At production scale
-    * the same knob is simply sized UP with key cardinality.
+    * per-task overhead for a gate with a few thousand keys. The private
+    * session makes the override race-free by construction — nothing is
+    * mutated on the caller's session, so two queries planning concurrently
+    * in one JVM can't see each other's partition count (the old
+    * restore-after-start() dance was safe only under a sequential harness).
+    * At production scale the same knob is simply sized UP with key
+    * cardinality.
     */
-  private def withStatePartitions[T](s: SparkSession, n: Int = 8)(start: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withStateSession[T](s: SparkSession, n: Int = 8)(f: SparkSession => T): T = {
+    val priv = s.newSession()
+    priv.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(priv)
   }
 
   private val oooStreamDirs =
@@ -1473,34 +1519,33 @@ object SparkEntry {
     * the result verbatim.
     */
   private def streamFunnelOrdered(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val streamDir = funnelStreamDir(s, dir)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.LongType)))
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir)
-      .select(col("user_id").as("key"), col("event_type").as("tpe"),
-        col("time").as("tsMs"))
-      .as[graft.streaming.StreamOps.TypedEvent]
-    val reach = graft.streaming.StreamOps.streamingFunnelOrdered(
-      s, src, Seq("signup", "click", "purchase"), 3 * Day,
-      maxDisorder = s"${StreamDisorderMs / 1000} seconds")
-    val name = s"graft_sfunnel_gate_${pathToken(dir)}"
-    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = withStatePartitions(s) {
-      reach.writeStream.format("memory").queryName(name)
+    withStateSession(s) { ss =>
+      import ss.implicits._
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("user_id").as("key"), col("event_type").as("tpe"),
+          col("time").as("tsMs"))
+        .as[graft.streaming.StreamOps.TypedEvent]
+      val reach = graft.streaming.StreamOps.streamingFunnelOrdered(
+        ss, src, Seq("signup", "click", "purchase"), 3 * Day,
+        maxDisorder = s"${StreamDisorderMs / 1000} seconds")
+      val name = s"graft_sfunnel_gate_${pathToken(dir)}"
+      val q = reach.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+      ss.table(name)
+        .groupBy(col("step_idx"), col("step"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("step_idx"))
+        .select(col("step_idx"), col("step"), col("n_users"))
     }
-    q.awaitTermination()
-    s.table(name)
-      .groupBy(col("step_idx"), col("step"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("step_idx"))
-      .select(col("step_idx"), col("step"), col("n_users"))
   }
 
   /** §2.9 DISORDER gate for the derivative:
@@ -1535,28 +1580,28 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("time", lt),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("event_id", lt)))
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir)
-      .select(col("user_id").cast("string").as("key"), col("time").as("tsMs"),
-        col("value"), col("event_id").as("seq"))
-      .as[graft.streaming.StreamOps.KeyedEvent]
-    val pts = graft.streaming.StreamOps.streamingDerivativeOrdered(
-      s, src, intervalMs = 6 * Hour,
-      maxDisorder = s"${StreamDisorderMs / 1000} seconds")
-    val name = s"graft_sderiv_gate_${pathToken(dir)}"
-    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = withStatePartitions(s) {
-      pts.writeStream.format("memory").queryName(name)
+    withStateSession(s) { ss =>
+      import ss.implicits._
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("user_id").cast("string").as("key"), col("time").as("tsMs"),
+          col("value"), col("event_id").as("seq"))
+        .as[graft.streaming.StreamOps.KeyedEvent]
+      val pts = graft.streaming.StreamOps.streamingDerivativeOrdered(
+        ss, src, intervalMs = 6 * Hour,
+        maxDisorder = s"${StreamDisorderMs / 1000} seconds")
+      val name = s"graft_sderiv_gate_${pathToken(dir)}"
+      val q = pts.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+      ss.table(name)
+        .filter(col("key") =!= "-1")
+        .select(col("key").cast("long").as("user_id"), col("der_time"),
+          round(col("der_value"), 4).as("der_value"))
+        .orderBy(col("user_id"), col("der_time"))
     }
-    q.awaitTermination()
-    s.table(name)
-      .filter(col("key") =!= "-1")
-      .select(col("key").cast("long").as("user_id"), col("der_time"),
-        round(col("der_value"), 4).as("der_value"))
-      .orderBy(col("user_id"), col("der_time"))
   }
 
   /** §2.9 LIFECYCLE gate: the reference's `setRetention(0)` running state
@@ -1585,27 +1630,27 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("time", lt),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("event_id", lt)))
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir)
-      .select(col("user_id").cast("string").as("key"), col("time").as("tsMs"),
-        col("value"), col("event_id").as("seq"))
-      .as[graft.streaming.StreamOps.KeyedEvent]
-    val rl = graft.streaming.StreamOps.runningLastWithTtl(s, src, ttlMs = 0L)
-    val name = s"graft_rlast_gate_${pathToken(dir)}"
-    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = withStatePartitions(s) {
-      rl.writeStream.format("memory").queryName(name)
+    withStateSession(s) { ss =>
+      import ss.implicits._
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("user_id").cast("string").as("key"), col("time").as("tsMs"),
+          col("value"), col("event_id").as("seq"))
+        .as[graft.streaming.StreamOps.KeyedEvent]
+      val rl = graft.streaming.StreamOps.runningLastWithTtl(ss, src, ttlMs = 0L)
+      val name = s"graft_rlast_gate_${pathToken(dir)}"
+      val q = rl.writeStream.format("memory").queryName(name)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+      ss.table(name)
+        .groupBy(col("key"))
+        .agg(max(col("n")).as("n"), max_by(col("last"), col("n")).as("lv"))
+        .select(col("key").cast("long").as("user_id"), col("n"),
+          round(col("lv"), 4).as("last_value"))
+        .orderBy(col("user_id"))
     }
-    q.awaitTermination()
-    s.table(name)
-      .groupBy(col("key"))
-      .agg(max(col("n")).as("n"), max_by(col("last"), col("n")).as("lv"))
-      .select(col("key").cast("long").as("user_id"), col("n"),
-        round(col("lv"), 4).as("last_value"))
-      .orderBy(col("user_id"))
   }
 
   // ---------------------------------------------------------------- registry
@@ -1707,6 +1752,7 @@ object SparkEntry {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
+    "stream_sliding_daily" -> (streamSlidingDaily _),
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "stream_running_last" -> (streamRunningLast _),
@@ -3044,6 +3090,18 @@ object SparkEntry {
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Sliding-window re-derivation: 1-day windows every 12 h ⇒ each event
+    // belongs to exactly the two epoch-aligned starts
+    // floor(time/12h)·12h − i·12h for i ∈ {0,1} (both satisfy
+    // time − win_start < 1 day when slide divides width).
+    "stream_sliding_daily" ->
+      s"""WITH e AS ($EvCte),
+         |     w AS (SELECT e.*, ((time // 43200000) - i.i) * 43200000 AS win_start
+         |           FROM e CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i)
+         |SELECT win_start, event_type, count(*) AS n,
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
+         |         AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes;
     // width/height re-derived from the same doc_id arithmetic the planted
     // header encodes — the Spark side must PARSE them back out of the

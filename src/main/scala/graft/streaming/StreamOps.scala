@@ -31,9 +31,33 @@ object StreamOps {
       tsCol: String = "ts",
       keyCol: String = "event_type",
       valueCol: String = "value"): DataFrame =
+    slidingStats(stream, widthSeconds, widthSeconds, watermarkDelay,
+      tsCol, keyCol, valueCol)
+
+  /** Sliding (hopping) per-`keyCol` aggregate: epoch-aligned windows of
+    * `widthSeconds` advancing every `slideSeconds`, so each event lands in
+    * `width/slide` overlapping windows. `slide == width` degenerates to the
+    * tumbling case ([[tumblingStats]] delegates here). State per window is
+    * the same (window, key) partial as tumbling — the overlap multiplies the
+    * number of LIVE windows by width/slide, not the per-window state, and
+    * the watermark still retires a window the moment it passes `win_end`.
+    */
+  def slidingStats(
+      stream: DataFrame,
+      widthSeconds: Long,
+      slideSeconds: Long,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(widthSeconds > 0, s"window width must be positive, got $widthSeconds")
+    require(slideSeconds > 0 && slideSeconds <= widthSeconds,
+      s"slide must be in (0, width=$widthSeconds], got $slideSeconds")
     stream
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), s"$widthSeconds seconds"), col(keyCol))
+      .groupBy(
+        window(col(tsCol), s"$widthSeconds seconds", s"$slideSeconds seconds"),
+        col(keyCol))
       // Sum over EXACT decimals (associative) rather than doubles: partial
       // merge order varies across micro-batch/shuffle layouts, and a
       // double-sum's last-ulp wobble lands on round-N .5 boundaries when
@@ -51,6 +75,7 @@ object StreamOps {
         col(keyCol), col("n"),
         coalesce(col("__sv") / col("__nv"), lit(0.0)).as("mean_value"),
         coalesce(col("__sv"), lit(0.0)).as("sum_value"))
+  }
 
   /** Session windows (gap-based grouping — absent in the reference, noted in
     * SURVEY.md §2.9 as the Spark-native generalization): events for a key

@@ -30,6 +30,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding stats land each event in width/slide overlapping windows") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val out = StreamOps.slidingStats(
+      df, widthSeconds = 10, slideSeconds = 5, watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      // t=7 s belongs to windows [0,10) and [5,15); t=12 s to [5,15) and [10,20).
+      input.addData(
+        (new Timestamp(7000L), "a", 2.0),
+        (new Timestamp(12000L), "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .select(col("win_start").cast("long"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq((0L, "a", 1L, 2.0), (5L, "a", 2L, 6.0), (10L, "a", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("slidingStats rejects a slide wider than the window") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.slidingStats(df, widthSeconds = 10, slideSeconds = 20,
+        watermarkDelay = "5 seconds")
+    }
+    assert(e.getMessage.contains("slide"))
+  }
+
   test("session windows split on event-time gaps") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
