@@ -1270,19 +1270,26 @@ object SparkEntry {
         count(when(col("k") > 50, lit(1))).as("n_big"))
       .orderBy(col("event_type"))
 
-  /** Every 5th document's payload is a REAL parseable BMP (header fields
-    * from doc_id arithmetic, text bytes as the pixel array —
-    * [[graft.ops.Multimodal.bmpWrap]]); the rest stay raw text. So one row
-    * gates BOTH decode paths: `decodeBmp`'s little-endian header parse on
-    * the planted images (the oracle derives width/height from the same
-    * doc_id arithmetic — an endianness/offset slip turns it red) and the
-    * documented stub fallback on everything else.
+  /** Every 5th document's payload is a REAL parseable BMP and every
+    * 5k+1st a REAL parseable binary PPM (header fields from doc_id
+    * arithmetic, text bytes as the pixel array —
+    * [[graft.ops.Multimodal.bmpWrap]] / `ppmWrap`); the rest stay raw
+    * text. So one row gates ALL THREE decode paths: `decodeBmp`'s
+    * little-endian header parse and `decodePpm`'s ASCII-header +
+    * exact-raster parse on the planted images (the oracle derives
+    * width/height — and for PPM the digit-count-dependent header length —
+    * from the same doc_id arithmetic; an endianness/offset/raster slip
+    * turns it red) and the documented stub fallback on everything else,
+    * with the `codec` column pinning WHICH path fired per row.
     */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = T(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 5 === 0,
         Multimodal.bmpWrap(lit(1) + col("doc_id") % 63, lit(1) + col("doc_id") % 37,
           encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 5 === 1,
+          Multimodal.ppmWrap(lit(1) + col("doc_id") % 53, lit(1) + col("doc_id") % 41,
+            encode(col("text"), "UTF-8")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
     // smallResult, not orderBy: a range sort's sampling pass would run the
     // whole decode/feature mapPartitions pipeline a second time.
@@ -3102,19 +3109,30 @@ object SparkEntry {
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
-    // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes;
-    // width/height re-derived from the same doc_id arithmetic the planted
-    // header encodes — the Spark side must PARSE them back out of the
-    // little-endian bytes to agree. Other rows: the stub length formulas.
+    // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes.
+    // PPM rows (doc_id % 5 = 1): n_bytes = ASCII header ("P6\n" + w + " "
+    // + h + "\n255\n" — 9 bytes plus the dimensions' digit counts) + the
+    // exact w·h·3 raster ppmWrap pads/truncates to. width/height
+    // re-derived from the same doc_id arithmetic the planted headers
+    // encode — the Spark side must PARSE them back out of the bytes to
+    // agree. Other rows: the stub length formulas. codec pins which of the
+    // three decode paths fired.
     "multimodal_features" ->
-      """SELECT doc_id,
-        |       CAST(CASE WHEN doc_id % 5 = 0 THEN octet_length(encode(text)) + 54
-        |                 ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 63
-        |                 ELSE octet_length(encode(text)) % 64 END AS BIGINT) AS width,
-        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 37
-        |                 ELSE octet_length(encode(text)) // 64 END AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |                  1 + doc_id % 63 AS bw, 1 + doc_id % 37 AS bh,
+        |                  1 + doc_id % 53 AS pw, 1 + doc_id % 41 AS ph
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN n + 54
+        |                 WHEN doc_id % 5 = 1 THEN 9 + length(CAST(pw AS VARCHAR))
+        |                      + length(CAST(ph AS VARCHAR)) + pw * ph * 3
+        |                 ELSE n END AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN bw WHEN doc_id % 5 = 1 THEN pw
+        |                 ELSE n % 64 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN bh WHEN doc_id % 5 = 1 THEN ph
+        |                 ELSE n // 64 END AS BIGINT) AS height,
+        |       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'stub' END AS codec
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Byte-exact resize re-derivation: ASCII corpus ⇒ VARCHAR ops are byte
     // ops; md5 over a NUL-padded VARCHAR hashes the raw bytes, matching
     // Spark's md5(binary) of the truncated/zero-padded payload.

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * metadata, processed per-partition in batches.
   *
   * The Spark-side shape is real — schema, typed Dataset encoders, partition
-  * iteration, deterministic output — and ONE real format decodes for real:
-  * [[decodeBmp]] is a pure-JVM BITMAPINFOHEADER BMP header parser (this
-  * environment ships no image/audio codecs, so compressed formats stay
-  * stubbed). Payloads that aren't parseable BMPs fall back to
-  * [[stubDecode]], which derives fake "decoded" dimensions from the byte
-  * length alone. Swapping in a full codec (JNI or an `mapInPandas`-style
-  * Python worker on a real cluster) changes only the decode function
-  * bodies, nothing in the plan.
+  * iteration, deterministic output — and TWO real formats decode for real:
+  * [[decodeBmp]] (pure-JVM BITMAPINFOHEADER header parse) and [[decodePpm]]
+  * (NetPBM P6 header + strict raster-length check). This environment ships
+  * no image/audio codecs, so compressed formats stay stubbed: payloads that
+  * parse as neither fall back to [[stubDecode]], which derives fake
+  * "decoded" dimensions from the byte length alone, and the emitted `codec`
+  * column makes the fallback observable. Swapping in a full codec (JNI or
+  * an `mapInPandas`-style Python worker on a real cluster) changes only the
+  * decode function bodies, nothing in the plan.
   *
   * At 100 TB: binary payloads dominate row size, so (a) never shuffle the
   * payload — extract features first, carry only metadata downstream; (b) read
@@ -24,29 +25,69 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long, height: Long)
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long, codec: String)
 
   /** Real single-format decode: BMP with a BITMAPINFOHEADER-or-later DIB
     * header. Little-endian fields at the documented offsets — magic "BM" at
     * 0, file size (u32) at 2, DIB header size (u32) at 14 (≥ 40 admits
     * BITMAPV4/V5, whose width/height live at the same offsets), width
-    * (i32) at 18, height (i32) at 22. A negative height is the spec's
-    * top-down row order — its magnitude is the pixel height. Strictness
-    * over leniency: the stored file size must equal the actual payload
-    * length, so arbitrary text bytes that happen to start with "BM" can
-    * never parse as an accidental image (their bytes 2–5 would have to
-    * encode their own exact length). Returns None for anything that isn't
-    * a parseable BMP — callers fall back to [[stubDecode]].
+    * (i32) at 18, height (i32) at 22, color planes (u16, must be 1 per
+    * spec) at 26. A negative height is the spec's top-down row order — its
+    * magnitude is the pixel height. Strictness over leniency: the stored
+    * file size must equal the actual payload length OR be 0 (many real
+    * writers leave the field zero, which the spec tolerates), so arbitrary
+    * text bytes that happen to start with "BM" can never parse as an
+    * accidental image — they'd have to encode their own exact length, or
+    * carry four NUL bytes plus a valid planes field. Returns None for
+    * anything that isn't a parseable BMP — callers fall back to
+    * [[stubDecode]].
     */
   def decodeBmp(p: Array[Byte]): Option[(Long, Long)] = {
     def u8(i: Int): Int = p(i) & 0xff
     def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     if (p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte &&
-        le32(2) == p.length && le32(14) >= 40) {
+        (le32(2) == p.length || le32(2) == 0) && le32(14) >= 40 &&
+        (u8(26) | (u8(27) << 8)) == 1) {
       val w = le32(18)
       val h = le32(22)
       if (w > 0 && h != 0) Some((w.toLong, math.abs(h.toLong))) else None
     } else None
+  }
+
+  /** Second real format: binary PPM (NetPBM `P6`) — magic, then
+    * whitespace-separated ASCII width/height/maxval (with `#`-to-newline
+    * comments allowed between tokens per the spec), one whitespace byte,
+    * then the raw `width·height·3`-byte RGB raster. Same strictness
+    * discipline as [[decodeBmp]]: the raster length must equal
+    * `width·height·3` EXACTLY, so text that merely starts with "P6" can
+    * never alias as an image (its tail would have to be precisely the
+    * declared pixel count). maxval is capped at 255 (1 byte/sample — the
+    * 2-byte ≥256 variant would double the raster and is rejected rather
+    * than misparsed).
+    */
+  def decodePpm(p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 12 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' '.toByte || b == '\n'.toByte || b == '\r'.toByte || b == '\t'.toByte
+    def nextInt(): Long = {
+      while (i < p.length && (isWs(p(i)) || p(i) == '#'.toByte)) {
+        if (p(i) == '#'.toByte) { while (i < p.length && p(i) != '\n'.toByte) i += 1 }
+        else i += 1
+      }
+      val start = i
+      var v = 0L
+      while (i < p.length && p(i) >= '0'.toByte && p(i) <= '9'.toByte && v <= Int.MaxValue.toLong) {
+        v = v * 10 + (p(i) - '0'.toByte); i += 1
+      }
+      if (i == start || v > Int.MaxValue.toLong) -1L else v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (i >= p.length || !isWs(p(i))) return None // exactly one ws, then raster
+    i += 1
+    if ((p.length - i).toLong == w * h * 3L) Some((w, h)) else None
   }
 
   /** A minimal valid BMP container (54-byte BITMAPINFOHEADER, 24-bpp,
@@ -79,6 +120,24 @@ object Multimodal {
     )), data)
   }
 
+  /** A minimal valid binary-PPM container around raw bytes, assembled from
+    * pure Spark expressions — the planting twin of [[bmpWrap]] for the
+    * second real format. The data bytes are right-truncated or zero-padded
+    * to exactly `width·height·3` so [[decodePpm]]'s strict raster check
+    * holds (a real P6 raster is always exactly that long).
+    */
+  def ppmWrap(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      data: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = width.cast("long")
+    val h = height.cast("long")
+    val rasterLen = (w * h * lit(3L)).cast("int")
+    val header = encode(
+      concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n")),
+      "UTF-8")
+    // rpad on BINARY both truncates and zero-pads to the exact raster size.
+    concat(header, call_function("rpad", data, rasterLen, lit(Array[Byte](0))))
+  }
+
   /** ??? in spirit: a deterministic fake decode so tests and the oracle can
     * pin the plumbing for formats with no in-sandbox codec. width/height
     * are pure functions of the payload length.
@@ -96,15 +155,20 @@ object Multimodal {
 
   /** Per-partition batched decode → typed feature rows. mapPartitions, not a
     * per-row UDF: a real decoder amortizes codec init per batch exactly here.
-    * BMP payloads parse for real ([[decodeBmp]]); everything else takes the
-    * documented [[stubDecode]] fallback.
+    * BMP and binary-PPM payloads parse for real ([[decodeBmp]],
+    * [[decodePpm]]); everything else takes the documented [[stubDecode]]
+    * fallback. The `codec` column records which path fired — over a real
+    * corpus it is the observability signal for how much of the data fell
+    * through to the stub instead of silently fabricating dimensions.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = decodeBmp(r.payload).getOrElse(stubDecode(r.payload))
-        MediaFeatures(r.doc_id, r.payload.length.toLong, w, h)
+        val real = decodeBmp(r.payload).map(("bmp", _))
+          .orElse(decodePpm(r.payload).map(("ppm", _)))
+        val (codec, (w, h)) = real.getOrElse(("stub", stubDecode(r.payload)))
+        MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, codec)
       }
     }
   }

@@ -921,9 +921,48 @@ class OpsSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
       .collect().sortBy(_.doc_id)
     assert(out(0).n_bytes == 43L && out(0).width == 43L && out(0).height == 0L)
+    assert(out.forall(_.codec == "stub"))
     val big = Multimodal.extractFeatures(spark,
       Multimodal.withPayload(Seq((0L, "x" * 200)).toDF("doc_id", "text"))).head()
     assert(big.n_bytes == 200L && big.width == 200 % 64 && big.height == 200 / 64)
+  }
+
+  test("PPM decode parses ppmWrap containers and rejects non-PPMs") {
+    // Round-trip: ppmWrap's ASCII header + exact-length raster parse back.
+    val wrapped = Seq((1L, "some pixel bytes"), (2L, "abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Multimodal.ppmWrap(lit(12), lit(5), encode(col("text"), "UTF-8")).as("payload"))
+    val feats = Multimodal.extractFeatures(spark, wrapped).collect().sortBy(_.doc_id)
+    assert(feats.forall(f => f.width == 12L && f.height == 5L && f.codec == "ppm"))
+    // header "P6\n12 5\n255\n" = 12 bytes, raster = 12·5·3 = 180 exactly,
+    // whether the text was shorter (padded) or not.
+    assert(feats.forall(_.n_bytes == 12L + 180L))
+    // Comments between header tokens are spec'd and must parse.
+    val commented = "P6\n# a comment\n2 1\n255\n".getBytes ++ Array.fill[Byte](6)(7)
+    assert(Multimodal.decodePpm(commented) == Some((2L, 1L)))
+    // Rejections: wrong magic, truncated raster (strict length check —
+    // text that merely starts with "P6" must never alias as an image),
+    // 2-byte-sample maxval, and a missing dimension.
+    assert(Multimodal.decodePpm("P5\n2 1\n255\n".getBytes ++ Array.fill[Byte](6)(7)) == None)
+    assert(Multimodal.decodePpm("P6\n2 1\n255\n".getBytes ++ Array.fill[Byte](5)(7)) == None)
+    assert(Multimodal.decodePpm("P6\n2 1\n65535\n".getBytes ++ Array.fill[Byte](12)(7)) == None)
+    assert(Multimodal.decodePpm("P6\n2\n255\n".getBytes ++ Array.fill[Byte](6)(7)) == None)
+  }
+
+  test("BMP decode accepts a zero stored-size field when the header is otherwise valid") {
+    // Many real writers leave the u32 size field 0; the decoder accepts it
+    // because planes==1 plus four NUL bytes still can't alias as text.
+    val ok = Multimodal.bmpWrap(lit(17), lit(9), lit("pix".getBytes))
+    val bytes = Seq(Tuple1(1)).toDF("x").select(ok.as("p")).head().getAs[Array[Byte]](0)
+    val zeroed = bytes.clone()
+    zeroed(2) = 0; zeroed(3) = 0; zeroed(4) = 0; zeroed(5) = 0
+    assert(Multimodal.decodeBmp(zeroed) == Some((17L, 9L)))
+    // But a zero size does NOT relax the planes check...
+    val badPlanes = zeroed.clone(); badPlanes(26) = 3
+    assert(Multimodal.decodeBmp(badPlanes) == None)
+    // ...and a nonzero size must still equal the payload length exactly.
+    assert(Multimodal.decodeBmp(bytes.dropRight(1)) == None)
   }
 
   test("BMP decode parses bmpWrap headers and rejects non-BMPs") {
