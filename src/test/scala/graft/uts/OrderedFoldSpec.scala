@@ -19,6 +19,26 @@ class OrderedFoldSpec extends SparkSpec {
     assert(out == 26.0)
   }
 
+  test("fold fails loud when a group buffers past maxGroupRows") {
+    // The O(group size) caveat as contract: a 5-row group against a 3-row
+    // bound must throw with the bound and the buffered time range, not OOM.
+    val e = intercept[org.apache.spark.SparkException] {
+      df.agg(OrderedFold.foldDouble(0.0, _ + _, maxGroupRows = 3L)(
+        col("time"), col("seq"), col("v"))).head()
+    }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg.contains("maxGroupRows=3"))
+    // At-or-under the bound still folds.
+    val ok = df.limit(3).agg(OrderedFold.foldDouble(0.0, _ + _, maxGroupRows = 3L)(
+      col("time"), col("seq"), col("v"))).head().getDouble(0)
+    assert(!ok.isNaN)
+    // A nonsensical bound is rejected at plan time.
+    intercept[IllegalArgumentException] {
+      OrderedFold.foldDouble(0.0, _ + _, maxGroupRows = 0L)(
+        col("time"), col("seq"), col("v"))
+    }
+  }
+
   test("fold reproduces the reference's seed-0 max (quirk Q1 exact replica)") {
     // The reference's max folds Math.max from seed 0 (uts.ts:592-594) — the
     // user-fold surface can replicate the quirk our Metric algebra deviates from.
