@@ -231,6 +231,13 @@ object SparkEntry {
   private def ngramTopCounts(s: SparkSession, dir: String): DataFrame =
     Text.ngramCounts(T(s, dir, "documents"), n = 2, k = 20)
 
+  /** Exact heavy hitters at φ = 1/1000 of the corpus token stream — the
+    * two-pass Misra-Gries plan ([[graft.ops.Text.heavyHitters]]) whose
+    * answer must equal the oracle's one-shuffle exact formulation.
+    */
+  private def heavyHittersTerms(s: SparkSession, dir: String): DataFrame =
+    Text.heavyHitters(T(s, dir, "documents"), phiDen = 1000)
+
   /** The mixture-gate recipe: three named sources get big budget shares,
     * the long tail gets 2% each, against a 50k-char budget.
     */
@@ -1749,6 +1756,7 @@ object SparkEntry {
     "sample_weighted" -> (sampleWeighted _),
     "sample_split_counts" -> (sampleSplitCounts _),
     "ngram_top_counts" -> (ngramTopCounts _),
+    "heavy_hitters_terms" -> (heavyHittersTerms _),
     "repeated_ngram_spans" -> (repeatedNgramSpans _),
     "ngram_contamination" -> (ngramContamination _),
     "contamination_check" -> (contaminationCheck _),
@@ -2916,6 +2924,16 @@ object SparkEntry {
          |      FROM toks, unnest(range(1, greatest(len(ts), 1))) AS t(i))
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // The oracle is the one-shuffle exact formulation; the engine's
+    // two-pass Misra-Gries answer must coincide EXACTLY (the candidate
+    // superset guarantee makes pass 2 lossless), so a sketch bug that
+    // drops a true heavy term or admits a light one goes red here.
+    "heavy_hitters_terms" ->
+      s"""WITH t AS (SELECT unnest(ts) AS term FROM ($ToksCte)),
+         |tot AS (SELECT count(*) AS n_total FROM t)
+         |SELECT term, count(*) AS cnt FROM t, tot GROUP BY term, n_total
+         |HAVING count(*) * 1000 >= n_total
+         |ORDER BY cnt DESC, term""".stripMargin,
     // Weight literals are ::DOUBLE — DuckDB parses bare 0.3 as DECIMAL,
     // whose exact multiply would floor to 15000 where IEEE doubles (and
     // Spark) floor 0.3·50000 to 14999.

@@ -405,6 +405,60 @@ object Text {
       .limit(k)
   }
 
+  /** EXACT corpus-wide heavy hitters: every whitespace token whose count is
+    * at least `total_tokens / phiDen`, via the two-pass Misra-Gries
+    * discipline (Misra & Gries 1982; MAD sketches survey). Pass 1 runs a
+    * `phiDen`-counter summary per partition with NO shuffle — a token with
+    * global count ≥ N/phiDen must hit count ≥ N_p/phiDen in at least one
+    * partition (pigeonhole over Σ), and Misra-Gries keeps every token
+    * exceeding N_p/(phiDen+1), so the unioned candidate set is a guaranteed
+    * superset of the answer. Pass 2 exact-counts ONLY the candidates (the
+    * token stream is semi-joined against them before the groupBy), then
+    * filters by the in-plan total. Output is exact, but the shuffle carries
+    * at most `phiDen · numPartitions` candidate keys instead of the full
+    * vocabulary — the 100 TB shape for "which terms dominate the corpus"
+    * when the vocabulary itself is shuffle-hostile. The candidate set is
+    * broadcast (bounded by phiDen·P pre-dedup, far less after — heavy
+    * tokens repeat across partitions); if P·phiDen ever outgrew a
+    * broadcast, the same plan holds with a shuffle semi-join. The corpus is
+    * scanned twice by construction (summary pass + verify pass) plus once
+    * for the total; all three scans prune to the text column.
+    */
+  def heavyHitters(df: DataFrame, phiDen: Int, textCol: String = "text"): DataFrame = {
+    require(phiDen >= 2, s"phiDen must be >= 2, got $phiDen")
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    val cand = toks
+      .select(col("term"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, java.lang.Long](phiDen * 2)
+        it.foreach { t =>
+          val cur = m.get(t)
+          if (cur != null) m.put(t, cur + 1L)
+          else if (m.size < phiDen) m.put(t, 1L)
+          else {
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val x = e.next()
+              if (x.getValue == 1L) e.remove() else x.setValue(x.getValue - 1L)
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(m.keySet().iterator()).asScala
+      }(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+      .distinct()
+    val total = toks.agg(count(lit(1)).as("__n_total"))
+    toks
+      .join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(phiDen.toLong) >= col("__n_total"))
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Top-k token n-grams by corpus frequency — the language-model corpus
     * statistic (bigram/trigram tables, contamination shingles, vocabulary
     * induction). Grams are built per document with an index-sequence

@@ -590,6 +590,33 @@ class OpsSpec extends SparkSpec {
     assert(Text.ngramCounts(df, 2, 1).collect().map(_.getString(0)).toSeq == Seq("a b"))
   }
 
+  test("heavy hitters: two-pass Misra-Gries equals the exact one-shuffle answer") {
+    // 40 'hot' + 12 'warm' + 60 singleton tokens = 112 total. phiDen=10
+    // → threshold ceil(112/10) ⇒ cnt*10 >= 112 ⇒ cnt >= 12: hot and warm
+    // qualify, every singleton must be pruned by the summary pass.
+    val docs = Seq(
+      (0L, Seq.fill(40)("hot").mkString(" ")),
+      (1L, Seq.fill(12)("warm").mkString(" ")),
+      (2L, (0 until 60).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text").repartition(5)
+    val out = Text.heavyHitters(docs, phiDen = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot", 40L), ("warm", 12L)))
+    // Brute-force cross-check on a second corpus with a near-threshold miss:
+    // 11 'almost' of 112 tokens is below cnt*10 >= 112 and must NOT appear.
+    val docs2 = Seq(
+      (0L, Seq.fill(41)("hot").mkString(" ")),
+      (1L, Seq.fill(11)("almost").mkString(" ")),
+      (2L, (0 until 60).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text").repartition(7)
+    val got = Text.heavyHitters(docs2, phiDen = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = docs2.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .filter(_.getLong(1) * 10 >= 112).map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exact && !got.exists(_._1 == "almost"))
+  }
+
   test("repeated n-gram spans: every position of a cross-doc gram, within-doc repeats count once for df") {
     val docs = Seq(
       (1L, "the cat sat on the cat mat"), // "the cat" at pos 0 AND 4
