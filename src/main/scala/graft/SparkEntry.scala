@@ -1523,6 +1523,62 @@ object SparkEntry {
           .toDF("user_id", "event_type", "time", "event_id")))
   }
 
+  /** Staged replay for the streaming-dedup gate: every event keyed by
+    * md5(user:type:time-ms), plus planted duplicate copies of ~1/17 of the
+    * corpus whose ARRIVAL basis is shifted a third of the corpus span later
+    * (event time — and therefore the key — unchanged), so each duplicate
+    * lands about one micro-batch after its original and must be dropped by
+    * keyed state carried ACROSS batches, not by in-batch dedup. The copies
+    * get distinct event_ids so the stager's arrival jitter perturbs them
+    * independently of their originals.
+    */
+  private def dedupStreamDir(s: SparkSession, dir: String): String = {
+    val base = ev(s, dir).df.select(
+      md5(concat_ws(":", col("user_id").cast("long"), col("event_type"),
+        col("time").cast("long"))).as("k"),
+      col("time").cast("long").as("tms"),
+      col("time").cast("long").as("time"),
+      col("event_id").cast("long").as("event_id"))
+    // Two scalars of routing state: the span bound that places plants one
+    // combined-span quartile after their originals.
+    val b = base.agg(max(col("tms")), min(col("tms"))).head()
+    val shift = math.max((b.getLong(0) - b.getLong(1)) / 3, 1L)
+    val plants = base
+      .filter(graft.ops.Sampling.idHash(col("event_id")) % 17 === 3)
+      .withColumn("time", col("time") + shift)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    oooStreamDir(s"dedup:$dir", base.unionByName(plants), _ => Seq.empty)
+  }
+
+  /** §2.9 streaming-ingest dedup gate:
+    * [[graft.streaming.StreamOps.dedupStream]] over [[dedupStreamDir]]'s
+    * replay — the admitted key set must equal the batch DISTINCT over the
+    * corpus, so every planted cross-batch duplicate must be dropped (one
+    * extra admit is a row-count mismatch). The horizon spans the whole
+    * replay so no state is evicted mid-gate; the eviction/re-admit path is
+    * pinned separately in StreamOpsSpec where its timing is deterministic.
+    */
+  private def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = dedupStreamDir(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tms", org.apache.spark.sql.types.LongType)))
+    withStateSession(s) { ss =>
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(col("tms")))
+      val admitted = graft.streaming.StreamOps.dedupStream(
+        src, "ts_event", Seq("k"), watermarkDelay = "2000 hours")
+      val name = s"graft_sdedup_gate_${pathToken(dir)}"
+      val q = admitted.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name).select(col("k")).orderBy(col("k"))
+    }
+  }
+
   /** §2.9 DISORDER gate: the same funnel-step counts as `funnel_steps`, but
     * computed by [[graft.streaming.StreamOps.streamingFunnelOrdered]] over
     * the deliberately out-of-order micro-batches of [[funnelStreamDir]] —
@@ -1768,6 +1824,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_sliding_daily" -> (streamSlidingDaily _),
+    "stream_dedup_exact" -> (streamDedupExact _),
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "stream_running_last" -> (streamRunningLast _),
@@ -3127,6 +3184,15 @@ object SparkEntry {
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // The replay's planted duplicates are COPIES of existing rows, so the
+    // admitted key set must equal plain DISTINCT over the corpus — a
+    // duplicate that survives the stream dedup shows up as an extra row.
+    "stream_dedup_exact" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT DISTINCT
+         |  md5(CAST(user_id AS VARCHAR) || ':' || event_type || ':' ||
+         |      CAST(time AS VARCHAR)) AS k
+         |FROM e ORDER BY k""".stripMargin,
     // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes.
     // PPM rows (doc_id % 5 = 1): n_bytes = ASCII header ("P6\n" + w + " "
     // + h + "\n255\n" — 9 bytes plus the dimensions' digit counts) + the
