@@ -961,6 +961,62 @@ object SparkEntry {
       f.toString
     })
 
+  /** Build→append→RECLUSTER lifecycle index: the `ann_ivf_recall_stale`
+    * drift recipe, but persisted — the base corpus is built with its label
+    * centroids, the 40 drifted vectors (label 99) are appended against
+    * those FROZEN centroids (scattering across clusters that never
+    * described them), then [[graft.ops.Similarity.ivfRecluster]] rebuilds
+    * routing from the index's own vectors: label 99 becomes its own
+    * cluster directory and the drifted region probes at fresh-index recall.
+    */
+  private val reclusterIvfIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def reclusterIvfIndexPath(s: SparkSession, dir: String): String =
+    reclusterIvfIndexPaths.computeIfAbsent(dir, { d =>
+      val f = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivf-rcx-p${ProcessHandle.current.pid}-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+      val e0 = T(s, d, "embeddings").select(
+        col("vec_id"), col("label"), col("embedding").cast("array<double>").as("embedding"))
+      val v0 = e0.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
+      val drift = e0.filter(col("vec_id").between(1, 40))
+        .crossJoin(broadcast(v0))
+        .select((col("vec_id") + 100000L).as("vec_id"), lit(99).as("label"),
+          zip_with(col("v0"), col("embedding"), (a, b) => a + lit(0.9) * b).as("embedding"))
+      Similarity.ivfBuild(e0, f.toString)
+      Similarity.ivfAppend(drift, f.toString)
+      Similarity.ivfRecluster(s, f.toString)
+      f.toString
+    })
+
+  /** RECLUSTER lifecycle gate: after [[reclusterIvfIndexPath]]'s
+    * build→append→recluster, a drifted query probed at nprobe=3 must see
+    * its whole drifted neighborhood. The oracle re-derives centroids over
+    * the GROWN corpus (label 99 included), assignment, probe list, and
+    * top-10 from scratch — a recluster that was skipped (or only half
+    * applied) leaves the frozen routing's recall_stale-degraded row set
+    * and hash-mismatches.
+    */
+  private def annIvfRecluster(s: SparkSession, dir: String): DataFrame = {
+    val path = reclusterIvfIndexPath(s, dir)
+    val e0 = T(s, dir, "embeddings")
+    val v0 = e0.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("v0"))
+    val q = e0.filter(col("vec_id") === 1)
+      .crossJoin(broadcast(v0))
+      .select(zip_with(col("v0"), col("embedding").cast("array<double>"),
+        (a, b) => a + lit(0.9) * b).as("qv"))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(100001L))
+  }
+
   /** Persisted-IVF APPEND lifecycle: the index is built over only even
     * vec_ids (centroids = even-half label means), the odd half arrives as
     * an ingest batch assigned to those FROZEN centroids and appended into
@@ -1788,6 +1844,7 @@ object SparkEntry {
     "ann_ivf_recall_stale" -> (annIvfRecallStale _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_append" -> (annIvfAppend _),
+    "ann_ivf_recluster" -> (annIvfRecluster _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
@@ -2638,6 +2695,33 @@ object SparkEntry {
         |       rs.n_hit_stale, round(rs.n_hit_stale / 10.0, 4) AS recall_stale
         |FROM rf JOIN rs ON rf.qid = rs.qid ORDER BY query_id""".stripMargin,
     "ann_ivf_persisted" -> IvfTopkSql,
+    // Recluster lifecycle: centroids re-derived over the GROWN corpus
+    // (base + drifted label-99 appends), full re-assignment, then the
+    // shared probe/top-k tail for the drifted query — the answer the
+    // persisted index can only give AFTER ivfRecluster rebuilt its routing.
+    "ann_ivf_recluster" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q0 AS (SELECT v AS v0 FROM e0 WHERE vec_id = 0),
+        |drift AS (SELECT vec_id + 100000 AS vec_id, 99 AS label,
+        |                 list_transform(list_zip(q0.v0, e0.v), t -> t[1] + 0.9 * t[2]) AS v
+        |          FROM e0, q0 WHERE vec_id BETWEEN 1 AND 40),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM drift),
+        |exf AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cent AS (SELECT label AS cl, list(m ORDER BY pos) AS cvec
+        |         FROM (SELECT label, pos, avg(x) AS m FROM exf GROUP BY label, pos)
+        |         GROUP BY label),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 100001),
+        |assign AS (
+        |  SELECT vec_id, arg_max(cl, cs) AS cluster
+        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+        |  GROUP BY vec_id),
+        |probes AS (
+        |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
+        |SELECT e.vec_id, e.label, a.cluster,
+        |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+        |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+        |WHERE e.vec_id <> 100001
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     // Append lifecycle: centroids re-derived from the EVEN half only (the
     // built index), the FULL corpus assigned to them (odd rows = the
     // appended batch, assigned to the same frozen centroids), then the

@@ -850,6 +850,58 @@ object Similarity {
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     Layout.compactInPlace(spark, s"$path/vectors", Seq("cluster"))
 
+  /** Re-cluster a persisted IVF index IN PLACE from its own contents — the
+    * remedy the drift signal ([[ivfRecallDrift]], `ann_ivf_recall_stale`)
+    * exists to trigger. [[ivfAppend]] deliberately freezes centroids, so an
+    * index that has ingested a drifted region routes probes badly there
+    * (the appended vectors scatter across clusters that never described
+    * them); when the measured stale recall says so, this rebuilds the
+    * routing: re-derive per-`labelCol` centroids over EVERYTHING the index
+    * holds (base build + every appended batch — `path/vectors` is read, the
+    * source corpus is never touched), re-assign all vectors with the same
+    * [[ivfBuild]] assignment rule, and swap the new `vectors`/`centroids`
+    * dirs over the old with [[Layout.compactInPlace]]'s rename discipline.
+    * A label that first arrived via append (a genuinely new region) gets
+    * its own cluster directory here — the step that restores its recall to
+    * the fresh-index level. The two renames are not jointly atomic: a crash
+    * between them leaves `*.__recluster_old` beside the table, and the next
+    * call fails loud instead of re-clustering a half-swapped index.
+    */
+  def ivfRecluster(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(cur: Path, tmp: Path, old: Path): Unit = {
+      require(fs.rename(cur, old), s"ivfRecluster: rename $cur -> $old failed")
+      require(fs.rename(tmp, cur),
+        s"ivfRecluster: rename $tmp -> $cur failed ($old holds the pre-recluster table)")
+      fs.delete(old, true): Unit
+    }
+    val (vcur, ccur) = (new Path(s"$path/vectors"), new Path(s"$path/centroids"))
+    val (vtmp, ctmp) =
+      (new Path(s"$path/vectors.__recluster_tmp"), new Path(s"$path/centroids.__recluster_tmp"))
+    val (vold, cold) =
+      (new Path(s"$path/vectors.__recluster_old"), new Path(s"$path/centroids.__recluster_old"))
+    require(!fs.exists(vold) && !fs.exists(cold),
+      s"$vold / $cold exists — a previous recluster crashed mid-swap; " +
+        "inspect and rename back (complete pre-recluster state) or delete")
+    val held = spark.read.parquet(vcur.toString).drop("cluster")
+    // k-row routing table, checkpointed once: it feeds both the assignment
+    // broadcast and the centroids rewrite, and each would otherwise re-run
+    // the corpus-wide (label, pos) aggregate.
+    val centroids = centroidsOf(held, vecCol, labelCol).localCheckpoint()
+    val extra = held.columns.filterNot(c => c == idCol || c == vecCol).toSeq
+    assignedOf(held, centroids, idCol, vecCol, extra)
+      .write.mode("overwrite").partitionBy("cluster").parquet(vtmp.toString)
+    centroids.write.mode("overwrite").parquet(ctmp.toString)
+    swap(vcur, vtmp, vold)
+    swap(ccur, ctmp, cold)
+  }
+
   /** Probe a persisted IVF index: top-k by cosine against the literal
     * `query` vector, scanning ONLY the `nprobe` nearest cluster partitions.
     *

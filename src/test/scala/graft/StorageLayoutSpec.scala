@@ -224,6 +224,52 @@ class StorageLayoutSpec extends SparkSpec {
     assert(cents == 4L)
   }
 
+  test("ivf recluster: appended new-label region gets its own cluster, probes route to it") {
+    val dir = tmpDir()
+    val bases = Seq(
+      Array(1.0, 0.05, 0.0), Array(0.0, 1.0, 0.05),
+      Array(0.05, 0.0, 1.0), Array(0.6, 0.6, 0.2))
+    def mk(i: Long) = {
+      val lab = (i % 4).toInt
+      (i, bases(lab).zipWithIndex.map { case (x, d) =>
+        (x + 0.003 * (i / 4) * (d + 1)).toFloat
+      }.toSeq, lab)
+    }
+    val built = (0L until 40L).map(mk).toDF("vec_id", "embedding", "label")
+    graft.ops.Similarity.ivfBuild(built, s"$dir/idx")
+    // A genuinely new region (label 9, direction none of the 4 centroids
+    // describes) arrives via append: frozen routing scatters it.
+    val novel = Array(-1.0, 0.8, -0.7)
+    val batch = (100L until 110L).map(i =>
+      (i, novel.zipWithIndex.map { case (x, d) =>
+        (x + 0.002 * (i - 100) * (d + 1)).toFloat
+      }.toSeq, 9)).toDF("vec_id", "embedding", "label")
+    graft.ops.Similarity.ivfAppend(batch, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/vectors/cluster=9").exists())
+
+    graft.ops.Similarity.ivfRecluster(spark, s"$dir/idx")
+    // Recluster rebuilt routing from the index's own contents: label 9 is
+    // now its own cluster directory, the centroid table grew, and a
+    // 1-probe query in the novel direction answers ENTIRELY from it.
+    assert(new java.io.File(s"$dir/idx/vectors/cluster=9").exists())
+    assert(spark.read.parquet(s"$dir/idx/centroids").count() == 5L)
+    assert(!new java.io.File(s"$dir/idx/vectors.__recluster_old").exists())
+    val hits = graft.ops.Similarity.ivfProbePersisted(
+      spark, s"$dir/idx", novel, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(hits.forall(id => id >= 100L && id < 110L), hits.mkString(", "))
+    // No rows lost across the swap.
+    assert(spark.read.parquet(s"$dir/idx/vectors").count() == 50L)
+
+    // Crash guard: a leftover half-swap marker fails loud.
+    val marker = new java.io.File(s"$dir/idx/vectors.__recluster_old")
+    assert(marker.mkdir())
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.ivfRecluster(spark, s"$dir/idx")
+    }
+    assert(e.getMessage.contains("recluster"))
+  }
+
   test("index compaction folds append files to one per partition, probes unchanged") {
     val dir = tmpDir()
     val mk = (i: Long) =>
