@@ -616,6 +616,52 @@ object SparkEntry {
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
       .orderBy(col("z_bucket"))
 
+  /** Bucketed lineitem/orders pair, written once per JVM per corpus:
+    * both sides `bucketBy(8, orderkey)` + `sortBy` into external parquet
+    * under tmp ([[graft.ops.Layout.bucketedWrite]]), registered in the
+    * session catalog. The cached value is the two table names.
+    */
+  private val bucketedTableNames =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
+    bucketedTableNames.computeIfAbsent(dir, { d =>
+      val tok = pathToken(d)
+      val base = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val (lt, ot) = (s"graft_li_bkt_$tok", s"graft_ord_bkt_$tok")
+      Layout.bucketedWrite(
+        T(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        lt, s"$base/li", "l_orderkey", nBuckets = 8)
+      Layout.bucketedWrite(
+        T(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        ot, s"$base/ord", "o_orderkey", nBuckets = 8)
+      (lt, ot)
+    })
+
+  /** Co-located big-to-big join over the bucketed layout: lineitem ⋈ orders
+    * on the order key with NO join-time exchange on either side (both scans
+    * start hash-partitioned by bucket; JoinsLayoutSpec asserts the join
+    * subtree is exchange-free) — the write-once/join-many shape for a 100 TB fact-to-
+    * fact join. Revenue summed as pre-rounded decimals so the partial-merge
+    * order can't wobble the last ulp (the [[graft.ops.Similarity.meanVectors]]
+    * determinism discipline).
+    */
+  private def joinBucketedColocated(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedTablesFor(s, dir)
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+          .cast("decimal(30,10)")).cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Anti-join family: customers with no high-value order, rolled up by
     * segment. `left_anti` is the relational NOT EXISTS — same hash shuffle
     * as a semi-join, and the build side is pre-filtered at its scan.
@@ -1803,6 +1849,7 @@ object SparkEntry {
     "funnel_conversion" -> (funnelConversion _),
     "value_quantiles_by_type" -> (valueQuantilesByType _),
     "zorder_bucket_stats" -> (zorderBucketStats _),
+    "join_bucketed_colocated" -> (joinBucketedColocated _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
     "stats_moments_by_type" -> (statsMomentsByType _),
@@ -2394,6 +2441,15 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.75), 4) AS p75,
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The bucketed layout must not CHANGE the join's answer — the oracle is
+    // the plain join; the layout claim (no join-time exchange) is pinned by
+    // PlanSpec, not SQL-expressible.
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 10)
+        |                          AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Morton code re-derived arithmetically: bit i of x lands at 4^i, bit i
     // of y at 2·4^i — integer div/mod only, no bit ops needed.
     "zorder_bucket_stats" -> {

@@ -70,6 +70,40 @@ object Layout {
     * `partitionCols` empty = unpartitioned table → `numFiles` output
     * files.
     */
+  /** Bucketed table layout — the shuffle-ELIMINATION lever for repeated
+    * big-to-big joins. Both sides of a recurring join (fact↔fact, e.g.
+    * lineitem↔orders on the order key at 100 TB) are written once with
+    * `bucketBy(n, key)` + `sortBy(key)`: every row lands in bucket
+    * `hash(key) mod n`, so a later equi-join of two tables bucketed the
+    * same way starts from identical hash partitionings and Catalyst plans
+    * a sort-merge join with NO exchange on either side (JoinsLayoutSpec
+    * asserts the plan) — the per-query shuffle of both corpora, the
+    * dominant cost of the join, is paid once at write time instead of on
+    * every run. The per-bucket `sortBy` lets one-file-per-bucket reads
+    * skip the merge sort too.
+    *
+    * Spark requires bucketed output to be a CATALOG table (`saveAsTable`;
+    * bucket metadata lives in the metastore, not the parquet footers), so
+    * callers name the table AND give an explicit external `path`. On this
+    * harness the catalog is session-scoped in-memory — a new session sees
+    * plain unbucketed parquet at `path`; production points the same call
+    * at a persistent metastore.
+    */
+  def bucketedWrite(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   def compactInPlace(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,

@@ -92,6 +92,40 @@ class JoinsLayoutSpec extends SparkSpec {
     (5L, "a", 0L), (5L, "b", 1L), (5L, "c", 15L)
   ).toDF("user_id", "event_type", "time")
 
+  test("bucketedWrite: equal-bucket join plans NO exchange, answers match the plain join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-spec-").toString
+    val facts = (0 until 300).map(i => (i.toLong % 50, s"f$i")).toDF("fk", "fval")
+    val dims = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("dk", "dval")
+    Layout.bucketedWrite(facts, "bkt_spec_facts", s"$dir/f", "fk", nBuckets = 4)
+    Layout.bucketedWrite(dims, "bkt_spec_dims", s"$dir/d", "dk", nBuckets = 4)
+    val joined = spark.table("bkt_spec_facts")
+      .join(spark.table("bkt_spec_dims"), col("fk") === col("dk"))
+    // Both scans start hash-partitioned by bucket: the sort-merge join must
+    // not insert a shuffle on either side. (autoBroadcastJoinThreshold could
+    // mask the claim by broadcasting the small fixture — disable it here.)
+    val plan = withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      joined.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange"), plan)
+    val expected = facts.join(dims, col("fk") === col("dk"))
+      .select(col("fk"), col("fval"), col("dval"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val got = joined.select(col("fk"), col("fval"), col("dval"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == expected && got.size == 300)
+  }
+
+  private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("funnel steps: first-touch chain, non-increasing reach") {
     val out = Funnel.steps(funnelEvents, Seq("a", "b", "c"), withinMs = 10L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
