@@ -228,6 +228,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("s_nationkey"))
 
+  /** Range join over the grid decomposition
+    * ([[graft.ops.Joins.rangeJoin]]): every event inside its user's
+    * first-3-days onboarding window `[first_event, first_event + 3d]` —
+    * points are the events, intervals one row per user, matched on
+    * user_id + containment. The oracle is the plain theta join (the shape
+    * Spark would plan as a nested loop); equality-only shuffle and
+    * row-identical output are JoinsLayoutSpec's claims.
+    */
+  private def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).df.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("time").cast("long").as("time"))
+    val win = e.groupBy(col("user_id"))
+      .agg(min(col("time")).as("lo"))
+      .withColumn("hi", col("lo") + lit(3 * Day))
+    Joins.rangeJoin(e, win, "time", "lo", "hi", bucketWidth = Day, keys = Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("time"))
+      .orderBy(col("event_id"))
+  }
+
   private def ngramTopCounts(s: SparkSession, dir: String): DataFrame =
     Text.ngramCounts(T(s, dir, "documents"), n = 2, k = 20)
 
@@ -1844,6 +1865,7 @@ object SparkEntry {
     "q6_revenue" -> (q6Revenue _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
+    "range_join_events" -> (rangeJoinEvents _),
     "funnel_steps" -> (funnelSteps _),
     "funnel_steps_onescan" -> (funnelStepsOneScan _),
     "funnel_conversion" -> (funnelConversion _),
@@ -2344,6 +2366,16 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // The grid decomposition must be row-identical to the plain theta join
+    // it replaces — the oracle IS that theta join.
+    "range_join_events" ->
+      s"""WITH e AS ($EvCte),
+         |w AS (SELECT user_id, min(time) AS lo, min(time) + ${3 * Day} AS hi
+         |      FROM e GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, e.time
+         |FROM e JOIN w ON e.user_id = w.user_id
+         |               AND e.time >= w.lo AND e.time <= w.hi
+         |ORDER BY e.event_id""".stripMargin,
     "funnel_steps" -> FunnelStepsSql,
     // One-scan state-machine formulation, same first-touch function — the
     // join-chain oracle gates it verbatim.

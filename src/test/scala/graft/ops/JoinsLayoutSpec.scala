@@ -126,6 +126,38 @@ class JoinsLayoutSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin equals the naive theta join: negatives, boundaries, inverted intervals") {
+    val pts = Seq((-7L, "a"), (-6L, "a"), (0L, "a"), (5L, "b"), (10L, "b"),
+      (23L, "c"), (24L, "c")).toDF("p", "k")
+    // [-7,0] hits both boundary points; [5,23] spans multiple width-4 cells;
+    // [30,20] is inverted and must match nothing (like the theta join).
+    val ivs = Seq((-7L, 0L, "a"), (1L, 9L, "b"), (5L, 23L, "b"), (30L, 20L, "c"))
+      .toDF("lo", "hi", "k")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(r.fieldIndex("p")), r.getString(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("lo")), r.getLong(r.fieldIndex("hi")))).sorted.toSeq
+    val got = rows(Joins.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 4, keys = Seq("k")))
+    val naive = rows(pts.join(ivs, pts("k") === ivs("k") &&
+        pts("p") >= ivs("lo") && pts("p") <= ivs("hi"))
+      .select(pts("p"), pts("k"), ivs("lo"), ivs("hi")))
+    assert(got == naive && got.nonEmpty)
+    // Keyless containment: pure interval membership across all keys.
+    val gotAll = Joins.rangeJoin(pts.drop("k"), ivs.drop("k"), "p", "lo", "hi", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val naiveAll = pts.join(ivs, pts("p") >= ivs("lo") && pts("p") <= ivs("hi"))
+      .select(pts("p"), ivs("lo"), ivs("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(gotAll == naiveAll)
+    // Runaway replication fails loud in the plan, naming the knob.
+    val wide = Seq((0L, 1000000L, "a")).toDF("lo", "hi", "k")
+    val err = intercept[Exception] {
+      Joins.rangeJoin(pts, wide, "p", "lo", "hi", bucketWidth = 1,
+        keys = Seq("k"), maxBucketsPerInterval = 16).collect()
+    }
+    assert(err.getMessage.contains("rangeJoin") ||
+      Option(err.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
   test("funnel steps: first-touch chain, non-increasing reach") {
     val out = Funnel.steps(funnelEvents, Seq("a", "b", "c"), withinMs = 10L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
