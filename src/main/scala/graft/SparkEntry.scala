@@ -1702,6 +1702,42 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 stream-stream JOIN gate: purchases attributed to the same user's
+    * clicks within 3 days ([[graft.streaming.StreamOps.intervalJoin]]),
+    * both sides read from [[funnelStreamDir]]'s out-of-order micro-batch
+    * replay as independent file-source streams. Inner-join matches emit when both
+    * rows have arrived and state eviction is watermark-driven, so with the
+    * delay covering the staged disorder the emitted pair set must equal
+    * the batch theta join the oracle runs.
+    */
+  private def streamJoinAttrib(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = funnelStreamDir(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.LongType)))
+    withStateSession(s) { ss =>
+      def src(tpe: String, tsName: String) = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), timestamp_millis(col("time")).as(tsName))
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        src("click", "click_ts"), src("purchase", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts",
+        windowMs = 3 * Day, watermarkDelay = s"${StreamDisorderMs / 1000} seconds")
+      val name = s"graft_sjoin_gate_${pathToken(dir)}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .select(col("user_id"), unix_millis(col("click_ts")).as("click_ms"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"))
+        .orderBy(col("user_id"), col("click_ms"), col("purchase_ms"))
+    }
+  }
+
   /** §2.9 DISORDER gate: the same funnel-step counts as `funnel_steps`, but
     * computed by [[graft.streaming.StreamOps.streamingFunnelOrdered]] over
     * the deliberately out-of-order micro-batches of [[funnelStreamDir]] —
@@ -1951,6 +1987,7 @@ object SparkEntry {
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_sliding_daily" -> (streamSlidingDaily _),
     "stream_dedup_exact" -> (streamDedupExact _),
+    "stream_join_attrib" -> (streamJoinAttrib _),
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "stream_running_last" -> (streamRunningLast _),
@@ -3365,6 +3402,17 @@ object SparkEntry {
          |  md5(CAST(user_id AS VARCHAR) || ':' || event_type || ':' ||
          |      CAST(time AS VARCHAR)) AS k
          |FROM e ORDER BY k""".stripMargin,
+    // The streaming interval join must emit exactly the batch theta join's
+    // pair set — a dropped-late row or an early state eviction loses pairs.
+    "stream_join_attrib" ->
+      s"""WITH e AS ($EvCte),
+         |c AS (SELECT user_id, time AS click_ms FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, time AS purchase_ms FROM e WHERE event_type = 'purchase')
+         |SELECT c.user_id, c.click_ms, p.purchase_ms
+         |FROM c JOIN p ON p.user_id = c.user_id
+         |              AND p.purchase_ms >= c.click_ms
+         |              AND p.purchase_ms <= c.click_ms + ${3 * Day}
+         |ORDER BY c.user_id, c.click_ms, p.purchase_ms""".stripMargin,
     // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes.
     // PPM rows (doc_id % 5 = 1): n_bytes = ASCII header ("P6\n" + w + " "
     // + h + "\n255\n" — 9 bytes plus the dimensions' digit counts) + the

@@ -96,6 +96,38 @@ object StreamOps {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n"))
 
+  /** Watermark-bounded stream-stream INNER interval join — the streaming
+    * attribution shape (purchase within `windowMs` after the same user's
+    * click, impression→conversion, span→trace). Both sides carry
+    * watermarks, and the join's time-range condition is what BOUNDS state:
+    * Spark evicts a left row once the right watermark passes
+    * `leftTs + windowMs` (it can no longer match), so neither side's state
+    * grows with the stream — only with the disorder horizon plus the join
+    * window. Inner-join matches emit as soon as both rows have arrived
+    * (the watermark gates eviction, not emission), so the emitted set
+    * equals the batch theta join whenever disorder stays within
+    * `watermarkDelay` — which is exactly what the driver gate replays.
+    * The right side's key column is renamed `__rk` internally so callers
+    * can join two streams derived from the same source.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      windowMs: Long,
+      watermarkDelay: String): DataFrame = {
+    require(windowMs >= 0, s"windowMs must be >= 0, got $windowMs")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withColumnRenamed(keyCol, "__rk").withWatermark(rightTs, watermarkDelay)
+    l.join(r, l(keyCol) === r("__rk") &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowMs MILLISECONDS"),
+      "inner")
+      .drop("__rk")
+  }
+
   /** Dedup-at-ingest: drop rows whose `keyCols` (e.g. a content
     * fingerprint, [[graft.ops.Text.fingerprint]]) were already seen — the
     * streaming twin of [[graft.ops.Dedup.exact]] for a landing pipeline.

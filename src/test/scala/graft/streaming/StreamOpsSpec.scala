@@ -105,6 +105,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin emits each in-window pair once, across batches, window-inclusive") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val out = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user", "cts"), buys.toDF().toDF("user", "bts"),
+      "user", "cts", "bts", windowMs = 5000L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(("u1", new Timestamp(1000L)), ("u2", new Timestamp(1000L)))
+      q.processAllAvailable()
+      // Purchase arrives a batch later: u1 at the inclusive window edge
+      // (1000+5000), u2 before its click's window, u3 with no click.
+      buys.addData(("u1", new Timestamp(6000L)), ("u2", new Timestamp(900L)),
+        ("u3", new Timestamp(2000L)))
+      // A second u1 click AFTER the purchase arrived must still pair with
+      // it (the right row is in state, not consumed).
+      clicks.addData(("u1", new Timestamp(2000L)))
+      q.processAllAvailable()
+      val rows = spark.table("ivj")
+        .select(col("user"), col("cts").cast("long"), col("bts").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.toSeq == Seq(("u1", 1L, 6L), ("u1", 2L, 6L)))
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
