@@ -1420,6 +1420,9 @@ object SparkEntry {
         .when(col("doc_id") % 5 === 1,
           Multimodal.ppmWrap(lit(1) + col("doc_id") % 53, lit(1) + col("doc_id") % 41,
             encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 5 === 2,
+          Multimodal.wavWrap(lit(1) + col("doc_id") % 997, lit(1) + col("doc_id") % 2,
+            lit(8000) + col("doc_id") % 100, encode(col("text"), "UTF-8")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
     // smallResult, not orderBy: a range sort's sampling pass would run the
     // whole decode/feature mapPartitions pipeline a second time.
@@ -3421,21 +3424,32 @@ object SparkEntry {
     // encode — the Spark side must PARSE them back out of the bytes to
     // agree. Other rows: the stub length formulas. codec pins which of the
     // three decode paths fired.
+    // WAV rows (doc_id % 5 = 2): n_bytes = 44-byte canonical header +
+    // frames·channels·2 data bytes wavWrap pads/truncates to; width =
+    // frames, height = sample rate — all re-derived from the same doc_id
+    // arithmetic the planted headers encode, so the Spark side must PARSE
+    // them back out of the RIFF bytes to agree.
     "multimodal_features" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
         |                  1 + doc_id % 63 AS bw, 1 + doc_id % 37 AS bh,
-        |                  1 + doc_id % 53 AS pw, 1 + doc_id % 41 AS ph
+        |                  1 + doc_id % 53 AS pw, 1 + doc_id % 41 AS ph,
+        |                  1 + doc_id % 997 AS wf, (1 + doc_id % 2) * 2 AS wba,
+        |                  8000 + doc_id % 100 AS wsr
         |           FROM documents)
         |SELECT doc_id,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN n + 54
         |                 WHEN doc_id % 5 = 1 THEN 9 + length(CAST(pw AS VARCHAR))
         |                      + length(CAST(ph AS VARCHAR)) + pw * ph * 3
+        |                 WHEN doc_id % 5 = 2 THEN 44 + wf * wba
         |                 ELSE n END AS BIGINT) AS n_bytes,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN bw WHEN doc_id % 5 = 1 THEN pw
+        |                 WHEN doc_id % 5 = 2 THEN wf
         |                 ELSE n % 64 END AS BIGINT) AS width,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN bh WHEN doc_id % 5 = 1 THEN ph
+        |                 WHEN doc_id % 5 = 2 THEN wsr
         |                 ELSE n // 64 END AS BIGINT) AS height,
-        |       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'stub' END AS codec
+        |       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |            WHEN 2 THEN 'wav' ELSE 'stub' END AS codec
         |FROM d ORDER BY doc_id""".stripMargin,
     // Byte-exact resize re-derivation: ASCII corpus ⇒ VARCHAR ops are byte
     // ops; md5 over a NUL-padded VARCHAR hashes the raw bytes, matching

@@ -120,6 +120,69 @@ object Multimodal {
     )), data)
   }
 
+  /** Third real format, first AUDIO one: PCM WAV (RIFF). Little-endian
+    * fields at the canonical 44-byte-header offsets — "RIFF" + riff size
+    * (must equal payload length − 8), "WAVE", a 16-byte PCM "fmt " chunk
+    * (format tag 1, 8- or 16-bit samples, block align must equal
+    * channels·bits/8), then a "data" chunk whose stored size must equal
+    * the remaining bytes exactly AND divide evenly into frames. Same
+    * strictness discipline as [[decodeBmp]]/[[decodePpm]]: three
+    * length-consistency equations over arbitrary text bytes means "RIFF"
+    * prefixes can't alias as audio. An image-shaped (width, height) makes
+    * no sense for audio, so the feature mapping is (frames, sample rate) —
+    * duration in seconds is their ratio, the two numbers a corpus pipeline
+    * filters on.
+    */
+  def decodeWav(p: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+    def tag(i: Int, s: String): Boolean = s.indices.forall(j => p(i + j) == s(j).toByte)
+    if (p.length < 44 || !tag(0, "RIFF") || le32(4) != p.length - 8L ||
+        !tag(8, "WAVE") || !tag(12, "fmt ") || le32(16) != 16L) return None
+    val (fmt, channels, rate) = (le16(20), le16(22), le32(24))
+    val (blockAlign, bits) = (le16(32), le16(34))
+    if (fmt != 1 || channels < 1 || rate < 1L || (bits != 8 && bits != 16) ||
+        blockAlign != channels * bits / 8 || !tag(36, "data")) return None
+    val dataSize = le32(40)
+    if (dataSize != p.length - 44L || dataSize % blockAlign != 0L) return None
+    Some((dataSize / blockAlign, rate))
+  }
+
+  /** A minimal valid PCM-WAV container around raw bytes, assembled from
+    * pure Spark expressions — the planting twin of [[bmpWrap]] for the
+    * audio format. 16-bit samples; the data bytes are truncated/zero-padded
+    * to exactly `frames·channels·2` so [[decodeWav]]'s strict size
+    * equations hold.
+    */
+  def wavWrap(
+      frames: org.apache.spark.sql.Column,
+      channels: org.apache.spark.sql.Column,
+      sampleRate: org.apache.spark.sql.Column,
+      data: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def hex2(v: Column): Column = lpad(hex(v.bitwiseAND(lit(255L))), 2, "0")
+    def le32(v: Column): Column =
+      concat(hex2(v), hex2(shiftright(v, 8)), hex2(shiftright(v, 16)), hex2(shiftright(v, 24)))
+    def le16(v: Column): Column = concat(hex2(v), hex2(shiftright(v, 8)))
+    val ch = channels.cast("long")
+    val sr = sampleRate.cast("long")
+    val blockAlign = ch * lit(2L)
+    val dataLen = frames.cast("long") * blockAlign
+    concat(unhex(concat(
+      lit("52494646"),              // "RIFF"
+      le32(dataLen + lit(36L)),     // riff size = total - 8
+      lit("57415645666D7420"),      // "WAVE" + "fmt "
+      le32(lit(16L)),               // fmt chunk size (PCM)
+      le16(lit(1L)), le16(ch),      // format tag, channels
+      le32(sr), le32(sr * blockAlign), // sample rate, byte rate
+      le16(blockAlign), le16(lit(16L)), // block align, bits/sample
+      lit("64617461"),              // "data"
+      le32(dataLen)
+    )), call_function("rpad", data, dataLen.cast("int"), lit(Array[Byte](0))))
+  }
+
   /** A minimal valid binary-PPM container around raw bytes, assembled from
     * pure Spark expressions — the planting twin of [[bmpWrap]] for the
     * second real format. The data bytes are right-truncated or zero-padded
@@ -167,6 +230,7 @@ object Multimodal {
       rows.map { r =>
         val real = decodeBmp(r.payload).map(("bmp", _))
           .orElse(decodePpm(r.payload).map(("ppm", _)))
+          .orElse(decodeWav(r.payload).map(("wav", _)))
         val (codec, (w, h)) = real.getOrElse(("stub", stubDecode(r.payload)))
         MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, codec)
       }

@@ -977,6 +977,32 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePpm("P6\n2\n255\n".getBytes ++ Array.fill[Byte](6)(7)) == None)
   }
 
+  test("WAV decode parses wavWrap containers and rejects near-WAVs") {
+    // Round-trip: 120 frames, stereo, 8050 Hz → (frames, rate) features.
+    val wrapped = Seq((1L, "pcm sample bytes"), (2L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Multimodal.wavWrap(lit(120), lit(2), lit(8050), encode(col("text"), "UTF-8"))
+          .as("payload"))
+    val feats = Multimodal.extractFeatures(spark, wrapped).collect().sortBy(_.doc_id)
+    assert(feats.forall(f => f.width == 120L && f.height == 8050L && f.codec == "wav"))
+    // 44-byte canonical header + 120 frames · 2 ch · 2 bytes, padded or not.
+    assert(feats.forall(_.n_bytes == 44L + 480L))
+    val bytes = Seq(Tuple1(1)).toDF("x")
+      .select(Multimodal.wavWrap(lit(3), lit(1), lit(8000), lit("abcdef".getBytes)).as("p"))
+      .head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodeWav(bytes) == Some((3L, 8000L)))
+    // Rejections, each breaking ONE size/field equation: riff size off by
+    // one, truncated data, non-PCM format tag, block align ≠ ch·bits/8 —
+    // text starting with "RIFF" must never alias as audio.
+    def mut(i: Int, v: Byte) = { val b = bytes.clone(); b(i) = v; b }
+    assert(Multimodal.decodeWav(mut(4, (bytes(4) + 1).toByte)) == None)
+    assert(Multimodal.decodeWav(bytes.dropRight(1)) == None)
+    assert(Multimodal.decodeWav(mut(20, 3)) == None)
+    assert(Multimodal.decodeWav(mut(32, 5)) == None)
+    assert(Multimodal.decodeWav("RIFFabcdWAVEfmt and then some text padding here".getBytes) == None)
+  }
+
   test("BMP decode accepts a zero stored-size field when the header is otherwise valid") {
     // Many real writers leave the u32 size field 0; the decoder accepts it
     // because planes==1 plus four NUL bytes still can't alias as text.
