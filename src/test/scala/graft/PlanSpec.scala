@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("label"), p.take(1500))
   }
 
+  test("range join is an equality shuffle — never a nested loop or cartesian") {
+    val p = plan("range_join_events")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // The BETWEEN survives only as a post-join filter on an equi-join.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("sim_topk_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
