@@ -683,6 +683,59 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Upserted documents table, built once per JVM per corpus: documents
+    * written partitioned by `source`, then one
+    * [[graft.ops.Layout.upsertPartitioned]] batch — edited re-crawls of
+    * src0/src1 docs (same doc_id, `UPDATED: `-prefixed text) plus brand-new
+    * docs landing in a NEW `srcnew` partition. Three partition directories
+    * of twenty-one are touched; StorageLayoutSpec pins that the other
+    * eighteen keep their exact files.
+    */
+  private val upsertTablePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def upsertTableFor(s: SparkSession, dir: String): String =
+    upsertTablePaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-ups-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("source").parquet(base)
+      val edits = docs
+        .filter(col("source").isin("src0", "src1") && col("doc_id") % 7 === 3)
+        .select(col("doc_id"), concat(lit("UPDATED: "), col("text")).as("text"),
+          col("lang"), col("source"),
+          length(concat(lit("UPDATED: "), col("text"))).cast("long").as("n_chars"))
+      val news = docs
+        .filter(col("source") === "src2" && col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit("en").as("lang"), lit("srcnew").as("source"),
+          length(concat(lit("new doc "), col("doc_id").cast("string")))
+            .cast("long").as("n_chars"))
+      Layout.upsertPartitioned(s, base, edits.unionByName(news),
+        keyCols = Seq("doc_id"), partitionCol = "source")
+      base
+    })
+
+  /** COW-upsert gate: per-source rollup of the table AFTER the upsert —
+    * replaced rows show as `UPDATED:` prefixes (old copies must be gone:
+    * n_docs unchanged for edited partitions), new rows as the `srcnew`
+    * partition. The oracle re-derives the final state relationally
+    * (NOT EXISTS batch keys + union batch).
+    */
+  private def tableUpsert(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(upsertTableFor(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("text").startsWith("UPDATED:"), 1)).as("n_updated"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
   /** Anti-join family: customers with no high-value order, rolled up by
     * segment. `left_anti` is the relational NOT EXISTS — same hash shuffle
     * as a semi-join, and the build side is pre-filtered at its scan.
@@ -1719,7 +1772,11 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.LongType)))
-    withStateSession(s) { ss =>
+    // n=4: the stream-stream join keeps TWO keyed state stores per
+    // partition and commits each one every micro-batch — at 500 users the
+    // per-store row count is tiny and the commit fixed-cost dominates, so
+    // fewer partitions run measurably faster at gate scale.
+    withStateSession(s, 4) { ss =>
       def src(tpe: String, tsName: String) = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir)
         .filter(col("event_type") === tpe)
@@ -1911,6 +1968,7 @@ object SparkEntry {
     "value_quantiles_by_type" -> (valueQuantilesByType _),
     "zorder_bucket_stats" -> (zorderBucketStats _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
+    "table_upsert" -> (tableUpsert _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
     "stats_moments_by_type" -> (statsMomentsByType _),
@@ -2513,6 +2571,30 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.75), 4) AS p75,
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The upsert's final state re-derived relationally: NOT EXISTS over the
+    // batch's keys removes the replaced rows, union appends the batch; the
+    // partition-scoped COW plumbing must land at exactly this table.
+    "table_upsert" ->
+      """WITH edits AS (
+        |  SELECT doc_id, 'UPDATED: ' || text AS text, lang, source,
+        |         length('UPDATED: ' || text) AS n_chars
+        |  FROM documents WHERE source IN ('src0', 'src1') AND doc_id % 7 = 3),
+        |news AS (
+        |  -- d.-qualified on purpose: DuckDB lateral alias resolution would
+        |  -- otherwise bind the bare doc_id in `text` to the +100000 alias.
+        |  SELECT d.doc_id + 100000 AS doc_id, 'new doc ' || d.doc_id AS text,
+        |         'en' AS lang, 'srcnew' AS source,
+        |         length('new doc ' || d.doc_id) AS n_chars
+        |  FROM documents d WHERE d.source = 'src2' AND d.doc_id % 7 = 3),
+        |batch AS (SELECT * FROM edits UNION ALL SELECT * FROM news),
+        |final AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+        |  UNION ALL SELECT * FROM batch)
+        |SELECT source, count(*) AS n_docs,
+        |       count(*) FILTER (text LIKE 'UPDATED:%') AS n_updated,
+        |       sum(n_chars) AS sum_chars
+        |FROM final GROUP BY source ORDER BY source""".stripMargin,
     // The bucketed layout must not CHANGE the join's answer — the oracle is
     // the plain join; the layout claim (no join-time exchange) is pinned by
     // PlanSpec, not SQL-expressible.

@@ -104,6 +104,66 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Partition-scoped copy-on-write UPSERT into a parquet table partitioned
+    * by `partitionCol` — plain parquet's answer to MERGE (the Delta/Hudi
+    * COW discipline without a table format). Rows of `updates` replace
+    * same-`keyCols` rows and new keys append; crucially, only the
+    * partitions the batch TOUCHES are read, merged (left-anti + union),
+    * and swapped — a daily trickle against a 100 TB table rewrites the
+    * handful of partition directories it lands in, never the table. The
+    * touched-partition list is collected to the driver (bounded by the
+    * batch, routing state like the IVF probe list) and drives both the
+    * pruned read (partition filter reaches the scan) and the per-directory
+    * rename swap ([[compactInPlace]]'s discipline, one partition at a
+    * time: a crash mid-swap leaves that partition's `.__upsert_old` beside
+    * the table and the next call fails loud). A batch whose `partitionCol`
+    * value is NEW creates that partition. `updates` must carry the table's
+    * full schema; keys absent from the batch are untouched by construction.
+    */
+  def upsertPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String): Unit = {
+    require(keyCols.nonEmpty, "upsertPartitioned needs at least one key column")
+    require(!keyCols.contains(partitionCol),
+      "partitionCol is implied by the layout; key it via row keys only if it " +
+        "also identifies rows — listing it in keyCols hides cross-partition moves")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Bounded routing state: one row per touched partition.
+    val touched = updates.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(touched.forall(v => v != null && !v.contains("/") && !v.contains("..")),
+      s"unsafe partition values in batch: $touched")
+    val olds = touched.map(v => new Path(s"$tablePath/$partitionCol=$v.__upsert_old"))
+    olds.filter(fs.exists).foreach { o =>
+      throw new IllegalArgumentException(
+        s"$o exists — a previous upsert crashed mid-swap; inspect and rename " +
+          "back (complete pre-upsert partition) or delete it")
+    }
+    val existing = touched.filter(v => fs.exists(new Path(s"$tablePath/$partitionCol=$v")))
+    val tmp = new Path(tablePath + ".__upsert_tmp")
+    val base = spark.read.parquet(tablePath)
+      .filter(col(partitionCol).isin(touched: _*))
+    base.join(updates, keyCols, "left_anti")
+      .unionByName(updates)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    touched.foreach { v =>
+      val cur = new Path(s"$tablePath/$partitionCol=$v")
+      val from = new Path(s"$tmp/$partitionCol=$v")
+      val old = new Path(s"$tablePath/$partitionCol=$v.__upsert_old")
+      if (existing.contains(v))
+        require(fs.rename(cur, old), s"upsertPartitioned: rename $cur -> $old failed")
+      require(fs.rename(from, cur),
+        s"upsertPartitioned: rename $from -> $cur failed" +
+          (if (existing.contains(v)) s" ($old holds the pre-upsert partition)" else ""))
+      if (existing.contains(v)) fs.delete(old, true): Unit
+    }
+    fs.delete(tmp, true): Unit
+  }
+
   def compactInPlace(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,

@@ -270,6 +270,42 @@ class StorageLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("recluster"))
   }
 
+  test("partitioned upsert: COW touches only the batch's partitions, keys replaced not duplicated") {
+    val dir = tmpDir()
+    val base = (0L until 30L).map(i => (i, s"v$i", s"p${i % 3}"))
+      .toDF("id", "v", "part")
+    base.write.mode("overwrite").partitionBy("part").parquet(s"$dir/t")
+    def files(p: String): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified)).toSet
+    }
+    val p2Before = files(s"$dir/t/part=p2")
+    // Edit two p0 keys, add one brand-new key into a NEW partition.
+    val batch = Seq((0L, "edited0", "p0"), (3L, "edited3", "p0"), (100L, "fresh", "pNew"))
+      .toDF("id", "v", "part")
+    graft.ops.Layout.upsertPartitioned(spark, s"$dir/t", batch,
+      keyCols = Seq("id"), partitionCol = "part")
+    val after = spark.read.parquet(s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val expected = (0L until 30L)
+      .map(i => (i, if (i == 0L || i == 3L) s"edited$i" else s"v$i", s"p${i % 3}"))
+      .toSet + ((100L, "fresh", "pNew"))
+    assert(after == expected)
+    // The untouched partition kept its exact files (same paths, same mtimes).
+    assert(files(s"$dir/t/part=p2") == p2Before)
+    assert(new java.io.File(s"$dir/t/part=pNew").isDirectory)
+    assert(!new java.io.File(s"$dir/t.__upsert_tmp").exists())
+    // Crash guard: a leftover half-swap marker fails loud before any write.
+    assert(new java.io.File(s"$dir/t/part=p0.__upsert_old").mkdir())
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.upsertPartitioned(spark, s"$dir/t", batch,
+        keyCols = Seq("id"), partitionCol = "part")
+    }
+    assert(e.getMessage.contains("upsert"))
+  }
+
   test("index compaction folds append files to one per partition, probes unchanged") {
     val dir = tmpDir()
     val mk = (i: Long) =>
