@@ -221,12 +221,18 @@ object Joins {
       call_function("div", x - pmod(x, lit(bucketWidth)), lit(bucketWidth))
     }
     val nCells = cellOf(col(hiCol)) - cellOf(col(loCol)) + lit(1L)
-    val cells = when(
-      nCells > lit(maxBucketsPerInterval.toLong),
-      raise_error(concat(
-        lit(s"rangeJoin: interval [$loCol, $hiCol] spans "), nCells.cast("string"),
-        lit(s" cells > maxBucketsPerInterval=$maxBucketsPerInterval; "),
-        lit("widen bucketWidth or split the interval"))).cast("array<long>"))
+    // The inverted branch comes FIRST: `sequence(lo, hi)` with hi < lo
+    // counts DOWN in Spark, so an inverted interval reaching the otherwise
+    // branch would materialize its |span| descending cells before the
+    // BETWEEN filter discards every row — an empty cell list matches
+    // nothing at zero cost, like the theta join.
+    val cells = when(nCells <= lit(0L), array().cast("array<long>"))
+      .when(
+        nCells > lit(maxBucketsPerInterval.toLong),
+        raise_error(concat(
+          lit(s"rangeJoin: interval [$loCol, $hiCol] spans "), nCells.cast("string"),
+          lit(s" cells > maxBucketsPerInterval=$maxBucketsPerInterval; "),
+          lit("widen bucketWidth or split the interval"))).cast("array<long>"))
       .otherwise(sequence(cellOf(col(loCol)), cellOf(col(hiCol))))
     val ivb = intervals.withColumn("__cell", explode(cells))
     val ptb = points.withColumn("__cell", cellOf(col(pointCol)))

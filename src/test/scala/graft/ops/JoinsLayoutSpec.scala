@@ -130,8 +130,11 @@ class JoinsLayoutSpec extends SparkSpec {
     val pts = Seq((-7L, "a"), (-6L, "a"), (0L, "a"), (5L, "b"), (10L, "b"),
       (23L, "c"), (24L, "c")).toDF("p", "k")
     // [-7,0] hits both boundary points; [5,23] spans multiple width-4 cells;
-    // [30,20] is inverted and must match nothing (like the theta join).
-    val ivs = Seq((-7L, 0L, "a"), (1L, 9L, "b"), (5L, 23L, "b"), (30L, 20L, "c"))
+    // [30,20] is inverted and must match nothing (like the theta join) —
+    // as must the astronomically inverted one, WITHOUT materializing its
+    // quadrillion descending cells (the empty-cells branch).
+    val ivs = Seq((-7L, 0L, "a"), (1L, 9L, "b"), (5L, 23L, "b"), (30L, 20L, "c"),
+      (900719925474099L, -900719925474099L, "c"))
       .toDF("lo", "hi", "k")
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(r.fieldIndex("p")), r.getString(r.fieldIndex("k")),
