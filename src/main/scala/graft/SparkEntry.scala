@@ -1798,6 +1798,62 @@ object SparkEntry {
     }
   }
 
+  /** Staged replay for the OUTER attribution gate: same rows and disorder
+    * as [[funnelStreamDir]], but its OWN cache key and a far-future flush
+    * sentinel per side (maxT + 4 days, distinct negative user_ids so the
+    * sentinels cannot pair) — the left-outer join only emits an unmatched
+    * click once the watermark closes its 3-day window, so the replay must
+    * push the watermark past every real click's window to flush the tail.
+    */
+  private def attribStreamDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    oooStreamDir(s"attrib:$dir",
+      ev(s, dir).df
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("time").cast("long").as("time"), col("event_id")),
+      maxT => Seq(
+        Seq((-1L, "click", maxT + 4 * Day, -1L), (-2L, "purchase", maxT + 4 * Day, -2L))
+          .toDF("user_id", "event_type", "time", "event_id")))
+  }
+
+  /** §2.9 OUTER stream-stream join gate: the attribution join in
+    * `left_outer` mode — every click emits, with its purchase columns null
+    * when nothing converted inside the window. The flush sentinel advances
+    * the watermark past every real click's window, so the emitted set must
+    * equal the batch LEFT theta join exactly (an early state eviction loses
+    * a pair; a missed flush loses an unmatched row).
+    */
+  private def streamJoinAttribOuter(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = attribStreamDir(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.LongType)))
+    withStateSession(s, 4) { ss =>
+      def src(tpe: String, tsName: String) = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), timestamp_millis(col("time")).as(tsName))
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        src("click", "click_ts"), src("purchase", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts",
+        windowMs = 3 * Day, watermarkDelay = s"${StreamDisorderMs / 1000} seconds",
+        joinType = "left_outer")
+      val name = s"graft_sjoino_gate_${pathToken(dir)}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .filter(col("user_id") >= 0L) // drop the sentinels' own rows
+        .select(col("user_id"), unix_millis(col("click_ts")).as("click_ms"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"))
+        .orderBy(col("user_id"), col("click_ms"), col("purchase_ms"))
+    }
+  }
+
   /** §2.9 DISORDER gate: the same funnel-step counts as `funnel_steps`, but
     * computed by [[graft.streaming.StreamOps.streamingFunnelOrdered]] over
     * the deliberately out-of-order micro-batches of [[funnelStreamDir]] —
@@ -2049,6 +2105,7 @@ object SparkEntry {
     "stream_sliding_daily" -> (streamSlidingDaily _),
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_join_attrib" -> (streamJoinAttrib _),
+    "stream_join_attrib_outer" -> (streamJoinAttribOuter _),
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "stream_running_last" -> (streamRunningLast _),
@@ -3497,6 +3554,17 @@ object SparkEntry {
          |FROM c JOIN p ON p.user_id = c.user_id
          |              AND p.purchase_ms >= c.click_ms
          |              AND p.purchase_ms <= c.click_ms + ${3 * Day}
+         |ORDER BY c.user_id, c.click_ms, p.purchase_ms""".stripMargin,
+    // LEFT theta join: unconverted clicks appear with a NULL purchase —
+    // the flush-sentinel replay must emit exactly this set.
+    "stream_join_attrib_outer" ->
+      s"""WITH e AS ($EvCte),
+         |c AS (SELECT user_id, time AS click_ms FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, time AS purchase_ms FROM e WHERE event_type = 'purchase')
+         |SELECT c.user_id, c.click_ms, p.purchase_ms
+         |FROM c LEFT JOIN p ON p.user_id = c.user_id
+         |                   AND p.purchase_ms >= c.click_ms
+         |                   AND p.purchase_ms <= c.click_ms + ${3 * Day}
          |ORDER BY c.user_id, c.click_ms, p.purchase_ms""".stripMargin,
     // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes.
     // PPM rows (doc_id % 5 = 1): n_bytes = ASCII header ("P6\n" + w + " "

@@ -109,6 +109,14 @@ object StreamOps {
     * `watermarkDelay` — which is exactly what the driver gate replays.
     * The right side's key column is renamed `__rk` internally so callers
     * can join two streams derived from the same source.
+    *
+    * `joinType = "left_outer"` additionally emits each unmatched left row
+    * (right columns null) — but only once the watermark has CLOSED that
+    * row's window (`leftTs + windowMs + delay` behind the watermark), since
+    * until then a matching right row could still arrive; the "which clicks
+    * never converted" stream therefore trails the watermark by the window,
+    * and a replay must advance the watermark past the last left row's
+    * window (a far-future sentinel) to flush the tail.
     */
   def intervalJoin(
       left: DataFrame,
@@ -117,14 +125,17 @@ object StreamOps {
       leftTs: String,
       rightTs: String,
       windowMs: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     require(windowMs >= 0, s"windowMs must be >= 0, got $windowMs")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner and left_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withColumnRenamed(keyCol, "__rk").withWatermark(rightTs, watermarkDelay)
     l.join(r, l(keyCol) === r("__rk") &&
         r(rightTs) >= l(leftTs) &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowMs MILLISECONDS"),
-      "inner")
+      joinType)
       .drop("__rk")
   }
 

@@ -132,6 +132,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer emits unmatched rows only after the watermark closes their window") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val out = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user", "cts"), buys.toDF().toDF("user", "bts"),
+      "user", "cts", "bts", windowMs = 5000L, watermarkDelay = "2 seconds",
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ivjo")
+      .outputMode("append").start()
+    try {
+      clicks.addData(("u1", new Timestamp(1000L)), ("u2", new Timestamp(1000L)))
+      buys.addData(("u1", new Timestamp(3000L)))
+      q.processAllAvailable()
+      // u2 is unmatched but its window is still open — not emitted yet.
+      assert(spark.table("ivjo").filter(col("bts").isNull).count() == 0L)
+      // Far-future rows push the watermark past u2's window (1000+5000+2000).
+      clicks.addData(("zz", new Timestamp(60000L)))
+      buys.addData(("zz2", new Timestamp(60000L)))
+      q.processAllAvailable()
+      val rows = spark.table("ivjo")
+        .filter(col("user").isin("u1", "u2"))
+        .select(col("user"), col("cts").cast("long"),
+          coalesce(col("bts").cast("long"), lit(-1L)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.toSeq == Seq(("u1", 1L, 3L), ("u2", 1L, -1L)))
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
