@@ -683,6 +683,47 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Zone-mapped events table, built once per JVM per corpus: events
+    * range-clustered into 8 files by `time` (`repartitionByRange` — each
+    * file covers a tight time slice, the layout that makes zone maps
+    * selective) + a [[graft.ops.Layout.statsManifest]] over `time`.
+    * Returns (tablePath, minTime).
+    */
+  private val zonedTablePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def zonedTableFor(s: SparkSession, dir: String): (String, Long) =
+    zonedTablePaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-zone-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.select(col("event_id").cast("long").as("event_id"),
+        col("time").cast("long").as("time"), col("event_type"), col("value"))
+      e.repartitionByRange(8, col("time"))
+        .write.mode("overwrite").parquet(s"$base/t")
+      Layout.statsManifest(s, s"$base/t", Seq("time"))
+      val minT = e.agg(min(col("time"))).head().getLong(0)
+      (s"$base/t", minT)
+    })
+
+  /** Zone-map pruned scan gate: a 2-day band five days into the corpus,
+    * answered from ONLY the files whose [min_time, max_time] zone overlaps
+    * the band ([[graft.ops.Layout.prunedParquet]]; StorageLayoutSpec pins
+    * that fewer files are read and that staleness fails loud). The oracle
+    * filters the full table — pruning must not change the answer.
+    */
+  private def prunedTimeScan(s: SparkSession, dir: String): DataFrame = {
+    val (path, minT) = zonedTableFor(s, dir)
+    Layout.prunedParquet(s, path, "time", minT + 5 * Day, minT + 7 * Day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Upserted documents table, built once per JVM per corpus: documents
     * written partitioned by `source`, then one
     * [[graft.ops.Layout.upsertPartitioned]] batch — edited re-crawls of
@@ -2025,6 +2066,7 @@ object SparkEntry {
     "zorder_bucket_stats" -> (zorderBucketStats _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "table_upsert" -> (tableUpsert _),
+    "pruned_time_scan" -> (prunedTimeScan _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
     "stats_moments_by_type" -> (statsMomentsByType _),
@@ -2628,6 +2670,15 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.75), 4) AS p75,
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Zone-map pruning must not change the answer — the oracle filters the
+    // full events table over the same derived band.
+    "pruned_time_scan" ->
+      s"""WITH e AS ($EvCte), b AS (SELECT min(time) AS t0 FROM e)
+         |SELECT event_type, count(*) AS n,
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
+         |         AS sum_value
+         |FROM e, b WHERE e.time >= b.t0 + ${5 * Day} AND e.time <= b.t0 + ${7 * Day}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The upsert's final state re-derived relationally: NOT EXISTS over the
     // batch's keys removes the replaced rows, union appends the batch; the
     // partition-scoped COW plumbing must land at exactly this table.

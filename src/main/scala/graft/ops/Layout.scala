@@ -104,6 +104,88 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** File-level ZONE MAP for a plain parquet table: one manifest row per
+    * data file with min/max/count of the named columns — the planning-time
+    * pruning statistic Delta/Iceberg keep in their metadata layers, for
+    * tables that are just a directory. Parquet row-group stats already
+    * prune WITHIN a file, but only after the scan has listed and
+    * footer-read every file; at 100 TB (millions of files) that planning
+    * pass dominates selective queries, and a [[prunedParquet]] read
+    * consults this one small table instead. Written to `_graft_manifest`
+    * under the table (underscore-prefixed ⇒ invisible to normal parquet
+    * reads of the directory). One scan of the table builds it
+    * (`input_file_name` groupBy — partial-aggregated, shuffle carries one
+    * row per file). Rebuild after any write; [[prunedParquet]] fails loud
+    * on a stale manifest rather than silently missing files.
+    */
+  def statsManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "statsManifest needs at least one column")
+    val df = spark.read.parquet(tablePath)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tablePath/_graft_manifest")
+  }
+
+  private def dataFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p)
+      st.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet")) Seq(s.getPath)
+        else Seq.empty
+      }.toSeq
+    }
+    walk(root).map(_.toUri.toString).toSet
+  }
+
+  /** Manifest-pruned read: rows of `tablePath` with `c` in `[lo, hi]`,
+    * scanning ONLY the files whose `[min_c, max_c]` zone overlaps the
+    * bound. The manifest is a one-file read and the surviving file list is
+    * driver routing state (like the IVF probe list); the exact predicate is
+    * re-applied after the pruned scan, so the result is identical to the
+    * full-scan filter. STALENESS fails loud: the table's current data-file
+    * listing must equal the manifest's file set (a cheap driver listing vs
+    * the footer reads it saves), so a write since [[statsManifest]] is an
+    * error, never silently missing rows. All-NULL-column files carry NULL
+    * zones and are rightly skipped (NULL never satisfies the BETWEEN).
+    */
+  def prunedParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      c: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    val manifest = spark.read.parquet(s"$tablePath/_graft_manifest")
+    val rows = manifest.select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+    val manifestFiles = rows.map(_.getString(0)).toSet
+    val actual = dataFiles(spark, tablePath)
+    require(actual == manifestFiles,
+      s"stale manifest for $tablePath: ${actual.size} data files on disk vs " +
+        s"${manifestFiles.size} in the manifest — re-run statsManifest after writes")
+    val keep = rows
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
+      else spark.read.parquet(keep.toSeq: _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Partition-scoped copy-on-write UPSERT into a parquet table partitioned
     * by `partitionCol` — plain parquet's answer to MERGE (the Delta/Hudi
     * COW discipline without a table format). Rows of `updates` replace

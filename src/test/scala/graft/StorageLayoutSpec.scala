@@ -270,6 +270,34 @@ class StorageLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("recluster"))
   }
 
+  test("zone-map pruned read scans fewer files, answers exactly, and stale manifests fail loud") {
+    val dir = tmpDir()
+    val rows = (0L until 300L).map(i => (i, i * 10L, s"v$i")).toDF("id", "t", "v")
+    rows.repartitionByRange(5, col("t")).write.mode("overwrite").parquet(s"$dir/t")
+    graft.ops.Layout.statsManifest(spark, s"$dir/t", Seq("t"))
+    val allFiles = spark.read.parquet(s"$dir/t").inputFiles.toSet
+    assert(allFiles.size == 5)
+    // A narrow band inside the range-clustered layout: 1-2 zones overlap.
+    val pruned = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 500L, 700L)
+    assert(pruned.inputFiles.toSet.subsetOf(allFiles) && pruned.inputFiles.length < 5,
+      pruned.inputFiles.mkString(", "))
+    val got = pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = rows.filter(col("t") >= 500L && col("t") <= 700L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // Out-of-range band: zero files, empty frame, schema intact.
+    val none = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 100000L, 200000L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "t", "v"))
+    // A write after the manifest (one more file) must fail loud, not
+    // silently miss the new rows.
+    Seq((999L, 600L, "late")).toDF("id", "t", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 500L, 700L)
+    }
+    assert(e.getMessage.contains("stale manifest"))
+  }
+
   test("partitioned upsert: COW touches only the batch's partitions, keys replaced not duplicated") {
     val dir = tmpDir()
     val base = (0L until 30L).map(i => (i, s"v$i", s"p${i % 3}"))
