@@ -113,6 +113,17 @@ class JoinsLayoutSpec extends SparkSpec {
     val got = joined.select(col("fk"), col("fval"), col("dval"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(got == expected && got.size == 300)
+    // Bucketing also prunes POINT lookups: an equality predicate on the
+    // bucket key reads 1 of the 4 buckets, not the table. (autoBucketedScan
+    // turns bucketed reading off for plans that don't exploit the
+    // partitioning, which also forfeits pruning — disable it to assert the
+    // pruned shape.)
+    val point = withSqlConf(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      spark.table("bkt_spec_facts").filter(col("fk") === 7L)
+        .queryExecution.executedPlan.toString
+    }
+    assert(point.contains("SelectedBucketsCount: 1 out of 4"), point.take(1500))
   }
 
   private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
