@@ -2701,7 +2701,7 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM batch)
         |SELECT source, count(*) AS n_docs,
         |       count(*) FILTER (text LIKE 'UPDATED:%') AS n_updated,
-        |       sum(n_chars) AS sum_chars
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM final GROUP BY source ORDER BY source""".stripMargin,
     // The bucketed layout must not CHANGE the join's answer — the oracle is
     // the plain join; the layout claim (no join-time exchange) is pinned by
