@@ -104,6 +104,66 @@ object Layout {
       .saveAsTable(table)
   }
 
+  // ---------------------------------------------------------------- zone maps
+
+  private val ManifestDir = "_graft_manifest"
+  private val TableEpochFile = "_graft_epoch"
+  private val ManifestEpochFile = "_epoch"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readLongFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+
+  private def writeLongFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The table's data version: a counter in `_graft_epoch` at the table
+    * root, bumped by EVERY graft writer after it mutates data files
+    * ([[upsertPartitioned]], [[manifestPatchDirs]] callers, compaction).
+    * [[prunedParquet]] compares it against the epoch the manifest was
+    * stamped with — two single-line file reads replace the recursive
+    * million-file listing a staleness check would otherwise cost at 100 TB.
+    * The contract is single-writer ownership (the same ownership appends
+    * and compaction already require): an out-of-band writer that bypasses
+    * the epoch is invisible to the fast check — [[verifyManifest]] is the
+    * offline fsck that catches it from a full listing.
+    */
+  def tableEpoch(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, tablePath)
+    readLongFile(fs, new org.apache.hadoop.fs.Path(root, TableEpochFile))
+  }
+
+  /** Bump (or initialize) the table's `_graft_epoch` — the one call every
+    * conforming writer makes after changing the table's data files. Returns
+    * the new epoch.
+    */
+  def bumpTableEpoch(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+    val (fs, root) = fsOf(spark, tablePath)
+    val p = new org.apache.hadoop.fs.Path(root, TableEpochFile)
+    val next = readLongFile(fs, p).getOrElse(0L) + 1L
+    writeLongFile(fs, p, next)
+    next
+  }
+
   /** File-level ZONE MAP for a plain parquet table: one manifest row per
     * data file with min/max/count of the named columns — the planning-time
     * pruning statistic Delta/Iceberg keep in their metadata layers, for
@@ -115,8 +175,10 @@ object Layout {
     * under the table (underscore-prefixed ⇒ invisible to normal parquet
     * reads of the directory). One scan of the table builds it
     * (`input_file_name` groupBy — partial-aggregated, shuffle carries one
-    * row per file). Rebuild after any write; [[prunedParquet]] fails loud
-    * on a stale manifest rather than silently missing files.
+    * row per file); incremental writers keep it fresh with
+    * [[manifestPatchDirs]] instead of rebuilding. The manifest is stamped
+    * with the table's current epoch; [[prunedParquet]] fails loud on an
+    * epoch mismatch rather than silently missing files.
     */
   def statsManifest(
       spark: org.apache.spark.sql.SparkSession,
@@ -124,24 +186,114 @@ object Layout {
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "statsManifest needs at least one column")
     val df = spark.read.parquet(tablePath)
+    fileStats(df, cols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tablePath/$ManifestDir")
+    val (fs, root) = fsOf(spark, tablePath)
+    val epochP = new org.apache.hadoop.fs.Path(root, TableEpochFile)
+    val e = readLongFile(fs, epochP).getOrElse { writeLongFile(fs, epochP, 1L); 1L }
+    writeLongFile(fs,
+      new org.apache.hadoop.fs.Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"), e)
+  }
+
+  /** Per-file min/max/count rows for `df` — `file` is the full path
+    * (`input_file_name`), `dir` its parent directory (the join key
+    * incremental patches drop replaced partitions by).
+    */
+  private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$tablePath/_graft_manifest")
+      .withColumn("dir", regexp_replace(col("file"), "/[^/]*$", ""))
   }
 
-  private def dataFiles(
+  /** Incrementally patch a table's zone-map manifest after a write that
+    * touched ONLY the partition directories `relDirs` (paths relative to
+    * the table root, e.g. `source=src0` or `band=1/bucket=3`): manifest
+    * rows under those directories are dropped, stats are recomputed by
+    * scanning ONLY those directories, and the new manifest swaps in via
+    * rename. This is the maintenance path that keeps the manifest useful at
+    * 100 TB — a trickle upsert that touches 3 of 10 000 partitions patches
+    * 3 directories' rows instead of rescanning the table (the cost the
+    * manifest exists to avoid). Always bumps the table epoch (writers call
+    * this INSTEAD of [[bumpTableEpoch]] when a manifest may exist); a
+    * missing manifest makes it just the epoch bump. A crash mid-swap leaves
+    * `_graft_manifest.__patch_old` behind and the next patch fails loud.
+    *
+    * Partition directory names must be path-literal (no URI-special
+    * characters) — the same constraint [[upsertPartitioned]] enforces on
+    * its partition values.
+    */
+  def manifestPatchDirs(
       spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): Set[String] = {
+      tablePath: String,
+      relDirs: Seq[String]): Unit = {
+    require(relDirs.nonEmpty, "manifestPatchDirs needs at least one directory")
+    require(relDirs.forall(d => d.nonEmpty && !d.startsWith("/") && !d.contains("..")),
+      s"unsafe relative dirs: $relDirs")
+    val (fs, _) = fsOf(spark, tablePath)
+    val e = bumpTableEpoch(spark, tablePath)
     import org.apache.hadoop.fs.Path
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new Path(s"$tablePath/$ManifestDir")
+    if (!fs.exists(mdir)) return
+    val mold = new Path(s"$tablePath/$ManifestDir.__patch_old")
+    require(!fs.exists(mold),
+      s"$mold exists — a previous manifest patch crashed mid-swap; inspect and " +
+        "rename back (complete pre-patch manifest) or delete it, or re-run statsManifest")
+    val manifest = spark.read.parquet(mdir.toString)
+    val cols = manifest.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    require(cols.nonEmpty, s"manifest at $mdir has no min_/max_ columns")
+    val dropCond = relDirs.map(d => col("dir").endsWith(lit("/" + d))).reduce(_ || _)
+    val kept = manifest.filter(!dropCond)
+    val present = relDirs.filter(d => fs.exists(new Path(s"$tablePath/$d")))
+    val next =
+      if (present.isEmpty) kept
+      else {
+        val data = spark.read.option("basePath", tablePath)
+          .parquet(present.map(d => s"$tablePath/$d"): _*)
+        kept.unionByName(fileStats(data, cols))
+      }
+    val tmp = new Path(s"$tablePath/$ManifestDir.__patch_tmp")
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    writeLongFile(fs, new Path(tmp, ManifestEpochFile), e)
+    require(fs.rename(mdir, mold), s"manifestPatchDirs: rename $mdir -> $mold failed")
+    require(fs.rename(tmp, mdir),
+      s"manifestPatchDirs: rename $tmp -> $mdir failed ($mold holds the pre-patch manifest)")
+    fs.delete(mold, true): Unit
+  }
+
+  /** Offline manifest fsck — the full-listing audit that [[prunedParquet]]'s
+    * fast epoch check deliberately does not pay per query. Verifies (a) the
+    * manifest epoch matches the table epoch, and (b) the manifest's file set
+    * equals the table's actual data files, with both sides normalized
+    * through the same qualified-URI representation (`input_file_name`
+    * URI-escapes paths; a raw string compare would spuriously fail on
+    * spaces or `%`). Run it on a schedule, or whenever an out-of-band write
+    * is suspected.
+    */
+  def verifyManifest(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsOf(spark, tablePath)
+    def norm(s: String): String = {
+      val p =
+        try {
+          val u = new java.net.URI(s)
+          if (u.getScheme != null) new Path(u) else new Path(s)
+        } catch { case _: java.net.URISyntaxException => new Path(s) }
+      fs.makeQualified(p).toUri.toString
+    }
+    val te = readLongFile(fs, new Path(root, TableEpochFile))
+    val me = readLongFile(fs, new Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"))
+    require(te.isDefined && me == te,
+      s"manifest fsck failed for $tablePath: manifest epoch ${me.getOrElse("absent")} " +
+        s"vs table epoch ${te.getOrElse("absent")}")
+    val mfiles = spark.read.parquet(s"$tablePath/$ManifestDir")
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
     def walk(p: Path): Seq[Path] = {
-      val st = fs.listStatus(p)
-      st.flatMap { s =>
+      fs.listStatus(p).flatMap { s =>
         val n = s.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Seq.empty
         else if (s.isDirectory) walk(s.getPath)
@@ -149,19 +301,28 @@ object Layout {
         else Seq.empty
       }.toSeq
     }
-    walk(root).map(_.toUri.toString).toSet
+    val actual = walk(root).map(p => norm(p.toUri.toString)).toSet
+    require(actual == mfiles,
+      s"manifest fsck failed for $tablePath: ${actual.size} data files on disk vs " +
+        s"${mfiles.size} in the manifest (out-of-band write?) — re-run statsManifest")
   }
 
   /** Manifest-pruned read: rows of `tablePath` with `c` in `[lo, hi]`,
     * scanning ONLY the files whose `[min_c, max_c]` zone overlaps the
-    * bound. The manifest is a one-file read and the surviving file list is
-    * driver routing state (like the IVF probe list); the exact predicate is
-    * re-applied after the pruned scan, so the result is identical to the
-    * full-scan filter. STALENESS fails loud: the table's current data-file
-    * listing must equal the manifest's file set (a cheap driver listing vs
-    * the footer reads it saves), so a write since [[statsManifest]] is an
-    * error, never silently missing rows. All-NULL-column files carry NULL
-    * zones and are rightly skipped (NULL never satisfies the BETWEEN).
+    * bound. The zone filter runs IN-PLAN on the manifest table and only the
+    * surviving file paths are collected (driver routing state, like the IVF
+    * probe list — bounded by the band's selectivity, not the table's file
+    * count); the exact predicate is re-applied after the pruned scan, so
+    * the result is identical to the full-scan filter. STALENESS fails loud
+    * from two one-line epoch reads: the manifest's stamped epoch must equal
+    * the table's `_graft_epoch` ([[bumpTableEpoch]] — every graft writer
+    * bumps it, and manifest-maintaining writers re-stamp via
+    * [[manifestPatchDirs]]), so a write since the manifest last reconciled
+    * is an error, never silently missing rows — without the recursive
+    * full listing the old check cost on every query (at a million files,
+    * a per-query driver stall; [[verifyManifest]] keeps that audit
+    * available offline). All-NULL-column files carry NULL zones and are
+    * rightly skipped (NULL never satisfies the BETWEEN).
     */
   def prunedParquet(
       spark: org.apache.spark.sql.SparkSession,
@@ -169,17 +330,18 @@ object Layout {
       c: String,
       lo: Long,
       hi: Long): DataFrame = {
-    val manifest = spark.read.parquet(s"$tablePath/_graft_manifest")
-    val rows = manifest.select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
-    val manifestFiles = rows.map(_.getString(0)).toSet
-    val actual = dataFiles(spark, tablePath)
-    require(actual == manifestFiles,
-      s"stale manifest for $tablePath: ${actual.size} data files on disk vs " +
-        s"${manifestFiles.size} in the manifest — re-run statsManifest after writes")
-    val keep = rows
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-        r.getLong(2) >= lo && r.getLong(1) <= hi)
-      .map(_.getString(0))
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsOf(spark, tablePath)
+    val te = readLongFile(fs, new Path(root, TableEpochFile))
+    val me = readLongFile(fs, new Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"))
+    require(te.isDefined && me.isDefined && me == te,
+      s"stale manifest for $tablePath: manifest epoch ${me.getOrElse("absent")} vs " +
+        s"table epoch ${te.getOrElse("absent")} — a write landed since the manifest " +
+        "last reconciled (writers bump _graft_epoch and patch via manifestPatchDirs); " +
+        "re-run statsManifest, or verifyManifest to audit")
+    val keep = spark.read.parquet(s"$tablePath/$ManifestDir")
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
     val base =
       if (keep.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
       else spark.read.parquet(keep.toSeq: _*)
