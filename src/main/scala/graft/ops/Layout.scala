@@ -121,17 +121,32 @@ object Layout {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
+      try Some(s.toLong)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt epoch file $p (content '${s.take(32)}') — delete it and " +
+              "re-run statsManifest to re-establish the epoch")
+      }
     }
 
+  /** Write, then rename over the target — a crash mid-write leaves the tmp
+    * file, never a partial target. Hadoop rename won't clobber, so the old
+    * value is deleted first; a reader in that instant sees an ABSENT epoch
+    * and fails loud ("absent"), never a truncated number.
+    */
   private def writeLongFile(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, v: Long): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".__tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false): Unit
+    require(fs.rename(tmp, p), s"writeLongFile: rename $tmp -> $p failed")
   }
 
   /** The table's data version: a counter in `_graft_epoch` at the table
@@ -185,13 +200,17 @@ object Layout {
       tablePath: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "statsManifest needs at least one column")
+    // Epoch is read (or initialized) BEFORE the table scan: a conforming
+    // writer that lands between the scan and the stamp bumps past `e`, so
+    // the manifest built from pre-write data stamps me < te and prunedParquet
+    // fails loud instead of silently missing the write.
+    val (fs, root) = fsOf(spark, tablePath)
+    val epochP = new org.apache.hadoop.fs.Path(root, TableEpochFile)
+    val e = readLongFile(fs, epochP).getOrElse { writeLongFile(fs, epochP, 1L); 1L }
     val df = spark.read.parquet(tablePath)
     fileStats(df, cols)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tablePath/$ManifestDir")
-    val (fs, root) = fsOf(spark, tablePath)
-    val epochP = new org.apache.hadoop.fs.Path(root, TableEpochFile)
-    val e = readLongFile(fs, epochP).getOrElse { writeLongFile(fs, epochP, 1L); 1L }
     writeLongFile(fs,
       new org.apache.hadoop.fs.Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"), e)
   }
@@ -231,8 +250,9 @@ object Layout {
       tablePath: String,
       relDirs: Seq[String]): Unit = {
     require(relDirs.nonEmpty, "manifestPatchDirs needs at least one directory")
-    require(relDirs.forall(d => d.nonEmpty && !d.startsWith("/") && !d.contains("..")),
-      s"unsafe relative dirs: $relDirs")
+    require(relDirs.forall(d =>
+        d.nonEmpty && !d.startsWith("/") && !d.endsWith("/") && !d.contains("..")),
+      s"unsafe relative dirs (no leading/trailing slash, no ..): $relDirs")
     val (fs, _) = fsOf(spark, tablePath)
     val e = bumpTableEpoch(spark, tablePath)
     import org.apache.hadoop.fs.Path
@@ -245,7 +265,14 @@ object Layout {
     val manifest = spark.read.parquet(mdir.toString)
     val cols = manifest.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     require(cols.nonEmpty, s"manifest at $mdir has no min_/max_ columns")
-    val dropCond = relDirs.map(d => col("dir").endsWith(lit("/" + d))).reduce(_ || _)
+    // The rescan reads each relDir RECURSIVELY, so the drop must match
+    // descendants too: with nested partitioning (relDir `band=1`, files in
+    // `band=1/bucket=3/`) an immediate-parent-only match would keep the old
+    // rows while the rescan adds new ones — duplicate file entries, and
+    // prunedParquet reading those files twice.
+    val dropCond = relDirs.map(d =>
+      col("dir").endsWith(lit("/" + d)) || col("dir").contains(lit("/" + d + "/"))
+    ).reduce(_ || _)
     val kept = manifest.filter(!dropCond)
     val present = relDirs.filter(d => fs.exists(new Path(s"$tablePath/$d")))
     val next =
@@ -394,6 +421,11 @@ object Layout {
     base.join(updates, keyCols, "left_anti")
       .unionByName(updates)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    // Epoch protocol: bump BEFORE the swap so a concurrent prunedParquet
+    // inside the swap window fails loud (manifest epoch < table epoch)
+    // instead of silently reading a half-swapped table; the manifest patch
+    // after the swap bumps again and stamps the manifest current.
+    bumpTableEpoch(spark, tablePath)
     touched.foreach { v =>
       val cur = new Path(s"$tablePath/$partitionCol=$v")
       val from = new Path(s"$tmp/$partitionCol=$v")
@@ -406,6 +438,10 @@ object Layout {
       if (existing.contains(v)) fs.delete(old, true): Unit
     }
     fs.delete(tmp, true): Unit
+    // Re-stamp the zone-map manifest for exactly the partitions swapped (a
+    // missing manifest makes this just the epoch bump) — prunedParquet stays
+    // usable across upserts without a full statsManifest rebuild.
+    manifestPatchDirs(spark, tablePath, touched.map(v => s"$partitionCol=$v"))
   }
 
   def compactInPlace(
@@ -421,6 +457,16 @@ object Layout {
     require(!fs.exists(old),
       s"$old exists — a previous compaction crashed mid-swap; " +
         "inspect and rename it back (complete pre-compact table) or delete it")
+    // The root swap takes `_graft_epoch`/`_graft_manifest` with it (they
+    // live inside the table dir): capture what to restore. During the swap
+    // window readers see an ABSENT epoch — fail loud, never silent.
+    val prevEpoch = readLongFile(fs, new Path(table, TableEpochFile))
+    val manifestP = new Path(table, ManifestDir)
+    val manifestCols: Seq[String] =
+      if (fs.exists(manifestP))
+        spark.read.parquet(manifestP.toString).columns
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+      else Seq.empty
     val df = spark.read.parquet(tablePath)
     val rewrite =
       if (partitionCols.nonEmpty)
@@ -434,5 +480,11 @@ object Layout {
     require(fs.rename(tmp, table), s"compactInPlace: rename $tmp -> $table failed " +
       s"($old holds the pre-compact table)")
     fs.delete(old, true): Unit
+    // Epoch protocol: compaction mutated the file set — restore the epoch
+    // BUMPED and rebuild the zone-map manifest the old root carried (stats
+    // are per-file, so the pre-compact manifest could never describe the
+    // rewritten files).
+    prevEpoch.foreach(e => writeLongFile(fs, new Path(table, TableEpochFile), e + 1L))
+    if (manifestCols.nonEmpty) statsManifest(spark, tablePath, manifestCols)
   }
 }

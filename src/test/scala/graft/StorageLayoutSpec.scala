@@ -288,14 +288,104 @@ class StorageLayoutSpec extends SparkSpec {
     // Out-of-range band: zero files, empty frame, schema intact.
     val none = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 100000L, 200000L)
     assert(none.count() == 0L && none.columns.toSeq == Seq("id", "t", "v"))
-    // A write after the manifest (one more file) must fail loud, not
-    // silently miss the new rows.
+    // A conforming writer lands a file and bumps the epoch but does NOT
+    // patch the manifest: the pruned read must fail loud, not silently
+    // miss the new rows.
     Seq((999L, 600L, "late")).toDF("id", "t", "v")
       .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    graft.ops.Layout.bumpTableEpoch(spark, s"$dir/t")
     val e = intercept[IllegalArgumentException] {
       graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 500L, 700L)
     }
     assert(e.getMessage.contains("stale manifest"))
+    // Re-running statsManifest reconciles: the late row is back in scope.
+    graft.ops.Layout.statsManifest(spark, s"$dir/t", Seq("t"))
+    val again = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 500L, 700L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == (expected :+ 999L).sorted)
+  }
+
+  test("manifest fsck catches the out-of-band write the fast epoch check cannot see") {
+    val dir = tmpDir()
+    val rows = (0L until 100L).map(i => (i, i * 10L)).toDF("id", "t")
+    rows.repartitionByRange(4, col("t")).write.mode("overwrite").parquet(s"$dir/t")
+    graft.ops.Layout.statsManifest(spark, s"$dir/t", Seq("t"))
+    graft.ops.Layout.verifyManifest(spark, s"$dir/t") // fresh: fsck passes
+    // An out-of-band writer (plain Spark append, no epoch bump) is
+    // invisible to the per-query epoch compare — the documented
+    // single-writer limitation...
+    Seq((999L, 330L)).toDF("id", "t")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 0L, 10L).collect()
+    // ...and exactly what the offline full-listing fsck exists to catch.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.verifyManifest(spark, s"$dir/t")
+    }
+    assert(e.getMessage.contains("fsck"))
+  }
+
+  test("upsert and compaction keep the zone-map manifest fresh via the epoch protocol") {
+    val dir = tmpDir()
+    val base = (0L until 120L).map(i => (i, i * 10L, s"p${(i % 3).toInt}"))
+      .toDF("id", "t", "part")
+    base.write.mode("overwrite").partitionBy("part").parquet(s"$dir/t")
+    graft.ops.Layout.statsManifest(spark, s"$dir/t", Seq("t"))
+    // Upsert: edit one key, add a key in a NEW partition — the writer
+    // patches the manifest itself; no statsManifest rerun needed.
+    val batch = Seq((0L, 5000L, "p0"), (777L, 660L, "pNew")).toDF("id", "t", "part")
+    graft.ops.Layout.upsertPartitioned(spark, s"$dir/t", batch,
+      keyCols = Seq("id"), partitionCol = "part")
+    graft.ops.Layout.verifyManifest(spark, s"$dir/t")
+    val got = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 650L, 670L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(65L, 66L, 67L, 777L))
+    // Moved key: id=0 now lives at t=5000 only.
+    val moved = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 4000L, 6000L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(moved == Seq(0L))
+    // Compaction rewrites every file; the manifest must describe the NEW
+    // files afterwards (per-file stats cannot survive a rewrite).
+    graft.ops.Layout.compactInPlace(spark, s"$dir/t", Seq("part"))
+    graft.ops.Layout.verifyManifest(spark, s"$dir/t")
+    val post = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 650L, 670L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(post == Seq(65L, 66L, 67L, 777L))
+  }
+
+  test("manifest patch with a nested-partition ancestor dir replaces descendants, no duplicates") {
+    val dir = tmpDir()
+    val rows = (0L until 80L).map(i =>
+      (i, i * 10L, (i % 2).toInt, (i % 4).toInt)).toDF("id", "t", "band", "bucket")
+    rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(s"$dir/t")
+    graft.ops.Layout.statsManifest(spark, s"$dir/t", Seq("t"))
+    // Rewrite all of band=1 (files live one level deeper, band=1/bucket=*).
+    val b1 = spark.read.parquet(s"$dir/t").filter(col("band") === 1)
+      .withColumn("t", col("t") + 100000L)
+    val tmp = s"$dir/b1new"
+    b1.select("id", "t", "bucket").write.mode("overwrite")
+      .partitionBy("bucket").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t/band=1"), true))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/t/band=1")))
+    // Patch with the ANCESTOR dir: old band=1/bucket=* rows must drop even
+    // though their immediate parent is bucket=*, not band=1.
+    graft.ops.Layout.manifestPatchDirs(spark, s"$dir/t", Seq("band=1"))
+    val manifest = spark.read.parquet(s"$dir/t/_graft_manifest")
+    val perFile = manifest.groupBy("file").count()
+      .filter(col("count") > 1).count()
+    assert(perFile == 0L, "duplicate file entries after ancestor-dir patch")
+    graft.ops.Layout.verifyManifest(spark, s"$dir/t")
+    // The patched zones route queries to the rewritten band.
+    val hit = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 100010L, 100030L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(hit == Seq(1L, 3L), hit.mkString(", "))
+    // Trailing slash would silently match nothing — rejected up front.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.manifestPatchDirs(spark, s"$dir/t", Seq("band=1/"))
+    }
+    assert(e.getMessage.contains("unsafe"))
   }
 
   test("partitioned upsert: COW touches only the batch's partitions, keys replaced not duplicated") {
