@@ -2039,6 +2039,95 @@ object SparkEntry {
     }
   }
 
+  /** §2.5 `reduce` gate: the ordered left-fold ([[graft.uts.OrderedFold]],
+    * the reference's `reduce(fn, initial)` primitive, uts.ts:416-434) run
+    * through its [[graft.uts.Metric]] adapter as a per-user EWMA
+    * (`acc·0.9 + x` — non-commutative, so the oracle's ORDER BY is
+    * load-bearing; a shuffled fold gives a different number). Seed 0 with
+    * this step makes the first element the accumulator, which is exactly
+    * DuckDB `list_reduce`'s seedless semantics, so both engines execute the
+    * same IEEE op sequence. Pins (time, event_id) fold order AND the
+    * metric adapter's null-skip.
+    */
+  private def utsReduceFold(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).query(UtsQuery(
+      Seq(
+        "ewma" -> OrderedFold.metric("value", 0.0, (acc, v) => acc * 0.9 + v),
+        "n_value" -> CountM(Some("value"))),
+      group = ColumnGroup(Seq("user_id"))))
+      .select(col("user_id"), round(col("ewma"), 4).as("ewma"), col("n_value"))
+      .orderBy(col("user_id"))
+
+  /** §1.4 Quirk-replica gate: the reference's fold-from-0 aggregates
+    * (uts.ts:592-601, 622-624) — seed 0 floors `max` at ≥ 0 and caps `min`
+    * at ≤ 0, and a point MISSING the column poisons the bin to NaN. The
+    * corpus's `value` is fully populated, so the poison path runs on a
+    * derived `amount` column deterministically absent on every 97th event
+    * (same derivation in the oracle); the `value` metrics pin the seed
+    * clamp (every quirk-min is 0.0 on this all-positive corpus, where
+    * standard min is > 0), the `amount` metrics pin the NaN poison.
+    */
+  private def utsQuirkMetrics(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir)
+    val series = base.copy(df = base.df.withColumn("amount",
+      when(col("event_id") % 97 === 0, lit(null).cast("double"))
+        .otherwise(col("value"))))
+    series.query(UtsQuery(
+      Seq(
+        "qmax_value" -> Quirk.max("value"),
+        "qmin_value" -> Quirk.min("value"),
+        "qsum_value" -> Quirk.sum("value"),
+        "qmax_amount" -> Quirk.max("amount"),
+        "qsum_amount" -> Quirk.sum("amount")),
+      group = ColumnGroup(Seq("event_type"))))
+      .select(col("event_type"), col("qmax_value"), col("qmin_value"),
+        round(col("qsum_value"), 4).as("qsum_value"),
+        col("qmax_amount"), round(col("qsum_amount"), 4).as("qsum_amount"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.9 SESSION-window streaming gate: [[graft.streaming.StreamOps
+    * .sessionCounts]] (gap-based `session_window`) replayed over the corpus
+    * and pinned against the same lag/cumulative-break SQL derivation that
+    * gates the batch twin `session_counts_by_type` — same 1800 s gap, so
+    * the streaming session-merge state machine and the batch window algebra
+    * must land on identical session boundaries. Source timestamps floor to
+    * the ms lattice (`ts div 1000000`) to match the oracle's epoch-ms
+    * arithmetic exactly.
+    */
+  private def streamSessionCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsRaw(s, dir).schema)
+    val streamDir = {
+      val d = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_stream_src_${pathToken(dir)}")
+      java.nio.file.Files.createDirectories(d)
+      val link = d.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        try java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      d.toString
+    }
+    withStateSession(s) { ss =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = ss.readStream.schema(schema).parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(expr("ts div 1000000")))
+      val agg = graft.streaming.StreamOps.sessionCounts(
+        src, gapSeconds = 1800, watermarkDelay = "1 hour", tsCol = "ts_event")
+      val name = s"graft_session_gate_${pathToken(dir)}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .select(unix_millis(col("sess_start")).as("sess_start"),
+          unix_millis(col("sess_end")).as("sess_end"), col("event_type"), col("n"))
+        .orderBy(col("event_type"), col("sess_start"))
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2052,6 +2141,8 @@ object SparkEntry {
     "uts_derivative_by_user" -> (utsDerivativeByUser _),
     "uts_remove" -> (utsRemove _),
     "uts_retention_daily" -> (utsRetentionDaily _),
+    "uts_reduce_fold" -> (utsReduceFold _),
+    "uts_quirk_metrics" -> (utsQuirkMetrics _),
     "q1_agg" -> (q1Agg _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -2151,6 +2242,7 @@ object SparkEntry {
     "stream_funnel_ordered" -> (streamFunnelOrdered _),
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "stream_running_last" -> (streamRunningLast _),
+    "stream_session_counts" -> (streamSessionCounts _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
@@ -2453,6 +2545,34 @@ object SparkEntry {
     "uts_where_filter" ->
       s"""SELECT event_id, epoch_ms(ts) AS time, value FROM events
          |WHERE value > 150.0 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // Ordered non-commutative fold: list_reduce's seedless first-element
+    // init equals the engine's seed-0 fold for step acc*0.9+x, and the
+    // list's ORDER BY (time, event_id) is the fold order being gated.
+    "uts_reduce_fold" ->
+      s"""WITH p AS ($EvCte)
+         |SELECT user_id,
+         |       round(coalesce(list_reduce(
+         |           list(value ORDER BY time, event_id) FILTER (value IS NOT NULL),
+         |           (acc, x) -> acc * 0.9 + x), 0.0), 4) AS ewma,
+         |       count(value) AS n_value
+         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Fold-from-0 quirk replicas: seed clamps max>=0 / min<=0; a bin with a
+    // missing value (derived amount, absent on every 97th event) is NaN.
+    "uts_quirk_metrics" ->
+      s"""WITH p AS (SELECT event_type, value,
+         |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS amount FROM events)
+         |SELECT event_type,
+         |  CASE WHEN count(*) != count(value) OR coalesce(bool_or(isnan(value)), false)
+         |       THEN 'NaN'::DOUBLE ELSE greatest(coalesce(max(value), 0.0), 0.0) END AS qmax_value,
+         |  CASE WHEN count(*) != count(value) OR coalesce(bool_or(isnan(value)), false)
+         |       THEN 'NaN'::DOUBLE ELSE least(coalesce(min(value), 0.0), 0.0) END AS qmin_value,
+         |  CASE WHEN count(*) != count(value) OR coalesce(bool_or(isnan(value)), false)
+         |       THEN 'NaN'::DOUBLE ELSE round(coalesce(sum(value), 0.0), 4) END AS qsum_value,
+         |  CASE WHEN count(*) != count(amount) OR coalesce(bool_or(isnan(amount)), false)
+         |       THEN 'NaN'::DOUBLE ELSE greatest(coalesce(max(amount), 0.0), 0.0) END AS qmax_amount,
+         |  CASE WHEN count(*) != count(amount) OR coalesce(bool_or(isnan(amount)), false)
+         |       THEN 'NaN'::DOUBLE ELSE round(coalesce(sum(amount), 0.0), 4) END AS qsum_amount
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Last-in-bin via an explicit (time, event_id) DESC window — an
     // arithmetic tiebreak key (time·10⁶ + id) would silently collide once
     // ids pass 10⁶, and arg_max can't take a composite key.
@@ -3550,6 +3670,22 @@ object SparkEntry {
          |       count(*) AS n,
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
+         |FROM sgrp GROUP BY event_type, sid
+         |ORDER BY event_type, sess_start""".stripMargin,
+    // The streaming session_window gate shares the batch twin's
+    // lag/cumulative-break derivation (same 1800 s gap), minus the rollup.
+    "stream_session_counts" ->
+      s"""WITH e AS ($EvCte),
+         |o AS (SELECT event_type, time,
+         |             CASE WHEN time - lag(time) OVER (PARTITION BY event_type ORDER BY time)
+         |                       >= 1800000 THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |sgrp AS (SELECT event_type, time,
+         |                sum(brk) OVER (PARTITION BY event_type ORDER BY time
+         |                               ROWS UNBOUNDED PRECEDING) AS sid
+         |         FROM o)
+         |SELECT min(time) AS sess_start, max(time) + 1800000 AS sess_end, event_type,
+         |       count(*) AS n
          |FROM sgrp GROUP BY event_type, sid
          |ORDER BY event_type, sess_start""".stripMargin,
     // The same lag/cumulative-break derivation as session_counts_by_type,
