@@ -377,9 +377,12 @@ object Text {
   }
 
   /** Corpus-level TF-IDF: sum over documents of tf(term, doc) · ln(N / df(term)),
-    * top `k` terms. Two aggregations: (term, doc) counts then per-term rollup —
-    * both partial-aggregated map-side, so the shuffle carries only distinct
-    * (term, doc) / term keys, never raw tokens.
+    * top `k` terms. Per-document term counts are row-local facts, so the
+    * [[org.apache.spark.sql.graftfns.TermCounts]] kernel folds them inside
+    * the scan (one hash map per document, no explode of raw occurrences) and
+    * the per-term corpus rollup is the plan's ONLY aggregation — its partial
+    * phase carries one row per distinct term per partition. `idCol` is
+    * retained for signature stability; document identity is the row itself.
     */
   def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // Corpus size N for IDF stays INSIDE the plan: a 1-row broadcast
@@ -387,14 +390,12 @@ object Text {
     // scan the corpus at plan-construction time (even if the result is never
     // executed) and a second time at execution.
     val corpusN = df.agg(count(lit(1)).cast("double").as("__n"))
-    val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
     // score(term) = Σ_doc tf · ln(N/df) = ln(N/df) · Σ_doc tf, since df is
     // constant per term — one multiply after the rollup instead of a join.
-    tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+    df.select(explode(org.apache.spark.sql.graftfns.TextFunctions
+        .termCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.term").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tc.tf")).as("tf_sum"))
       .crossJoin(broadcast(corpusN))
       .select(
         col("term"),

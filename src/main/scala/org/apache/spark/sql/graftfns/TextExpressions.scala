@@ -515,6 +515,71 @@ object StopHits {
   }
 }
 
+/** Per-document term frequencies in one pass: the DISTINCT space-separated
+  * tokens of a text (0x20 only, matching [[graft.ops.Text.tokens]]) with
+  * their in-document occurrence counts, as
+  * `array<struct<term string, tf long>>` in first-occurrence order.
+  *
+  * Why a custom Expression: TF-IDF's first aggregation — `explode(tokens)`
+  * → `groupBy(doc, term)` → count — hash-aggregates every token OCCURRENCE
+  * (hundreds per document) just to rediscover row-local facts. A document's
+  * term counts need no cross-row work at all, so this kernel folds them
+  * inside the scan and the per-term corpus rollup becomes the plan's ONLY
+  * aggregation: partial aggregation then carries one row per distinct term
+  * per partition, never one per (doc, term).
+  */
+final case class TermCounts(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = TermCounts.Out
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TermCounts.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graftfns.TermCounts.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  val Out: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val tb = TokenScan.bounds(bytes)
+    // LinkedHashMap for deterministic (first-occurrence) output order; the
+    // UTF8String keys WRAP the shared byte array — no per-token copy.
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](tb.count * 2)
+    var k = 0
+    while (k < tb.count) {
+      val t = UTF8String.fromBytes(bytes, tb.starts(k), tb.ends(k) - tb.starts(k))
+      val cell = m.get(t)
+      if (cell == null) m.put(t, Array(1L)) else cell(0) += 1L
+      k += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Distinct word-n-gram shingle hashes of `text` as `array<long>`. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -552,4 +617,10 @@ object TextFunctions {
   /** Per-language stopword hit counts `(en, es, fr, de)` as `array<long>`. */
   def stopHits(text: Column): Column =
     ExpressionUtils.column(StopHits(ExpressionUtils.expression(text)))
+
+  /** Distinct tokens of `text` with in-document counts
+    * (`array<struct<term, tf>>`, first-occurrence order).
+    */
+  def termCounts(text: Column): Column =
+    ExpressionUtils.column(TermCounts(ExpressionUtils.expression(text)))
 }

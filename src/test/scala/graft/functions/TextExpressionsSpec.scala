@@ -134,6 +134,32 @@ class TextExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("termCounts equals the explode/groupBy tf derivation on edges and the corpus") {
+    def viaKernel(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", explode(TextFunctions.termCounts($"text")).as("tc"))
+      .select($"doc_id", $"tc.term", $"tc.tf")
+    def viaGroupBy(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val edges = Seq(
+      (0L, "a b a c a b"),   // repeats at different multiplicities
+      (1L, ""),              // empty → no rows
+      (2L, "  x   x  "),     // separator runs, duplicate-only doc
+      (3L, "solo")           // single token
+    ).toDF("doc_id", "text")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(setOf(viaKernel(edges)) == setOf(viaGroupBy(edges)))
+    // First-occurrence order within a document is deterministic.
+    val ordered = edges.filter($"doc_id" === 0L)
+      .select(TextFunctions.termCounts($"text").as("tc"))
+      .selectExpr("transform(tc, x -> x.term) AS terms").head().getSeq[String](0)
+    assert(ordered == Seq("a", "b", "c"))
+    // And on the real corpus.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(setOf(viaKernel(corpus)) == setOf(viaGroupBy(corpus)))
+  }
+
   test("dot_product: NULL on length mismatch, matching the zip_with HOF") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), (Seq(1.0, 2.0), Seq(3.0, 4.0)))
       .toDF("a", "b")
