@@ -763,6 +763,61 @@ object SparkEntry {
       base
     })
 
+  /** Upserted + zone-mapped events table, built once per JVM per corpus —
+    * the full manifest LIFECYCLE the storage layer promises at 100 TB in
+    * one artifact: partitioned write, [[graft.ops.Layout.statsManifest]]
+    * over `time`, then ONE [[graft.ops.Layout.upsertPartitioned]] batch
+    * (value edits across the existing partitions + a brand-new `synthetic`
+    * partition) whose writer-side manifest patch keeps the zone maps fresh
+    * with NO manifest rebuild, then [[graft.ops.Layout.verifyManifest]] —
+    * the full-listing fsck — auditing the patched state. A broken
+    * epoch/patch protocol makes the gate ERROR, not skew. Returns
+    * (tablePath, minTime of the original corpus).
+    */
+  private val upsertZonedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def upsertZonedTableFor(s: SparkSession, dir: String): (String, Long) =
+    upsertZonedPaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-upz-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.select(col("event_id").cast("long").as("event_id"),
+        col("time").cast("long").as("time"), col("event_type"), col("value"))
+      e.write.mode("overwrite").partitionBy("event_type").parquet(s"$base/t")
+      Layout.statsManifest(s, s"$base/t", Seq("time"))
+      val edits = e.filter(col("event_id") % 11 === 5)
+        .withColumn("value", col("value") + 1000)
+      val news = e.filter(col("event_id") % 11 === 7)
+        .select((col("event_id") + 10000000L).as("event_id"), col("time"),
+          lit("synthetic").as("event_type"), col("value"))
+      Layout.upsertPartitioned(s, s"$base/t", edits.unionByName(news),
+        keyCols = Seq("event_id"), partitionCol = "event_type")
+      Layout.verifyManifest(s, s"$base/t")
+      val minT = e.agg(min(col("time"))).head().getLong(0)
+      (s"$base/t", minT)
+    })
+
+  /** Manifest-lifecycle gate: zone-map-pruned time-band rollup of the table
+    * AFTER a partition-scoped upsert — the pruned read only answers
+    * correctly if the writer's incremental manifest patch covered both the
+    * edited partitions and the new one (edited rows moved +1000, so a scan
+    * of pre-upsert files shows in `sum_value`; a silently stale manifest
+    * shows as missing rows). The oracle re-derives the post-upsert state
+    * relationally and filters the same band over the FULL table.
+    */
+  private def tableUpsertPruned(s: SparkSession, dir: String): DataFrame = {
+    val (path, minT) = upsertZonedTableFor(s, dir)
+    Layout.prunedParquet(s, path, "time", minT + 5 * Day, minT + 7 * Day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** COW-upsert gate: per-source rollup of the table AFTER the upsert —
     * replaced rows show as `UPDATED:` prefixes (old copies must be gone:
     * n_docs unchanged for edited partitions), new rows as the `srcnew`
@@ -1429,19 +1484,22 @@ object SparkEntry {
     val toks = Text.tokenStats(T(s, dir, "documents")).select(col("n_tokens"))
     def ok(ap: Column, ex: Column): Column =
       abs(ap - ex) <= greatest(lit(2.0), ex * lit(0.05))
+    // Array-form percentiles: ONE exact-percentile buffer and ONE
+    // QuantileSummaries sketch per partial instead of six — the six
+    // independent aggregate buffers (3 sorted-value buffers + 3 sketches,
+    // each built and merged per partition) were this query's whole cost.
     toks.agg(
-      percentile(col("n_tokens"), lit(0.5)).as("__e50"),
-      percentile(col("n_tokens"), lit(0.9)).as("__e90"),
-      percentile(col("n_tokens"), lit(0.99)).as("__e99"),
-      percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("__a50"),
-      percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("__a90"),
-      percentile_approx(col("n_tokens"), lit(0.99), lit(10000)).as("__a99"))
+      percentile(col("n_tokens"), array(lit(0.5), lit(0.9), lit(0.99))).as("__e"),
+      percentile_approx(col("n_tokens"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("__a"))
       .select(
-        round(col("__e50"), 4).as("p50"),
-        round(col("__e90"), 4).as("p90"),
-        round(col("__e99"), 4).as("p99"),
-        (ok(col("__a50"), col("__e50")) && ok(col("__a90"), col("__e90")) &&
-          ok(col("__a99"), col("__e99"))).cast("long").as("within_bound"))
+        round(element_at(col("__e"), 1), 4).as("p50"),
+        round(element_at(col("__e"), 2), 4).as("p90"),
+        round(element_at(col("__e"), 3), 4).as("p99"),
+        (ok(element_at(col("__a"), 1).cast("double"), element_at(col("__e"), 1)) &&
+          ok(element_at(col("__a"), 2).cast("double"), element_at(col("__e"), 2)) &&
+          ok(element_at(col("__a"), 3).cast("double"), element_at(col("__e"), 3)))
+          .cast("long").as("within_bound"))
   }
 
   /** Gap-based sessionization (§2.9's session windows) on the BATCH path:
@@ -2157,6 +2215,7 @@ object SparkEntry {
     "zorder_bucket_stats" -> (zorderBucketStats _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "table_upsert" -> (tableUpsert _),
+    "table_upsert_pruned" -> (tableUpsertPruned _),
     "pruned_time_scan" -> (prunedTimeScan _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
@@ -2798,6 +2857,29 @@ object SparkEntry {
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM e, b WHERE e.time >= b.t0 + ${5 * Day} AND e.time <= b.t0 + ${7 * Day}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The manifest lifecycle's answer: post-upsert state re-derived
+    // relationally (NOT EXISTS batch keys + union batch), then the same
+    // 2-day band over the FULL table — the engine's zone-map-pruned read of
+    // the patched manifest must land on exactly these rows.
+    "table_upsert_pruned" ->
+      s"""WITH e AS ($EvCte),
+         |edits AS (SELECT event_id, time, event_type, value + 1000 AS value
+         |          FROM e WHERE event_id % 11 = 5),
+         |news AS (SELECT event_id + 10000000 AS event_id, time,
+         |                'synthetic' AS event_type, value
+         |         FROM e WHERE event_id % 11 = 7),
+         |batch AS (SELECT * FROM edits UNION ALL SELECT * FROM news),
+         |final AS (
+         |  SELECT p.event_id, p.time, p.event_type, p.value FROM e p
+         |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.event_id = p.event_id)
+         |  UNION ALL SELECT * FROM batch),
+         |mn AS (SELECT min(time) AS t0 FROM e)
+         |SELECT event_type, count(*) AS n,
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
+         |         AS sum_value
+         |FROM final, mn
+         |WHERE final.time >= mn.t0 + ${5 * Day} AND final.time <= mn.t0 + ${7 * Day}
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The upsert's final state re-derived relationally: NOT EXISTS over the
     // batch's keys removes the replaced rows, union appends the batch; the

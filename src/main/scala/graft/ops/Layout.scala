@@ -371,7 +371,10 @@ object Layout {
       .select("file").collect().map(_.getString(0))
     val base =
       if (keep.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
-      else spark.read.parquet(keep.toSeq: _*)
+      // basePath anchors partition discovery at the table root, so a
+      // file-list read of a Hive-partitioned table keeps its partition
+      // columns (a bare file read would silently drop them).
+      else spark.read.option("basePath", tablePath).parquet(keep.toSeq: _*)
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 

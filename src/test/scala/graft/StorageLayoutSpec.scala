@@ -378,8 +378,10 @@ class StorageLayoutSpec extends SparkSpec {
     assert(perFile == 0L, "duplicate file entries after ancestor-dir patch")
     graft.ops.Layout.verifyManifest(spark, s"$dir/t")
     // The patched zones route queries to the rewritten band.
-    val hit = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 100010L, 100030L)
-      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val pr = graft.ops.Layout.prunedParquet(spark, s"$dir/t", "t", 100010L, 100030L)
+    // Partition columns survive the file-list read (basePath-anchored).
+    assert(pr.columns.toSet == Set("id", "t", "band", "bucket"))
+    val hit = pr.select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(hit == Seq(1L, 3L), hit.mkString(", "))
     // Trailing slash would silently match nothing — rejected up front.
     val e = intercept[IllegalArgumentException] {
