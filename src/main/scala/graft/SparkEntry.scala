@@ -769,10 +769,12 @@ object SparkEntry {
     * over `time`, then ONE [[graft.ops.Layout.upsertPartitioned]] batch
     * (value edits across the existing partitions + a brand-new `synthetic`
     * partition) whose writer-side manifest patch keeps the zone maps fresh
-    * with NO manifest rebuild, then [[graft.ops.Layout.verifyManifest]] —
-    * the full-listing fsck — auditing the patched state. A broken
-    * epoch/patch protocol makes the gate ERROR, not skew. Returns
-    * (tablePath, minTime of the original corpus).
+    * with NO manifest rebuild, then [[graft.ops.Layout.compactInPlace]]
+    * folding the upsert's files one-per-partition (which must REBUILD the
+    * manifest — per-file stats cannot survive a rewrite), with
+    * [[graft.ops.Layout.verifyManifest]] — the full-listing fsck — auditing
+    * after each step. A broken epoch/patch protocol makes the gate ERROR,
+    * not skew. Returns (tablePath, minTime of the original corpus).
     */
   private val upsertZonedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
@@ -796,6 +798,12 @@ object SparkEntry {
           lit("synthetic").as("event_type"), col("value"))
       Layout.upsertPartitioned(s, s"$base/t", edits.unionByName(news),
         keyCols = Seq("event_id"), partitionCol = "event_type")
+      Layout.verifyManifest(s, s"$base/t")
+      // The post-trickle step of the same lifecycle: fold the upsert's
+      // accumulated files to one per partition; compaction rewrites every
+      // file, so it must REBUILD the manifest (per-file stats can't survive
+      // a rewrite) — the second fsck audits that too.
+      Layout.compactInPlace(s, s"$base/t", Seq("event_type"))
       Layout.verifyManifest(s, s"$base/t")
       val minT = e.agg(min(col("time"))).head().getLong(0)
       (s"$base/t", minT)
@@ -2116,6 +2124,26 @@ object SparkEntry {
       .select(col("user_id"), round(col("ewma"), 4).as("ewma"), col("n_value"))
       .orderBy(col("user_id"))
 
+  /** §2.5/§2.10 `map(fn)` gate: the reference's per-point Mapper over an
+    * ARBITRARY lambda (uts.ts:562-571) via [[graft.uts.OrderedFold
+    * .mapMetric]] — the stamped-buffer machinery can't be SQL-gated for a
+    * general closure, but a REPRESENTABLE instance (`v.map(_*2)
+    * .getOrElse(-1)`, null-aware like the uts data model) pins everything
+    * around the lambda: per-bin buffering, the (time, event_id) emit order,
+    * and the Option payload encoding. Doubling is exact in IEEE arithmetic,
+    * so the emitted arrays hash-match DuckDB's ordered `list()` bitwise.
+    */
+  private def utsMapFn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir).query(UtsQuery(
+      Seq("vals" -> OrderedFold.mapMetric[Option[Double], Double](
+        "value", v => v.map(_ * 2).getOrElse(-1.0),
+        implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])),
+      group = ColumnGroup(Seq("user_id"))))
+      .select(col("user_id"), col("vals"))
+      .orderBy(col("user_id"))
+  }
+
   /** §1.4 Quirk-replica gate: the reference's fold-from-0 aggregates
     * (uts.ts:592-601, 622-624) — seed 0 floors `max` at ≥ 0 and caps `min`
     * at ≤ 0, and a point MISSING the column poisons the bin to NaN. The
@@ -2201,6 +2229,7 @@ object SparkEntry {
     "uts_retention_daily" -> (utsRetentionDaily _),
     "uts_reduce_fold" -> (utsReduceFold _),
     "uts_quirk_metrics" -> (utsQuirkMetrics _),
+    "uts_map_fn" -> (utsMapFn _),
     "q1_agg" -> (q1Agg _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -2614,6 +2643,14 @@ object SparkEntry {
          |           list(value ORDER BY time, event_id) FILTER (value IS NOT NULL),
          |           (acc, x) -> acc * 0.9 + x), 0.0), 4) AS ewma,
          |       count(value) AS n_value
+         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The Mapper gate's fn (×2, null → -1) is exact in IEEE doubles, so the
+    // ordered arrays compare bitwise; the ORDER BY inside list() is the
+    // emit order being gated.
+    "uts_map_fn" ->
+      s"""WITH p AS ($EvCte)
+         |SELECT user_id,
+         |       list(coalesce(value * 2, -1.0) ORDER BY time, event_id) AS vals
          |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Fold-from-0 quirk replicas: seed clamps max>=0 / min<=0; a bin with a
     // missing value (derived amount, absent on every 97th event) is NaN.
