@@ -138,6 +138,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("tfidf plan has exactly one aggregation exchange (TermCounts folds per-doc counts)") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text")
+    val p = graft.ops.Text.tfidfTopTerms(docs, 5).queryExecution.executedPlan
+    // The per-(doc, term) aggregation is gone: the per-term rollup's shuffle
+    // is the only hash exchange in the plan (corpus-N arrives via a
+    // single-partition global agg + broadcast, and the top-k is a
+    // TakeOrderedAndProject — no extra hash partitioning anywhere). String
+    // match because AQE's executed plan doesn't expose children to collect.
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p.toString).length
+    assert(nShuffles == 1, s"expected 1 hash-partitioning exchange, got $nShuffles:\n$p")
+  }
+
   test("new aggregate queries prune the events scan to used columns") {
     // salted agg reads (event_type, value); sessions read (ts, event_type,
     // value) — neither may drag props/user_id through the shuffle.
