@@ -2124,6 +2124,37 @@ object SparkEntry {
       .select(col("user_id"), round(col("ewma"), 4).as("ewma"), col("n_value"))
       .orderBy(col("user_id"))
 
+  /** §2.1 TSDB-facade gate: the [[graft.uts.UtsDb]] lifecycle in one
+    * artifact — `series(name)` get-or-create (fresh name ⇒ empty series),
+    * a second insert MISSING the value column (absent columns become NULL,
+    * the reference's absent-column data model), a predicate `remove` whose
+    * NULL-predicate rows must be KEPT (uts.ts:297 — the purchase rows'
+    * NULL values make `value > 400` unknown, and unknown ≠ matched), a
+    * rollup query through the facade's retention path (ttl 0 = keep all),
+    * then `destroy`: the rebinding is session-local, so the re-created name
+    * must come back EMPTY, proving the mutations never leaked outside the
+    * registry.
+    */
+  private def utsDbLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val db = new UtsDb(s)
+    val e = ev(s, dir).df
+    db.insert("batch", e.filter(col("event_type").isin("view", "click"))
+      .select(col("time"), col("event_id"), col("event_type"), col("value")))
+    db.insert("batch", e.filter(col("event_type") === "purchase")
+      .select(col("time"), col("event_id"), col("event_type")))
+    db.remove("batch", Seq(Pred.gt("value", 400.0)))
+    val out = db.query("batch", UtsQuery(
+      Seq("n" -> CountM(), "n_value" -> CountM(Some("value")),
+        "sum_value" -> SumM("value")),
+      group = ColumnGroup(Seq("event_type"))))
+    db.destroy()
+    require(db.series("batch").df.isEmpty,
+      "destroy() must drop the binding: a re-created series starts empty")
+    out.select(col("event_type"), col("n"), col("n_value"),
+      round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.5/§2.10 `map(fn)` gate: the reference's per-point Mapper over an
     * ARBITRARY lambda (uts.ts:562-571) via [[graft.uts.OrderedFold
     * .mapMetric]] — the stamped-buffer machinery can't be SQL-gated for a
@@ -2230,6 +2261,7 @@ object SparkEntry {
     "uts_reduce_fold" -> (utsReduceFold _),
     "uts_quirk_metrics" -> (utsQuirkMetrics _),
     "uts_map_fn" -> (utsMapFn _),
+    "uts_db_lifecycle" -> (utsDbLifecycle _),
     "q1_agg" -> (q1Agg _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -2644,6 +2676,21 @@ object SparkEntry {
          |           (acc, x) -> acc * 0.9 + x), 0.0), 4) AS ewma,
          |       count(value) AS n_value
          |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The facade lifecycle's final state: two inserts (the second with NULL
+    // value — the missing column), then remove keeps rows where the
+    // predicate is false OR NULL.
+    "uts_db_lifecycle" ->
+      s"""WITH p AS ($EvCte),
+         |ins AS (
+         |  SELECT time, event_id, event_type, value FROM p
+         |  WHERE event_type IN ('view', 'click')
+         |  UNION ALL
+         |  SELECT time, event_id, event_type, NULL AS value FROM p
+         |  WHERE event_type = 'purchase'),
+         |kept AS (SELECT * FROM ins WHERE NOT coalesce(value > 400.0, false))
+         |SELECT event_type, count(*) AS n, count(value) AS n_value,
+         |       round(coalesce(sum(value), 0), 4) AS sum_value
+         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The Mapper gate's fn (×2, null → -1) is exact in IEEE doubles, so the
     // ordered arrays compare bitwise; the ORDER BY inside list() is the
     // emit order being gated.
