@@ -254,14 +254,18 @@ object Layout {
         d.nonEmpty && !d.startsWith("/") && !d.endsWith("/") && !d.contains("..")),
       s"unsafe relative dirs (no leading/trailing slash, no ..): $relDirs")
     val (fs, _) = fsOf(spark, tablePath)
-    val e = bumpTableEpoch(spark, tablePath)
     import org.apache.hadoop.fs.Path
     val mdir = new Path(s"$tablePath/$ManifestDir")
-    if (!fs.exists(mdir)) return
     val mold = new Path(s"$tablePath/$ManifestDir.__patch_old")
+    // The crash-guard runs BEFORE the missing-manifest early return: a crash
+    // BETWEEN the two swap renames leaves exactly (mold present, mdir gone),
+    // and that state must fail loud here, not read as "no manifest, bump
+    // only".
     require(!fs.exists(mold),
       s"$mold exists — a previous manifest patch crashed mid-swap; inspect and " +
         "rename back (complete pre-patch manifest) or delete it, or re-run statsManifest")
+    val e = bumpTableEpoch(spark, tablePath)
+    if (!fs.exists(mdir)) return
     val manifest = spark.read.parquet(mdir.toString)
     val cols = manifest.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     require(cols.nonEmpty, s"manifest at $mdir has no min_/max_ columns")

@@ -388,6 +388,15 @@ class StorageLayoutSpec extends SparkSpec {
       graft.ops.Layout.manifestPatchDirs(spark, s"$dir/t", Seq("band=1/"))
     }
     assert(e.getMessage.contains("unsafe"))
+    // Crash guard: a patch that died BETWEEN the swap renames leaves
+    // (.__patch_old present, _graft_manifest gone) — the next patch must
+    // fail loud, not read it as "no manifest, bump only".
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/t/_graft_manifest"),
+      new org.apache.hadoop.fs.Path(s"$dir/t/_graft_manifest.__patch_old")))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Layout.manifestPatchDirs(spark, s"$dir/t", Seq("band=1"))
+    }
+    assert(e2.getMessage.contains("crashed mid-swap"))
   }
 
   test("partitioned upsert: COW touches only the batch's partitions, keys replaced not duplicated") {
