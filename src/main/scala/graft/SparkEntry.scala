@@ -201,6 +201,49 @@ object SparkEntry {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q4 shape: orders in a window with at least one LATE line item —
+    * a semi-join whose condition is equi (order key) PLUS a correlated
+    * non-equi bound (`l_shipdate > o_orderdate + 60 days`; this corpus has
+    * no commit/receipt dates, so lateness is ship-lag). Catalyst keeps the
+    * equi part as the shuffle key and evaluates the date bound as a join
+    * residual — the EXISTS shape that stays a hash semi-join at 100 TB
+    * (never a nested loop), with both scans pruned by their filters.
+    */
+  private def q4LateOrders(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(T(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q14 shape: promo share of one ship-month's revenue — conditional
+    * aggregation over a BROADCAST dimension join (part is the dim; the fact
+    * scan is pruned to the month before the join). Revenue sums stay exact
+    * decimals on the 2-decimal lattice ([[joinBucketedColocated]]'s
+    * determinism discipline) and the share is left to the reader — a
+    * rounded quotient would sit on the Spark/DuckDB ….5 boundary.
+    */
+  private def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+      .cast("decimal(30,10)")
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(30,10)"))).cast("double"), 2)
+          .as("promo_revenue"),
+        round(sum(rev).cast("double"), 2).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
     * in-plan Bloom bitmap ([[graft.ops.Joins.bloomSemiJoin]]) may pass false
     * positives into the exact semi-join but never drops a match, so the
@@ -2266,6 +2309,8 @@ object SparkEntry {
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q6_revenue" -> (q6Revenue _),
+    "q4_late_orders" -> (q4LateOrders _),
+    "q14_promo_share" -> (q14PromoShare _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -2815,6 +2860,29 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q4 shape: EXISTS with a correlated non-equi lateness bound.
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q14 shape: promo share's two sums as exact decimals on the 2-decimal
+    // lattice; the quotient is left unrounded by design.
+    "q14_promo_share" ->
+      """SELECT
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(round(l_extendedprice * (1 - l_discount), 10) AS DECIMAL(30,10))
+        |        ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE), 2) AS promo_revenue,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 10)
+        |        AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue

@@ -45,6 +45,14 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q4's correlated non-equi EXISTS stays a hash/merge semi-join") {
+    val p = plan("q4_late_orders")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // Equi part keys the join; the ship-lag bound is a join residual.
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("sim_topk_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
