@@ -213,7 +213,14 @@ object SparkEntry {
     T(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      .join(T(s, dir, "lineitem"),
+      // Derived bound, stated explicitly because Catalyst cannot infer it
+      // across the correlated residual: any match has l_shipdate >
+      // o_orderdate + 60d >= window-start + 60d, so the fact scan prunes to
+      // that bound BEFORE the shuffle — the difference between shuffling a
+      // year of lineitem and shuffling all of it at 100 TB. Redundant with
+      // the join condition; cannot change the answer.
+      .join(T(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1996-03-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
         "left_semi")
@@ -761,6 +768,59 @@ object SparkEntry {
   private def prunedTimeScan(s: SparkSession, dir: String): DataFrame = {
     val (path, minT) = zonedTableFor(s, dir)
     Layout.prunedParquet(s, path, "time", minT + 5 * Day, minT + 7 * Day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Z-ordered + zone-mapped events table, built once per JVM per corpus:
+    * [[graft.ops.Layout.clusterByZ]] interleaves (user_id, day-index) into
+    * one Morton key and range-partitions into 16 files, so every file is a
+    * tight RECTANGLE in (user, day) space; [[graft.ops.Layout
+    * .statsManifest]] then records both columns' per-file zones. `minT` (a
+    * one-row scalar, build-time only) anchors the day index. Returns
+    * (tablePath, minTime).
+    */
+  private val zorderTablePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def zorderTableFor(s: SparkSession, dir: String): (String, Long) =
+    zorderTablePaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-zord-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.select(col("event_id").cast("long").as("event_id"),
+        col("time").cast("long").as("time"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+      val minT = e.agg(min(col("time"))).head().getLong(0)
+      Layout.clusterByZ(
+        e.withColumn("day_idx", ((col("time") - lit(minT)) / lit(Day)).cast("long")),
+        "user_id", "day_idx", bits = 11, numPartitions = 16)
+        .drop("day_idx")
+        .write.mode("overwrite").parquet(s"$base/t")
+      Layout.statsManifest(s, s"$base/t", Seq("time", "user_id"))
+      (s"$base/t", minT)
+    })
+
+  /** Z-order × zone-map gate: a (time band ∧ user band) probe answered via
+    * [[graft.ops.Layout.prunedParquetBounds]] — the CONJUNCTION prunes on
+    * both interleaved keys at once (each z-file is a rectangle, so the
+    * bounds multiply their selectivities; a one-key sort would prune on one
+    * and scan for the other — the multi-key scan-heavy-table layout at
+    * 100 TB, SURVEY §2.11). StorageLayoutSpec pins that the 2-D zone filter
+    * keeps strictly fewer files than either 1-D bound; the oracle filters
+    * the full table, so pruning must not change the answer.
+    */
+  private def zorderPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val (path, minT) = zorderTableFor(s, dir)
+    Layout.prunedParquetBounds(s, path, Seq(
+      "time" -> (minT + 5 * Day, minT + 7 * Day),
+      "user_id" -> (100L, 300L)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4).as("sum_value"))
@@ -2323,6 +2383,7 @@ object SparkEntry {
     "table_upsert" -> (tableUpsert _),
     "table_upsert_pruned" -> (tableUpsertPruned _),
     "pruned_time_scan" -> (prunedTimeScan _),
+    "zorder_pruned_scan" -> (zorderPrunedScan _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
     "stats_moments_by_type" -> (statsMomentsByType _),
@@ -3009,6 +3070,17 @@ object SparkEntry {
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
          |FROM e, b WHERE e.time >= b.t0 + ${5 * Day} AND e.time <= b.t0 + ${7 * Day}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 2-D band over the full table: the z-layout + conjunctive zone filter
+    // must land on exactly these rows.
+    "zorder_pruned_scan" ->
+      s"""WITH e AS ($EvCte), b AS (SELECT min(time) AS t0 FROM e)
+         |SELECT event_type, count(*) AS n,
+         |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
+         |         AS sum_value
+         |FROM e, b
+         |WHERE e.time >= b.t0 + ${5 * Day} AND e.time <= b.t0 + ${7 * Day}
+         |  AND e.user_id BETWEEN 100 AND 300
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The manifest lifecycle's answer: post-upsert state re-derived
     // relationally (NOT EXISTS batch keys + union batch), then the same

@@ -360,8 +360,24 @@ object Layout {
       tablePath: String,
       c: String,
       lo: Long,
-      hi: Long): DataFrame = {
+      hi: Long): DataFrame =
+    prunedParquetBounds(spark, tablePath, Seq(c -> (lo, hi)))
+
+  /** Multi-column [[prunedParquet]]: rows satisfying EVERY `(c, (lo, hi))`
+    * bound, scanning only files whose zones overlap ALL of them. This is
+    * the read side of a multi-key layout ([[clusterByZ]]): a z-ordered
+    * table bounds BOTH interleaved coordinates within every file, so
+    * conjunctive bounds MULTIPLY their selectivities — a (key₁ band ∧ key₂
+    * band) probe skips files either single-column check would keep, where
+    * a one-key sort prunes on that key only and a second bound scans
+    * everything. Same epoch staleness contract as [[prunedParquet]].
+    */
+  def prunedParquetBounds(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      bounds: Seq[(String, (Long, Long))]): DataFrame = {
     import org.apache.hadoop.fs.Path
+    require(bounds.nonEmpty, "prunedParquetBounds needs at least one bound")
     val (fs, root) = fsOf(spark, tablePath)
     val te = readLongFile(fs, new Path(root, TableEpochFile))
     val me = readLongFile(fs, new Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"))
@@ -370,16 +386,22 @@ object Layout {
         s"table epoch ${te.getOrElse("absent")} — a write landed since the manifest " +
         "last reconciled (writers bump _graft_epoch and patch via manifestPatchDirs); " +
         "re-run statsManifest, or verifyManifest to audit")
+    val zoneCond = bounds.map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
     val keep = spark.read.parquet(s"$tablePath/$ManifestDir")
-      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .filter(zoneCond)
       .select("file").collect().map(_.getString(0))
+    val exact = bounds.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     val base =
       if (keep.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
       // basePath anchors partition discovery at the table root, so a
       // file-list read of a Hive-partitioned table keeps its partition
       // columns (a bare file read would silently drop them).
       else spark.read.option("basePath", tablePath).parquet(keep.toSeq: _*)
-    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    base.filter(exact)
   }
 
   /** Partition-scoped copy-on-write UPSERT into a parquet table partitioned

@@ -305,6 +305,30 @@ class StorageLayoutSpec extends SparkSpec {
     assert(again == (expected :+ 999L).sorted)
   }
 
+  test("2-D zone pruning on a z-clustered table beats either single-column bound") {
+    val dir = tmpDir()
+    // 32×32 grid, one row per (x, y): z-clustered files are rectangles.
+    val rows = (0L until 1024L).map(i => (i, i % 32, i / 32)).toDF("id", "x", "y")
+    graft.ops.Layout.clusterByZ(rows, "x", "y", bits = 5, numPartitions = 16)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    graft.ops.Layout.statsManifest(spark, s"$dir/t", Seq("x", "y"))
+    def files(b: Seq[(String, (Long, Long))]) =
+      graft.ops.Layout.prunedParquetBounds(spark, s"$dir/t", b).inputFiles.toSet
+    val box = Seq("x" -> (4L, 7L), "y" -> (4L, 7L))
+    val both = files(box)
+    val xOnly = files(box.take(1))
+    val yOnly = files(box.drop(1))
+    assert(both.subsetOf(xOnly) && both.subsetOf(yOnly))
+    assert(both.size < xOnly.size && both.size < yOnly.size,
+      s"2-D ${both.size} vs x ${xOnly.size} / y ${yOnly.size}")
+    // And the answer is exactly the full-scan filter.
+    val got = graft.ops.Layout.prunedParquetBounds(spark, s"$dir/t", box)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = rows.filter(col("x").between(4, 7) && col("y").between(4, 7))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.size == 16)
+  }
+
   test("manifest fsck catches the out-of-band write the fast epoch check cannot see") {
     val dir = tmpDir()
     val rows = (0L until 100L).map(i => (i, i * 10L)).toDF("id", "t")
