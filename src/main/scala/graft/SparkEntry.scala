@@ -228,6 +228,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
 
+  /** TPC-H Q18 shape: large-volume orders — a semi-join against an
+    * AGGREGATED subquery (orders whose total line quantity clears a
+    * threshold), then the order-level rollup and a top-k. The qualifying-key
+    * set is itself an aggregation, so the plan is two partial-aggregated
+    * shuffles on the same key plus `TakeOrderedAndProject` — no global sort,
+    * and the heavy lineitem scan feeds both aggregations column-pruned to
+    * (l_orderkey, l_quantity).
+    */
+  private def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("__q"))
+      .filter(col("__q") > 150)
+      .select(col("l_orderkey").as("__k"))
+    T(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("__k"), "left_semi")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total_price"), col("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q14 shape: promo share of one ship-month's revenue — conditional
     * aggregation over a BROADCAST dimension join (part is the dim; the fact
     * scan is pruned to the month before the join). Revenue sums stay exact
@@ -2371,6 +2396,7 @@ object SparkEntry {
     "q6_revenue" -> (q6Revenue _),
     "q4_late_orders" -> (q4LateOrders _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q18_big_orders" -> (q18BigOrders _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -2931,6 +2957,16 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q18 shape: the qualifying-key set is itself an aggregation (HAVING),
+    // consumed as IN; the order-key tiebreak makes the top-20 deterministic.
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |GROUP BY o_orderkey, o_custkey, o_totalprice
+        |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
     // Q14 shape: promo share's two sums as exact decimals on the 2-decimal
     // lattice; the quotient is left unrounded by design.
     "q14_promo_share" ->
