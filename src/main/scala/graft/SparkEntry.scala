@@ -2455,6 +2455,7 @@ object SparkEntry {
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
+    "pq_adc_topk" -> (pqAdcTopkQ _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -2498,6 +2499,65 @@ object SparkEntry {
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
+
+  /** PQ/ADC gate: [[graft.ops.Similarity.pqAdcTopK]] at (4 blocks × 16
+    * dims, 8 codes) probing vec 0 — codebook training, code assignment,
+    * and the asymmetric-distance lookup sums re-derived block by block in
+    * the oracle.
+    */
+  private def pqAdcTopkQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcTopK(T(s, dir, "embeddings"),
+      m = 4, subDim = 16, k = 8, queryId = 0L, topK = 10)
+
+  /** Squared-L2 via inner products — the exact arithmetic
+    * [[graft.ops.Similarity.pqAdcTopK]] states with the dot kernel. */
+  private def pqSq(a: String, b: String): String =
+    s"list_inner_product($a, $a) - 2*list_inner_product($a, $b) + list_inner_product($b, $b)"
+
+  /** One PQ block's oracle CTEs: seed assignment, one Lloyd round (6-dp
+    * means in position order), final code assignment, ADC lookup row.
+    */
+  private def pqBlockCtes(b: Int): String = {
+    val lo = b * 16 + 1
+    val hi = (b + 1) * 16
+    val ev = s"list_slice(e.v, $lo, $hi)"
+    val sv = s"list_slice(s.sv, $lo, $hi)"
+    val qv = s"list_slice(q.qv, $lo, $hi)"
+    s"""a1_$b AS (
+       |  SELECT vid, code AS c FROM (
+       |    SELECT e.vid, s.code, row_number() OVER (PARTITION BY e.vid
+       |      ORDER BY ${pqSq(ev, sv)}, s.code) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cb_$b AS (
+       |  SELECT c, list(mu ORDER BY pos) AS cv FROM (
+       |    SELECT a.c, ex.pos, round(avg(ex.x), 6) AS mu
+       |    FROM (SELECT vid, unnest(list_slice(v, $lo, $hi)) AS x,
+       |                 generate_subscripts(list_slice(v, $lo, $hi), 1) AS pos FROM e) ex
+       |    JOIN a1_$b a USING (vid) GROUP BY a.c, ex.pos) GROUP BY c),
+       |as_$b AS (
+       |  SELECT vid, c AS c$b FROM (
+       |    SELECT e.vid, cb.c, row_number() OVER (PARTITION BY e.vid
+       |      ORDER BY ${pqSq(ev, "cb.cv")}, cb.c) AS rn
+       |    FROM e, cb_$b cb) WHERE rn = 1),
+       |lut_$b AS (
+       |  SELECT cb.c AS c$b, ${pqSq(qv, "cb.cv")} AS d$b FROM cb_$b cb, q)""".stripMargin
+  }
+
+  private lazy val PqAdcSql: String =
+    s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT rn - 1 AS code, sv FROM (
+       |  SELECT v AS sv, row_number() OVER (
+       |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM e)
+       |  WHERE rn <= 8),
+       |q AS (SELECT v AS qv FROM e WHERE vid = 0),
+       |${(0 until 4).map(pqBlockCtes).mkString(",\n")}
+       |SELECT e.vid AS vec_id, round(d0 + d1 + d2 + d3, 4) AS adc
+       |FROM e JOIN as_0 USING (vid) JOIN as_1 USING (vid)
+       |       JOIN as_2 USING (vid) JOIN as_3 USING (vid)
+       |       JOIN lut_0 USING (c0) JOIN lut_1 USING (c1)
+       |       JOIN lut_2 USING (c2) JOIN lut_3 USING (c3)
+       |WHERE e.vid <> 0
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
 
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
   private val EvCte =
@@ -3575,6 +3635,9 @@ object SparkEntry {
         |                list_cosine_similarity(dq.v, q0.qe)) <= 0.05 AS BIGINT) AS within_bound
         |FROM dq, q0 WHERE dq.vec_id <> 0
         |ORDER BY cosine_q DESC, dq.vec_id LIMIT 10""".stripMargin,
+    // Full PQ re-derivation, block by block (generated CTEs — 4 blocks ×
+    // seed-assign / Lloyd-round / assign / LUT).
+    "pq_adc_topk" -> PqAdcSql,
     "ann_ivf_topk_batch" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),

@@ -1033,4 +1033,80 @@ object Similarity {
       .select(col("v1"), col("v2"), round(cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Product quantization with asymmetric-distance (ADC) probing — the
+    * memory-bound ANN compression path (Jégou, Douze, Schmid 2011; used by
+    * every billion-scale vector index). Each `m·subDim`-dim vector splits
+    * into `m` sub-blocks; a `k`-entry codebook per block (hash-ordered
+    * seeds, one Lloyd refinement, centroid coordinates rounded to 6 dp so
+    * partial-sum order cannot wobble an assignment) turns a stored vector
+    * into `m` small codes — at (m=4, k=8), 64 floats become four 3-bit
+    * codes. A query is answered WITHOUT reconstructing vectors: its exact
+    * sub-vectors score once against each block's k centroids (an m×k
+    * lookup table) and a stored vector's ADC distance is the SUM of its
+    * codes' table entries. Scale shape: codebooks and LUT are tiny
+    * broadcasts; probe-time per-vector work is an m-way broadcast join on
+    * code ids — no embedding arrays move. Distances are squared L2 via the
+    * [[org.apache.spark.sql.graftfns.VectorFunctions.dot]] kernel identity
+    * |a−b|² = aa − 2ab + bb, stated identically in the DuckDB oracle.
+    * Deterministic end-to-end: hash-ordered seeds, (distance, code)
+    * lexicographic assignment ties, (adc, id) result order.
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      queryId: Long,
+      topK: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 2 && topK >= 1,
+      s"bad PQ config: m=$m subDim=$subDim k=$k topK=$topK")
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    def blk(c: Column, b: Int): Column = slice(c, b * subDim + 1, subDim)
+    def sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    // k hash-ordered seed vectors with stable code ids (tiny, broadcast).
+    val hOrd = pmod(col("vid") * lit(2654435761L), lit(4294967296L))
+    val seeds = e.withColumn("__h", hOrd)
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col("vid"))))
+      .filter(col("__rn") <= k)
+      .select((col("__rn") - 1).as("code"), col("v").as("sv"))
+    val perBlock = (0 until m).map { b =>
+      // Seed assignment, then one Lloyd round: per-(code, position) means
+      // rounded to 6 dp, rebuilt into centroid arrays in position order.
+      val a1 = e.crossJoin(broadcast(seeds))
+        .groupBy(col("vid"))
+        .agg(min_by(col("code"),
+          struct(sq(blk(col("v"), b), blk(col("sv"), b)), col("code"))).as("c"))
+      val cb = e.join(a1, "vid")
+        .select(col("c"), posexplode(blk(col("v"), b)))
+        .withColumnRenamed("col", "x")
+        .groupBy(col("c"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .groupBy(col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          p => p.getField("mu")).as("cv"))
+      val assign = e.crossJoin(broadcast(cb))
+        .groupBy(col("vid"))
+        .agg(min_by(col("c"),
+          struct(sq(blk(col("v"), b), col("cv")), col("c"))).as(s"c$b"))
+      val lut = e.filter(col("vid") === queryId).crossJoin(broadcast(cb))
+        .select(col("c").as(s"c$b"), sq(blk(col("v"), b), col("cv")).as(s"d$b"))
+      (assign, lut)
+    }
+    val codes = perBlock.map(_._1).reduce((x, y) => x.join(y, "vid"))
+    val scored = perBlock.zipWithIndex.foldLeft(codes) {
+      case (acc, ((_, lut), b)) => acc.join(broadcast(lut), s"c$b")
+    }
+    scored.filter(col("vid") =!= queryId)
+      .select(col("vid").as(idCol),
+        round((0 until m).map(b => col(s"d$b")).reduce(_ + _), 4).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
 }

@@ -1039,4 +1039,37 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(("BM" + "x" * 58).getBytes) == None)
     assert(Multimodal.decodeBmp(tdBytes.dropRight(1)) == None) // size field ≠ length
   }
+
+  test("PQ/ADC: lossless codebook reproduces exact squared-L2 top-k") {
+    // k = n with per-block-distinct values: seeding hands every vector its
+    // own code and the Lloyd means are singleton averages, so quantization
+    // is lossless and ADC must equal the exact distance |q-v|^2 — here
+    // 2i^2 + 200i^2 = 202i^2 against query vid=0.
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, Array(i.toFloat, i.toFloat, 10f * i, 10f * i))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(vecs, m = 2, subDim = 2, k = 6,
+        queryId = 0L, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 202.0), (2L, 808.0), (3L, 1818.0)))
+  }
+
+  test("PQ/ADC: lossy codebook still ranks the query's own cluster first") {
+    // Two tight clusters around (0,0,0,0) and (100,100,100,100) with k=2
+    // codes per block: every vector collapses to its cluster centroid, so
+    // ADC ranks all same-cluster vectors (adc = |q - near centroid|^2,
+    // identical and small) ahead of the far cluster.
+    val vecs = Seq(
+      0L -> Array(0f, 0f, 0f, 0f), 1L -> Array(1f, 0f, 0f, 1f),
+      2L -> Array(0f, 1f, 1f, 0f), 3L -> Array(100f, 99f, 100f, 101f),
+      4L -> Array(101f, 100f, 99f, 100f), 5L -> Array(99f, 101f, 101f, 99f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(vecs, m = 2, subDim = 2, k = 2,
+        queryId = 0L, topK = 5)
+      .collect().map(_.getLong(0))
+    assert(out.take(2).toSet == Set(1L, 2L) && out.drop(2).toSet == Set(3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopK(vecs, m = 0, subDim = 2, k = 2, queryId = 0L, topK = 5)
+    }
+  }
 }
