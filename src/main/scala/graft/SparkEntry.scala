@@ -1500,6 +1500,15 @@ object SparkEntry {
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ordered.smallResult(Text.qualityScore(T(s, dir, "documents")), "doc_id")
 
+  /** [[graft.ops.Text.lmQualityBands]] self-trained on the corpus — the
+    * CCNet perplexity filter as a gate (unigram LM, add-0.5 smoothing,
+    * exact NLL tertile banding).
+    */
+  private def lmQualityBandsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    graft.ops.Ordered.smallResult(Text.lmQualityBands(d, d), "doc_id")
+  }
+
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("lang"), Text.langId(col("text")).as("pred_lang"))
@@ -2459,6 +2468,7 @@ object SparkEntry {
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
+    "lm_quality_bands" -> (lmQualityBandsQ _),
     "text_langid" -> (textLangid _),
     "text_langid_join" -> (textLangidJoin _),
     "text_fingerprint" -> (textFingerprint _),
@@ -3695,6 +3705,26 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio,
          |       round(least(1.0, greatest(0.0, 0.2 + 1.5*sr - 2.0*pr + 0.02*n_tokens)), 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    // Unigram LM re-derived end-to-end: token counts → smoothed NLL per
+    // token (rounded to 6 dp, summed as decimals — aggregation-order
+    // proof) → per-doc mean → quantile_cont tertile banding.
+    "lm_quality_bands" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split(lt, ' '), x -> x <> '')) AS token
+        |        FROM d),
+        |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |pt AS (SELECT doc_id,
+        |         CAST(round(-ln((CAST(cnt AS DOUBLE) + 0.5) / (tot + 0.5*(v + 1.0))), 6)
+        |              AS DECIMAL(20,6)) AS nll6
+        |       FROM tok JOIN lm USING (token), tot),
+        |doc AS (SELECT doc_id, count(*) AS n_tokens,
+        |          round(CAST(sum(nll6) AS DOUBLE) / count(*), 4) AS nll
+        |        FROM pt GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(nll, 1.0/3) AS t1, quantile_cont(nll, 2.0/3) AS t2 FROM doc)
+        |SELECT doc_id, n_tokens, nll,
+        |       CASE WHEN nll <= t1 THEN 'head' WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS band
+        |FROM doc, th ORDER BY doc_id""".stripMargin,
     // The text_quality derivation feeding corpus-level quantile_cont bounds
     // (Spark `percentile` interpolation ≡ quantile_cont — the
     // value_quantiles_by_type equivalence) and an inclusive band filter.

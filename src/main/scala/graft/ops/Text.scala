@@ -318,6 +318,58 @@ object Text {
       .select(col(idCol), col("quality"))
   }
 
+  /** Unigram-LM document scoring — the perplexity quality filter of web
+    * pretraining pipelines (Wenzek et al. 2020, "CCNet": rank crawl text by
+    * LM perplexity and keep the head/middle). A token→count table trained
+    * on `refDf` (add-`alpha` smoothing over the reference vocabulary)
+    * scores every document of `df` by its mean token negative
+    * log-likelihood, and the corpus is banded head/middle/tail at exact
+    * NLL tertiles. Scale shape: the LM join is an equality SHUFFLE on
+    * token — the vocabulary is never broadcast or collected (web-scale
+    * vocabularies are shuffle-sized, not driver-sized); the smoothing
+    * denominator rides as a broadcast 1-row frame; tertile thresholds stay
+    * in-plan via the same holistic `percentile` ≡ `quantile_cont`
+    * equivalence the `value_quantiles_by_type` gate proves (swap
+    * `percentile_approx` in at 100 TB at one line's change). Determinism:
+    * per-token NLLs are rounded to 6 dp and summed as decimals, so the
+    * per-doc mean cannot wobble with aggregation order. Token-less
+    * documents drop out with the explode, by contract. Reference tokens
+    * unseen at scoring time (when `refDf` ≠ `df`) take the `alpha`
+    * numerator.
+    */
+  def lmQualityBands(
+      df: DataFrame,
+      refDf: DataFrame,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    def toks(d: DataFrame) =
+      d.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    val lm = toks(refDf).groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+    val tot = lm.agg(sum(col("__cnt")).cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__v"))
+    val perTok = toks(df)
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        round(-log((coalesce(col("__cnt"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("__tot") + lit(alpha) * (col("__v") + lit(1.0)))), 6)
+          .cast("decimal(20,6)").as("__nll6"))
+    val docs = perTok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__nll6")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("nll"))
+    val th = docs.agg(
+      percentile(col("nll"), lit(1.0 / 3)).as("__t1"),
+      percentile(col("nll"), lit(2.0 / 3)).as("__t2"))
+    docs.crossJoin(broadcast(th))
+      .select(col(idCol), col("n_tokens"), col("nll"),
+        when(col("nll") <= col("__t1"), lit("head"))
+          .when(col("nll") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup /
     * provenance key. md5 is available verbatim in the oracle engine, making
     * this the one hash the DuckDB gate can check.

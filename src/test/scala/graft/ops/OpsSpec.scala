@@ -1040,6 +1040,29 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(tdBytes.dropRight(1)) == None) // size field ≠ length
   }
 
+  test("unigram-LM NLL bands: hand formula, unseen-token smoothing, tertiles") {
+    // ref counts: a=3 b=2 c=1, tot=6, v=3; smoothed denom = 6 + 0.5*(3+1).
+    val ref = Seq((0L, "a a b"), (1L, "b c"), (2L, "a")).toDF("doc_id", "text")
+    def nllTok(cnt: Long): BigDecimal =
+      BigDecimal(-math.log((cnt + 0.5) / (6.0 + 0.5 * 4.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def nllDoc(cnts: Seq[Long]): Double =
+      (BigDecimal(cnts.map(nllTok).sum.toDouble / cnts.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).toDouble
+    val out = Text.lmQualityBands(ref, ref).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (0L, 3L, nllDoc(Seq(3, 3, 2))), (1L, 2L, nllDoc(Seq(2, 1))),
+      (2L, 1L, nllDoc(Seq(3)))))
+    // Three distinct NLLs → exactly one doc per tertile band, in NLL order.
+    assert(out.sortBy(_._3).map(_._4).toSeq == Seq("head", "middle", "tail"))
+    // A token the reference never saw takes the alpha numerator (cnt=0).
+    val unseen = Text.lmQualityBands(Seq((9L, "zz")).toDF("doc_id", "text"), ref)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(unseen.toSeq == Seq((9L, nllDoc(Seq(0)))))
+  }
+
   test("PQ/ADC: lossless codebook reproduces exact squared-L2 top-k") {
     // k = n with per-block-distinct values: seeding hands every vector its
     // own code and the Lloyd means are singleton averages, so quantization
