@@ -2465,6 +2465,7 @@ object SparkEntry {
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
+    "ann_ivfpq_topk" -> (ivfPqTopkQ _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -2552,6 +2553,66 @@ object SparkEntry {
        |lut_$b AS (
        |  SELECT cb.c AS c$b, ${pqSq(qv, "cb.cv")} AS d$b FROM cb_$b cb, q)""".stripMargin
   }
+
+  /** IVF+PQ gate: [[graft.ops.Similarity.ivfPqTopK]] — 8 coarse k-means
+    * clusters (2 Lloyd rounds, the KMeans8 discipline), nprobe=2 routing,
+    * global 4×16-dim/8-code PQ, ADC ranking restricted to the probed
+    * inverted lists.
+    */
+  private def ivfPqTopkQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(T(s, dir, "embeddings"),
+      kClusters = 8, rounds = 2, nprobe = 2,
+      m = 4, subDim = 16, kCodes = 8, queryId = 0L, topK = 10)
+
+  /** The vid-keyed k-means-8 coarse-routing CTEs for [[IvfPqSql]] — the
+    * [[KMeans8Ctes]] derivation re-expressed over the PQ oracle's `e(vid,
+    * v)` base so both quantizers share one scan CTE.
+    */
+  private val KMeansVidCtes: String =
+    """ex AS (SELECT vid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+      |kseeds AS (SELECT vid AS cl, v AS cvec FROM e
+      |           ORDER BY (vid * 2654435761) % 4294967296, vid LIMIT 8),
+      |ka1 AS (SELECT vid, arg_max(cl, cs) AS cl FROM
+      |          (SELECT e.vid, s.cl, list_cosine_similarity(e.v, s.cvec) AS cs
+      |           FROM e, kseeds s) GROUP BY vid),
+      |kc1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+      |          (SELECT ka1.cl, ex.pos, avg(ex.x) AS m
+      |           FROM ex JOIN ka1 USING (vid) GROUP BY ka1.cl, ex.pos)
+      |        GROUP BY cl),
+      |ka2 AS (SELECT vid, arg_max(cl, cs) AS cl FROM
+      |          (SELECT e.vid, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+      |           FROM e, kc1 c) GROUP BY vid),
+      |kc2 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM
+      |          (SELECT ka2.cl, ex.pos, avg(ex.x) AS m
+      |           FROM ex JOIN ka2 USING (vid) GROUP BY ka2.cl, ex.pos)
+      |        GROUP BY cl),
+      |kassign AS (SELECT vid, arg_max(cl, cs) AS cluster FROM
+      |              (SELECT e.vid, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
+      |               FROM e, kc2 c) GROUP BY vid),
+      |probes AS (SELECT cl AS cluster FROM kc2, q
+      |           ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 2)""".stripMargin
+
+  /** IVF+PQ re-derived whole: coarse k-means routing (top-2 probe lists by
+    * query cosine) restricting the same block-by-block PQ/ADC ranking the
+    * `pq_adc_topk` oracle states.
+    */
+  private lazy val IvfPqSql: String =
+    s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vid = 0),
+       |$KMeansVidCtes,
+       |seeds AS (SELECT rn - 1 AS code, sv FROM (
+       |  SELECT v AS sv, row_number() OVER (
+       |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM e)
+       |  WHERE rn <= 8),
+       |${(0 until 4).map(pqBlockCtes).mkString(",\n")}
+       |SELECT e.vid AS vec_id, round(d0 + d1 + d2 + d3, 4) AS adc
+       |FROM e JOIN kassign USING (vid) JOIN probes USING (cluster)
+       |       JOIN as_0 USING (vid) JOIN as_1 USING (vid)
+       |       JOIN as_2 USING (vid) JOIN as_3 USING (vid)
+       |       JOIN lut_0 USING (c0) JOIN lut_1 USING (c1)
+       |       JOIN lut_2 USING (c2) JOIN lut_3 USING (c3)
+       |WHERE e.vid <> 0
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
 
   private lazy val PqAdcSql: String =
     s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3648,6 +3709,9 @@ object SparkEntry {
     // Full PQ re-derivation, block by block (generated CTEs — 4 blocks ×
     // seed-assign / Lloyd-round / assign / LUT).
     "pq_adc_topk" -> PqAdcSql,
+    // Coarse k-means routing over the PQ oracle's own CTEs — the IVFPQ
+    // composition re-derived end-to-end.
+    "ann_ivfpq_topk" -> IvfPqSql,
     "ann_ivf_topk_batch" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),

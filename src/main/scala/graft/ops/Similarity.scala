@@ -1063,10 +1063,26 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 2 && topK >= 1,
       s"bad PQ config: m=$m subDim=$subDim k=$k topK=$topK")
-    import org.apache.spark.sql.expressions.Window
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
+    pqAdcRank(e, pqBlocks(e, m, subDim, k, queryId), m, queryId)
+      .withColumnRenamed("vid", idCol)
+      .limit(topK)
+  }
+
+  /** Per-block PQ codebook machinery shared by [[pqAdcTopK]] and
+    * [[ivfPqTopK]]: for each of the `m` blocks, (code assignments `(vid,
+    * c<b>)`, the query's ADC lookup row `(c<b>, d<b>)`). `e` must be the
+    * canonical `(vid: long, v: array<double>)` frame.
+    */
+  private def pqBlocks(
+      e: DataFrame,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      queryId: Long): Seq[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
     def blk(c: Column, b: Int): Column = slice(c, b * subDim + 1, subDim)
     def sq(a: Column, b: Column): Column =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
@@ -1076,7 +1092,7 @@ object Similarity {
       .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col("vid"))))
       .filter(col("__rn") <= k)
       .select((col("__rn") - 1).as("code"), col("v").as("sv"))
-    val perBlock = (0 until m).map { b =>
+    (0 until m).map { b =>
       // Seed assignment, then one Lloyd round: per-(code, position) means
       // rounded to 6 dp, rebuilt into centroid arrays in position order.
       val a1 = e.crossJoin(broadcast(seeds))
@@ -1099,14 +1115,79 @@ object Similarity {
         .select(col("c").as(s"c$b"), sq(blk(col("v"), b), col("cv")).as(s"d$b"))
       (assign, lut)
     }
+  }
+
+  /** ADC ranking tail shared by the PQ paths: join the `m` code columns,
+    * fold in the broadcast LUT rows, exclude the query, order by (adc,
+    * vid). `base` defaults to the full code table; [[ivfPqTopK]] passes a
+    * cluster-restricted candidate frame instead.
+    */
+  private def pqAdcRank(
+      e: DataFrame,
+      perBlock: Seq[(DataFrame, DataFrame)],
+      m: Int,
+      queryId: Long,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val codes = perBlock.map(_._1).reduce((x, y) => x.join(y, "vid"))
-    val scored = perBlock.zipWithIndex.foldLeft(codes) {
+    val base = candidates.map(c => codes.join(c, "vid")).getOrElse(codes)
+    val scored = perBlock.zipWithIndex.foldLeft(base) {
       case (acc, ((_, lut), b)) => acc.join(broadcast(lut), s"c$b")
     }
     scored.filter(col("vid") =!= queryId)
-      .select(col("vid").as(idCol),
+      .select(col("vid"),
         round((0 until m).map(b => col(s"d$b")).reduce(_ + _), 4).as("adc"))
-      .orderBy(col("adc"), col(idCol))
+      .orderBy(col("adc"), col("vid"))
+  }
+
+  /** IVF+PQ — the billion-scale composition (FAISS `IVFPQ`, Jégou et al.
+    * 2011, here the `by_residual=false` variant: one GLOBAL codebook set,
+    * codes quantize raw vectors, so coarse routing and compression stay
+    * independently auditable): k-means coarse clusters route the query to
+    * its `nprobe` nearest inverted lists, and ONLY vectors on those lists
+    * are ranked — by PQ/ADC lookup sums, never by touching embeddings.
+    * Composes [[centroidsKMeans]] (routing, broadcast centroid table) with
+    * [[pqBlocks]] (compression, broadcast codebooks + LUT). Scale shape:
+    * at 100 TB the code table is the persisted index (a parquet table
+    * partitioned by cluster, exactly [[ivfBuild]]'s layout with `m` small
+    * ints per row instead of the embedding array — a ~`4·subDim/log2(k)`×
+    * smaller probe-side scan); the candidate restriction here is the same
+    * partition-pruned read, expressed as a broadcast semi-join on the
+    * probe list. Both approximations (coarse quantization's recall loss,
+    * PQ's distance distortion) are pinned by the oracle, which re-derives
+    * routing and codebooks end-to-end.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      kClusters: Int,
+      rounds: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      kCodes: Int,
+      queryId: Long,
+      topK: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kClusters >= 1 && rounds >= 0 && nprobe >= 1,
+      s"bad IVF config: kClusters=$kClusters rounds=$rounds nprobe=$nprobe")
+    require(m >= 1 && subDim >= 1 && kCodes >= 2 && topK >= 1,
+      s"bad PQ config: m=$m subDim=$subDim k=$kCodes topK=$topK")
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val cents = centroidsKMeans(e, kClusters, rounds, "vid", "v")
+    val assigned = assignClusters(e, cents, "vid", "v")
+      .select(col("vid"), col("cluster"))
+    val q = e.filter(col("vid") === queryId).select(col("v").as("__q"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cl").as("cluster"), cosine(col("cvec"), col("__q")).as("cs"))
+      .orderBy(col("cs").desc, col("cluster"))
+      .limit(nprobe)
+      .select(col("cluster"))
+    val candidates = assigned.join(broadcast(probes), "cluster").select(col("vid"))
+    pqAdcRank(e, pqBlocks(e, m, subDim, kCodes, queryId), m, queryId,
+        candidates = Some(candidates))
+      .withColumnRenamed("vid", idCol)
       .limit(topK)
   }
 }

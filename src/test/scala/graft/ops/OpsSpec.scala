@@ -1095,4 +1095,31 @@ class OpsSpec extends SparkSpec {
       Similarity.pqAdcTopK(vecs, m = 0, subDim = 2, k = 2, queryId = 0L, topK = 5)
     }
   }
+
+  test("IVF+PQ: one coarse cluster degrades to plain PQ/ADC") {
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, Array(i.toFloat + 1f, i.toFloat, 10f * i, 10f * i + 1f))
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.pqAdcTopK(vecs, m = 2, subDim = 2, k = 6,
+      queryId = 0L, topK = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ivf = Similarity.ivfPqTopK(vecs, kClusters = 1, rounds = 2, nprobe = 1,
+      m = 2, subDim = 2, kCodes = 6, queryId = 0L, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == plain.toSeq && plain.nonEmpty)
+  }
+
+  test("IVF+PQ: nprobe=1 restricts ranking to the query's inverted list") {
+    // Two tight cosine-separated clusters; hash order seeds one k-means
+    // centroid in each (vids 0 and 5 lead the Knuth order). The far
+    // cluster must not appear even though topK asks for 5.
+    val vecs = Seq(
+      0L -> Array(1f, 1f, 1f, 1f), 1L -> Array(2f, 1f, 1f, 2f),
+      2L -> Array(1f, 2f, 2f, 1f), 3L -> Array(100f, -99f, 100f, -101f),
+      4L -> Array(101f, -100f, 99f, -100f), 5L -> Array(99f, -101f, 101f, -99f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(vecs, kClusters = 2, rounds = 2, nprobe = 1,
+      m = 2, subDim = 2, kCodes = 2, queryId = 0L, topK = 5)
+      .collect().map(_.getLong(0))
+    assert(out.toSet == Set(1L, 2L))
+  }
 }
