@@ -276,6 +276,61 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10 shape: returned-item losses per customer — the fact scan
+    * prunes to flag `R` and one order quarter before any join, orders and
+    * customer shuffle on their keys (customer is NOT broadcast: it scales
+    * with the fact table at 100 TB, unlike nation, which rides broadcast),
+    * and the result is a top-20 on aggregated revenue —
+    * `TakeOrderedAndProject`, never a global sort. Revenue follows q14's
+    * exact decimal-lattice discipline.
+    */
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+      .cast("decimal(30,10)")
+    T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(T(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      // Round IN DECIMAL SPACE before the double cast: one sf0.01 group
+      // sums to exactly ….595, where double-then-round disagrees across
+      // engines but decimal HALF_UP does not.
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19 shape: an OR-of-ANDs over mixed fact/dim predicates. The
+    * per-side SUPERSET bounds are stated explicitly (q4's derived-bound
+    * discipline — Catalyst does not factor disjunctions across a join):
+    * the dim pre-filter (brand ∈ set, size ≤ 15) shrinks the broadcast and
+    * the quantity band `[1, 30]` prunes the fact scan before the join;
+    * both are redundant with the join residual and cannot change rows.
+    */
+  private def q19BrandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+      .cast("decimal(30,10)")
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    T(s, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(T(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size").between(1, 15))),
+        col("l_partkey") === col("p_partkey") && disj)
+      .agg(round(sum(rev).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
     * in-plan Bloom bitmap ([[graft.ops.Joins.bloomSemiJoin]]) may pass false
     * positives into the exact semi-join but never drops a match, so the
@@ -2406,6 +2461,8 @@ object SparkEntry {
     "q4_late_orders" -> (q4LateOrders _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_big_orders" -> (q18BigOrders _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q19_brand_revenue" -> (q19BrandRevenue _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -3111,6 +3168,26 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 10)
+        |             AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_brand_revenue" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 10)
+        |             AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue

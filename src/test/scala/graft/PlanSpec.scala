@@ -58,6 +58,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
     val q3 = plan("q3_topk_revenue")
     assert(q3.contains("TakeOrderedAndProject"), q3.take(1500))
+    val q10 = plan("q10_returned_items")
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(1500))
+  }
+
+  test("q19's OR-of-ANDs: dim broadcast, superset bounds pushed to both scans") {
+    val p = plan("q19_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // The derived superset bounds reach BOTH scans' pushed filters (read
+    // from scan metadata — the plan string truncates the list). Catalyst
+    // even factors the per-side disjunctions out of the OR itself.
+    val root = SparkEntry.queries("q19_brand_revenue")(spark, dir)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case x => x
+      }
+    val pushedByTable = root.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.schema.fieldNames.head -> f.metadata("PushedFilters")
+    }.toMap
+    val fact = pushedByTable("l_partkey")
+    assert(fact.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      fact.contains("LessThanOrEqual(l_quantity,30.0)"), fact)
+    val dim = pushedByTable("p_partkey")
+    assert(dim.contains("In(p_brand") && dim.contains("LessThanOrEqual(p_size,15)"),
+      dim)
   }
 
   test("simhash is a scalar projection — no aggregate before the band join") {
