@@ -331,6 +331,120 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q13 shape: the customer/order-count DISTRIBUTION — a left OUTER
+    * join (customers with no orders must survive as count 0, so no semi-join
+    * rewrite applies), then two aggregations: orders per customer, then
+    * customers per order-count. The join filter lives in the JOIN CONDITION,
+    * not a WHERE (a post-join filter would delete the NULL rows the outer
+    * join exists to keep — the classic outer-join-filter trap). At 100 TB
+    * both sides scale together: the join shuffles on the customer key, and
+    * the second aggregate's domain (distinct order counts) is tiny, so its
+    * shuffle carries one row per count.
+    */
+  private def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    T(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated scalar
+    * subquery (`l_quantity < 0.2 * avg(l_quantity) over the same part`)
+    * decorrelated into ONE per-key aggregate joined back to the fact: the
+    * per-part threshold is computed once per key on the pruned fact (never
+    * per row), and both the aggregate and the join share the `l_partkey`
+    * shuffle. The brand dim filter broadcasts and prunes the fact FIRST
+    * (partkey determines brand, so the threshold over the pruned set equals
+    * the threshold over the full table — the pruning is semantics-free).
+    * The threshold itself follows the decimal discipline: the per-part sum
+    * is EXACT (decimal), so `0.2 * (sum / n)` is one deterministic double
+    * expression on both engines — no accumulation-order low bits to flip a
+    * boundary row.
+    */
+  private def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pruned = T(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(T(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val th = pruned.groupBy(col("l_partkey").as("__pk"))
+      .agg((lit(0.2) *
+        (sum(col("l_quantity").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)))).as("__threshold"))
+    pruned.join(th, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < col("__threshold"))
+      .agg(round(sum(round(col("l_extendedprice"), 10).cast("decimal(30,10)"))
+          .cast("double"), 2).as("avg_yearly_rev"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q21 shape: EXISTS and NOT EXISTS against the SAME fact table —
+    * suppliers whose returned line was the only return in a multi-supplier
+    * order. Both subqueries become non-equi-residual joins on the order key
+    * (`left_semi` for the EXISTS, `left_anti` for the NOT EXISTS — never a
+    * per-row subquery), sharing one shuffle key, and the `l_suppkey <>`
+    * inequality rides as a join residual. Status prune on orders broadcasts
+    * nothing: orders scales with the fact, so it shuffles too; only the
+    * supplier dim (bounded) broadcasts for the name lookup. Top-k by wait
+    * count is `TakeOrderedAndProject` with the supplier key tiebreak.
+    */
+  private def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+    val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+    val l3 = l1.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+    l1.join(T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("__ok2") === col("l_orderkey") &&
+        col("__sk2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("__ok3") === col("l_orderkey") &&
+        col("__sk3") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(T(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape: a GLOBAL scalar subquery (mean positive balance)
+    * consumed as a one-row broadcast, plus NOT EXISTS as an anti-join —
+    * customers in the target segments with above-average balance and no
+    * orders, rolled up per segment. The scalar aggregate follows the
+    * decimal discipline (exact sum / count, one double division), so the
+    * `>` boundary is bit-identical on both engines; the anti-join shuffles
+    * on the customer key (orders scales with the fact — no broadcast).
+    */
+  private def q22GlobalBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(round(col("c_acctbal"), 10).cast("decimal(30,10)")).cast("double") /
+        count(lit(1))).as("__avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      // The anti side is FILTERED orders (urgent only) — on this corpus every
+      // customer has some order, so the unfiltered Q22 anti-join is vacuously
+      // empty and would gate nothing; the filter keeps the anti-join shape
+      // with a non-trivial surviving set, and it reaches the orders scan.
+      .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(round(col("c_acctbal"), 10).cast("decimal(30,10)"))
+          .cast("double"), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
     * in-plan Bloom bitmap ([[graft.ops.Joins.bloomSemiJoin]]) may pass false
     * positives into the exact semi-join but never drops a match, so the
@@ -2463,6 +2577,10 @@ object SparkEntry {
     "q18_big_orders" -> (q18BigOrders _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q19_brand_revenue" -> (q19BrandRevenue _),
+    "q13_custdist" -> (q13CustDist _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q22_global_balance" -> (q22GlobalBalance _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -3188,6 +3306,60 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // The per-part threshold uses the EXACT decimal sum (one double divide,
+    // no accumulation-order low bits), so the `<` boundary matches Spark's.
+    "q17_small_qty_revenue" ->
+      """WITH pruned AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')),
+        |th AS (
+        |  SELECT l_partkey AS pk,
+        |         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(20,10))) AS DOUBLE)
+        |                / count(*)) AS threshold
+        |  FROM pruned GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(round(l_extendedprice, 10) AS DECIMAL(30,10)))
+        |             AS DOUBLE), 2) AS avg_yearly_rev,
+        |       count(*) AS n_small
+        |FROM pruned JOIN th ON l_partkey = pk
+        |WHERE l_quantity < threshold""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q22_global_balance" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |       round(CAST(sum(CAST(round(c_acctbal, 10) AS DECIMAL(30,10)))
+        |             AS DOUBLE), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  AND c_acctbal > (
+        |    SELECT CAST(sum(CAST(round(c_acctbal, 10) AS DECIMAL(30,10))) AS DOUBLE)
+        |           / count(*)
+        |    FROM customer
+        |    WHERE c_acctbal > 0.0
+        |      AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue

@@ -88,6 +88,46 @@ class PlanSpec extends SparkSpec {
       dim)
   }
 
+  test("q13's outer join keeps the filter in the join condition, q21 keeps " +
+      "semi+anti as hash/merge joins") {
+    val q13 = plan("q13_custdist")
+    // The priority filter must reach the orders scan (join-condition filter
+    // on the preserved side pushes to the null-producing side's scan), and
+    // the join must stay outer — a WHERE would have collapsed it.
+    assert(q13.contains("LeftOuter"), q13.take(2000))
+    assert(q13.contains("1-URGENT"), q13.take(2000))
+    val q21 = plan("q21_waiting_supplier")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(2000))
+    assert(!q21.contains("BroadcastNestedLoopJoin") && !q21.contains("CartesianProduct"),
+      q21.take(2000))
+    assert(q21.contains("TakeOrderedAndProject"), q21.take(2000))
+  }
+
+  test("q17's decorrelated threshold shares the partkey shuffle with the join") {
+    val root = SparkEntry.queries("q17_small_qty_revenue")(spark, dir)
+      .queryExecution.executedPlan
+    val p = root.toString
+    // Brand prune broadcasts; the threshold aggregate and the fact join key
+    // on l_partkey, so at most ONE exchange hashes on l_partkey (the
+    // aggregate reuses it; AQE may reuse the exchange subtree outright).
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val partkeyExchanges = "hashpartitioning\\(l_partkey".r
+      .findAllIn(p).size
+    assert(partkeyExchanges <= 2, s"$partkeyExchanges partkey exchanges:\n" + p.take(3000))
+  }
+
+  test("q22's global scalar is a one-row broadcast, anti-join stays hashed") {
+    val p = plan("q22_global_balance")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // The scalar consumes as a nested-loop CROSS against a ONE-ROW broadcast
+    // (IdentityBroadcastMode) — the correct plan for a global aggregate; the
+    // anti-join itself must never be the nested loop.
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p.take(2000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("LeftAnti")), p.take(2000))
+  }
+
   test("simhash is a scalar projection — no aggregate before the band join") {
     import spark.implicits._
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
