@@ -445,6 +445,25 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** KMV distinct sketch beside the exact count ([[graft.ops.Sketches
+    * .kmvDistinct]]): the sketch's aggregation shuffle carries ≤ k hashes
+    * per group where the exact `count_distinct` carries the full key set —
+    * the 100 TB trade this gate makes auditable by printing both. KMV
+    * (unlike HLL) is a deterministic function of the key set, so the DuckDB
+    * oracle replicates the murmur-finalizer hash in HUGEINT arithmetic and
+    * hash-matches the estimate bit for bit.
+    */
+  private def kmvDistinctCust(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val sk = graft.ops.Sketches.kmvDistinct(o, Seq("o_orderpriority"), "o_custkey", 64)
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    sk.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("est").as("est_distinct"),
+        col("kth"), col("n_buf").cast("long").as("n_buf"), col("exact_distinct"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
     * in-plan Bloom bitmap ([[graft.ops.Joins.bloomSemiJoin]]) may pass false
     * positives into the exact semi-join but never drops a match, so the
@@ -2581,6 +2600,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_global_balance" -> (q22GlobalBalance _),
+    "kmv_distinct_cust" -> (kmvDistinctCust _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -3360,6 +3380,33 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // The murmur3 32-bit finalizer re-derived in HUGEINT arithmetic (mod 2³²
+    // at each step ≡ the Spark side's pmod-after-wrap), then the KMV order
+    // statistics: k smallest distinct hashes, estimate (k-1)·2³²/kth.
+    "kmv_distinct_cust" ->
+      """WITH h1 AS (SELECT DISTINCT o_orderpriority,
+        |                   CAST(o_custkey AS HUGEINT) % 4294967296 AS z1 FROM orders),
+        |h2 AS (SELECT o_orderpriority,
+        |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM h1),
+        |h3 AS (SELECT o_orderpriority,
+        |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM h2),
+        |hashed AS (SELECT DISTINCT o_orderpriority,
+        |                  CAST(xor(z3, z3 // 65536) AS BIGINT) AS hv FROM h3),
+        |ranked AS (SELECT o_orderpriority, hv,
+        |                  row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS r
+        |           FROM hashed),
+        |sk AS (SELECT o_orderpriority,
+        |              max(CASE WHEN r <= 64 THEN hv END) AS kth,
+        |              least(64, count(*)) AS n_buf
+        |       FROM ranked GROUP BY o_orderpriority),
+        |ex AS (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+        |       FROM orders GROUP BY o_orderpriority)
+        |SELECT sk.o_orderpriority,
+        |       CASE WHEN sk.n_buf < 64 THEN CAST(sk.n_buf AS DOUBLE)
+        |            ELSE 63 * 4294967296.0 / sk.kth END AS est_distinct,
+        |       sk.kth, sk.n_buf, ex.exact_distinct
+        |FROM sk JOIN ex USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue

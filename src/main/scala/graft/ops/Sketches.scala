@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for cardinality at 100 TB.
+  *
+  * `approx_count_distinct` (HLL) is the built-in answer; KMV (k-minimum-
+  * values, Bar-Yossef et al. 2002) is kept alongside it because it is
+  * EXACTLY REPRODUCIBLE: the sketch is a deterministic function of the key
+  * set (the k smallest distinct hash values), so two runs — or two engines —
+  * agree bit-for-bit, which makes it both oracle-gateable and auditable
+  * (an HLL register array is neither). The estimator is `(k-1)/U(k)` with
+  * `U(k)` the k-th smallest hash normalized to [0,1).
+  *
+  * Scale contract: the aggregation buffer is a sorted distinct array capped
+  * at k — map-side partial aggregation keeps at most k hashes per group per
+  * partition, merges keep k of the union, so the shuffle carries O(k) per
+  * group regardless of group size; nothing ever buffers the group. That is
+  * the entire point vs an exact `count_distinct`, whose shuffle carries the
+  * full distinct key set.
+  */
+object Sketches {
+
+  /** murmur3's 32-bit finalizer over the low 32 bits of an integral column —
+    * full avalanche (a multiplicative/lattice hash leaves min-order
+    * statistics biased, which a KMV estimator reads directly as cardinality
+    * error). Pure column arithmetic mod 2³², codegen'd end to end. The
+    * 32×32-bit products are split into 16-bit halves (peak value 2⁴⁹) so
+    * nothing overflows a signed Long — ANSI mode makes a wrapped multiply an
+    * ERROR, not a free mod 2⁶⁴ — while the DuckDB oracle replicates the same
+    * lattice in exact HUGEINT arithmetic.
+    */
+  def hash32(c: Column): Column = {
+    val m = lit(4294967296L)
+    // z * k mod 2³² with z < 2³², k < 2³²: ((zHi·k mod 2³²)·2¹⁶ + zLo·k) mod 2³²
+    def mulMod(z: Column, k: Long): Column =
+      pmod(pmod(shiftrightunsigned(z, 16) * lit(k), m) * lit(65536L) +
+        z.bitwiseAND(lit(0xFFFFL)) * lit(k), m)
+    val z1 = pmod(c.cast("long"), m)
+    val z2 = mulMod(z1.bitwiseXOR(shiftrightunsigned(z1, 16)), 2246822507L)
+    val z3 = mulMod(z2.bitwiseXOR(shiftrightunsigned(z2, 13)), 3266489909L)
+    z3.bitwiseXOR(shiftrightunsigned(z3, 16))
+  }
+
+  /** KMV summary: `est` is the cardinality estimate (EXACT — the buffer
+    * size — while fewer than k distinct hashes exist), `kth` the largest
+    * buffered hash (the k-th minimum once saturated), `n_buf` the buffer
+    * fill. */
+  final case class KmvEstimate(est: Double, kth: Long, n_buf: Int)
+
+  /** The KMV aggregator: buffer = sorted distinct array of the k smallest
+    * hashes seen. `reduce` is an O(log k) membership probe plus an O(k)
+    * insert only when the hash beats the current k-th minimum (for a stream
+    * of n values that happens O(k·log n) times, not n); `merge` is a linear
+    * merge of two sorted arrays capped at k. Commutative and associative by
+    * construction — the buffer depends only on the SET of hashes, so the
+    * result is partitioning- and order-invariant (SketchesSpec asserts).
+    */
+  private final class KmvAgg(k: Int)
+    extends Aggregator[Long, Array[Long], KmvEstimate] with Serializable {
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(buf, h)
+      if (i >= 0) buf // present
+      else {
+        val ins = -i - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins >= k) buf // beyond the k-th minimum
+        else {
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        }
+      }
+    }
+
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      if (b1.isEmpty) return b2
+      if (b2.isEmpty) return b1
+      val out = new Array[Long](math.min(k, b1.length + b2.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < b1.length || j < b2.length)) {
+        val take1 = j >= b2.length || (i < b1.length && b1(i) <= b2(j))
+        val v = if (take1) b1(i) else b2(j)
+        if (take1) i += 1 else j += 1
+        // skip duplicates across the two buffers
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    def finish(buf: Array[Long]): KmvEstimate = {
+      val kth = if (buf.isEmpty) 0L else buf(buf.length - 1)
+      val est =
+        if (buf.length < k) buf.length.toDouble // saw < k distinct: exact
+        else (k - 1).toDouble * 4294967296.0 / kth.toDouble
+      KmvEstimate(est, kth, buf.length)
+    }
+
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[KmvEstimate] = Encoders.product[KmvEstimate]
+  }
+
+  /** Distinct-count sketch of `keyCol` per `groupCols` group: one hash
+    * projection, one aggregation whose shuffle carries ≤ k longs per group.
+    * Output: groupCols ++ (`est`, `kth`, `n_buf`).
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val agg = udaf(new KmvAgg(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(hash32(col(keyCol))).as("__kmv"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__kmv.est").as("est"),
+        col("__kmv.kth").as("kth"),
+        col("__kmv.n_buf").as("n_buf")): _*)
+  }
+}
