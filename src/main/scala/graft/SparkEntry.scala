@@ -1688,6 +1688,14 @@ object SparkEntry {
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ordered.smallResult(Text.qualityScore(T(s, dir, "documents")), "doc_id")
 
+  /** [[graft.ops.Text.gopherQuality]] — the named-rule battery; the oracle
+    * replicates every rule (including the row-local top-bigram fold) in
+    * DuckDB list arithmetic, with the RAW metrics in the keep-conjunction
+    * and the rounded ones only in the output.
+    */
+  private def gopherQualityRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(Text.gopherQuality(T(s, dir, "documents")), "doc_id")
+
   /** [[graft.ops.Text.lmQualityBands]] self-trained on the corpus — the
     * CCNet perplexity filter as a gate (unigram LM, add-0.5 smoothing,
     * exact NLL tertile banding).
@@ -2601,6 +2609,7 @@ object SparkEntry {
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_global_balance" -> (q22GlobalBalance _),
     "kmv_distinct_cust" -> (kmvDistinctCust _),
+    "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -3407,6 +3416,33 @@ object SparkEntry {
         |       sk.kth, sk.n_buf, ex.exact_distinct
         |FROM sk JOIN ex USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+    // Every Gopher rule re-derived in list arithmetic; the keep-conjunction
+    // uses the RAW metrics (the rounded columns are display-only, exactly
+    // like the Spark side).
+    "gopher_quality_rules" ->
+      """WITH toks AS (SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |       FROM documents),
+        |m AS (SELECT doc_id, len(ts) AS n,
+        |        coalesce(list_sum(list_transform(ts, t -> len(t))), 0)::DOUBLE
+        |          / greatest(len(ts), 1) AS mwl,
+        |        len(list_intersect(list_distinct(ts),
+        |            ['the','of','and','to','in','is','that','it','a','for'])) AS nstop,
+        |        CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+        |             ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        |        END AS grams
+        |      FROM toks),
+        |r AS (SELECT doc_id, n, mwl, nstop,
+        |        coalesce(list_max(list_transform(list_distinct(grams),
+        |            g -> len(list_filter(grams, x -> x = g)))), 0)::DOUBLE
+        |          / greatest(len(grams), 1) AS tbf
+        |      FROM m)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words, round(mwl, 4) AS mean_word_len,
+        |       CAST(nstop AS BIGINT) AS n_stop_distinct,
+        |       round(tbf, 4) AS top_bigram_frac,
+        |       (n BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |        AND nstop >= 2 AND tbf <= 0.08) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue

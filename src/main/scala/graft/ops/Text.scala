@@ -251,6 +251,62 @@ object Text {
           .otherwise(lit("de")).as("pred_lang"))
   }
 
+  /** Gopher-style RULE battery (Rae et al. 2021, "Scaling Language Models",
+    * table A1) — the hard per-document gates web pretraining pipelines run
+    * BEFORE any model-based scoring: word-count bounds, mean-word-length
+    * band, a minimum of distinct common stopwords, and the repetition rule
+    * (fraction of bigram slots taken by the single most frequent bigram).
+    * Unlike [[qualityScore]]'s soft blend, each rule is a named boolean and
+    * `keep` is their conjunction — the auditable form: a dropped document
+    * tells you WHICH rule fired.
+    *
+    * Scale shape: every rule — including the repetition rule — is computed
+    * ROW-LOCALLY with array higher-order functions over the token array
+    * (the top-bigram count is an O(distinct·n) fold within the row, n ≤ a
+    * document's tokens), so the whole battery is one codegen'd projection
+    * with ZERO shuffles and prunes the scan to (id, text). Thresholds are
+    * Gopher's, except the repetition bound tightened 0.18 → 0.08 for this
+    * corpus's narrow synthetic vocabulary (at 0.18 the rule would never
+    * fire here — an untested rule is a broken rule).
+    */
+  def gopherQuality(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minDistinctStops: Int = 2,
+      maxTopBigramFrac: Double = 0.08): DataFrame = {
+    val ts = tokens(lower(col(textCol)))
+    val n = size(ts)
+    val meanLen = aggregate(ts, lit(0L), (a, t) => a + length(t)).cast("double") /
+      greatest(n, lit(1)).cast("double")
+    val nStops = size(array_intersect(array_distinct(ts),
+      array(StopEn.map(lit): _*)))
+    // sequence(0, n-2) DESCENDS when n < 2 (Spark generates start-to-stop in
+    // either direction) — the guard is load-bearing, not defensive.
+    val grams = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), n - 2),
+        i => concat(get(ts, i), lit(" "), get(ts, i + 1))))
+    val topBigram = coalesce(
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))), lit(0))
+    val topBigramFrac = topBigram.cast("double") /
+      greatest(size(grams), lit(1)).cast("double")
+    df.select(
+      col(idCol),
+      n.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      nStops.cast("long").as("n_stop_distinct"),
+      round(topBigramFrac, 4).as("top_bigram_frac"),
+      (n.between(minWords, maxWords) &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        nStops >= minDistinctStops &&
+        topBigramFrac <= maxTopBigramFrac).as("keep"))
+  }
+
   /** Heuristic quality score in [0, 1] from token count, stopword ratio and
     * punctuation ratio — the standard cheap pre-filter shape for LLM training
     * data. Deterministic arithmetic so the DuckDB oracle reproduces it bit-for

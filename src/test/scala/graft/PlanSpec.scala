@@ -128,6 +128,14 @@ class PlanSpec extends SparkSpec {
       l.contains("BroadcastNestedLoopJoin") && l.contains("LeftAnti")), p.take(2000))
   }
 
+  test("gopher rule battery is one shuffle-free projection over (id, text)") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Text.gopherQuality(df).queryExecution.executedPlan.toString
+    // Even the repetition rule (top-bigram fraction) folds row-locally.
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1500))
+  }
+
   test("simhash is a scalar projection — no aggregate before the band join") {
     import spark.implicits._
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
