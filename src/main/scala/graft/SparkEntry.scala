@@ -987,6 +987,48 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Incrementally-maintained rollup ([[graft.ops.Ivm]]), built once per
+    * JVM per corpus: events split deterministically into a base corpus
+    * (event_id % 5 ≠ 0) and two trickle batches (% 10 = 0, % 10 = 5) that
+    * together cover every event exactly once; the rollup is materialized
+    * from the base partitioned by day, then each batch folds in via
+    * [[graft.ops.Ivm.applyDelta]] — its own tiny aggregation, a read of
+    * ONLY the touched day partitions, and the COW partition swap. The gate
+    * reads the final rollup; the oracle aggregates ALL events directly, so
+    * a delta that double-counts, drops a group, or misses a partition skews
+    * the hash.
+    */
+  private val ivmPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivmRollupFor(s: SparkSession, dir: String): String =
+    ivmPaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-ivm-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.select(
+        col("event_id").cast("long").as("event_id"),
+        floor(col("time") / lit(86400000L)).cast("long").as("day"),
+        col("event_type"), col("value"))
+      val baseRows = e.filter(col("event_id") % 5 =!= 0)
+      val batch1 = e.filter(col("event_id") % 10 === 0)
+      val batch2 = e.filter(col("event_id") % 10 === 5)
+      graft.ops.Ivm.buildRollup(s, baseRows, s"$base/r",
+        partitionCol = "day", groupCols = Seq("event_type"), valueCol = "value")
+      graft.ops.Ivm.applyDelta(s, s"$base/r", batch1,
+        partitionCol = "day", groupCols = Seq("event_type"), valueCol = "value")
+      graft.ops.Ivm.applyDelta(s, s"$base/r", batch2,
+        partitionCol = "day", groupCols = Seq("event_type"), valueCol = "value")
+      s"$base/r"
+    })
+
+  private def ivmRollupAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivm.readAgg(s, ivmRollupFor(s, dir), "day", Seq("event_type"))
+      .orderBy(col("event_type"))
+
   /** Z-ordered + zone-mapped events table, built once per JVM per corpus:
     * [[graft.ops.Layout.clusterByZ]] interleaves (user_id, day-index) into
     * one Morton key and range-partitions into 16 files, so every file is a
@@ -2622,6 +2664,7 @@ object SparkEntry {
     "table_upsert" -> (tableUpsert _),
     "table_upsert_pruned" -> (tableUpsertPruned _),
     "pruned_time_scan" -> (prunedTimeScan _),
+    "ivm_rollup_agg" -> (ivmRollupAgg _),
     "zorder_pruned_scan" -> (zorderPrunedScan _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
@@ -3563,6 +3606,20 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Zone-map pruning must not change the answer — the oracle filters the
     // full events table over the same derived band.
+    // IVM gate: the oracle aggregates the FULL events table directly —
+    // base ∪ batch1 ∪ batch2 is exactly the corpus, so the delta-maintained
+    // rollup must reproduce the one-shot aggregate bit-for-bit (same
+    // round-then-decimal sum lattice as the Spark partials).
+    "ivm_rollup_agg" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT event_type, count(*) AS n_events,
+         |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |         AS sum_value,
+         |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE)
+         |             / count(*), 6) AS avg_value,
+         |       min(value) AS min_value, max(value) AS max_value,
+         |       count(DISTINCT CAST(floor(time / 86400000.0) AS BIGINT)) AS n_partitions
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pruned_time_scan" ->
       s"""WITH e AS ($EvCte), b AS (SELECT min(time) AS t0 FROM e)
          |SELECT event_type, count(*) AS n,
