@@ -1029,6 +1029,51 @@ object SparkEntry {
     graft.ops.Ivm.readAgg(s, ivmRollupFor(s, dir), "day", Seq("event_type"))
       .orderBy(col("event_type"))
 
+  /** Streaming-maintained rollup gate: the SAME rollup contract as
+    * [[ivmRollupAgg]], but the trickle arrives as a STREAM — the corpus's
+    * odd-id half is written as three parquet files and replayed one file
+    * per micro-batch (`AvailableNow` + `maxFilesPerTrigger=1`), each batch
+    * folding in through the ledger-guarded `foreachBatch` maintainer
+    * ([[graft.ops.Ivm.maintainStream]]). The oracle aggregates ALL events
+    * directly, so a dropped micro-batch, a double-applied replay, or any
+    * batch-boundary dependence in the merge skews the hash.
+    */
+  private val ivmStreamPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivmStreamRollupFor(s: SparkSession, dir: String): String =
+    ivmStreamPaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-ivms-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.select(
+        col("event_id").cast("long").as("event_id"),
+        floor(col("time") / lit(86400000L)).cast("long").as("day"),
+        col("event_type"), col("value"))
+      graft.ops.Ivm.buildRollup(s, e.filter(col("event_id") % 2 === 0),
+        s"$base/r", partitionCol = "day", groupCols = Seq("event_type"),
+        valueCol = "value")
+      e.filter(col("event_id") % 2 === 1).repartition(3)
+        .write.parquet(s"$base/src")
+      val schema = e.schema
+      withStateSession(s) { ss =>
+        val src = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        val q = graft.ops.Ivm.maintainStream(src, s"$base/r", s"$base/ckpt",
+          partitionCol = "day", groupCols = Seq("event_type"),
+          valueCol = "value")
+        q.awaitTermination()
+      }
+      s"$base/r"
+    })
+
+  private def streamIvmRollup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivm.readAgg(s, ivmStreamRollupFor(s, dir), "day", Seq("event_type"))
+      .orderBy(col("event_type"))
+
   /** Z-ordered + zone-mapped events table, built once per JVM per corpus:
     * [[graft.ops.Layout.clusterByZ]] interleaves (user_id, day-index) into
     * one Morton key and range-partitions into 16 files, so every file is a
@@ -2665,6 +2710,7 @@ object SparkEntry {
     "table_upsert_pruned" -> (tableUpsertPruned _),
     "pruned_time_scan" -> (prunedTimeScan _),
     "ivm_rollup_agg" -> (ivmRollupAgg _),
+    "stream_ivm_rollup" -> (streamIvmRollup _),
     "zorder_pruned_scan" -> (zorderPrunedScan _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
@@ -2882,6 +2928,21 @@ object SparkEntry {
     "SELECT epoch_ms(ts) AS time, event_id, user_id, event_type, value, props FROM events"
   private val ToksCte =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents"
+
+  /** Shared by the batch and streaming IVM gates: both maintained rollups
+    * must equal the one-shot aggregate of ALL events (same
+    * round-then-decimal sum lattice as the stored partials).
+    */
+  private lazy val IvmRollupOracle =
+    s"""WITH e AS ($EvCte)
+       |SELECT event_type, count(*) AS n_events,
+       |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+       |         AS sum_value,
+       |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE)
+       |             / count(*), 6) AS avg_value,
+       |       min(value) AS min_value, max(value) AS max_value,
+       |       count(DISTINCT CAST(floor(time / 86400000.0) AS BIGINT)) AS n_partitions
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Shared k-means re-derivation (8 Knuth-hash seeds, two Lloyd rounds
     * under cosine, argmax assignment — the `centroidsKMeans(k=8, rounds=2)`
@@ -3610,16 +3671,10 @@ object SparkEntry {
     // base ∪ batch1 ∪ batch2 is exactly the corpus, so the delta-maintained
     // rollup must reproduce the one-shot aggregate bit-for-bit (same
     // round-then-decimal sum lattice as the Spark partials).
-    "ivm_rollup_agg" ->
-      s"""WITH e AS ($EvCte)
-         |SELECT event_type, count(*) AS n_events,
-         |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
-         |         AS sum_value,
-         |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE)
-         |             / count(*), 6) AS avg_value,
-         |       min(value) AS min_value, max(value) AS max_value,
-         |       count(DISTINCT CAST(floor(time / 86400000.0) AS BIGINT)) AS n_partitions
-         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ivm_rollup_agg" -> IvmRollupOracle,
+    // Streaming twin: the micro-batched trickle must land on the identical
+    // one-shot aggregate — batch boundaries are an execution detail.
+    "stream_ivm_rollup" -> IvmRollupOracle,
     "pruned_time_scan" ->
       s"""WITH e AS ($EvCte), b AS (SELECT min(time) AS t0 FROM e)
          |SELECT event_type, count(*) AS n,

@@ -92,6 +92,69 @@ object Ivm {
       keyCols = groupCols, partitionCol = partitionCol)
   }
 
+  private val LedgerFile = "_ivm_last_batch"
+
+  /** [[applyDelta]] guarded by a batch-id LEDGER — the exactly-once
+    * discipline a streaming `foreachBatch` maintainer needs: Structured
+    * Streaming replays the in-flight micro-batch after a restart, and an
+    * unguarded fold would count it twice (additive semantics make
+    * double-apply silent skew, not a crash). The ledger (`_ivm_last_batch`
+    * at the rollup root) records the last APPLIED batch id; a replayed id
+    * is skipped. The ledger write FOLLOWS the partition swap, so the
+    * crash-window cases are: crash mid-swap → the COW crash marker
+    * ([[Layout.upsertPartitioned]]'s `.__upsert_old`) fails the replay loud
+    * for manual repair; crash between swap and ledger write → the replay
+    * re-applies a fully-applied batch, the one window where this degrades
+    * to at-least-once (closing it needs the swap and the ledger in one
+    * atomic commit, i.e. a table format's transaction log). Returns whether
+    * the batch was applied.
+    */
+  def applyDeltaOnce(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      batchId: Long,
+      partitionCol: String,
+      groupCols: Seq[String],
+      valueCol: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, LedgerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = Layout.readLongFile(fs, p)
+    if (last.exists(_ >= batchId)) false
+    else {
+      applyDelta(spark, path, batch, partitionCol, groupCols, valueCol)
+      Layout.writeLongFile(fs, p, batchId)
+      true
+    }
+  }
+
+  /** Continuous maintenance: run `stream` into the rollup at `path`, one
+    * ledger-guarded [[applyDeltaOnce]] per micro-batch — the landing path
+    * that keeps a materialized rollup fresh while the base table ingests.
+    * The caller picks the trigger (AvailableNow for a catch-up replay, a
+    * processing-time trigger for continuous trickle) and owns the returned
+    * query's lifecycle. Single-writer: the same ownership every COW writer
+    * in [[Layout]] requires.
+    */
+  def maintainStream(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      partitionCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDeltaOnce(batch.sparkSession, path, batch, id,
+          partitionCol, groupCols, valueCol): Unit
+      }
+      .start()
+
   /** Read-side finalization: collapse the rollup to per-`groupCols` totals
     * with the derived (non-mergeable) mean computed HERE from the merged
     * partials. The scan reads partials — one row per (partition, group) —

@@ -115,7 +115,7 @@ object Layout {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def readLongFile(
+  private[ops] def readLongFile(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[Long] =
     if (!fs.exists(p)) None
@@ -138,7 +138,7 @@ object Layout {
     * value is deleted first; a reader in that instant sees an ABSENT epoch
     * and fails loud ("absent"), never a truncated number.
     */
-  private def writeLongFile(
+  private[ops] def writeLongFile(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, v: Long): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".__tmp")
