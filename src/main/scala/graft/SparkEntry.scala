@@ -716,6 +716,52 @@ object SparkEntry {
     Dedup.nearDupAgainst(incoming, appendMinhashIndexPath(s, dir), n = 3, threshold = 0.6)
   }
 
+  /** Persisted inverted index per corpus dir, built at most once per JVM
+    * (the [[minhashIndexPath]] discipline). Built over the even-id half,
+    * then the odd half ingests via [[graft.ops.Inverted.append]] — so any
+    * search hit on an odd document is a row that can ONLY come from
+    * appended posting files, and the build+append lifecycle sits inside
+    * both search gates.
+    */
+  private val invertedIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def invertedIndexPath(s: SparkSession, dir: String): String =
+    invertedIndexPaths.computeIfAbsent(dir, { d =>
+      val f = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-inv-idx-p${ProcessHandle.current.pid}-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Inverted.build(docs.filter(col("doc_id") % 2 === 0), f.toString)
+      graft.ops.Inverted.append(docs.filter(col("doc_id") % 2 === 1), f.toString)
+      f.toString
+    })
+
+  /** Conjunctive keyword search off the persisted inverted index
+    * ([[invertedIndexPath]]): docs containing ALL of (spark, join,
+    * window), top-10 by summed term frequency. The probe reads only the
+    * three bucket partitions the terms hash to; the oracle recomputes the
+    * conjunction by scanning the corpus — index-vs-scan equivalence is
+    * the gate.
+    */
+  private def invertedSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Inverted.search(s, invertedIndexPath(s, dir),
+      Seq("spark", "join", "window"), 10)
+
+  /** Per-term df / total-tf statistics straight off the inverted index —
+    * the idf-style planning numbers — including one absent term (`zebra`)
+    * pinning that absence yields NO row, not a zero row.
+    */
+  private def invertedTermStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Inverted.termStats(s, invertedIndexPath(s, dir),
+      Seq("join", "query", "spark", "window", "zebra"))
+
   /** PII scrub over the corpus with PLANTED addresses/numbers (the corpus
     * itself is clean words — the `contamination_check` planting pattern):
     * docs < 50 get an email + a long digit run appended in-query, so the
@@ -2738,6 +2784,8 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_neardup_incremental" -> (dedupNeardupIncremental _),
     "dedup_index_append" -> (dedupIndexAppend _),
+    "inverted_search" -> (invertedSearch _),
+    "inverted_term_stats" -> (invertedTermStats _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_rep" -> (dedupClusterRep _),
@@ -4338,6 +4386,26 @@ object SparkEntry {
          |FROM inter JOIN isizes s1 ON s1.id = new_id JOIN sizes s2 ON s2.id = ref_id
          |WHERE round(i*1.0/(s1.n_sh + s2.n_sh - i), 4) >= 0.6
          |ORDER BY new_id, ref_id""".stripMargin,
+    // Index-vs-scan equivalence: the oracle recomputes the conjunctive
+    // search by scanning the corpus (which IS build-half ∪ appended-half);
+    // a dropped append or a mis-routed bucket loses rows and the hash
+    // diverges.
+    "inverted_search" ->
+      s"""WITH toks AS ($ToksCte),
+         |t AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |c AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+         |m AS (SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS tf_sum
+         |      FROM c GROUP BY doc_id HAVING count(*) = 3)
+         |SELECT doc_id, tf_sum FROM m ORDER BY tf_sum DESC, doc_id LIMIT 10""".stripMargin,
+    "inverted_term_stats" ->
+      s"""WITH toks AS ($ToksCte),
+         |t AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |c AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |      WHERE term IN ('join', 'query', 'spark', 'window', 'zebra')
+         |      GROUP BY doc_id, term)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+         |FROM c GROUP BY term ORDER BY term""".stripMargin,
     "text_langid" -> LangidSql,
     // The broadcast-dictionary-join formulation computes the identical
     // confusion matrix — shared oracle, so the two language-ID plans gate
