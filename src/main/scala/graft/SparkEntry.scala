@@ -1018,6 +1018,53 @@ object SparkEntry {
       (s"$base/t", minT)
     })
 
+  /** User-clustered events table with a per-file BLOOM bitmap on
+    * `event_id` in its zone-map manifest, built once per JVM per corpus:
+    * the layout serves per-user analytics (range-clustered on user_id),
+    * so every file's [min_event_id, max_event_id] zone spans nearly the
+    * whole id domain — a point lookup by event id can only prune through
+    * the bitmap ([[graft.ops.Layout.statsManifest]] `bloomCols`). The
+    * secondary-key needle-in-haystack read at 100 TB, without a second
+    * sort order.
+    */
+  private val bloomTablePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bloomTableFor(s: SparkSession, dir: String): String =
+    bloomTablePaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-bloomt-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.select(col("event_id").cast("long").as("event_id"),
+        col("time").cast("long").as("time"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+      e.repartitionByRange(8, col("user_id"), col("time"))
+        .write.mode("overwrite").parquet(s"$base/t")
+      Layout.statsManifest(s, s"$base/t", Seq("user_id"),
+        bloomCols = Seq("event_id"), bloomBits = 1 << 17)
+      s"$base/t"
+    })
+
+  /** Bloom point-lookup gate: three event-id probes through
+    * [[graft.ops.Layout.prunedParquetPoint]] against the user-clustered
+    * table ([[bloomTableFor]]) — each opens only the file(s) whose bitmap
+    * claims the id. The oracle filters the full events table; pruning
+    * must not change the answer.
+    */
+  private def bloomPointScan(s: SparkSession, dir: String): DataFrame = {
+    val path = bloomTableFor(s, dir)
+    Seq(123L, 456L, 789L)
+      .map(id => Layout.prunedParquetPoint(s, path, "event_id", lit(id)))
+      .reduce(_ unionByName _)
+      .select(col("event_id"), col("time"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Zone-map pruned scan gate: a 2-day band five days into the corpus,
     * answered from ONLY the files whose [min_time, max_time] zone overlaps
     * the band ([[graft.ops.Layout.prunedParquet]]; StorageLayoutSpec pins
@@ -2755,6 +2802,7 @@ object SparkEntry {
     "table_upsert" -> (tableUpsert _),
     "table_upsert_pruned" -> (tableUpsertPruned _),
     "pruned_time_scan" -> (prunedTimeScan _),
+    "bloom_point_scan" -> (bloomPointScan _),
     "ivm_rollup_agg" -> (ivmRollupAgg _),
     "stream_ivm_rollup" -> (streamIvmRollup _),
     "zorder_pruned_scan" -> (zorderPrunedScan _),
@@ -3730,6 +3778,13 @@ object SparkEntry {
          |         AS sum_value
          |FROM e, b WHERE e.time >= b.t0 + ${5 * Day} AND e.time <= b.t0 + ${7 * Day}
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Bloom point lookups: the bitmap-pruned reads must return exactly the
+    // full-scan rows for each probed id (a false positive costs a file
+    // read, never a row; a false negative would drop a row and diverge).
+    "bloom_point_scan" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT event_id, time, user_id, event_type, value
+         |FROM e WHERE event_id IN (123, 456, 789) ORDER BY event_id""".stripMargin,
     // 2-D band over the full table: the z-layout + conjunctive zone filter
     // must land on exactly these rows.
     "zorder_pruned_scan" ->

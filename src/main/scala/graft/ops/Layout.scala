@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout via Morton (Z-order) interleaving.
@@ -198,8 +200,40 @@ object Layout {
   def statsManifest(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Unit =
+    statsManifest(spark, tablePath, cols, Nil)
+
+  /** [[statsManifest]] plus per-file BLOOM FILTERS on `bloomCols` — the
+    * membership statistic min/max zones cannot provide. Zones prune RANGE
+    * predicates on the clustering key; a point lookup by a key the layout
+    * was NOT sorted on (the secondary-key problem: a user-clustered table
+    * probed by event id) finds every file's [min, max] covering the probe
+    * and scans the table. A per-file Bloom bitmap of the column's values
+    * answers "could this file contain v?" for EQUALITY probes: false
+    * positives cost one extra file read (the exact filter still applies),
+    * false negatives cannot happen, so [[prunedParquetPoint]] reads the
+    * handful of files whose bitmap claims the value — at 100 TB, a
+    * needle-in-haystack lookup without maintaining a second sort order.
+    *
+    * Sizing: `bloomBits` per file; false-positive rate ≈
+    * (1 − e^(−k·d/m))^k for d distinct values per file. The 64 KiB default
+    * (2¹⁹ bits, k = 5) holds fp < 1% to ~50k distinct values per file —
+    * size it ~10 bits per expected distinct value. The bitmaps ride IN the
+    * manifest rows (`bloom_<col>` struct of (k, words)), so they inherit
+    * the epoch staleness contract and [[manifestPatchDirs]] maintenance
+    * for free.
+    */
+  def statsManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      bloomCols: Seq[String],
+      bloomBits: Int = 1 << 19,
+      bloomHashes: Int = 5): Unit = {
     require(cols.nonEmpty, "statsManifest needs at least one column")
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    require(bloomHashes >= 1, s"bloomHashes must be >= 1, got $bloomHashes")
     // Epoch is read (or initialized) BEFORE the table scan: a conforming
     // writer that lands between the scan and the stamp bumps past `e`, so
     // the manifest built from pre-write data stamps me < te and prunedParquet
@@ -208,7 +242,7 @@ object Layout {
     val epochP = new org.apache.hadoop.fs.Path(root, TableEpochFile)
     val e = readLongFile(fs, epochP).getOrElse { writeLongFile(fs, epochP, 1L); 1L }
     val df = spark.read.parquet(tablePath)
-    fileStats(df, cols)
+    fileStats(df, cols, bloomCols.map(c => (c, bloomBits, bloomHashes)))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tablePath/$ManifestDir")
     writeLongFile(fs,
@@ -219,13 +253,50 @@ object Layout {
     * (`input_file_name`), `dir` its parent directory (the join key
     * incremental patches drop replaced partitions by).
     */
-  private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def fileStats(df: DataFrame, cols: Seq[String],
+      blooms: Seq[(String, Int, Int)] = Nil): DataFrame = {
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    df.groupBy(input_file_name().as("file"))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      blooms.map { case (c, bits, k) =>
+        udaf(new BloomAgg(bits / 64))
+          .apply(bloomPositions(col(c), bits, k)).as(s"__bw_$c")
+      } :+ count(lit(1)).as("n_rows")
+    val base = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("dir", regexp_replace(col("file"), "/[^/]*$", ""))
+    blooms.foldLeft(base) { case (d, (c, _, k)) =>
+      d.withColumn(s"bloom_$c", struct(lit(k).as("k"), col(s"__bw_$c").as("words")))
+        .drop(s"__bw_$c")
+    }.withColumn("dir", regexp_replace(col("file"), "/[^/]*$", ""))
+  }
+
+  /** The `bloomHashes` bit positions of a value in a `bits`-wide Bloom
+    * bitmap: `xxhash64(v, i) mod bits` for i < k — the [[Joins]] hash
+    * family. NULLs set no bits (SQL `=` is never true for NULL, so a
+    * point probe never looks for one). Type-sensitive like every xxhash64
+    * use: probe literals must match the column's type.
+    */
+  private def bloomPositions(c: Column, bits: Int, k: Int): Column =
+    when(c.isNull, array().cast("array<int>"))
+      .otherwise(array((0 until k).map(i =>
+        pmod(xxhash64(c, lit(i)), lit(bits.toLong)).cast("int")): _*))
+
+  /** OR-accumulating fixed-width bitmap — the per-file Bloom aggregation.
+    * The buffer is `words` longs (`bits / 64`); map-side partial
+    * aggregation ORs within a partition, so the shuffle carries one bitmap
+    * per (file, partition), never per row.
+    */
+  private class BloomAgg(words: Int)
+      extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(buf: Array[Long], positions: Seq[Int]): Array[Long] = {
+      positions.foreach(p => buf(p >>> 6) |= 1L << (p & 63)); buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
   /** Incrementally patch a table's zone-map manifest after a write that
@@ -269,6 +340,24 @@ object Layout {
     val manifest = spark.read.parquet(mdir.toString)
     val cols = manifest.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     require(cols.nonEmpty, s"manifest at $mdir has no min_/max_ columns")
+    // Bloom family parameters ride in the manifest rows themselves
+    // (bloom_<c> = struct(k, words)), so a patch rebuilds the patched
+    // files' bitmaps with the SAME family — mismatched families would make
+    // every point probe a false negative, the silent-miss failure mode.
+    val bloomCols = manifest.columns.filter(_.startsWith("bloom_"))
+      .map(_.stripPrefix("bloom_")).toSeq
+    val blooms: Seq[(String, Int, Int)] =
+      if (bloomCols.isEmpty) Nil
+      else manifest.select(bloomCols.flatMap(c =>
+          Seq(col(s"bloom_$c.k"), size(col(s"bloom_$c.words")))): _*)
+        .head(1).headOption match {
+          case Some(r) =>
+            bloomCols.zipWithIndex.map { case (c, i) =>
+              (c, r.getInt(2 * i + 1) * 64, r.getInt(2 * i)) }
+          case None => throw new IllegalStateException(
+            s"manifest at $mdir has bloom columns (${bloomCols.mkString(", ")}) " +
+              "but no rows to recover the Bloom family from — re-run statsManifest")
+        }
     // The rescan reads each relDir RECURSIVELY, so the drop must match
     // descendants too: with nested partitioning (relDir `band=1`, files in
     // `band=1/bucket=3/`) an immediate-parent-only match would keep the old
@@ -284,7 +373,7 @@ object Layout {
       else {
         val data = spark.read.option("basePath", tablePath)
           .parquet(present.map(d => s"$tablePath/$d"): _*)
-        kept.unionByName(fileStats(data, cols))
+        kept.unionByName(fileStats(data, cols, blooms))
       }
     val tmp = new Path(s"$tablePath/$ManifestDir.__patch_tmp")
     next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -376,16 +465,8 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       bounds: Seq[(String, (Long, Long))]): DataFrame = {
-    import org.apache.hadoop.fs.Path
     require(bounds.nonEmpty, "prunedParquetBounds needs at least one bound")
-    val (fs, root) = fsOf(spark, tablePath)
-    val te = readLongFile(fs, new Path(root, TableEpochFile))
-    val me = readLongFile(fs, new Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"))
-    require(te.isDefined && me.isDefined && me == te,
-      s"stale manifest for $tablePath: manifest epoch ${me.getOrElse("absent")} vs " +
-        s"table epoch ${te.getOrElse("absent")} — a write landed since the manifest " +
-        "last reconciled (writers bump _graft_epoch and patch via manifestPatchDirs); " +
-        "re-run statsManifest, or verifyManifest to audit")
+    requireFreshManifest(spark, tablePath)
     val zoneCond = bounds.map { case (c, (lo, hi)) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
@@ -395,13 +476,79 @@ object Layout {
     val exact = bounds.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    val base =
-      if (keep.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
-      // basePath anchors partition discovery at the table root, so a
-      // file-list read of a Hive-partitioned table keeps its partition
-      // columns (a bare file read would silently drop them).
-      else spark.read.option("basePath", tablePath).parquet(keep.toSeq: _*)
-    base.filter(exact)
+    readFileList(spark, tablePath, keep.toSeq).filter(exact)
+  }
+
+  /** The per-query staleness gate shared by every pruned read: manifest
+    * epoch must equal table epoch or the read fails loud instead of
+    * silently missing files.
+    */
+  private def requireFreshManifest(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsOf(spark, tablePath)
+    val te = readLongFile(fs, new Path(root, TableEpochFile))
+    val me = readLongFile(fs, new Path(s"$tablePath/$ManifestDir/$ManifestEpochFile"))
+    require(te.isDefined && me.isDefined && me == te,
+      s"stale manifest for $tablePath: manifest epoch ${me.getOrElse("absent")} vs " +
+        s"table epoch ${te.getOrElse("absent")} — a write landed since the manifest " +
+        "last reconciled (writers bump _graft_epoch and patch via manifestPatchDirs); " +
+        "re-run statsManifest, or verifyManifest to audit")
+  }
+
+  private def readFileList(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, keep: Seq[String]): DataFrame =
+    if (keep.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
+    // basePath anchors partition discovery at the table root, so a
+    // file-list read of a Hive-partitioned table keeps its partition
+    // columns (a bare file read would silently drop them).
+    else spark.read.option("basePath", tablePath).parquet(keep: _*)
+
+  /** EQUALITY point lookup through the manifest's Bloom bitmaps
+    * ([[statsManifest]]'s `bloomCols`): reads only the files whose bitmap
+    * claims the probe value — plus its min/max zone when the column is
+    * also zone-mapped — then applies the exact `=` filter, so a Bloom
+    * false positive costs one wasted file read and never a wrong row. The
+    * probe's k bit positions come from a one-row local job (the same
+    * bounded routing-state pattern as the IVF probe list); `value` must be
+    * a literal of the COLUMN'S type — xxhash64 is type-sensitive, an INT
+    * probe of a BIGINT column would silently miss every file.
+    * Same epoch staleness contract as [[prunedParquet]].
+    */
+  def prunedParquetPoint(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      c: String,
+      value: Column): DataFrame = {
+    requireFreshManifest(spark, tablePath)
+    val manifest = spark.read.parquet(s"$tablePath/$ManifestDir")
+    require(manifest.columns.contains(s"bloom_$c"),
+      s"manifest for $tablePath has no Bloom filter on '$c' — re-run " +
+        s"statsManifest with bloomCols including '$c'")
+    manifest.select(col(s"bloom_$c.k"), size(col(s"bloom_$c.words")))
+      .head(1).headOption match {
+      case None => spark.read.parquet(tablePath).filter(lit(false))
+      case Some(spec) =>
+        val k = spec.getInt(0)
+        val bits = spec.getInt(1) * 64
+        val positions = spark.range(1)
+          .select(bloomPositions(value, bits, k))
+          .head().getSeq[Int](0)
+        require(positions.nonEmpty,
+          s"prunedParquetPoint probe value for '$c' is NULL — SQL equality " +
+            "never matches NULL; use an IS NULL scan instead")
+        val bitCond = positions.map(p =>
+          element_at(col(s"bloom_$c.words"), p / 64 + 1)
+            .bitwiseAND(lit(1L << (p & 63))) =!= lit(0L)).reduce(_ && _)
+        val zoneCond =
+          if (manifest.columns.contains(s"min_$c"))
+            col(s"max_$c") >= value && col(s"min_$c") <= value
+          else lit(true)
+        val keep = manifest.filter(bitCond && zoneCond)
+          .select("file").collect().map(_.getString(0))
+        readFileList(spark, tablePath, keep.toSeq).filter(col(c) === value)
+    }
   }
 
   /** Partition-scoped copy-on-write UPSERT into a parquet table partitioned
