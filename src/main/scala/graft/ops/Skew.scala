@@ -68,4 +68,47 @@ object Skew {
         aggs.head._2._2(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
         aggs.tail.map { case (n, (_, m)) => m(col(s"__p_$n")).as(n) }: _*)
   }
+
+  /** Skew-proof TOP-K PER GROUP (per-domain document caps, per-key
+    * leaderboards): a plain `row_number().over(partitionBy(keys))` sends a
+    * hot key's every row to ONE task and sorts them there — the same 1 TB
+    * pin [[saltedAgg]] defends against, plus a full sort. Two stages
+    * instead: a local top-k within each (keys, salt) slice, then the real
+    * top-k over the ≤ salt·k survivors per key. Any row in the global
+    * top-k is by definition in its own salt slice's top-k, so the prune
+    * loses nothing; the second window's per-key input is bounded by
+    * salt·k rows regardless of group size.
+    *
+    * `orderBy` must be a TOTAL order (tie-break on a unique column) —
+    * `row_number` over ties is nondeterministic, and the two stages could
+    * break them differently. Salt discipline is [[saltedAgg]]'s: pass
+    * `saltBy = Some(uniqueKeyCol)` when one exists (content-pure,
+    * retry-safe); the seeded-rand fallback requires deterministic
+    * intra-partition input order.
+    */
+  def topKPerGroupSalted(
+      df: DataFrame,
+      keys: Seq[String],
+      orderBy: Seq[Column],
+      k: Int,
+      salt: Int = 8,
+      saltBy: Option[Column] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(orderBy.nonEmpty, "topKPerGroupSalted needs an ordering")
+    require(!df.columns.contains("__salt") && !df.columns.contains("__rn"),
+      "topKPerGroupSalted reserves __salt/__rn column names; rename the input columns")
+    import org.apache.spark.sql.expressions.Window
+    val saltCol = saltBy
+      .map(c => pmod(xxhash64(c), lit(salt)).cast("int"))
+      .getOrElse(floor(rand(0x5417L) * salt).cast("int"))
+    val w1 = Window.partitionBy((keys.map(col) :+ col("__salt")): _*)
+      .orderBy(orderBy: _*)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__salt", saltCol)
+      .withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
+      .drop("__rn")
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= k)
+      .drop("__rn", "__salt")
+  }
 }
