@@ -44,9 +44,9 @@ final case class UtsSeries(
     if (ttlMs == 0L) this // ttl=0 keeps everything (uts.ts:253-255)
     else {
       val cut = nowMs - ttlMs
-      // Redundant raw-ns bound so the retention filter prunes row groups.
+      // Redundant raw bound so the retention filter prunes row groups.
       val pred = rawTimeNs
-        .map(raw => col(timeCol) >= lit(cut) && col(raw) >= lit(cut * 1000000L))
+        .map(raw => col(timeCol) >= lit(cut) && RawTime.ge(df, raw, cut))
         .getOrElse(col(timeCol) >= lit(cut))
       copy(df = df.filter(pred))
     }
@@ -162,32 +162,89 @@ final class UtsDb(
 
 object Tsdb {
   /** Open the driver corpus directory as a database of series. The `events`
-    * table is the canonical uts-shaped series: `ts` (timestamp) becomes the
-    * reference's epoch-ms `time` column via `unix_millis` at this single
-    * boundary (SURVEY.md §7.3#5); `event_id` is the insertion-order tiebreak.
+    * table is the canonical uts-shaped series: `ts` becomes the reference's
+    * epoch-ms `time` column at this single boundary (SURVEY.md §7.3#5);
+    * `event_id` is the insertion-order tiebreak.
     *
-    * Scale note: filter on the native `ts` column BEFORE wide time-range
-    * queries when possible — predicates on the derived ms column do not reach
-    * the parquet scan, ones on `ts` do.
+    * `ts` is kept PHYSICAL (its stored type varies by corpus generation —
+    * epoch-ns Long, TIMESTAMP_NTZ, or TIMESTAMP; see [[normalizeTs]]) so the
+    * redundant raw-time predicates [[UtsCompiler]] and [[UtsSeries.retain]]
+    * emit compare a bare stored column against a literal of ITS OWN type —
+    * the only shape parquet row-group pruning accepts. A predicate on the
+    * derived ms column never reaches the scan; one on `ts` does.
     */
-  def events(spark: SparkSession, dir: String): UtsSeries =
+  def events(spark: SparkSession, dir: String): UtsSeries = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types._
+    val timeExpr = raw.schema("ts").dataType match {
+      // Integer `div`, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+      // exact range, so float division would corrupt the low-order ms.
+      case LongType => expr("ts div 1000000")
+      // Wall-clock difference against the epoch: timezone-independent, and
+      // truncation-equivalent to DuckDB's epoch_ms on the same naive value.
+      case TimestampNTZType =>
+        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case TimestampType => expr("unix_micros(ts) div 1000")
+      case other => throw new IllegalStateException(
+        s"events corpus column `ts` has unsupported type $other")
+    }
     UtsSeries(
-      eventsRaw(spark, dir)
-        // Integer `div`, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53
-        // exact range, so float division would corrupt the low-order ms.
-        .withColumn("time", expr("ts div 1000000")),
+      raw.withColumn("time", timeExpr),
       timeCol = "time",
       seqCol = Some("event_id"),
       rawTimeNs = Some("ts"))
+  }
 
-  /** `events` with `ts` as a raw epoch-nanosecond Long. The corpus writes
-    * parquet TIMESTAMP(NANOS), which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL])
-    * unless read via the legacy nanos-as-long mode; DuckDB's `epoch_ms(ts)`
-    * truncates identically, keeping the oracle comparable.
+  /** `events` with `ts` normalized to a raw epoch-nanosecond Long, whatever
+    * the corpus generation wrote physically — see [[normalizeTs]]. The legacy
+    * nanos-as-long conf stays set so a TIMESTAMP(NANOS) corpus (which Spark 4
+    * otherwise rejects with [PARQUET_TYPE_ILLEGAL]) reads as the Long this
+    * engine computes on; DuckDB's `epoch_ms(ts)` truncates identically for
+    * every generation, keeping the oracle comparable.
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Physical file schema of the events table — what `readStream` (which
+    * cannot infer) must be given. Distinct from `eventsRaw(...).schema`,
+    * which reflects the POST-normalization Long type.
+    */
+  def eventsPhysicalSchema(
+      spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** Normalize the corpus `ts` column to an epoch-NANOSECOND Long. Corpus
+    * generations differ: some write parquet TIMESTAMP(NANOS) (read as an
+    * epoch-ns Long under the legacy nanos conf), newer ones TIMESTAMP(MICROS)
+    * with `isAdjustedToUTC=false`, which Spark reads as TIMESTAMP_NTZ (or
+    * TIMESTAMP when the writer flagged UTC adjustment). One boundary, three
+    * physical types, one logical contract.
+    *
+    * The NTZ arm is a wall-clock difference against the epoch
+    * (`timestampdiff` on NTZ operands), deliberately timezone-INDEPENDENT —
+    * it matches DuckDB's `epoch_us/epoch_ms`, which read the same naive
+    * value as UTC, on any session timezone. Works on streaming frames too
+    * (pure projection).
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn(tsCol, expr(
+          s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $tsCol) * 1000"))
+      case TimestampType =>
+        df.withColumn(tsCol, unix_micros(col(tsCol)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events corpus column `$tsCol` has unsupported type $other " +
+            "(expected epoch-ns LongType, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

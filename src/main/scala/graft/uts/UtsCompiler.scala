@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * @param timeCol  epoch-millisecond LongType column (the reference's
   *                 reserved `time` column, uts.ts:179-181)
   * @param seqCol   insertion-order tiebreak for order-sensitive metrics
-  * @param rawTimeNs  optional underlying epoch-NANOSECOND column `timeCol` was
-  *                 derived from (`time = rawTimeNs div 1e6`). When set, every
-  *                 time predicate also emits a redundant predicate on the raw
-  *                 column — predicates on the derived column cannot reach the
-  *                 parquet scan, ones on the stored column prune row groups.
-  *                 At 100 TB this is the difference between scanning a day and
+  * @param rawTimeNs  optional underlying STORED time column `timeCol` was
+  *                 derived from — an epoch-ns Long, TIMESTAMP_NTZ, or
+  *                 TIMESTAMP, by corpus generation ([[Tsdb.events]]). When
+  *                 set, every time predicate also emits a redundant predicate
+  *                 on the raw column in ITS OWN type ([[RawTime]]) —
+  *                 predicates on the derived column cannot reach the parquet
+  *                 scan, ones on the stored column prune row groups. At
+  *                 100 TB this is the difference between scanning a day and
   *                 scanning the table.
   */
 final case class UtsQuery(
@@ -30,6 +32,36 @@ final case class UtsQuery(
     timeCol: String = "time",
     seqCol: Option[String] = None,
     rawTimeNs: Option[String] = None)
+
+/** Scan-prunable bounds on the STORED time column, typed to match it: a bare
+  * `column ⋛ literal-of-the-column's-type` is the only comparison shape the
+  * parquet source pushes to row-group stats. Bounds are ms-lattice exact for
+  * every storage type (`time = floor(stored/1ms)`, all corpus values
+  * positive), and NULL-SAFE: a row inserted without the stored column (legal
+  * per the uts absent-column model, uts.ts:187-196) must never be dropped by
+  * a REDUNDANT predicate, so each bound admits nulls and leaves the decision
+  * to the authoritative `time` predicate beside it.
+  */
+private[uts] object RawTime {
+  import org.apache.spark.sql.types._
+  private def ntzLit(ms: Long): Column = lit(java.time.LocalDateTime.ofEpochSecond(
+    Math.floorDiv(ms, 1000L), Math.floorMod(ms, 1000L).toInt * 1000000,
+    java.time.ZoneOffset.UTC))
+  private def typed(df: DataFrame, raw: String, ms: Long): Column =
+    df.schema(raw).dataType match {
+      case LongType => lit(ms * 1000000L)
+      case TimestampNTZType => ntzLit(ms)
+      case TimestampType => lit(java.time.Instant.ofEpochMilli(ms))
+      case other => throw new IllegalStateException(
+        s"stored time column `$raw` has unsupported type $other")
+    }
+  /** `raw >= msInclusive` (as a ms-floor bound), null-admitting. */
+  def ge(df: DataFrame, raw: String, msInclusive: Long): Column =
+    col(raw).isNull || col(raw) >= typed(df, raw, msInclusive)
+  /** `raw < msExclusive` (as a ms-floor bound), null-admitting. */
+  def lt(df: DataFrame, raw: String, msExclusive: Long): Column =
+    col(raw).isNull || col(raw) < typed(df, raw, msExclusive)
+}
 
 object UtsCompiler {
   private val BucketCol = "__uts_bucket"
@@ -42,11 +74,12 @@ object UtsCompiler {
     * test.js:143-154 ordering); [[AnyGroup]] emits a single row of metric
     * columns only (uts.ts:56-58).
     */
-  /** Redundant raw-ns predicates for time-column comparisons, so the scan can
-    * prune row groups (`time = raw div 1e6`, all values non-negative):
-    * time > X ⟺ raw ≥ (X+1)·1e6; time < X ⟺ raw < X·1e6; time = X ⟺ both.
+  /** Redundant raw-column predicates for time-column comparisons, so the scan
+    * can prune row groups (`time = floor(raw/1ms)`, all values non-negative):
+    * time > X ⟺ raw ≥ X+1 ms; time < X ⟺ raw < X ms; time = X ⟺ both.
+    * Typed to the stored column via [[RawTime]].
     */
-  private def rawTimePreds(q: UtsQuery): Seq[Pred] = q.rawTimeNs match {
+  private def rawTimeBounds(df: DataFrame, q: UtsQuery): Seq[Column] = q.rawTimeNs match {
     case None => Nil
     case Some(raw) =>
       def ms(v: Any): Option[Long] = v match {
@@ -57,9 +90,9 @@ object UtsCompiler {
       q.where.filter(_.col == q.timeCol).flatMap { p =>
         ms(p.than).toSeq.flatMap { x =>
           p.cmp match {
-            case Cmp.Gt => Seq(Pred.gt(raw, (x + 1) * 1000000L - 1))
-            case Cmp.Lt => Seq(Pred.lt(raw, x * 1000000L))
-            case Cmp.Eq => Seq(Pred.gt(raw, x * 1000000L - 1), Pred.lt(raw, (x + 1) * 1000000L))
+            case Cmp.Gt => Seq(RawTime.ge(df, raw, x + 1))
+            case Cmp.Lt => Seq(RawTime.lt(df, raw, x))
+            case Cmp.Eq => Seq(RawTime.ge(df, raw, x), RawTime.lt(df, raw, x + 1))
           }
         }
       }
@@ -69,7 +102,8 @@ object UtsCompiler {
     require(q.metrics.nonEmpty, "UtsQuery needs at least one metric")
     val ord = OrderCtx(col(q.timeCol), q.seqCol.map(col).getOrElse(lit(0L)))
     val aggs = q.metrics.map { case (name, m) => m.agg(ord).as(name) }
-    val filtered = df.filter(Pred.conj(q.where ++ rawTimePreds(q)))
+    val filtered = df.filter(
+      rawTimeBounds(df, q).foldLeft(Pred.conj(q.where))(_ && _))
 
     q.group match {
       case AnyGroup =>
@@ -85,9 +119,9 @@ object UtsCompiler {
       case IntervalGroup(width, fill, now) =>
         // Q7: points after `now` are dropped (uts.ts:132-136) — as a set-based
         // filter, so the reference's ascending-order `break` dependence
-        // disappears. The redundant raw-ns bound makes it scan-prunable.
+        // disappears. The redundant raw bound makes it scan-prunable.
         val nowBound = q.rawTimeNs
-          .map(raw => col(q.timeCol) <= lit(now) && col(raw) < lit((now + 1) * 1000000L))
+          .map(raw => col(q.timeCol) <= lit(now) && RawTime.lt(filtered, raw, now + 1))
           .getOrElse(col(q.timeCol) <= lit(now))
         val inRange = filtered.filter(nowBound)
         // End-aligned bucketing (Q6, uts.ts:138): i = floor((now − t) / w).

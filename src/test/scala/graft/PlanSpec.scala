@@ -152,8 +152,12 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // Codegen'd operators print as `*(n) Op` in the finalized plan.
     assert(p.contains("*(") , p.take(1500))
-    // The time bound must reach the parquet scan through the raw ns column.
-    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts"), p.take(3000))
+    // The time bound must reach the parquet scan through the raw stored
+    // column — as a bare GreaterThan on a ns-Long corpus, or inside the
+    // null-admitting Or on a timestamp corpus (RawTime).
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts") ||
+      p.contains("PushedFilters: [IsNotNull(ts), Or(IsNull(ts),GreaterThanOrEqual(ts"),
+      p.take(3000))
   }
 
   test("pair pipelines sort report output in one partition (no resampling range sort)") {

@@ -3,13 +3,14 @@ package graft.uts
 import graft.SparkSpec
 
 /** Raw-time pushdown: queries on the derived ms `time` column must also emit
-  * scan-prunable predicates on the stored ns `ts` column, and the redundant
-  * predicate must not change results.
+  * scan-prunable predicates on the stored `ts` column — whatever type the
+  * corpus generation stored it as (epoch-ns Long or a parquet timestamp) —
+  * and the redundant predicate must not change results.
   */
 class PushdownSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("time predicates reach the parquet scan via the raw ns column") {
+  test("time predicates reach the parquet scan via the raw stored column") {
     val e = Tsdb.events(spark, dir)
     val now = e.df.agg(org.apache.spark.sql.functions.max("time")).head().getLong(0)
     val q = UtsQuery(
@@ -18,7 +19,10 @@ class PushdownSpec extends SparkSpec {
       group = AnyGroup)
     val plan = e.query(q).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters"), plan.take(2000))
-    assert(plan.contains("GreaterThan(ts"), plan.take(2000))
+    // Long corpus pushes GreaterThan(Equal)(ts,…); timestamp corpora push the
+    // same bound as a timestamp literal (possibly inside a null-admitting Or).
+    assert(plan.contains("GreaterThan(ts") || plan.contains("GreaterThanOrEqual(ts"),
+      plan.take(2000))
   }
 
   test("redundant raw predicate does not change results") {
