@@ -445,6 +445,277 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q7 shape: two-nation shipping volume — the SAME dimension table
+    * (nation) joined twice under different roles (supplier's vs customer's),
+    * each a filtered BROADCAST that acts as a pruning semi-join before the
+    * symmetric pair residual. The fact scan prunes to the ship window; the
+    * two bounded dims (supplier, nation) broadcast; orders/customer shuffle
+    * on their keys — at 100 TB only the two fact-scaled joins shuffle.
+    */
+  private def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+      .cast("decimal(30,10)")
+    val pair = Seq("NATION_1", "NATION_2")
+    val suppNat = broadcast(T(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey")))
+    val custNat = broadcast(T(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation")))
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .join(custNat, col("c_nationkey") === col("__cnk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: market share — one nation's slice of a region's promo
+    * volume per order year, as a CONDITIONAL sum beside the total (the
+    * quotient is left to the reader per q14's boundary discipline). The part
+    * filter prunes the fact via a broadcast semi-join before any shuffle;
+    * the region membership rides a second broadcast semi-join on the
+    * customer's nation; both sums share one aggregation.
+    */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+      .cast("decimal(30,10)")
+    val asiaNations = broadcast(T(s, dir, "nation")
+      .join(broadcast(T(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("__ank")))
+    val suppNat = broadcast(T(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey")))
+    T(s, dir, "lineitem")
+      .join(broadcast(T(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(T(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(asiaNations, col("c_nationkey") === col("__ank"), "left_semi")
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_5", rev)
+          .otherwise(lit(0).cast("decimal(30,10)"))), 2).cast("double")
+          .as("nation_volume"),
+        round(sum(rev), 2).cast("double").as("total_volume"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and year. The
+    * corpus has no partsupp, so supply cost is a DETERMINISTIC proxy
+    * (`p_retailprice × quantity × 0.1` — same literal expression on both
+    * engines); what the shape gates is the plan: a name-pattern dim filter
+    * broadcast against the fact, two more key joins, and a two-key rollup.
+    * Profit rounds on the 1e-10 lattice BEFORE the decimal sum, q10's
+    * discipline.
+    */
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val amount = round(
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.1), 10)
+      .cast("decimal(30,10)")
+    val suppNat = broadcast(T(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey")))
+    T(s, dir, "lineitem")
+      .join(broadcast(T(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"),
+        count(lit(1)).as("n"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape: priority-class line counts over a lateness join — the
+    * two-way CASE rollup (urgent/high vs the rest) on lines shipped > 60
+    * days after their order, q4's correlated-residual join with q4's derived
+    * scan bound stated explicitly. Group key adapts to `l_linestatus` (the
+    * corpus has no ship mode); the CASE pair and the residual are the shape.
+    */
+  private def q12PriorityClass(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+          .filter(col("l_shipdate") > lit("1996-03-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate VIEW
+    * consumed twice: once to find its scalar max (a one-row broadcast, q22's
+    * discipline) and once equality-joined against that max. The revenue
+    * rounds to the 2-decimal lattice in decimal space first, so the
+    * max-equality compares identical doubles on both engines. Spark computes
+    * the view once per consumer; at 100 TB both consumers are one shuffle
+    * each on the supplier key.
+    */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+      .cast("decimal(30,10)")
+    val revenue = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(rev), 2).cast("double").as("total_rev"))
+    val mx = revenue.agg(max(col("total_rev")).as("__mx"))
+    revenue.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("__mx"))
+      .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape: supplier COUNT DISTINCT per part attribute triple,
+    * minus excluded suppliers — the supplier-part pair relation derives from
+    * lineitem (the corpus's partsupp analogue: who actually shipped the
+    * part), the exclusion (negative balance, the complaints proxy) rides a
+    * `left_anti` against a bounded set, and the distinct-count shuffles on
+    * the attribute triple after the broadcast part join.
+    */
+  private def q16PartSupplierCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(T(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 14, 20, 25, 36, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(T(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey").as("__excl")),
+        col("l_suppkey") === col("__excl"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** TPC-H Q20 shape: suppliers holding a DOMINANT share of a part's annual
+    * flow — the correlated half-sum (`> 0.5 × total`) decorrelated into two
+    * aggregates over the same pruned fact sharing the part-key shuffle, the
+    * threshold compared in EXACT integer-scaled decimal (`2×supp > total`),
+    * and the surviving supplier keys consumed as a semi-join. The part
+    * name-pattern filter broadcasts and prunes the fact first, q17's
+    * semantics-free pruning argument.
+    */
+  private def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val pruned = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(T(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(20,2)").as("__q"))
+    val bySupp = pruned.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("__q")).as("__sq"))
+    val byPart = pruned.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("__q")).as("__tq"))
+    val dominant = bySupp.join(byPart, col("l_partkey") === col("__pk"))
+      .filter(col("__sq") * 2 > col("__tq"))
+      .select(col("l_suppkey")).distinct()
+    T(s, dir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q2 shape: the minimum-cost supplier per part — the correlated
+    * `= min(cost over this part)` subquery decorrelated into a per-part min
+    * joined back on (part, cost) equality. Supply cost derives from lineitem
+    * (min unit price a supplier ever shipped the part at — the partsupp
+    * analogue); each unit price is ONE double division evaluated identically
+    * on both engines, so the min-equality join is exact. Region membership
+    * prunes via a broadcast semi-join on the supplier side BEFORE the min:
+    * the min is over eligible suppliers only, as in the spec.
+    */
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val euSupp = broadcast(T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation")
+          .join(broadcast(T(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey")))
+    val ps = T(s, dir, "lineitem")
+      .join(broadcast(T(s, dir, "part").filter(col("p_size") === 15)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(euSupp.select(col("s_suppkey").as("__eu")),
+        col("l_suppkey") === col("__eu"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+    val minCost = ps.groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("ps_supplycost")).as("__minc"))
+    ps.join(minCost,
+        col("l_partkey") === col("__pk") && col("ps_supplycost") === col("__minc"))
+      .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+      // supplycost stays a RAW double: it is one division evaluated
+      // identically on both engines, so it hash-matches bitwise — a rounded
+      // copy could sit on a ….5 boundary where the engines' double-rounding
+      // disagrees (q14's discipline, inverted).
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+  }
+
+  /** TPC-H Q11 shape: parts carrying an outsized share of one nation's
+    * inventory value — a per-part aggregate against a GLOBAL scalar total
+    * (one-row broadcast), thresholded in EXACT integer-scaled decimal
+    * (`1000 × value > total`, q20's discipline — never a decimal division
+    * whose scale rules differ across engines). Value derives from lineitem
+    * (shipped extended price, the partsupp analogue); the nation filter
+    * prunes via a bounded broadcast semi-join before either aggregate.
+    */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = broadcast(T(s, dir, "supplier")
+      .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val perPart = T(s, dir, "lineitem")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice"), 10).cast("decimal(30,10)")).as("__value"))
+    val total = perPart.agg(sum(col("__value")).as("__tot"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("__value") * 1000 > col("__tot"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("__value"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
   /** KMV distinct sketch beside the exact count ([[graft.ops.Sketches
     * .kmvDistinct]]): the sketch's aggregation shuffle carries ≤ k hashes
     * per group where the exact `count_distinct` carries the full key set —
@@ -462,6 +733,50 @@ object SparkEntry {
       .select(col("o_orderpriority"), col("est").as("est_distinct"),
         col("kth"), col("n_buf").cast("long").as("n_buf"), col("exact_distinct"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Theta-style KMV set algebra ([[graft.ops.Sketches.kmvSetOps]]): union
+    * and intersection cardinality of user sets between every event-type
+    * pair, from one ≤ k-hash sketch per type — the audience-overlap query
+    * that at 100 TB must NOT re-scan raw keys per pair. The sketch is a
+    * deterministic function of the key sets, so the oracle re-derives the
+    * whole algebra (hash lattice, per-group minima, pair thresholds) in SQL
+    * and hash-matches the estimates bit for bit.
+    */
+  private def kmvSetopsUsers(s: SparkSession, dir: String): DataFrame =
+    // Raw table read: the algebra touches only (event_type, user_id), so the
+    // scan prunes to two columns — no time derivation on this path.
+    graft.ops.Sketches.kmvSetOps(T(s, dir, "events"), "event_type", "user_id", 64)
+      .orderBy(col("part_a"), col("part_b"))
+
+  /** One-pass column profiler ([[graft.ops.Profile.columns]]): counts,
+    * exact distincts, and typed min/max for four documents columns from a
+    * SINGLE scan + aggregate — the corpus-drop sanity report. The oracle is
+    * the naive per-column UNION ALL; the engine's point is folding it into
+    * one pass.
+    */
+  private def profileColumns(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.columns(T(s, dir, "documents"),
+      Seq("doc_id", "n_chars", "lang", "source"))
+      .orderBy(col("column"))
+
+  /** Snapshot reconciliation ([[graft.ops.Diff.snapshots]]): the orders
+    * table against a derived next snapshot with planted removals (every
+    * 97th key), edits (+1.0 total price on every 13th), and additions
+    * (copies of every 101st under shifted keys) — the COW-lifecycle audit
+    * that reports exactly the delta. Full-outer value compare, oracle as a
+    * FULL JOIN with `IS NOT DISTINCT FROM` per column.
+    */
+  private def tableDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val old = T(s, dir, "orders")
+    val base = old.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val added = old.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    graft.ops.Diff.snapshots(old, base.unionByName(added), Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
@@ -2141,15 +2456,13 @@ object SparkEntry {
     * same `tumblingStats` plan, which shuffles only (window, key) partials.
     */
   private def streamTumblingDaily(s: SparkSession, dir: String): DataFrame = {
-    // The corpus writes TIMESTAMP(NANOS) parquet → Spark 4 reads `ts` as an
-    // epoch-ns Long (legacy nanos-as-long mode, see Tsdb.eventsRaw); the
-    // watermark needs a real timestamp, so convert at the source boundary.
-    // Schema cached per dir (immutable corpus) — readStream needs it given,
-    // and re-inferring costs a footer-read job per call. The legacy-nanos
-    // conf must be set on THIS session even on a cache hit (eventsRaw sets
-    // it as a side effect only when it runs).
+    // readStream must be given the PHYSICAL file schema (it cannot infer,
+    // and the corpus `ts` type varies by generation — Tsdb.normalizeTs);
+    // cached per dir (immutable corpus) since inferring costs a footer-read
+    // job per call. The legacy-nanos conf must be set on THIS session even
+    // on a cache hit (eventsPhysicalSchema sets it only when it runs).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsRaw(s, dir).schema)
+    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsPhysicalSchema(s, dir))
     // The file source ingests DIRECTORIES (its discovery unit — the natural
     // shape for a landing zone at scale); the corpus ships single files, so
     // the gate bridges with a temp-dir symlink.
@@ -2166,7 +2479,7 @@ object SparkEntry {
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       d.toString
     }
-    val src = s.readStream.schema(schema).parquet(streamDir)
+    val src = graft.uts.Tsdb.normalizeTs(s.readStream.schema(schema).parquet(streamDir))
       .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
     val agg = graft.streaming.StreamOps.tumblingStats(
       src, widthSeconds = 86400, watermarkDelay = "1 hour", tsCol = "ts_event")
@@ -2197,7 +2510,7 @@ object SparkEntry {
     */
   private def streamSlidingDaily(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsRaw(s, dir).schema)
+    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsPhysicalSchema(s, dir))
     val streamDir = {
       val d = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_stream_src_${pathToken(dir)}")
@@ -2211,7 +2524,7 @@ object SparkEntry {
     }
     withStateSession(s) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = ss.readStream.schema(schema).parquet(streamDir)
+      val src = graft.uts.Tsdb.normalizeTs(ss.readStream.schema(schema).parquet(streamDir))
         .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.StreamOps.slidingStats(
         src, widthSeconds = 86400, slideSeconds = 43200,
@@ -2675,7 +2988,12 @@ object SparkEntry {
     * .getOrElse(-1)`, null-aware like the uts data model) pins everything
     * around the lambda: per-bin buffering, the (time, event_id) emit order,
     * and the Option payload encoding. Doubling is exact in IEEE arithmetic,
-    * so the emitted arrays hash-match DuckDB's ordered `list()` bitwise.
+    * so the values compare bitwise against the oracle's window derivation.
+    *
+    * The emitted per-bin ARRAY is flattened to (user_id, idx, val) rows via
+    * `posexplode` — the driver's compare sorts rows with pandas, which
+    * cannot hash an array cell, so the order-pinning index column carries
+    * the array's order information in scalar form instead.
     */
   private def utsMapFn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2684,8 +3002,10 @@ object SparkEntry {
         "value", v => v.map(_ * 2).getOrElse(-1.0),
         implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])),
       group = ColumnGroup(Seq("user_id"))))
-      .select(col("user_id"), col("vals"))
-      .orderBy(col("user_id"))
+      .select(col("user_id"), posexplode(col("vals")).as(Seq("idx", "val")))
+      // pos is INT; the oracle's row_number()-1 is BIGINT — align (§ header).
+      .select(col("user_id"), col("idx").cast("long").as("idx"), col("val"))
+      .orderBy(col("user_id"), col("idx"))
   }
 
   /** §1.4 Quirk-replica gate: the reference's fold-from-0 aggregates
@@ -2727,7 +3047,7 @@ object SparkEntry {
     */
   private def streamSessionCounts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsRaw(s, dir).schema)
+    val schema = schemaCache.getOrElseUpdate(dir, graft.uts.Tsdb.eventsPhysicalSchema(s, dir))
     val streamDir = {
       val d = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_stream_src_${pathToken(dir)}")
@@ -2741,7 +3061,7 @@ object SparkEntry {
     }
     withStateSession(s) { ss =>
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = ss.readStream.schema(schema).parquet(streamDir)
+      val src = graft.uts.Tsdb.normalizeTs(ss.readStream.schema(schema).parquet(streamDir))
         .withColumn("ts_event", timestamp_millis(expr("ts div 1000000")))
       val agg = graft.streaming.StreamOps.sessionCounts(
         src, gapSeconds = 1800, watermarkDelay = "1 hour", tsCol = "ts_event")
@@ -2788,7 +3108,19 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_global_balance" -> (q22GlobalBalance _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_priority_class" -> (q12PriorityClass _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_part_supplier_count" -> (q16PartSupplierCount _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "kmv_distinct_cust" -> (kmvDistinctCust _),
+    "kmv_setops_users" -> (kmvSetopsUsers _),
+    "profile_columns" -> (profileColumns _),
+    "table_diff_snapshots" -> (tableDiffSnapshots _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -3359,13 +3691,14 @@ object SparkEntry {
          |       round(coalesce(sum(value), 0), 4) AS sum_value
          |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The Mapper gate's fn (×2, null → -1) is exact in IEEE doubles, so the
-    // ordered arrays compare bitwise; the ORDER BY inside list() is the
-    // emit order being gated.
+    // values compare bitwise; the row_number over (time, event_id) is the
+    // per-bin emit order being gated, in scalar form (see utsMapFn).
     "uts_map_fn" ->
       s"""WITH p AS ($EvCte)
          |SELECT user_id,
-         |       list(coalesce(value * 2, -1.0) ORDER BY time, event_id) AS vals
-         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+         |       row_number() OVER (PARTITION BY user_id ORDER BY time, event_id) - 1 AS idx,
+         |       coalesce(value * 2, -1.0) AS val
+         |FROM p ORDER BY user_id, idx""".stripMargin,
     // Fold-from-0 quirk replicas: seed clamps max>=0 / min<=0; a bin with a
     // missing value (derived amount, absent on every 97th event) is NaN.
     "uts_quirk_metrics" ->
@@ -3589,6 +3922,155 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Q7: the pair residual repeated verbatim; revenue on q10's decimal path.
+    "q7_nation_volume" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |            WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |cn AS (SELECT c_custkey, n_name AS cust_nation
+        |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |       WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 10)
+        |            AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN cn ON o_custkey = c_custkey
+        |     JOIN sn ON l_suppkey = s_suppkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+        |    OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q8: conditional + total sums side by side (the share quotient is the
+    // reader's, q14's discipline).
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |       THEN CAST(round(l_extendedprice * (1.0 - l_discount), 10) AS DECIMAL(30,10))
+        |       ELSE CAST(0 AS DECIMAL(30,10)) END), 2) AS DOUBLE) AS nation_volume,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 10)
+        |       AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_volume,
+        |  count(*) AS n
+        |FROM lineitem
+        |     JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN customer ON o_custkey = c_custkey
+        |     JOIN supplier ON l_suppkey = s_suppkey
+        |     JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation JOIN region
+        |                      ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q9: the supply-cost proxy is the SAME literal expression, left-assoc,
+    // so the 1e-10 rounding lattice matches bitwise before the decimal sum.
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |       - p_retailprice * l_quantity * 0.1, 10) AS DECIMAL(30,10))), 2)
+        |       AS DOUBLE) AS sum_profit,
+        |  count(*) AS n
+        |FROM lineitem
+        |     JOIN part ON l_partkey = p_partkey
+        |     JOIN orders ON l_orderkey = o_orderkey
+        |     JOIN supplier ON l_suppkey = s_suppkey
+        |     JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
+    // Q12: q4's lateness residual with the two-way priority CASE rollup.
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // Q15: revenue rounds to the 2-decimal lattice in decimal space, so the
+    // max-equality join compares identical doubles.
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 10)
+        |              AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q16: the partsupp analogue is DISTINCT shipped pairs; the exclusion is
+    // the bounded negative-balance supplier set.
+    "q16_part_supplier_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 20, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20: the half-share threshold in exact integer-scaled decimal.
+    "q20_excess_suppliers" ->
+      """WITH pruned AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(20,2)) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')),
+        |by_supp AS (SELECT l_partkey, l_suppkey, sum(q) AS sq
+        |            FROM pruned GROUP BY l_partkey, l_suppkey),
+        |by_part AS (SELECT l_partkey, sum(q) AS tq FROM pruned GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM by_supp
+        |                    JOIN by_part USING (l_partkey)
+        |                    WHERE sq * 2 > tq)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q2: per-(part,supplier) min unit price as the supply cost; the
+    // decorrelated per-part min joined back on exact double equality.
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |              min(l_extendedprice / l_quantity) AS ps_supplycost
+        |       FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+        |         AND l_suppkey IN (SELECT s_suppkey FROM eu)
+        |       GROUP BY l_partkey, l_suppkey),
+        |mc AS (SELECT l_partkey AS pk, min(ps_supplycost) AS minc
+        |       FROM ps GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, ps_supplycost
+        |FROM ps JOIN mc ON l_partkey = pk AND ps_supplycost = minc
+        |     JOIN eu ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin,
+    // Q11: the outsized-share threshold in exact integer-scaled decimal
+    // (1000×value > total), never a cross-engine decimal division.
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(round(l_extendedprice, 10) AS DECIMAL(30,10))) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+        |                      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey,
+        |       CAST(round(value, 2) AS DOUBLE) AS value
+        |FROM per_part
+        |WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
     // The murmur3 32-bit finalizer re-derived in HUGEINT arithmetic (mod 2³²
     // at each step ≡ the Spark side's pmod-after-wrap), then the KMV order
     // statistics: k smallest distinct hashes, estimate (k-1)·2³²/kth.
@@ -3616,6 +4098,96 @@ object SparkEntry {
         |       sk.kth, sk.n_buf, ex.exact_distinct
         |FROM sk JOIN ex USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+    // The whole theta algebra re-derived: same hash lattice as
+    // kmv_distinct_cust, per-type ≤64-minima buffers, pair threshold
+    // θ∧ = min over saturated sides (kth+1; 2³² while unsaturated), union =
+    // distinct sub-θ hashes from either buffer, intersection = common ones;
+    // the estimate arithmetic repeats the Spark side's exact double ops.
+    "kmv_setops_users" ->
+      """WITH h1 AS (SELECT DISTINCT event_type,
+        |                   CAST(user_id AS HUGEINT) % 4294967296 AS z1 FROM events),
+        |h2 AS (SELECT event_type,
+        |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM h1),
+        |h3 AS (SELECT event_type,
+        |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM h2),
+        |hashed AS (SELECT DISTINCT event_type,
+        |                  CAST(xor(z3, z3 // 65536) AS BIGINT) AS hv FROM h3),
+        |ranked AS (SELECT event_type, hv,
+        |                  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        |           FROM hashed),
+        |buf AS (SELECT event_type, hv FROM ranked WHERE r <= 64),
+        |meta AS (SELECT event_type, max(hv) AS kth, count(*) AS nb
+        |         FROM buf GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS part_a, b.event_type AS part_b,
+        |                 least(CASE WHEN a.nb < 64 THEN 4294967296 ELSE a.kth + 1 END,
+        |                       CASE WHEN b.nb < 64 THEN 4294967296 ELSE b.kth + 1 END)
+        |                   AS theta
+        |          FROM meta a JOIN meta b ON a.event_type < b.event_type),
+        |uni AS (SELECT p.part_a, p.part_b, p.theta, count(DISTINCT x.hv) AS nu
+        |        FROM pairs p JOIN buf x
+        |          ON (x.event_type = p.part_a OR x.event_type = p.part_b)
+        |         AND x.hv < p.theta
+        |        GROUP BY 1, 2, 3),
+        |com AS (SELECT p.part_a, p.part_b, count(*) AS nc
+        |        FROM pairs p
+        |             JOIN buf xa ON xa.event_type = p.part_a AND xa.hv < p.theta
+        |             JOIN buf xb ON xb.event_type = p.part_b AND xb.hv = xa.hv
+        |        GROUP BY 1, 2)
+        |SELECT u.part_a, u.part_b,
+        |       CAST(u.nu AS DOUBLE) * 4294967296.0 / CAST(u.theta AS DOUBLE)
+        |         AS est_union,
+        |       CAST(coalesce(c.nc, 0) AS DOUBLE) * 4294967296.0
+        |         / CAST(u.theta AS DOUBLE) AS est_intersect,
+        |       coalesce(c.nc, 0) AS n_common, u.theta AS theta_kth
+        |FROM uni u LEFT JOIN com c ON u.part_a = c.part_a AND u.part_b = c.part_b
+        |ORDER BY u.part_a, u.part_b""".stripMargin,
+    // The naive per-column form of the one-pass profile.
+    "profile_columns" ->
+      """SELECT 'doc_id' AS column, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |       CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(lang), max(lang)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(source), count(DISTINCT source),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(source), max(source)
+        |FROM documents
+        |ORDER BY "column"""".stripMargin,
+    // The FULL JOIN with per-column IS NOT DISTINCT FROM — the value-compare
+    // semantics Diff.snapshots implements with one null-safe struct equality.
+    "table_diff_snapshots" ->
+      """WITH newt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change
+        |FROM orders o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |       AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |       AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+        |       AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     // Every Gopher rule re-derived in list arithmetic; the keep-conjunction
     // uses the RAW metrics (the rounded columns are display-only, exactly
     // like the Spark side).

@@ -129,4 +129,74 @@ object Sketches {
         col("__kmv.kth").as("kth"),
         col("__kmv.n_buf").as("n_buf")): _*)
   }
+
+  /** [[KmvAgg]] with the raw buffer as the output — the mergeable form set
+    * algebra needs. */
+  private final class KmvBufAgg(k: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] with Serializable {
+    private val inner = new KmvAgg(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = inner.merge(b1, b2)
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Seq[Long]] = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Theta-style SET ALGEBRA over KMV sketches (Dasgupta et al., the theta
+    * sketch framework; KMV is its k-th-minimum instance): union and
+    * intersection cardinality of `keyCol` between every PAIR of `partCol`
+    * groups, from one sketch per group — never a re-scan of the raw keys.
+    *
+    * The algebra: each saturated sketch is a uniform sample of its key set
+    * below its threshold `θ = kth/2³²`. For a pair, `θ∧ = min(θ_A, θ_B)`;
+    * hashes below `θ∧` from either buffer are a uniform sample of the UNION
+    * (estimate: `|sample| / θ∧`), and those present in BOTH buffers sample
+    * the INTERSECTION (`|common| / θ∧`). An unsaturated buffer holds its
+    * whole key set (θ = 1, estimates exact). Deterministic function of the
+    * key sets — the DuckDB oracle re-derives it bit for bit, like
+    * [[kmvDistinct]].
+    *
+    * Scale contract: the per-group aggregation shuffle carries ≤ k longs per
+    * group (map-side capped, as [[kmvDistinct]]); the pairing joins SKETCH
+    * ROWS (one per group — bounded by group cardinality, not data size), so
+    * the pair stage is broadcast-sized. Output per (part_a, part_b) pair:
+    * exact-while-unsaturated `est_union`, `est_intersect`, and the audit
+    * columns (`n_common`, `theta_kth`).
+    */
+  def kmvSetOps(
+      df: DataFrame,
+      partCol: String,
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val agg = udaf(new KmvBufAgg(k))
+    val sketches = df.groupBy(col(partCol))
+      .agg(agg(hash32(col(keyCol))).as("__buf"))
+    val a = sketches.select(col(partCol).as("part_a"), col("__buf").as("__ba"))
+    val b = sketches.select(col(partCol).as("part_b"), col("__buf").as("__bb"))
+    // One sketch row per group: the pair join is over group-cardinality rows.
+    a.join(broadcast(b), col("part_a") < col("part_b"))
+      // θ∧ as a raw hash threshold: 2³² (exact) while EITHER buffer is
+      // unsaturated only if BOTH are — a saturated side caps it at its kth.
+      .withColumn("__ka",
+        when(size(col("__ba")) < k, lit(4294967296L)).otherwise(element_at(col("__ba"), -1) + 1))
+      .withColumn("__kb",
+        when(size(col("__bb")) < k, lit(4294967296L)).otherwise(element_at(col("__bb"), -1) + 1))
+      .withColumn("theta_kth", least(col("__ka"), col("__kb")))
+      .withColumn("__ua",
+        filter(col("__ba"), h => h < col("theta_kth")))
+      .withColumn("__ub",
+        filter(col("__bb"), h => h < col("theta_kth")))
+      .withColumn("__common", array_intersect(col("__ua"), col("__ub")))
+      .withColumn("n_common", size(col("__common")).cast("long"))
+      .select(
+        col("part_a"), col("part_b"),
+        (size(array_union(col("__ua"), col("__ub"))).cast("double") *
+          lit(4294967296.0) / col("theta_kth").cast("double")).as("est_union"),
+        (col("n_common").cast("double") *
+          lit(4294967296.0) / col("theta_kth").cast("double")).as("est_intersect"),
+        col("n_common"), col("theta_kth"))
+  }
 }
