@@ -44,4 +44,66 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.5, s"est=$est exact=$exact")
     assert(r.getAs[Int]("n_buf") == 64)
   }
+
+  test("kmv set ops are exact while both sketches are unsaturated") {
+    import spark.implicits._
+    // A = {0..29}, B = {20..49}: |A∪B| = 50, |A∩B| = 10 — both below k=64,
+    // so θ∧ = 2³² and every estimate is the exact count.
+    val df = ((0 until 30).map(i => ("a", i.toLong)) ++
+      (20 until 50).map(i => ("b", i.toLong))).toDF("g", "uid")
+    val r = Sketches.kmvSetOps(df, "g", "uid", 64).collect().head
+    assert(r.getAs[String]("part_a") == "a" && r.getAs[String]("part_b") == "b")
+    assert(r.getAs[Double]("est_union") == 50.0, r)
+    assert(r.getAs[Double]("est_intersect") == 10.0, r)
+    assert(r.getAs[Long]("n_common") == 10L, r)
+  }
+
+  test("kmv set ops stay inside the error envelope once saturated, and are partition-invariant") {
+    import spark.implicits._
+    // A = {0..999}, B = {500..1499}: union 1500, intersection 500.
+    val rows = ((0 until 1000).map(i => ("a", i.toLong * 7 + 1)) ++
+      (500 until 1500).map(i => ("b", i.toLong * 7 + 1)))
+    val df = rows.toDF("g", "uid")
+    val r1 = Sketches.kmvSetOps(df.repartition(1), "g", "uid", 256).collect().head
+    val r13 = Sketches.kmvSetOps(df.repartition(13), "g", "uid", 256).collect().head
+    assert(r1.getAs[Double]("est_union") == r13.getAs[Double]("est_union"), s"$r1 vs $r13")
+    assert(r1.getAs[Double]("est_intersect") == r13.getAs[Double]("est_intersect"))
+    assert(math.abs(r1.getAs[Double]("est_union") - 1500.0) / 1500.0 < 0.5, r1)
+    assert(math.abs(r1.getAs[Double]("est_intersect") - 500.0) / 500.0 < 0.6, r1)
+  }
+
+  test("profile folds all columns into one scan-aggregate and matches naive per-column answers") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.ops.Profile.columns(docs, Seq("doc_id", "lang"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val n = docs.count()
+    assert(p("doc_id").getAs[Long]("n_rows") == n)
+    assert(p("doc_id").getAs[Long]("n_distinct") == n) // ids unique
+    assert(p("doc_id").getAs[Double]("min_num") == 0.0)
+    assert(p("doc_id").isNullAt(p("doc_id").fieldIndex("min_str")))
+    val langs = docs.select(min(col("lang")), max(col("lang"))).collect().head
+    assert(p("lang").getAs[String]("min_str") == langs.getString(0))
+    assert(p("lang").getAs[String]("max_str") == langs.getString(1))
+    assert(p("lang").isNullAt(p("lang").fieldIndex("min_num")))
+  }
+
+  test("snapshot diff emits exactly the planted delta and nothing for untouched keys") {
+    import spark.implicits._
+    val old = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0), (4L, "w", 4.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, "x", 1.0), (2L, "y", 9.0), (4L, "w", 4.0), (5L, "new", 5.0))
+      .toDF("k", "s", "v")
+    val d = graft.ops.Diff.snapshots(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), d)
+  }
+
+  test("snapshot diff treats NULL vs value as a change and NULL vs NULL as equal") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("k", "s")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val d = graft.ops.Diff.snapshots(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "changed"), d) // key 2: NULL <=> NULL, untouched
+  }
 }
