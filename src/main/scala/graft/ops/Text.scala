@@ -261,13 +261,20 @@ object Text {
     * tells you WHICH rule fired.
     *
     * Scale shape: every rule — including the repetition rule — is computed
-    * ROW-LOCALLY with array higher-order functions over the token array
-    * (the top-bigram count is an O(distinct·n) fold within the row, n ≤ a
-    * document's tokens), so the whole battery is one codegen'd projection
-    * with ZERO shuffles and prunes the scan to (id, text). Thresholds are
-    * Gopher's, except the repetition bound tightened 0.18 → 0.08 for this
-    * corpus's narrow synthetic vocabulary (at 0.18 the rule would never
-    * fire here — an untested rule is a broken rule).
+    * ROW-LOCALLY over the token array, so the whole battery is a shuffle-free
+    * projection pipeline that prunes the scan to (id, text). The token and
+    * bigram arrays MATERIALIZE through staged selects before anything
+    * consumes them twice: Catalyst re-evaluates an expression per reference
+    * when projections collapse, and re-building the bigram array inside a
+    * per-distinct-gram lambda is O(distinct·n²) string constructions per row
+    * — measured 295 s over 5 000 sf0.1 docs before the split. (CollapseProject
+    * keeps the stages: it only inlines cheap or singly-referenced
+    * expressions.) The top-bigram count itself is the longest equal-run of
+    * the SORTED gram array — an O(n log n) row-local fold, replacing the
+    * O(distinct·n) count-per-distinct scan. Thresholds are Gopher's, except
+    * the repetition bound tightened 0.18 → 0.08 for this corpus's narrow
+    * synthetic vocabulary (at 0.18 the rule would never fire here — an
+    * untested rule is a broken rule).
     */
   def gopherQuality(
       df: DataFrame,
@@ -279,32 +286,45 @@ object Text {
       maxMeanWordLen: Double = 10.0,
       minDistinctStops: Int = 2,
       maxTopBigramFrac: Double = 0.08): DataFrame = {
-    val ts = tokens(lower(col(textCol)))
+    val ts = col("__gq_ts")
     val n = size(ts)
+    // sequence(0, n-2) DESCENDS when n < 2 (Spark generates start-to-stop in
+    // either direction) — the guard is load-bearing, not defensive.
+    val gramsExpr = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), n - 2),
+        i => concat(get(ts, i), lit(" "), get(ts, i + 1))))
+    val grams = col("__gq_grams")
     val meanLen = aggregate(ts, lit(0L), (a, t) => a + length(t)).cast("double") /
       greatest(n, lit(1)).cast("double")
     val nStops = size(array_intersect(array_distinct(ts),
       array(StopEn.map(lit): _*)))
-    // sequence(0, n-2) DESCENDS when n < 2 (Spark generates start-to-stop in
-    // either direction) — the guard is load-bearing, not defensive.
-    val grams = when(n < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), n - 2),
-        i => concat(get(ts, i), lit(" "), get(ts, i + 1))))
-    val topBigram = coalesce(
-      array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)))), lit(0))
+    // Longest equal-run over the sorted grams; run/best thread through one
+    // struct accumulator. Sorting is the whole cost: O(n log n) row-local.
+    val topBigram = aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val topBigramFrac = topBigram.cast("double") /
       greatest(size(grams), lit(1)).cast("double")
-    df.select(
-      col(idCol),
-      n.cast("long").as("n_words"),
-      round(meanLen, 4).as("mean_word_len"),
-      nStops.cast("long").as("n_stop_distinct"),
-      round(topBigramFrac, 4).as("top_bigram_frac"),
-      (n.between(minWords, maxWords) &&
-        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
-        nStops >= minDistinctStops &&
-        topBigramFrac <= maxTopBigramFrac).as("keep"))
+    df.select(col(idCol), tokens(lower(col(textCol))).as("__gq_ts"))
+      .select(col(idCol), ts, gramsExpr.as("__gq_grams"))
+      .select(
+        col(idCol),
+        n.cast("long").as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        nStops.cast("long").as("n_stop_distinct"),
+        round(topBigramFrac, 4).as("top_bigram_frac"),
+        (n.between(minWords, maxWords) &&
+          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+          nStops >= minDistinctStops &&
+          topBigramFrac <= maxTopBigramFrac).as("keep"))
   }
 
   /** Heuristic quality score in [0, 1] from token count, stopword ratio and

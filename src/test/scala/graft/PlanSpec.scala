@@ -53,6 +53,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("new TPC-H shapes never cartesian or nested-loop (scalar one-row broadcasts excepted)") {
+    for (q <- Seq("q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+        "q9_product_profit", "q12_priority_class", "q16_part_supplier_count",
+        "q20_excess_suppliers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+    }
+    // q11/q15 legitimately cross with a ONE-ROW scalar broadcast (q22's
+    // shape); everything else about them must still hash-join.
+    for (q <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("q2/q20 region and dominance prunes stay semi-joins; q16 exclusion stays anti") {
+    assert(plan("q2_min_cost_supplier").contains("LeftSemi"))
+    assert(plan("q20_excess_suppliers").contains("LeftSemi"))
+    assert(plan("q16_part_supplier_count").contains("LeftAnti"))
+  }
+
+  test("profiler reads the table once for all columns") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Profile.columns(df, Seq("doc_id", "n_chars", "lang", "source"))
+      .queryExecution.executedPlan.toString
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p.take(1500))
+  }
+
+  test("snapshot diff is one full-outer hash/merge join, never a nested loop") {
+    val p = plan("table_diff_snapshots")
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("sim_topk_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
