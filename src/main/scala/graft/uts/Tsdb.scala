@@ -114,17 +114,34 @@ final class UtsDb(
   def series(name: String): UtsSeries =
     seriesMap.getOrElseUpdate(name, {
       retentionMs(name) = defaultRetentionMs
-      val df = dir
+      val loaded = dir
         .map(d => new org.apache.hadoop.fs.Path(s"$d/$name.parquet"))
         .filter(p =>
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        .map(p => spark.read.parquet(p.toString))
-        .getOrElse(spark.createDataFrame(
+        .map { p =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(p.toString)
+        }
+      loaded match {
+        // A corpus table that stores `ts` but not the reserved time column
+        // gets the same typed boundary as [[Tsdb.events]] — without it the
+        // facade would hand back a series whose every query crashes on the
+        // missing `time` (uts-shaped corpus tables are exactly the facade's
+        // resolution contract).
+        case Some(df)
+            if timeCol == "time" && df.columns.contains("ts") &&
+              !df.columns.contains(timeCol) =>
+          UtsSeries(df.withColumn(timeCol, Tsdb.timeExprFor(df, "ts")),
+            timeCol,
+            seqCol = if (df.columns.contains("event_id")) Some("event_id") else None,
+            rawTimeNs = Some("ts"))
+        case Some(df) => UtsSeries(df, timeCol)
+        case None => UtsSeries(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(
-              timeCol, org.apache.spark.sql.types.LongType)))))
-      UtsSeries(df, timeCol)
+              timeCol, org.apache.spark.sql.types.LongType)))), timeCol)
+      }
     })
 
   def insert(name: String, rows: DataFrame): this.type = {
@@ -176,24 +193,32 @@ object Tsdb {
   def events(spark: SparkSession, dir: String): UtsSeries = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    import org.apache.spark.sql.types._
-    val timeExpr = raw.schema("ts").dataType match {
-      // Integer `div`, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53
-      // exact range, so float division would corrupt the low-order ms.
-      case LongType => expr("ts div 1000000")
-      // Wall-clock difference against the epoch: timezone-independent, and
-      // truncation-equivalent to DuckDB's epoch_ms on the same naive value.
-      case TimestampNTZType =>
-        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-      case TimestampType => expr("unix_micros(ts) div 1000")
-      case other => throw new IllegalStateException(
-        s"events corpus column `ts` has unsupported type $other")
-    }
     UtsSeries(
-      raw.withColumn("time", timeExpr),
+      raw.withColumn("time", timeExprFor(raw, "ts")),
       timeCol = "time",
       seqCol = Some("event_id"),
       rawTimeNs = Some("ts"))
+  }
+
+  /** The epoch-ms `time` expression for a stored time column, typed per
+    * corpus generation — the single derivation [[events]] and
+    * [[UtsDb.series]] share.
+    */
+  private[uts] def timeExprFor(
+      df: DataFrame, tsCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      // Integer `div`, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+      // exact range, so float division would corrupt the low-order ms.
+      case LongType => expr(s"$tsCol div 1000000")
+      // Wall-clock difference against the epoch: timezone-independent, and
+      // truncation-equivalent to DuckDB's epoch_ms on the same naive value.
+      case TimestampNTZType =>
+        expr(s"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $tsCol)")
+      case TimestampType => expr(s"unix_micros($tsCol) div 1000")
+      case other => throw new IllegalStateException(
+        s"corpus column `$tsCol` has unsupported type $other")
+    }
   }
 
   /** `events` with `ts` normalized to a raw epoch-nanosecond Long, whatever

@@ -76,4 +76,19 @@ class UtsDbSpec extends SparkSpec {
     assert(db.series("orders").df.count() > 0)
     assert(db.series("no_such_table").df.count() == 0)
   }
+
+  test("a corpus ts table resolved through the facade is immediately queryable") {
+    // The events table stores `ts` (type varies by corpus generation) and no
+    // `time` — the facade must attach the same typed boundary Tsdb.events
+    // uses, or every query on the resolved series dies on the missing column.
+    val db = new UtsDb(spark, dir = Some("/root/testdata/sf0.001"))
+    val s = db.series("events")
+    val viaFacade = s.query(UtsQuery(Seq("n" -> CountM()), group = AnyGroup))
+      .head().getLong(0)
+    val direct = Tsdb.events(spark, "/root/testdata/sf0.001")
+      .query(UtsQuery(Seq("n" -> CountM()), group = AnyGroup)).head().getLong(0)
+    assert(viaFacade == direct && viaFacade > 0, s"$viaFacade vs $direct")
+    // The typed raw bound must also ride along (scan-prunable retention).
+    assert(s.rawTimeNs.contains("ts"))
+  }
 }
