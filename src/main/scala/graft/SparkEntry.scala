@@ -735,6 +735,20 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Histogram quantile sketch ([[graft.ops.Sketches.histQuantiles]]):
+    * per-priority price percentiles from fixed-width integer buckets — the
+    * bounded-state path whose shuffle carries one count per occupied bucket
+    * where the exact rank statistic sorts every value; both are in the
+    * output, so the ≤ width estimate error is auditable per row. Integer
+    * bucketing keeps the sketch a deterministic function of the data, so
+    * the oracle re-derives estimate AND exact twin bit for bit.
+    */
+  private def histQuantilesPrice(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.histQuantiles(
+      T(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice",
+      width = 8192L, qs = Seq(0.5, 0.9, 0.99))
+      .orderBy(col("o_orderpriority"))
+
   /** Theta-style KMV set algebra ([[graft.ops.Sketches.kmvSetOps]]): union
     * and intersection cardinality of user sets between every event-type
     * pair, from one ≤ k-hash sketch per type — the audience-overlap query
@@ -3119,6 +3133,7 @@ object SparkEntry {
     "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "kmv_distinct_cust" -> (kmvDistinctCust _),
     "kmv_setops_users" -> (kmvSetopsUsers _),
+    "hist_quantiles_price" -> (histQuantilesPrice _),
     "profile_columns" -> (profileColumns _),
     "table_diff_snapshots" -> (tableDiffSnapshots _),
     "gopher_quality_rules" -> (gopherQualityRules _),
@@ -4141,6 +4156,36 @@ object SparkEntry {
         |       coalesce(c.nc, 0) AS n_common, u.theta AS theta_kth
         |FROM uni u LEFT JOIN com c ON u.part_a = c.part_a AND u.part_b = c.part_b
         |ORDER BY u.part_a, u.part_b""".stripMargin,
+    // The histogram-estimate and rank-statistic twins, both re-derived: same
+    // integer buckets, same ceil(q·n) target, same k-th-smallest audit.
+    "hist_quantiles_price" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |                  CAST(floor(o_totalprice) AS BIGINT) // 8192 AS bk,
+        |                  count(*) AS c
+        |           FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT o_orderpriority, bk, c,
+        |               sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bk) AS cum,
+        |               sum(c) OVER (PARTITION BY o_orderpriority) AS n
+        |        FROM b),
+        |est AS (SELECT o_orderpriority, max(n) AS n,
+        |          min(CASE WHEN cum >= ceil(0.5 * n) THEN bk * 8192 END) AS est_p50,
+        |          min(CASE WHEN cum >= ceil(0.9 * n) THEN bk * 8192 END) AS est_p90,
+        |          min(CASE WHEN cum >= ceil(0.99 * n) THEN bk * 8192 END) AS est_p99
+        |        FROM cum GROUP BY o_orderpriority),
+        |rk AS (SELECT o_orderpriority, o_totalprice,
+        |              row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice) AS r,
+        |              count(*) OVER (PARTITION BY o_orderpriority) AS n2
+        |       FROM orders),
+        |ex AS (SELECT o_orderpriority,
+        |         min(CASE WHEN r = ceil(0.5 * n2) THEN o_totalprice END) AS exact_p50,
+        |         min(CASE WHEN r = ceil(0.9 * n2) THEN o_totalprice END) AS exact_p90,
+        |         min(CASE WHEN r = ceil(0.99 * n2) THEN o_totalprice END) AS exact_p99
+        |       FROM rk GROUP BY o_orderpriority)
+        |SELECT est.o_orderpriority, n, est_p50, est_p90, est_p99,
+        |       exact_p50, exact_p90, exact_p99
+        |FROM est JOIN ex USING (o_orderpriority)
+        |ORDER BY est.o_orderpriority""".stripMargin,
     // The naive per-column form of the one-pass profile.
     "profile_columns" ->
       """SELECT 'doc_id' AS column, count(*) AS n_rows, count(doc_id) AS n_nonnull,

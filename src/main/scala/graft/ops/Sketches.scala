@@ -144,6 +144,68 @@ object Sketches {
       .ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Histogram quantile sketch: per-group quantile ESTIMATES from a
+    * fixed-width bucket histogram — the mergeable, bounded-state alternative
+    * to sorting a group (exact percentiles shuffle and sort every value; the
+    * histogram shuffles one count per OCCUPIED bucket, and bucket counts
+    * merge by addition, so partial aggregation already compacts map-side).
+    *
+    * Bucketing is INTEGER arithmetic (`floor(value) div width`), so the
+    * sketch is an exact deterministic function of the data — no float-log
+    * boundary whose last ulp could differ across engines (a log-spaced
+    * variant is the production choice for wide dynamic ranges; it trades
+    * relative-error buckets for a cross-engine `floor(log(v))` hazard the
+    * oracle cannot replicate bitwise). The estimate for quantile q is the
+    * LOWER BOUND of the first bucket whose cumulative count reaches
+    * `ceil(q·n)` — error ≤ width by construction, audited here by the exact
+    * rank-statistic (`percentile_disc`-style k-th value, k = ceil(q·n),
+    * identical on both engines because it selects an EXISTING value rather
+    * than interpolating — interpolation formulas differ across engines in
+    * the last bits).
+    *
+    * Output: groupCols ++ (`n`, and per q: `est_p<q>`, `exact_p<q>`).
+    */
+  def histQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      width: Long,
+      qs: Seq[Double]): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles in (0,1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    def pName(q: Double) = (q * 100).round.toString
+    val bucket = expr(s"CAST(floor($valueCol) AS BIGINT) div $width")
+    val counts = df.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    // Rank-statistic twin over the raw values, joined back per group: the
+    // k-th smallest value (ties broken by order — identical k ⇒ identical
+    // value on any engine).
+    val vw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(vw))
+      .withColumn("__n2", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val estAggs = qs.flatMap { q =>
+      Seq(min(when(col("__cum") >= ceil(lit(q) * col("__n")),
+        col("__b") * width)).as(s"est_p${pName(q)}"))
+    }
+    val ests = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), estAggs: _*)
+    val exactAggs = qs.map { q =>
+      min(when(col("__r") === ceil(lit(q) * col("__n2")),
+        col(valueCol))).as(s"exact_p${pName(q)}")
+    }
+    val exacts = ranked.groupBy(groupCols.map(col): _*)
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    ests.join(exacts, groupCols)
+  }
+
   /** Theta-style SET ALGEBRA over KMV sketches (Dasgupta et al., the theta
     * sketch framework; KMV is its k-th-minimum instance): union and
     * intersection cardinality of `keyCol` between every PAIR of `partCol`

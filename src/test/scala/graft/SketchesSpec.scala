@@ -72,6 +72,30 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("est_intersect") - 500.0) / 500.0 < 0.6, r1)
   }
 
+  test("histogram quantiles sit within one bucket width below the exact rank statistic") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val r = Sketches.histQuantiles(
+      orders, Seq("o_orderpriority"), "o_totalprice", width = 8192L,
+      qs = Seq(0.5, 0.9)).collect()
+    assert(r.length == 5)
+    for (row <- r; p <- Seq("50", "90")) {
+      val est = row.getAs[Long](s"est_p$p").toDouble
+      val exact = row.getAs[Double](s"exact_p$p")
+      // The estimate is the containing bucket's LOWER bound.
+      assert(est <= exact && exact < est + 8192.0, s"$row p$p est=$est exact=$exact")
+    }
+  }
+
+  test("histogram quantile sketch is partition-invariant (mergeable counts)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    def run(parts: Int) = Sketches.histQuantiles(
+      orders.repartition(parts), Seq("o_orderpriority"), "o_totalprice", 8192L,
+      Seq(0.5, 0.99)).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("est_p50"), r.getAs[Long]("est_p99"))).toMap
+    assert(run(1) == run(17))
+  }
+
   test("profile folds all columns into one scan-aggregate and matches naive per-column answers") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = graft.ops.Profile.columns(docs, Seq("doc_id", "lang"))
