@@ -749,6 +749,19 @@ object SparkEntry {
       width = 8192L, qs = Seq(0.5, 0.9, 0.99))
       .orderBy(col("o_orderpriority"))
 
+  /** Log2-bucket histogram quantiles ([[graft.ops.Sketches
+    * .histQuantilesLog2]]): the relative-error sketch over the wide-range
+    * event values — bucket = exact integer bit-length (never float `log`,
+    * whose last ulp differs across engines exactly at the power-of-two
+    * boundaries), estimate = the containing bucket's 2^b lower bound,
+    * audited by the exact rank statistic beside it.
+    */
+  private def histQuantilesLog2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.histQuantilesLog2(
+      T(s, dir, "events").select(col("event_type"), col("value")),
+      Seq("event_type"), "value", qs = Seq(0.5, 0.99))
+      .orderBy(col("event_type"))
+
   /** Theta-style KMV set algebra ([[graft.ops.Sketches.kmvSetOps]]): union
     * and intersection cardinality of user sets between every event-type
     * pair, from one ≤ k-hash sketch per type — the audience-overlap query
@@ -791,6 +804,34 @@ object SparkEntry {
       .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
     graft.ops.Diff.snapshots(old, base.unionByName(added), Seq("o_orderkey"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Corpus-drop drift report: [[graft.ops.Profile.columns]] over two
+    * snapshots (the same planted next-snapshot as [[tableDiffSnapshots]])
+    * joined per column — the "what moved between drops" summary a pipeline
+    * checks before retraining: row/distinct counts and numeric bounds side
+    * by side. Two one-pass profiles + a column-cardinality join (bounded by
+    * the schema, not the data).
+    */
+  private def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val old = T(s, dir, "orders")
+    val base = old.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val added = old.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    val neu = base.unionByName(added)
+    val cols = Seq("o_orderkey", "o_totalprice")
+    def prof(df: DataFrame, tag: String) =
+      graft.ops.Profile.columns(df, cols).select(
+        col("column"),
+        col("n_rows").as(s"n_rows_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_num").as(s"min_$tag"),
+        col("max_num").as(s"max_$tag"))
+    prof(old, "old").join(prof(neu, "new"), "column")
+      .orderBy(col("column"))
   }
 
   /** Bloom-pruned semi-join under the plain `WHERE EXISTS` oracle: the
@@ -3134,8 +3175,10 @@ object SparkEntry {
     "kmv_distinct_cust" -> (kmvDistinctCust _),
     "kmv_setops_users" -> (kmvSetopsUsers _),
     "hist_quantiles_price" -> (histQuantilesPrice _),
+    "hist_quantiles_log2" -> (histQuantilesLog2 _),
     "profile_columns" -> (profileColumns _),
     "table_diff_snapshots" -> (tableDiffSnapshots _),
+    "profile_drift" -> (profileDrift _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -4186,6 +4229,39 @@ object SparkEntry {
         |       exact_p50, exact_p90, exact_p99
         |FROM est JOIN ex USING (o_orderpriority)
         |ORDER BY est.o_orderpriority""".stripMargin,
+    // Same twins over power-of-two buckets: bit-length bucketing
+    // (length(bin(v))-1 ≡ floor(log2 v) exactly), 1::BIGINT << b bounds.
+    "hist_quantiles_log2" ->
+      """WITH b AS (SELECT event_type,
+        |                  CASE WHEN value < 1 THEN -1
+        |                       ELSE length(bin(CAST(floor(value) AS BIGINT))) - 1
+        |                  END AS bk,
+        |                  count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bk, c,
+        |               sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
+        |               sum(c) OVER (PARTITION BY event_type) AS n
+        |        FROM b),
+        |est AS (SELECT event_type, max(n) AS n,
+        |          min(CASE WHEN cum >= ceil(0.5 * n) THEN
+        |                (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
+        |              END) AS est_p50,
+        |          min(CASE WHEN cum >= ceil(0.99 * n) THEN
+        |                (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
+        |              END) AS est_p99
+        |        FROM cum GROUP BY event_type),
+        |rk AS (SELECT event_type, value,
+        |              row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY value) AS r,
+        |              count(*) OVER (PARTITION BY event_type) AS n2
+        |       FROM events),
+        |ex AS (SELECT event_type,
+        |         min(CASE WHEN r = ceil(0.5 * n2) THEN value END) AS exact_p50,
+        |         min(CASE WHEN r = ceil(0.99 * n2) THEN value END) AS exact_p99
+        |       FROM rk GROUP BY event_type)
+        |SELECT est.event_type, n, est_p50, est_p99, exact_p50, exact_p99
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY est.event_type""".stripMargin,
     // The naive per-column form of the one-pass profile.
     "profile_columns" ->
       """SELECT 'doc_id' AS column, count(*) AS n_rows, count(doc_id) AS n_nonnull,
@@ -4208,6 +4284,40 @@ object SparkEntry {
         |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(source), max(source)
         |FROM documents
         |ORDER BY "column"""".stripMargin,
+    // Two per-column profiles over old and the planted next snapshot.
+    "profile_drift" ->
+      """WITH newt AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |po AS (
+        |  SELECT 'o_orderkey' AS column, count(*) AS n_rows_old,
+        |         count(DISTINCT o_orderkey) AS n_distinct_old,
+        |         CAST(min(o_orderkey) AS DOUBLE) AS min_old,
+        |         CAST(max(o_orderkey) AS DOUBLE) AS max_old
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(DISTINCT o_totalprice),
+        |         CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |  FROM orders),
+        |pn AS (
+        |  SELECT 'o_orderkey' AS column, count(*) AS n_rows_new,
+        |         count(DISTINCT o_orderkey) AS n_distinct_new,
+        |         CAST(min(o_orderkey) AS DOUBLE) AS min_new,
+        |         CAST(max(o_orderkey) AS DOUBLE) AS max_new
+        |  FROM newt
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(DISTINCT o_totalprice),
+        |         CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |  FROM newt)
+        |SELECT po.column, n_rows_old, n_distinct_old, min_old, max_old,
+        |       n_rows_new, n_distinct_new, min_new, max_new
+        |FROM po JOIN pn ON po.column = pn.column
+        |ORDER BY po.column""".stripMargin,
     // The FULL JOIN with per-column IS NOT DISTINCT FROM — the value-compare
     // semantics Diff.snapshots implements with one null-safe struct equality.
     "table_diff_snapshots" ->

@@ -206,6 +206,59 @@ object Sketches {
     ests.join(exacts, groupCols)
   }
 
+  /** [[histQuantiles]] with POWER-OF-TWO buckets — the relative-error form
+    * for wide dynamic ranges (latency-style distributions), where a fixed
+    * width either blurs the head or explodes the bucket count. The bucket
+    * index is `floor(log2(v))` computed EXACTLY as `length(bin(v)) − 1` —
+    * integer bit-length, not float `log()`, whose last ulp differs across
+    * engines right at the power-of-two boundaries the buckets live on.
+    * Values below 1 land in bucket −1 (lower bound 0). Estimate error is a
+    * factor of 2 (the bucket's span); same exact rank-statistic audit twin.
+    *
+    * Output: groupCols ++ (`n`, and per q: `est_p<q>` = 2^bucket lower
+    * bound, `exact_p<q>`).
+    */
+  def histQuantilesLog2(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles in (0,1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    def pName(q: Double) = (q * 100).round.toString
+    val bucket = when(col(valueCol) < 1, lit(-1L))
+      .otherwise(length(expr(s"bin(CAST(floor($valueCol) AS BIGINT))")).cast("long") - 1L)
+    val counts = df.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val vw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(vw))
+      .withColumn("__n2", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    // SQL shiftleft (column shift amount; the Scala overload only takes a
+    // literal) — exact 2^b as a Long, like the oracle's `1::BIGINT << b`.
+    val lower = when(col("__b") < 0, lit(0L))
+      .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(__b AS INT))"))
+    val estAggs = qs.map { q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), lower))
+        .as(s"est_p${pName(q)}")
+    }
+    val ests = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), estAggs: _*)
+    val exactAggs = qs.map { q =>
+      min(when(col("__r") === ceil(lit(q) * col("__n2")),
+        col(valueCol))).as(s"exact_p${pName(q)}")
+    }
+    val exacts = ranked.groupBy(groupCols.map(col): _*)
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    ests.join(exacts, groupCols)
+  }
+
   /** Theta-style SET ALGEBRA over KMV sketches (Dasgupta et al., the theta
     * sketch framework; KMV is its k-th-minimum instance): union and
     * intersection cardinality of `keyCol` between every PAIR of `partCol`

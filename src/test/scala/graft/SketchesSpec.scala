@@ -86,6 +86,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("log2 histogram quantiles bound the exact value within a factor of two") {
+    val events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_type"), col("value"))
+    val r = Sketches.histQuantilesLog2(
+      events, Seq("event_type"), "value", qs = Seq(0.5)).collect()
+    assert(r.length == 5)
+    for (row <- r) {
+      val est = row.getAs[Long]("est_p50").toDouble
+      val exact = row.getAs[Double]("exact_p50")
+      // est = 2^floor(log2(exact-ish)): lower bound ≤ exact < 2·bound.
+      assert(est <= exact && exact < math.max(est * 2, 1.0), s"$row")
+    }
+  }
+
   test("histogram quantile sketch is partition-invariant (mergeable counts)") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
     def run(parts: Int) = Sketches.histQuantiles(
