@@ -3133,6 +3133,48 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 continuous LEADERBOARD gate: [[graft.streaming.StreamOps
+    * .runningTopK]] — per-event-type most-active-users board maintained in
+    * `flatMapGroupsWithState` across the out-of-order multi-batch replay,
+    * final board = each key's max-generation emission (append sinks never
+    * retract; the generation stamp makes "current" queryable). Counts are
+    * order-insensitive and ties break deterministically, so the batch
+    * count+rank oracle gates the final board exactly.
+    */
+  private def streamTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"topk:$dir",
+      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      _ => Seq.empty)
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    withStateSession(s) { ss =>
+      import ss.implicits._
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("event_type").as("key"), col("user_id").as("sub"))
+        .as[graft.streaming.StreamOps.CountEvent]
+      val board = graft.streaming.StreamOps.runningTopK(ss, src, k = 3)
+      val name = s"graft_topk_gate_${pathToken(dir)}"
+      val q = board.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = ss.table(name)
+      val latest = t.groupBy(col("key").as("__k")).agg(max(col("gen")).as("__g"))
+      t.join(broadcast(latest), col("key") === col("__k") && col("gen") === col("__g"))
+        .select(col("key").as("event_type"), col("rank"), col("sub").as("user_id"),
+          col("cnt"))
+        .orderBy(col("event_type"), col("rank"))
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3286,6 +3328,7 @@ object SparkEntry {
     "stream_derivative_ordered" -> (streamDerivativeOrdered _),
     "stream_running_last" -> (streamRunningLast _),
     "stream_session_counts" -> (streamSessionCounts _),
+    "stream_topk_users" -> (streamTopkUsers _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
@@ -5481,6 +5524,18 @@ object SparkEntry {
          |       count(*) AS n
          |FROM sgrp GROUP BY event_type, sid
          |ORDER BY event_type, sess_start""".stripMargin,
+    // The final streamed leaderboard must equal the batch count+rank board
+    // (counts are order-insensitive; the (cnt DESC, user) tie-break is the
+    // determinism contract on both sides).
+    "stream_topk_users" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY cnt DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT event_type, rank, user_id, cnt FROM r WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
     // The same lag/cumulative-break derivation as session_counts_by_type,
     // partitioned by user and emitted per ROW (1-based).
     "session_ids_by_user" ->

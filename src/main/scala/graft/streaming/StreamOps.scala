@@ -449,4 +449,48 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class CountEvent(key: String, sub: Long)
+  final case class TopKState(counts: Map[Long, Long], gen: Long)
+  final case class TopKRow(key: String, gen: Long, rank: Long, sub: Long, cnt: Long)
+
+  /** Continuous per-key TOP-K leaderboard — "most active sub-keys per key,
+    * maintained as events arrive" (the per-type most-active-users board).
+    * Per-key state holds exact sub-key counts; each micro-batch that touches
+    * a key re-emits its full top-k stamped with a GENERATION counter, so a
+    * consumer keeps each key's max-generation rows for the current board
+    * (append sinks never retract). Ties break (count desc, sub asc) —
+    * deterministic for any replay of the same multiset, so the batch
+    * count+rank derivation gates the final board exactly; counts are
+    * order-insensitive, so no reorder buffer is needed.
+    *
+    * Scale contract: state is O(distinct sub-keys) per key — exact, and
+    * right while sub-key cardinality is bounded (users per event type here).
+    * For unbounded sub-keys, swap the map for a Misra-Gries summary of
+    * capacity m ([[graft.ops.Text.heavyHitters]]'s summary, which merges
+    * with bounded error) — the board then carries ε = n/m count slack.
+    */
+  def runningTopK(
+      spark: SparkSession,
+      stream: Dataset[CountEvent],
+      k: Int): Dataset[TopKRow] = {
+    require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[CountEvent], state: GroupState[TopKState]) =>
+          val st0 = state.getOption.getOrElse(TopKState(Map.empty, 0L))
+          val counts = events.foldLeft(st0.counts) { (m, e) =>
+            m.updated(e.sub, m.getOrElse(e.sub, 0L) + 1L)
+          }
+          val gen = st0.gen + 1L
+          state.update(TopKState(counts, gen))
+          counts.toSeq.sortBy { case (sub, c) => (-c, sub) }.take(k).zipWithIndex
+            .map { case ((sub, c), i) => TopKRow(key, gen, i + 1L, sub, c) }
+            .iterator
+      }
+  }
 }

@@ -183,6 +183,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTopK re-emits the board per touched batch; max generation is the current board") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.CountEvent]
+    val out = StreamOps.runningTopK(spark, input.toDS(), k = 2)
+    val q = out.writeStream.format("memory").queryName("topk")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.CountEvent("a", 1L), StreamOps.CountEvent("a", 1L),
+        StreamOps.CountEvent("a", 2L))
+      q.processAllAvailable()
+      // Batch 2 flips the leader: sub 2 gains two more counts.
+      input.addData(StreamOps.CountEvent("a", 2L), StreamOps.CountEvent("a", 2L),
+        StreamOps.CountEvent("b", 9L))
+      q.processAllAvailable()
+      val t = spark.table("topk").as[StreamOps.TopKRow].collect()
+      val gen = t.filter(_.key == "a").map(_.gen).max
+      val boardA = t.filter(r => r.key == "a" && r.gen == gen)
+        .sortBy(_.rank).map(r => (r.rank, r.sub, r.cnt)).toSeq
+      assert(boardA == Seq((1L, 2L, 3L), (2L, 1L, 2L)), boardA)
+      // Key b was touched only in generation 1 of its own state.
+      val boardB = t.filter(_.key == "b").map(r => (r.gen, r.rank, r.sub, r.cnt)).toSeq
+      assert(boardB == Seq((1L, 1L, 9L, 1L)), boardB)
+      // Earlier generations stay in the append sink (no retraction) — the
+      // max-generation filter is the contract, not sink cleanliness.
+      assert(t.count(_.key == "a") == 4)
+    } finally q.stop()
+  }
+
   test("file source to file sink: parquet dir streams through tumbling stats") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
     val (in, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
