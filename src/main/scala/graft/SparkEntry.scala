@@ -2393,6 +2393,21 @@ object SparkEntry {
           .cast("long").as("within_bound"))
   }
 
+  /** M4 downsampling ([[graft.ops.Windowed.m4Downsample]]): the canonical
+    * min/max/first/last per-bucket decimation (VLDB 2014) over the events
+    * series, 6-hour buckets per event type — the "render a month of points
+    * in one pixel row" op a uts-style dashboard needs. One aggregation; the
+    * oracle re-derives first/last by rank with the shared (time, event_id)
+    * tie order.
+    */
+  private def utsM4Downsample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windowed.m4Downsample(
+      ev(s, dir).df, "time", "value", "event_id", bucketMs = 6 * Hour,
+      partitionCols = Seq("event_type"))
+      .select(col("event_type"), col("bucket_start"), col("n"),
+        col("v_min"), col("v_max"), col("v_first"), col("v_last"))
+      .orderBy(col("event_type"), col("bucket_start"))
+
   /** Gap-based sessionization (§2.9's session windows) on the BATCH path:
     * `session_window` merges events per key while gaps stay under 30 min;
     * window end = last event + gap. The oracle re-derives sessions with the
@@ -3191,6 +3206,7 @@ object SparkEntry {
     "uts_reduce_fold" -> (utsReduceFold _),
     "uts_quirk_metrics" -> (utsQuirkMetrics _),
     "uts_map_fn" -> (utsMapFn _),
+    "uts_m4_downsample" -> (utsM4Downsample _),
     "uts_db_lifecycle" -> (utsDbLifecycle _),
     "q1_agg" -> (q1Agg _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
@@ -3800,6 +3816,22 @@ object SparkEntry {
          |       row_number() OVER (PARTITION BY user_id ORDER BY time, event_id) - 1 AS idx,
          |       coalesce(value * 2, -1.0) AS val
          |FROM p ORDER BY user_id, idx""".stripMargin,
+    // M4 decimation: min/max plain, first/last re-derived by rank under the
+    // shared (time, event_id) series order.
+    "uts_m4_downsample" ->
+      s"""WITH p AS ($EvCte),
+         |f AS (SELECT event_type, time // 21600000 AS bkt, value,
+         |             row_number() OVER (PARTITION BY event_type, time // 21600000
+         |                                ORDER BY time, event_id) AS rf,
+         |             row_number() OVER (PARTITION BY event_type, time // 21600000
+         |                                ORDER BY time DESC, event_id DESC) AS rl
+         |      FROM p WHERE value IS NOT NULL)
+         |SELECT event_type, bkt * 21600000 AS bucket_start, count(*) AS n,
+         |       min(value) AS v_min, max(value) AS v_max,
+         |       min(CASE WHEN rf = 1 THEN value END) AS v_first,
+         |       min(CASE WHEN rl = 1 THEN value END) AS v_last
+         |FROM f GROUP BY event_type, bkt
+         |ORDER BY event_type, bucket_start""".stripMargin,
     // Fold-from-0 quirk replicas: seed clamps max>=0 / min<=0; a bin with a
     // missing value (derived amount, absent on every 97th event) is NaN.
     "uts_quirk_metrics" ->

@@ -290,4 +290,40 @@ object Windowed {
           lit(s" > bucketSpan $bucketSpan strands frames beyond carry reach; " +
             "raise bucketSpan to at least the series' max gap"))).as("__gap_ok"))
   }
+
+  /** M4 time-series decimation (Jugel et al., VLDB 2014): per time bucket,
+    * the min, max, FIRST, and LAST values — the four points that make a
+    * line-chart rendering of the bucket pixel-identical to rendering every
+    * point, which is why M4 is the canonical width-bound downsampler for
+    * dashboards over series too big to ship.
+    *
+    * One aggregation: min/max are plain; first/last ride `min_by`/`max_by`
+    * over the (time, seq) struct — lexicographic struct ordering IS the
+    * series order, so ties at equal timestamps break on the insertion seq
+    * exactly like every ordered uts metric. Shuffles one row per
+    * (partition, bucket): decimation output is the plot's width, never the
+    * data's size.
+    */
+  def m4Downsample(
+      df: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      seqCol: String,
+      bucketMs: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val ord = struct(col(timeCol), col(seqCol))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((partitionCols.map(col) :+
+        expr(s"CAST($timeCol AS BIGINT) div $bucketMs").as("__bkt")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        min_by(col(valueCol), ord).as("v_first"),
+        max_by(col(valueCol), ord).as("v_last"))
+      .select(partitionCols.map(col) ++ Seq(
+        (col("__bkt") * bucketMs).as("bucket_start"),
+        col("n"), col("v_min"), col("v_max"), col("v_first"), col("v_last")): _*)
+  }
 }

@@ -717,6 +717,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m4 downsample: min/max/first/last per bucket with (time, seq) tie order") {
+    val df = Seq(
+      // bucket 0 (t in [0,10)): first by (t,seq) = 5.0, last = 2.0 (t=9 tie
+      // broken by seq 5 > 4), min 1.0, max 9.0
+      (1L, "a", 0L, 5.0), (2L, "a", 3L, 9.0), (3L, "a", 4L, 1.0),
+      (4L, "a", 9L, 7.0), (5L, "a", 9L, 2.0),
+      // bucket 1: two points
+      (6L, "a", 12L, 4.0), (7L, "a", 13L, 4.5),
+      // key "b"
+      (8L, "b", 1L, 6.0)
+    ).toDF("event_id", "k", "t", "v")
+    val out = graft.ops.Windowed.m4Downsample(df, "t", "v", "event_id",
+      bucketMs = 10L, partitionCols = Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(("a", 0L)) == ((5L, 1.0, 9.0, 5.0, 2.0)), out)
+    assert(out(("a", 10L))._1 == 2L)
+    assert(out(("b", 0L)) == ((1L, 6.0, 6.0, 6.0, 6.0)), out)
+  }
+
   test("quality band keeps the corpus's own middle; full band keeps everything") {
     // Clean single-letter non-stopwords ("a" IS a stopword): quality =
     // 0.2 + 0.02·n_tokens exactly, so quantiles are hand-checkable.
