@@ -177,6 +177,31 @@ object Demo {
 
     println("== forward as-of with tolerance: next order within 7 days of each event ==")
     AsofJoinDemo.run(spark, sfDir)
+
+    println("== M4 decimation: 6h pixel-exact min/max/first/last per type ==")
+    ops.Windowed.m4Downsample(ev.df, "time", "value", "event_id",
+      bucketMs = 6 * hour, partitionCols = Seq("event_type"))
+      .orderBy(col("event_type"), col("bucket_start")).show(5, truncate = false)
+
+    println("== one-pass column profile of the documents drop ==")
+    ops.Profile.columns(docs, Seq("doc_id", "n_chars", "lang", "source"))
+      .orderBy(col("column")).show(truncate = false)
+
+    println("== KMV theta set algebra: user overlap between event types ==")
+    ops.Sketches.kmvSetOps(Tsdb.table(spark, sfDir, "events"),
+      "event_type", "user_id", 64)
+      .orderBy(col("part_a"), col("part_b")).show(5, truncate = false)
+
+    println("== snapshot diff: what changed between two order drops ==")
+    val orders0 = Tsdb.table(spark, sfDir, "orders")
+    ops.Diff.snapshots(
+      orders0,
+      orders0.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))),
+      Seq("o_orderkey"))
+      .groupBy(col("change")).count().orderBy(col("change")).show(truncate = false)
   }
 
   /** Kept separate so the main flow reads as the pipeline story. */
