@@ -1281,6 +1281,47 @@ object SparkEntry {
         round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"))
       .orderBy(col("event_type"))
 
+  /** Per-series linear TREND (OLS slope/intercept of value over time) — the
+    * drift detector beside [[statsMomentsByType]]'s correlation: "is this
+    * metric rising, and how fast per day". All five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) are EXACT decimals — x is the epoch-base-shifted
+    * time (a fixed literal shift keeps x to 10 digits, so every product
+    * stays inside decimal(38) exactly on both engines; an uncentered epoch
+    * ms would overflow the cap and round differently per engine), y rides
+    * the 1e-6 lattice. The doubles appear only in the FINAL formula, with
+    * the same parenthesization on both engines — bitwise-identical inputs,
+    * bitwise-identical slope. Sums merge associatively, so the one
+    * aggregation salts/partial-merges like any sum at 100 TB.
+    */
+  private def utsTrendByType(s: SparkSession, dir: String): DataFrame = {
+    val base = 1704067200000L // 2024-01-01 UTC: the corpus epoch base
+    // Operand widths thread BOTH engines' decimal rules: DuckDB computes a
+    // product in 64-bit (and overflows here) unless an operand is wider
+    // than 18 digits — so x is decimal(19,0) — while Spark silently CUTS
+    // SCALE when a product's precision would pass 38 — so y sits on a
+    // 1e-6 lattice (scale 6), keeping x*y at (36,6) and x*x at (38,0):
+    // every product and sum exact on both engines.
+    val e = ev(s, dir).df.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("time") - base).cast("decimal(19,0)").as("x"),
+        round(col("value"), 6).cast("decimal(16,6)").as("y"))
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .withColumn("slope",
+        (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+          (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))))
+      .select(col("event_type"), col("n"),
+        round(col("slope") * 86400000.0, 6).as("slope_per_day"),
+        round(col("sy") / col("n") - col("slope") * (col("sx") / col("n")), 4)
+          .as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact grouped percentiles (Spark `percentile` ≡ ANSI interpolated
     * `quantile_cont`): the holistic-aggregate coverage row. At 100 TB a
     * holistic percentile per group is the one aggregate that canNOT salt
@@ -3257,6 +3298,7 @@ object SparkEntry {
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_event_daily" -> (pivotEventDaily _),
     "stats_moments_by_type" -> (statsMomentsByType _),
+    "uts_trend_by_type" -> (utsTrendByType _),
     "anti_join_customers" -> (antiJoinCustomers _),
     "setop_active_users" -> (setopActiveUsers _),
     "window_top_orders" -> (windowTopOrders _),
@@ -4556,6 +4598,26 @@ object SparkEntry {
         |       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
         |       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // OLS trend from the same exact sufficient statistics, same final
+    // parenthesization — bitwise-identical doubles before the round.
+    "uts_trend_by_type" ->
+      """WITH p AS (SELECT event_type,
+        |                  CAST(epoch_ms(ts) - 1704067200000 AS DECIMAL(19,0)) AS x,
+        |                  CAST(round(value, 6) AS DECIMAL(16,6)) AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, count(*) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |             CAST(sum(x * x) AS DOUBLE) AS sxx
+        |      FROM p GROUP BY event_type),
+        |s AS (SELECT *,
+        |        (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))
+        |          AS slope
+        |      FROM a)
+        |SELECT event_type, n,
+        |       round(slope * 86400000.0, 6) AS slope_per_day,
+        |       round(sy / n - slope * (sx / n), 4) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "value_quantiles_by_type" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.25), 4) AS p25,
