@@ -4157,10 +4157,10 @@ object SparkEntry {
     // Q12: q4's lateness residual with the two-way priority CASE rollup.
     "q12_priority_class" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -4322,10 +4322,12 @@ object SparkEntry {
       """WITH b AS (SELECT o_orderpriority,
         |                  CAST(floor(o_totalprice) AS BIGINT) // 8192 AS bk,
         |                  count(*) AS c
-        |           FROM orders GROUP BY 1, 2),
+        |           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT o_orderpriority, bk, c,
-        |               sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bk) AS cum,
-        |               sum(c) OVER (PARTITION BY o_orderpriority) AS n
+        |               CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bk)
+        |                    AS BIGINT) AS cum,
+        |               CAST(sum(c) OVER (PARTITION BY o_orderpriority)
+        |                    AS BIGINT) AS n
         |        FROM b),
         |est AS (SELECT o_orderpriority, max(n) AS n,
         |          min(CASE WHEN cum >= ceil(0.5 * n) THEN bk * 8192 END) AS est_p50,
@@ -4336,7 +4338,7 @@ object SparkEntry {
         |              row_number() OVER (PARTITION BY o_orderpriority
         |                                 ORDER BY o_totalprice) AS r,
         |              count(*) OVER (PARTITION BY o_orderpriority) AS n2
-        |       FROM orders),
+        |       FROM orders WHERE o_totalprice IS NOT NULL),
         |ex AS (SELECT o_orderpriority,
         |         min(CASE WHEN r = ceil(0.5 * n2) THEN o_totalprice END) AS exact_p50,
         |         min(CASE WHEN r = ceil(0.9 * n2) THEN o_totalprice END) AS exact_p90,
@@ -4354,10 +4356,12 @@ object SparkEntry {
         |                       ELSE length(bin(CAST(floor(value) AS BIGINT))) - 1
         |                  END AS bk,
         |                  count(*) AS c
-        |           FROM events GROUP BY 1, 2),
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT event_type, bk, c,
-        |               sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
-        |               sum(c) OVER (PARTITION BY event_type) AS n
+        |               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bk)
+        |                    AS BIGINT) AS cum,
+        |               CAST(sum(c) OVER (PARTITION BY event_type)
+        |                    AS BIGINT) AS n
         |        FROM b),
         |est AS (SELECT event_type, max(n) AS n,
         |          min(CASE WHEN cum >= ceil(0.5 * n) THEN
@@ -4371,7 +4375,7 @@ object SparkEntry {
         |              row_number() OVER (PARTITION BY event_type
         |                                 ORDER BY value) AS r,
         |              count(*) OVER (PARTITION BY event_type) AS n2
-        |       FROM events),
+        |       FROM events WHERE value IS NOT NULL),
         |ex AS (SELECT event_type,
         |         min(CASE WHEN r = ceil(0.5 * n2) THEN value END) AS exact_p50,
         |         min(CASE WHEN r = ceil(0.99 * n2) THEN value END) AS exact_p99

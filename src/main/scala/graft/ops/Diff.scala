@@ -35,18 +35,23 @@ object Diff {
     require(nonKey.nonEmpty,
       "Diff.snapshots needs at least one shared non-key column to compare")
     val o = oldDf.select(
-      keys.map(col) ++ Seq(struct(nonKey.map(col): _*).as("__ov"),
-        lit(true).as("__oe")): _*)
+      keys.map(k => col(k).as(s"__ok_$k")) ++ Seq(
+        struct(nonKey.map(col): _*).as("__ov"), lit(true).as("__oe")): _*)
     val n = newDf.select(
-      keys.map(col) ++ Seq(struct(nonKey.map(col): _*).as("__nv"),
-        lit(true).as("__ne")): _*)
-    o.join(n, keys, "full_outer")
+      keys.map(k => col(k).as(s"__nk_$k")) ++ Seq(
+        struct(nonKey.map(col): _*).as("__nv"), lit(true).as("__ne")): _*)
+    // Null-safe key equality (`<=>`): a USING join never matches NULL keys,
+    // which would report a NULL-keyed row present in both snapshots twice —
+    // as `added` AND `removed` — instead of unchanged/changed.
+    val cond = keys.map(k => col(s"__ok_$k") <=> col(s"__nk_$k")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
       .withColumn("change",
         when(col("__oe").isNull, lit("added"))
           .when(col("__ne").isNull, lit("removed"))
           .when(!(col("__ov") <=> col("__nv")), lit("changed"))
           .otherwise(lit("unchanged")))
       .filter(col("change") =!= "unchanged")
-      .select(keys.map(col) :+ col("change"): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"__ok_$k"), col(s"__nk_$k")).as(k)) :+ col("change"): _*)
   }
 }

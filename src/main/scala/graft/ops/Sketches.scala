@@ -175,8 +175,17 @@ object Sketches {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles in (0,1]: $qs")
     import org.apache.spark.sql.expressions.Window
     def pName(q: Double) = (q * 100).round.toString
-    val bucket = expr(s"CAST(floor($valueCol) AS BIGINT) div $width")
-    val counts = df.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
+    // FLOOR division, not Spark's truncate-toward-zero `div`: for negative
+    // values trunc-div rounds the bucket index UP, putting the lower-bound
+    // estimate ABOVE the value and breaking `est <= exact < est + width`.
+    // `(x - pmod(x, w)) div w` is exact Long arithmetic (pmod ∈ [0, w), the
+    // numerator is a multiple of w) — no double rounding, stays codegen'd,
+    // and matches the oracle's `//` floor semantics.
+    val vals = df.filter(col(valueCol).isNotNull)
+    val fv = s"CAST(floor($valueCol) AS BIGINT)"
+    // The numerator is an exact multiple of width, so trunc-div IS floor-div.
+    val bucket = expr(s"($fv - pmod($fv, ${width}L)) div ${width}L")
+    val counts = vals.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
     val cum = counts
@@ -187,7 +196,7 @@ object Sketches {
     // k-th smallest value (ties broken by order — identical k ⇒ identical
     // value on any engine).
     val vw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val ranked = df
+    val ranked = vals
       .withColumn("__r", row_number().over(vw))
       .withColumn("__n2", count(lit(1)).over(
         Window.partitionBy(groupCols.map(col): _*)))
@@ -226,9 +235,14 @@ object Sketches {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles in (0,1]: $qs")
     import org.apache.spark.sql.expressions.Window
     def pName(q: Double) = (q * 100).round.toString
+    // NULL values are excluded outright (matching utsTrendByType/m4Downsample):
+    // Spark windows order NULLS FIRST, DuckDB NULLS LAST, so letting NULLs
+    // through would silently skew `n`, cumulative counts, and both quantile
+    // twins differently per engine.
+    val vals = df.filter(col(valueCol).isNotNull)
     val bucket = when(col(valueCol) < 1, lit(-1L))
       .otherwise(length(expr(s"bin(CAST(floor($valueCol) AS BIGINT))")).cast("long") - 1L)
-    val counts = df.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
+    val counts = vals.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
     val cum = counts
@@ -236,7 +250,7 @@ object Sketches {
       .withColumn("__n", sum(col("__c")).over(
         Window.partitionBy(groupCols.map(col): _*)))
     val vw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val ranked = df
+    val ranked = vals
       .withColumn("__r", row_number().over(vw))
       .withColumn("__n2", count(lit(1)).over(
         Window.partitionBy(groupCols.map(col): _*)))
@@ -279,6 +293,14 @@ object Sketches {
     * the pair stage is broadcast-sized. Output per (part_a, part_b) pair:
     * exact-while-unsaturated `est_union`, `est_intersect`, and the audit
     * columns (`n_common`, `theta_kth`).
+    *
+    * Estimator convention: the pair estimates use the INCLUSIVE threshold
+    * `θ = kth + 1` with all k buffered hashes counted (`|sample|/θ`) — the
+    * theta-sketch formulation, chosen because a pair's `θ∧` must be a single
+    * comparable cutoff across two buffers. That carries a small (~1/k)
+    * upward bias relative to [[kmvDistinct]]'s unbiased order-statistic
+    * estimator `(k-1)/kth`; the two conventions intentionally differ, and
+    * the oracle replicates each one exactly.
     */
   def kmvSetOps(
       df: DataFrame,

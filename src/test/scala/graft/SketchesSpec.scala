@@ -100,6 +100,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles keep the lower-bound contract on negative values (floor division)") {
+    import spark.implicits._
+    // Values straddling zero: trunc-div would drop -0.5 into bucket 0 with
+    // lower bound 0 > -0.5 — the floor-div fix pins bucket -1 (bound -10).
+    val df = Seq(-15.0, -0.5, -10.0, 0.5, 3.0, 9.9, 12.0, 25.0)
+      .toDF("v").withColumn("g", lit("a"))
+    val r = Sketches.histQuantiles(df, Seq("g"), "v", width = 10L,
+      qs = Seq(0.25, 0.5, 0.9)).collect().head
+    for (p <- Seq("25", "50", "90")) {
+      val est = r.getAs[Long](s"est_p$p").toDouble
+      val exact = r.getAs[Double](s"exact_p$p")
+      assert(est <= exact && exact < est + 10.0, s"p$p est=$est exact=$exact")
+    }
+  }
+
+  test("histogram quantiles ignore NULL values on both the sketch and audit sides") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(5.0), None, Some(9.0))
+      .toDF("v").withColumn("g", lit("a"))
+    val r = Sketches.histQuantiles(df, Seq("g"), "v", 4L, Seq(0.5)).collect().head
+    assert(r.getAs[Long]("n") == 3L, r) // NULLs excluded from n
+    assert(r.getAs[Double]("exact_p50") == 5.0, r)
+    val r2 = Sketches.histQuantilesLog2(df, Seq("g"), "v", Seq(0.5)).collect().head
+    assert(r2.getAs[Long]("n") == 3L, r2)
+    assert(r2.getAs[Double]("exact_p50") == 5.0, r2)
+  }
+
   test("histogram quantile sketch is partition-invariant (mergeable counts)") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
     def run(parts: Int) = Sketches.histQuantiles(
@@ -143,5 +170,16 @@ class SketchesSpec extends SparkSpec {
     val d = graft.ops.Diff.snapshots(old, neu, Seq("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d == Map(1L -> "changed"), d) // key 2: NULL <=> NULL, untouched
+  }
+
+  test("snapshot diff matches NULL keys null-safely instead of reporting added+removed") {
+    import spark.implicits._
+    val old = Seq((Option(1L), "a"), (Option.empty[Long], "x")).toDF("k", "s")
+    val neu = Seq((Option(1L), "a"), (Option.empty[Long], "y")).toDF("k", "s")
+    val d = graft.ops.Diff.snapshots(old, neu, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    // The NULL-keyed row exists on both sides with a differing value: ONE
+    // `changed` row, not an added/removed pair.
+    assert(d.toSeq == Seq(None -> "changed"), d.toSeq)
   }
 }
