@@ -3231,6 +3231,55 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 BOUNDED-STATE leaderboard gate: [[graft.streaming.StreamOps
+    * .runningTopKApprox]] (Misra-Gries summary, capacity 15) over a skewed
+    * sub-key replay. `user_id` maps onto 3 heavy buckets (shares ≈ 37.5%,
+    * 25%, 12.5% via `user_id mod 8`) plus a ~97-bucket uniform tail
+    * (≈ 0.26% each), so every consecutive top-3 gap (≥ ~11% of n empirically
+    * at every SF) clears the MG error bound n/(capacity+1) = 6.25% — the MG
+    * guarantee then makes board identity AND order equal the exact batch
+    * count+rank, regardless of replay order. Estimated counts are only
+    * bounded, not unique, so the gate projects them away: the contract is
+    * WHO is on the board, in what order, from O(capacity) state.
+    */
+  private def streamTopkUsersMg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"topk:$dir",
+      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      _ => Seq.empty)
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    withStateSession(s) { ss =>
+      import ss.implicits._
+      val bucket = when(pmod(col("user_id"), lit(8L)) <= 2, lit(0L))
+        .when(pmod(col("user_id"), lit(8L)) <= 4, lit(1L))
+        .when(pmod(col("user_id"), lit(8L)) === 5, lit(2L))
+        .otherwise(lit(3L) + pmod(expr("user_id div 8"), lit(97L)))
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("event_type").as("key"), bucket.as("sub"))
+        .as[graft.streaming.StreamOps.CountEvent]
+      val board = graft.streaming.StreamOps.runningTopKApprox(
+        ss, src, k = 3, capacity = 15)
+      val name = s"graft_topkmg_gate_${pathToken(dir)}"
+      val q = board.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = ss.table(name)
+      val latest = t.groupBy(col("key").as("__k")).agg(max(col("gen")).as("__g"))
+      t.join(broadcast(latest), col("key") === col("__k") && col("gen") === col("__g"))
+        .select(col("key").as("event_type"), col("rank"), col("sub").as("user_bucket"))
+        .orderBy(col("event_type"), col("rank"))
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3387,6 +3436,7 @@ object SparkEntry {
     "stream_running_last" -> (streamRunningLast _),
     "stream_session_counts" -> (streamSessionCounts _),
     "stream_topk_users" -> (streamTopkUsers _),
+    "stream_topk_users_mg" -> (streamTopkUsersMg _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
   )
@@ -5633,6 +5683,25 @@ object SparkEntry {
         |                                ORDER BY cnt DESC, user_id) AS rank
         |      FROM c)
         |SELECT event_type, rank, user_id, cnt FROM r WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
+    // The Misra-Gries board: identity + order of the top-3 must equal the
+    // exact batch derivation (the MG guarantee holds — every top-3 gap in
+    // the bucketed replay exceeds n/(capacity+1)); estimated counts are
+    // order-dependent and intentionally absent from the contract.
+    "stream_topk_users_mg" ->
+      """WITH c AS (SELECT event_type,
+        |             CASE WHEN user_id % 8 <= 2 THEN 0
+        |                  WHEN user_id % 8 <= 4 THEN 1
+        |                  WHEN user_id % 8 = 5 THEN 2
+        |                  ELSE 3 + (user_id // 8) % 97 END AS user_bucket,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_bucket, cnt,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY cnt DESC, user_bucket) AS rank
+        |      FROM c)
+        |SELECT event_type, rank, CAST(user_bucket AS BIGINT) AS user_bucket
+        |FROM r WHERE rank <= 3
         |ORDER BY event_type, rank""".stripMargin,
     // The same lag/cumulative-break derivation as session_counts_by_type,
     // partitioned by user and emitted per ROW (1-based).

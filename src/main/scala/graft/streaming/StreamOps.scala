@@ -466,9 +466,9 @@ object StreamOps {
     *
     * Scale contract: state is O(distinct sub-keys) per key — exact, and
     * right while sub-key cardinality is bounded (users per event type here).
-    * For unbounded sub-keys, swap the map for a Misra-Gries summary of
-    * capacity m ([[graft.ops.Text.heavyHitters]]'s summary, which merges
-    * with bounded error) — the board then carries ε = n/m count slack.
+    * For unbounded sub-keys use [[runningTopKApprox]], which swaps the map
+    * for a Misra-Gries summary of fixed capacity — the board then carries
+    * ε = n/(capacity+1) count slack.
     */
   def runningTopK(
       spark: SparkSession,
@@ -490,6 +490,79 @@ object StreamOps {
           state.update(TopKState(counts, gen))
           counts.toSeq.sortBy { case (sub, c) => (-c, sub) }.take(k).zipWithIndex
             .map { case ((sub, c), i) => TopKRow(key, gen, i + 1L, sub, c) }
+            .iterator
+      }
+  }
+
+  final case class TopKApproxRow(
+      key: String, gen: Long, rank: Long, sub: Long, cnt_est: Long, n_tracked: Long)
+
+  /** [[runningTopK]] with BOUNDED per-key state — the 100 TB shape for
+    * unbounded sub-key cardinality: the exact count map is replaced by a
+    * Misra-Gries summary (Misra & Gries 1982 — the same discipline as
+    * [[graft.ops.Text.heavyHitters]]'s batch pass 1) holding at most
+    * `capacity` counters, so state per key is O(capacity) FOREVER, no matter
+    * how many distinct sub-keys the stream carries.
+    *
+    * The MG transition per event: an already-tracked sub-key increments its
+    * counter; an untracked one takes a free slot if any, else EVERY counter
+    * decrements by one (zeroed counters free their slot) and the event is
+    * absorbed. The classic guarantee follows: with n events processed for a
+    * key, every sub-key's estimate satisfies
+    * `true − n/(capacity+1) ≤ est ≤ true`, so any sub-key whose true count
+    * exceeds that of another by MORE than n/(capacity+1) provably ranks
+    * above it on the board — the gate replays a skewed stream whose top-k
+    * gaps all clear the bound, making board identity AND order equal to the
+    * exact batch derivation regardless of processing order. Estimated counts
+    * themselves ARE order-dependent (only bounded, not unique), which is why
+    * the driver gate projects them away and the contract exposes them as
+    * `cnt_est`, not `cnt`.
+    *
+    * `n_tracked` (the summary's live counter count, ≤ capacity by
+    * construction) makes the state bound observable in the output — the
+    * spec asserts it stays ≤ capacity while the exact twin's state grows
+    * with distinct sub-keys.
+    */
+  def runningTopKApprox(
+      spark: SparkSession,
+      stream: Dataset[CountEvent],
+      k: Int,
+      capacity: Int): Dataset[TopKApproxRow] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity must be >= k=$k, got $capacity")
+    import spark.implicits._
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[CountEvent], state: GroupState[TopKState]) =>
+          val st0 = state.getOption.getOrElse(TopKState(Map.empty, 0L))
+          val m = new java.util.HashMap[Long, java.lang.Long](capacity * 2)
+          st0.counts.foreach { case (s, c) => m.put(s, c) }
+          events.foreach { e =>
+            val cur = m.get(e.sub)
+            if (cur != null) m.put(e.sub, cur + 1L)
+            else if (m.size < capacity) m.put(e.sub, 1L)
+            else {
+              val it = m.entrySet().iterator()
+              while (it.hasNext) {
+                val x = it.next()
+                if (x.getValue == 1L) it.remove() else x.setValue(x.getValue - 1L)
+              }
+            }
+          }
+          val counts = {
+            val b = Map.newBuilder[Long, Long]
+            m.forEach((s, c) => b += (s -> c.longValue()))
+            b.result()
+          }
+          val gen = st0.gen + 1L
+          state.update(TopKState(counts, gen))
+          val tracked = counts.size.toLong
+          counts.toSeq.sortBy { case (sub, c) => (-c, sub) }.take(k).zipWithIndex
+            .map { case ((sub, c), i) =>
+              TopKApproxRow(key, gen, i + 1L, sub, c, tracked) }
             .iterator
       }
   }

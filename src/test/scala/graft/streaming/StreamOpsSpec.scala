@@ -211,6 +211,48 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTopKApprox keeps state at <= capacity while the exact map would grow, and its board obeys the MG guarantee") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.CountEvent]
+    val capacity = 12
+    val out = StreamOps.runningTopKApprox(spark, input.toDS(), k = 3, capacity = capacity)
+    val q = out.writeStream.format("memory").queryName("topkmg")
+      .outputMode("append").start()
+    // Skewed stream: subs 100/101/102 carry 60/35/20 events; a 60-sub
+    // uniform tail (1 each) keeps constant slot pressure. n = 175, so the
+    // MG error bound is n/(capacity+1) = 175/13 ≈ 13.5, and EVERY
+    // consecutive top-3 gap clears it (25, 15, 19) — board identity and
+    // order are guaranteed for any processing order, which is what makes
+    // this assertable against exact counts.
+    def mk(sub: Long, n: Int) = Seq.fill(n)(StreamOps.CountEvent("k", sub))
+    val heavy = mk(100L, 60) ++ mk(101L, 35) ++ mk(102L, 20)
+    val tail = (0L until 60L).map(StreamOps.CountEvent("k", _))
+    // Seeded interleave, split across 3 micro-batches so the summary crosses
+    // batch boundaries through the state store.
+    val all = new scala.util.Random(42).shuffle(heavy ++ tail)
+    try {
+      for (batch <- all.grouped((all.size + 2) / 3)) {
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      val t = spark.table("topkmg").as[StreamOps.TopKApproxRow].collect()
+      // State bound: every emission tracked <= capacity counters, though the
+      // stream carried 63 distinct sub-keys (what the exact twin would hold).
+      assert(all.map(_.sub).distinct.size > capacity)
+      assert(t.forall(_.n_tracked <= capacity), t.map(_.n_tracked).max.toString)
+      val gen = t.map(_.gen).max
+      val board = t.filter(_.gen == gen).sortBy(_.rank)
+      assert(board.map(_.sub).toSeq == Seq(100L, 101L, 102L), board.mkString(","))
+      // MG never overcounts, and undercounts by at most n/(capacity+1).
+      val est = board.map(r => r.sub -> r.cnt_est).toMap
+      val bound = all.size.toLong / (capacity + 1)
+      for ((sub, truth) <- Seq(100L -> 60L, 101L -> 35L, 102L -> 20L)) {
+        assert(est(sub) <= truth, s"$sub overcounted: ${est(sub)} > $truth")
+        assert(est(sub) >= truth - bound - 1L, s"$sub est ${est(sub)} below bound")
+      }
+    } finally q.stop()
+  }
+
   test("file source to file sink: parquet dir streams through tumbling stats") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_").toFile.getAbsolutePath
     val (in, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
