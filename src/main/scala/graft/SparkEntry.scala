@@ -3393,6 +3393,7 @@ object SparkEntry {
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
+    "ann_ivfpq_recall" -> (pqAdcRecallQ _),
     "ann_ivfpq_topk" -> (ivfPqTopkQ _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
@@ -3457,13 +3458,16 @@ object SparkEntry {
 
   /** One PQ block's oracle CTEs: seed assignment, one Lloyd round (6-dp
     * means in position order), final code assignment, ADC lookup row.
+    * `multiQ` keys the LUT rows by `qid` for query-batch oracles (the
+    * recall gate), mirroring the Spark side's batch LUT.
     */
-  private def pqBlockCtes(b: Int): String = {
+  private def pqBlockCtes(b: Int, multiQ: Boolean = false): String = {
     val lo = b * 16 + 1
     val hi = (b + 1) * 16
     val ev = s"list_slice(e.v, $lo, $hi)"
     val sv = s"list_slice(s.sv, $lo, $hi)"
     val qv = s"list_slice(q.qv, $lo, $hi)"
+    val lutQid = if (multiQ) "q.qid, " else ""
     s"""a1_$b AS (
        |  SELECT vid, code AS c FROM (
        |    SELECT e.vid, s.code, row_number() OVER (PARTITION BY e.vid
@@ -3481,8 +3485,18 @@ object SparkEntry {
        |      ORDER BY ${pqSq(ev, "cb.cv")}, cb.c) AS rn
        |    FROM e, cb_$b cb) WHERE rn = 1),
        |lut_$b AS (
-       |  SELECT cb.c AS c$b, ${pqSq(qv, "cb.cv")} AS d$b FROM cb_$b cb, q)""".stripMargin
+       |  SELECT ${lutQid}cb.c AS c$b, ${pqSq(qv, "cb.cv")} AS d$b FROM cb_$b cb, q)""".stripMargin
   }
+
+  /** PQ/ADC recall gate: [[graft.ops.Similarity.pqAdcRecall]] — recall@10
+    * of the ADC ranking vs the exact squared-L2 top-10 (the distance ADC
+    * approximates), 3-query batch over one shared quantization. The one
+    * approximation contract that previously shipped without a gated
+    * number.
+    */
+  private def pqAdcRecallQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcRecall(T(s, dir, "embeddings"),
+      queryIds = Seq(0L, 1L, 2L), k = 10, m = 4, subDim = 16, kCodes = 8)
 
   /** IVF+PQ gate: [[graft.ops.Similarity.ivfPqTopK]] — 8 coarse k-means
     * clusters (2 Lloyd rounds, the KMeans8 discipline), nprobe=2 routing,
@@ -3534,7 +3548,7 @@ object SparkEntry {
        |  SELECT v AS sv, row_number() OVER (
        |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM e)
        |  WHERE rn <= 8),
-       |${(0 until 4).map(pqBlockCtes).mkString(",\n")}
+       |${(0 until 4).map(pqBlockCtes(_)).mkString(",\n")}
        |SELECT e.vid AS vec_id, round(d0 + d1 + d2 + d3, 4) AS adc
        |FROM e JOIN kassign USING (vid) JOIN probes USING (cluster)
        |       JOIN as_0 USING (vid) JOIN as_1 USING (vid)
@@ -3551,7 +3565,7 @@ object SparkEntry {
        |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM e)
        |  WHERE rn <= 8),
        |q AS (SELECT v AS qv FROM e WHERE vid = 0),
-       |${(0 until 4).map(pqBlockCtes).mkString(",\n")}
+       |${(0 until 4).map(pqBlockCtes(_)).mkString(",\n")}
        |SELECT e.vid AS vec_id, round(d0 + d1 + d2 + d3, 4) AS adc
        |FROM e JOIN as_0 USING (vid) JOIN as_1 USING (vid)
        |       JOIN as_2 USING (vid) JOIN as_3 USING (vid)
@@ -3559,6 +3573,41 @@ object SparkEntry {
        |       JOIN lut_2 USING (c2) JOIN lut_3 USING (c3)
        |WHERE e.vid <> 0
        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+
+  /** The ADC recall twin re-derived whole: the shared per-block CTEs with
+    * qid-keyed LUTs, the ADC per-query top-10, the exact squared-L2
+    * per-query top-10, and their intersection counts.
+    */
+  private lazy val PqAdcRecallSql: String =
+    s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT rn - 1 AS code, sv FROM (
+       |  SELECT v AS sv, row_number() OVER (
+       |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM e)
+       |  WHERE rn <= 8),
+       |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid IN (0, 1, 2)),
+       |${(0 until 4).map(pqBlockCtes(_, multiQ = true)).mkString(",\n")},
+       |adc AS (
+       |  SELECT qid, e.vid, round(d0 + d1 + d2 + d3, 4) AS adc
+       |  FROM e JOIN as_0 USING (vid) JOIN as_1 USING (vid)
+       |         JOIN as_2 USING (vid) JOIN as_3 USING (vid)
+       |         JOIN lut_0 USING (c0) JOIN lut_1 USING (qid, c1)
+       |         JOIN lut_2 USING (qid, c2) JOIN lut_3 USING (qid, c3)
+       |  WHERE e.vid <> qid),
+       |adcr AS (SELECT qid, vid FROM (
+       |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS r
+       |  FROM adc) WHERE r <= 10),
+       |ex AS (SELECT q.qid, e.vid, round(${pqSq("e.v", "q.qv")}, 4) AS d2
+       |       FROM e, q WHERE e.vid <> q.qid),
+       |exr AS (SELECT qid, vid FROM (
+       |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS r
+       |  FROM ex) WHERE r <= 10)
+       |SELECT exr.qid AS query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN adcr.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hit,
+       |       round(CAST(sum(CASE WHEN adcr.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / 10.0, 4) AS recall_at_k
+       |FROM exr LEFT JOIN adcr ON exr.qid = adcr.qid AND exr.vid = adcr.vid
+       |GROUP BY exr.qid ORDER BY query_id""".stripMargin
 
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
   private val EvCte =
@@ -5174,6 +5223,7 @@ object SparkEntry {
     // Full PQ re-derivation, block by block (generated CTEs — 4 blocks ×
     // seed-assign / Lloyd-round / assign / LUT).
     "pq_adc_topk" -> PqAdcSql,
+    "ann_ivfpq_recall" -> PqAdcRecallSql,
     // Coarse k-means routing over the PQ oracle's own CTEs — the IVFPQ
     // composition re-derived end-to-end.
     "ann_ivfpq_topk" -> IvfPqSql,

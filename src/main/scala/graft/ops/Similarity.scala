@@ -323,17 +323,28 @@ object Similarity {
       scored: DataFrame,
       k: Int,
       idCol: String,
+      salts: Int = 32): DataFrame =
+    perQidTopKBy(scored, k, idCol, col("cosine").desc, salts)
+
+  /** The same two-phase rank under an arbitrary score ordering (`order`
+    * carries its own direction — cosine desc for similarity, distance asc
+    * for the ADC paths); ties always break on `idCol`. */
+  private def perQidTopKBy(
+      scored: DataFrame,
+      k: Int,
+      idCol: String,
+      order: Column,
       salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("__salt", pmod(col(idCol).cast("long"), lit(salts.toLong)))
       .withColumn("__prn", row_number().over(
         Window.partitionBy(col("qid"), col("__salt"))
-          .orderBy(col("cosine").desc, col(idCol))))
+          .orderBy(order, col(idCol))))
       .filter(col("__prn") <= k)
       .drop("__prn", "__salt")
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+        Window.partitionBy(col("qid")).orderBy(order, col(idCol))))
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
@@ -1066,26 +1077,38 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
-    pqAdcRank(e, pqBlocks(e, m, subDim, k, queryId), m, queryId)
-      .withColumnRenamed("vid", idCol)
+    pqAdcRank(e, pqBlocks(e, m, subDim, k, queriesOf(e, Seq(queryId))), m)
+      .select(col("vid").as(idCol), col("adc"))
       .limit(topK)
   }
 
-  /** Per-block PQ codebook machinery shared by [[pqAdcTopK]] and
-    * [[ivfPqTopK]]: for each of the `m` blocks, (code assignments `(vid,
-    * c<b>)`, the query's ADC lookup row `(c<b>, d<b>)`). `e` must be the
-    * canonical `(vid: long, v: array<double>)` frame.
+  /** Squared L2 via the dot-kernel identity |a−b|² = aa − 2ab + bb —
+    * the exact arithmetic every PQ path (and its oracle) states. */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** The `(qid, qv)` query frame for the PQ paths, from the canonical
+    * `(vid, v)` frame. */
+  private def queriesOf(e: DataFrame, queryIds: Seq[Long]): DataFrame =
+    e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("v").as("qv"))
+
+  /** Per-block PQ codebook machinery shared by [[pqAdcTopK]], [[ivfPqTopK]]
+    * and [[pqAdcRecall]]: for each of the `m` blocks, (code assignments
+    * `(vid, c<b>)`, the per-query ADC lookup rows `(qid, c<b>, d<b>)`).
+    * `e` must be the canonical `(vid: long, v: array<double>)` frame;
+    * `queries` the `(qid, qv)` batch — codebooks and code assignments are
+    * query-independent, so a query batch shares one quantization.
     */
   private def pqBlocks(
       e: DataFrame,
       m: Int,
       subDim: Int,
       k: Int,
-      queryId: Long): Seq[(DataFrame, DataFrame)] = {
+      queries: DataFrame): Seq[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     def blk(c: Column, b: Int): Column = slice(c, b * subDim + 1, subDim)
-    def sq(a: Column, b: Column): Column =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    def sq(a: Column, b: Column): Column = sqDist(a, b)
     // k hash-ordered seed vectors with stable code ids (tiny, broadcast).
     val hOrd = pmod(col("vid") * lit(2654435761L), lit(4294967296L))
     val seeds = e.withColumn("__h", hOrd)
@@ -1111,14 +1134,16 @@ object Similarity {
         .groupBy(col("vid"))
         .agg(min_by(col("c"),
           struct(sq(blk(col("v"), b), col("cv")), col("c"))).as(s"c$b"))
-      val lut = e.filter(col("vid") === queryId).crossJoin(broadcast(cb))
-        .select(col("c").as(s"c$b"), sq(blk(col("v"), b), col("cv")).as(s"d$b"))
+      val lut = queries.crossJoin(broadcast(cb))
+        .select(col("qid"), col("c").as(s"c$b"),
+          sq(blk(col("qv"), b), col("cv")).as(s"d$b"))
       (assign, lut)
     }
   }
 
   /** ADC ranking tail shared by the PQ paths: join the `m` code columns,
-    * fold in the broadcast LUT rows, exclude the query, order by (adc,
+    * fold in the broadcast LUT rows (keyed `(qid, c<b>)` — one ranking per
+    * query in the batch), exclude each query's own row, order by (qid, adc,
     * vid). `base` defaults to the full code table; [[ivfPqTopK]] passes a
     * cluster-restricted candidate frame instead.
     */
@@ -1126,17 +1151,64 @@ object Similarity {
       e: DataFrame,
       perBlock: Seq[(DataFrame, DataFrame)],
       m: Int,
-      queryId: Long,
       candidates: Option[DataFrame] = None): DataFrame = {
     val codes = perBlock.map(_._1).reduce((x, y) => x.join(y, "vid"))
     val base = candidates.map(c => codes.join(c, "vid")).getOrElse(codes)
     val scored = perBlock.zipWithIndex.foldLeft(base) {
-      case (acc, ((_, lut), b)) => acc.join(broadcast(lut), s"c$b")
+      case (acc, ((_, lut), b)) =>
+        acc.join(broadcast(lut), if (b == 0) Seq(s"c$b") else Seq("qid", s"c$b"))
     }
-    scored.filter(col("vid") =!= queryId)
-      .select(col("vid"),
+    scored.filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
         round((0 until m).map(b => col(s"d$b")).reduce(_ + _), 4).as("adc"))
-      .orderBy(col("adc"), col("vid"))
+      .orderBy(col("qid"), col("adc"), col("vid"))
+  }
+
+  /** Recall@k audit for the PQ/ADC approximation — [[ivfRecallBatch]]'s
+    * twin for the OTHER approximation in the repo: per query, the exact
+    * squared-L2 top-k (the very distance ADC approximates, same 4-dp
+    * rounding and (distance, id) tie order) compared against the ADC
+    * ranking's top-k, reduced to `n_hit` / `recall_at_k`. This prices PQ's
+    * distance distortion as a measured, gateable number: more blocks /
+    * more codes move recall up, and a regression in seeding, the Lloyd
+    * round, code assignment, or LUT arithmetic turns the gate red. One
+    * quantization serves the whole query batch (codebooks and code
+    * assignments are query-independent); the exact side is one broadcast
+    * scan-score of the corpus against the query batch.
+    */
+  def pqAdcRecall(
+      df: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      m: Int,
+      subDim: Int,
+      kCodes: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1 && kCodes >= 2 && k >= 1,
+      s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes k=$k")
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val queries = queriesOf(e, queryIds).localCheckpoint()
+    val adcTop = perQidTopKBy(
+      pqAdcRank(e, pqBlocks(e, m, subDim, kCodes, queries), m),
+      k, "vid", asc("adc"))
+      .select(col("qid"), col("vid"), lit(1).as("__hit"))
+    val exactTop = perQidTopKBy(
+      e.crossJoin(broadcast(queries))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          round(sqDist(col("v"), col("qv")), 4).as("d2")),
+      k, "vid", asc("d2"))
+      .select(col("qid"), col("vid"))
+    exactTop.join(adcTop, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
   }
 
   /** IVF+PQ — the billion-scale composition (FAISS `IVFPQ`, Jégou et al.
@@ -1185,9 +1257,9 @@ object Similarity {
       .limit(nprobe)
       .select(col("cluster"))
     val candidates = assigned.join(broadcast(probes), "cluster").select(col("vid"))
-    pqAdcRank(e, pqBlocks(e, m, subDim, kCodes, queryId), m, queryId,
+    pqAdcRank(e, pqBlocks(e, m, subDim, kCodes, queriesOf(e, Seq(queryId))), m,
         candidates = Some(candidates))
-      .withColumnRenamed("vid", idCol)
+      .select(col("vid").as(idCol), col("adc"))
       .limit(topK)
   }
 }

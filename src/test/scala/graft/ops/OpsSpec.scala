@@ -1116,6 +1116,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC recall: lossless codebook scores recall 1.0; lossy quantization is measured below it") {
+    // k = n: quantization is lossless (each vector its own code), so the
+    // ADC top-k IS the exact squared-L2 top-k — recall must be exactly 1
+    // for every query in the batch, and n_exact = k.
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Array(i.toFloat, 2f * i, 10f * i, i.toFloat + 1f))
+    }.toDF("vec_id", "embedding")
+    val perfect = Similarity.pqAdcRecall(vecs, queryIds = Seq(0L, 3L), k = 3,
+        m = 2, subDim = 2, kCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(perfect.toSeq == Seq((0L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0)), perfect.toSeq)
+    // kCodes = 2 over 8 spread vectors: collapse to 2 centroids per block
+    // loses rank information — recall is a number in [0, 1], n_hit <= k,
+    // and the frame stays one row per query.
+    val lossy = Similarity.pqAdcRecall(vecs, queryIds = Seq(0L, 3L), k = 3,
+        m = 2, subDim = 2, kCodes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(lossy.map(_._1).toSeq == Seq(0L, 3L))
+    assert(lossy.forall { case (_, nHit, rec) =>
+      nHit >= 0L && nHit <= 3L && math.abs(rec - nHit / 3.0) < 1e-3 }, lossy.toSeq)
+  }
+
   test("IVF+PQ: one coarse cluster degrades to plain PQ/ADC") {
     val vecs = (0 until 6).map { i =>
       (i.toLong, Array(i.toFloat + 1f, i.toFloat, 10f * i, 10f * i + 1f))
