@@ -140,7 +140,12 @@ object Bench {
     for (w <- Seq("q1_agg", "q5_nation_revenue", "uts_global_metrics",
         "text_stats", "sim_topk_cosine"))
       SparkEntry.queries(w)(spark, sfDir).write.mode("overwrite").format("noop").save()
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional comma-separated query filter for local iteration (the driver
+    // never sets it → full run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val raws = timeReps(
         () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(), reps)

@@ -482,8 +482,15 @@ object Text {
       budget: Long,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
+    // localCheckpoint: the stitched prefix sum consumes its input THREE
+    // times (range-boundary sampling, per-partition totals, the final
+    // stitched window) — materializing the two-long-column counted frame
+    // once keeps the text scan + tokenize from re-running per consumer.
+    // The checkpoint is row-per-doc, orders of magnitude narrower than the
+    // corpus it summarizes.
     packCountsByBudget(
-      df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        .localCheckpoint(),
       budget, idCol, "n_tokens")
 
   /** [[packByBudget]] over a caller-supplied count column — the hook that
