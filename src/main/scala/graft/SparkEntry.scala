@@ -762,6 +762,19 @@ object SparkEntry {
       Seq("event_type"), "value", qs = Seq(0.5, 0.99))
       .orderBy(col("event_type"))
 
+  /** Count-Min sketch gate ([[graft.ops.Sketches.cmsCounts]]): per-user
+    * event-count estimates for a 10-key probe set from a 4×64 counter
+    * sketch, next to their exact counts — est ≥ exact by construction
+    * (collisions only add), and the overcount is the measured price of
+    * depth·width counters vs a full distinct-key shuffle. Salted murmur
+    * finalizers make the sketch a deterministic function of the data, so
+    * the oracle re-derives every counter in HUGEINT bit for bit.
+    */
+  private def cmsUserCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.cmsCounts(
+      T(s, dir, "events").select(col("user_id")),
+      "user_id", probeKeys = (0L until 10L).toSeq, depth = 4, width = 64L)
+
   /** Theta-style KMV set algebra ([[graft.ops.Sketches.kmvSetOps]]): union
     * and intersection cardinality of user sets between every event-type
     * pair, from one ≤ k-hash sketch per type — the audience-overlap query
@@ -3321,6 +3334,7 @@ object SparkEntry {
     "q16_part_supplier_count" -> (q16PartSupplierCount _),
     "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "kmv_distinct_cust" -> (kmvDistinctCust _),
+    "cms_user_counts" -> (cmsUserCounts _),
     "kmv_setops_users" -> (kmvSetopsUsers _),
     "hist_quantiles_price" -> (histQuantilesPrice _),
     "hist_quantiles_log2" -> (histQuantilesLog2 _),
@@ -4372,6 +4386,39 @@ object SparkEntry {
         |       sk.kth, sk.n_buf, ex.exact_distinct
         |FROM sk JOIN ex USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+    // The CMS counters re-derived: the same murmur finalizer lattice as
+    // kmv_distinct_cust in HUGEINT, salted per depth row (key + r·7919),
+    // bucket = hash mod width; est = min over the 4 rows of the probe
+    // key's bucket count (absent bucket ⇒ 0).
+    "cms_user_counts" ->
+      """WITH base AS (SELECT user_id, r FROM events, unnest([0,1,2,3]) AS t(r)),
+        |h1 AS (SELECT user_id, r,
+        |              CAST(user_id + r * 7919 AS HUGEINT) % 4294967296 AS z1 FROM base),
+        |h2 AS (SELECT user_id, r,
+        |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM h1),
+        |h3 AS (SELECT user_id, r,
+        |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM h2),
+        |hb AS (SELECT user_id, r,
+        |              CAST(xor(z3, z3 // 65536) % 64 AS BIGINT) AS bucket FROM h3),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM hb GROUP BY 1, 2),
+        |pr AS (SELECT unnest(range(0, 10)) AS user_id),
+        |pb AS (SELECT user_id, r FROM pr, unnest([0,1,2,3]) AS t(r)),
+        |q1 AS (SELECT user_id, r,
+        |              CAST(user_id + r * 7919 AS HUGEINT) % 4294967296 AS z1 FROM pb),
+        |q2 AS (SELECT user_id, r,
+        |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM q1),
+        |q3 AS (SELECT user_id, r,
+        |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM q2),
+        |probes AS (SELECT user_id, r,
+        |                  CAST(xor(z3, z3 // 65536) % 64 AS BIGINT) AS bucket FROM q3),
+        |est AS (SELECT p.user_id, min(coalesce(sk.cnt, 0)) AS est
+        |        FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
+        |        GROUP BY p.user_id),
+        |ex AS (SELECT user_id, count(*) AS exact FROM events
+        |       WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id)
+        |SELECT est.user_id, est.est, coalesce(ex.exact, 0) AS exact
+        |FROM est LEFT JOIN ex ON est.user_id = ex.user_id
+        |ORDER BY est.user_id""".stripMargin,
     // The whole theta algebra re-derived: same hash lattice as
     // kmv_distinct_cust, per-type ≤64-minima buffers, pair threshold
     // θ∧ = min over saturated sides (kth+1; 2³² while unsaturated), union =

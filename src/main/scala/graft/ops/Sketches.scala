@@ -273,6 +273,90 @@ object Sketches {
     ests.join(exacts, groupCols)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): point-query frequency
+    * estimates for ANY key from `depth × width` counters — the bounded-state
+    * member of the counting family between exact groupBy counts (shuffle
+    * carries every distinct key) and Misra-Gries (top-φ only): CMS answers
+    * arbitrary keys after the fact, overcounting by at most the collision
+    * mass (est ≥ true always; est ≤ true + εN with ε = e/width under the
+    * standard analysis — here DETERMINISTIC for a given dataset because the
+    * d hash rows are fixed salted murmur finalizers, which is what makes the
+    * sketch oracle-replicable bit for bit, like [[kmvDistinct]]).
+    *
+    * The sketch is a FRAME, `(d, bucket, cnt)` with at most depth·width
+    * rows: the groupBy's map-side partial aggregation IS the mergeable CMS
+    * (two sketches merge by adding counts — union the frames and re-sum),
+    * and the shuffle carries ≤ depth·width rows per partition regardless of
+    * input size or key cardinality. Row `r`'s hash is the [[hash32]]
+    * finalizer over `key + r·7919` — the same salt lattice the k-means‖
+    * oracle already replicates in HUGEINT.
+    */
+  def cmsSketch(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Long): DataFrame = {
+    require(depth >= 1, s"CMS depth must be >= 1, got $depth")
+    require(width >= 2, s"CMS width must be >= 2, got $width")
+    df.select(explode(array((0 until depth).map(r =>
+        struct(
+          lit(r).as("d"),
+          pmod(hash32(col(keyCol).cast("long") + lit(r * 7919L)), lit(width))
+            .as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.d").as("d"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates off a [[cmsSketch]] frame: for each probe key, the
+    * minimum of its `depth` bucket counters (an absent bucket row means no
+    * key hashed there — count 0). The probe set is a handful of keys: the
+    * probe frame is broadcast against the ≤ depth·width sketch rows, so
+    * lookups never rescan the data the sketch summarized.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      keys: Seq[Long],
+      keyCol: String,
+      depth: Int,
+      width: Long): DataFrame = {
+    require(keys.nonEmpty, "cmsEstimate needs at least one probe key")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes = keys.toDF(keyCol)
+      .select(explode(array((0 until depth).map(r =>
+        struct(
+          lit(r).as("d"),
+          pmod(hash32(col(keyCol).cast("long") + lit(r * 7919L)), lit(width))
+            .as("bucket"),
+          col(keyCol).as("__k"))): _*)).as("rb"))
+      .select(col("rb.d").as("d"), col("rb.bucket").as("bucket"), col("rb.__k").as(keyCol))
+    broadcast(probes)
+      .join(sketch, Seq("d", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** The driver-gate composition: CMS estimates for a probe key set next to
+    * their exact counts — est ≥ exact by construction (hash collisions only
+    * ADD), and the overcount is the measured price of depth·width counters
+    * vs a full distinct-key shuffle. Output: (keyCol, est, exact).
+    */
+  def cmsCounts(
+      df: DataFrame,
+      keyCol: String,
+      probeKeys: Seq[Long],
+      depth: Int,
+      width: Long): DataFrame = {
+    val est = cmsEstimate(cmsSketch(df, keyCol, depth, width),
+      probeKeys, keyCol, depth, width)
+    val exact = df.filter(col(keyCol).isin(probeKeys: _*))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq(keyCol), "left")
+      .select(col(keyCol), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+      .orderBy(col(keyCol))
+  }
+
   /** Theta-style SET ALGEBRA over KMV sketches (Dasgupta et al., the theta
     * sketch framework; KMV is its k-th-minimum instance): union and
     * intersection cardinality of `keyCol` between every PAIR of `partCol`

@@ -72,6 +72,38 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("est_intersect") - 500.0) / 500.0 < 0.6, r1)
   }
 
+  test("CMS never undercounts, is exact without collisions, and bounds its sketch size") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i % 50).toLong).toDF("k") // 50 keys x 20
+    // Wide sketch: 50 keys into 4x4096 buckets — no collisions at depth 4
+    // with overwhelming margin for this fixed hash, so est == exact.
+    val wide = Sketches.cmsCounts(df, "k", probeKeys = Seq(0L, 7L, 49L, 999L),
+      depth = 4, width = 4096L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(wide.toSeq == Seq((0L, 20L, 20L), (7L, 20L, 20L), (49L, 20L, 20L),
+      (999L, 0L, 0L)), wide.toSeq) // absent key: est 0, exact 0
+    // Tiny sketch: heavy collisions — est >= exact for every key, always.
+    val tiny = Sketches.cmsCounts(df, "k", probeKeys = (0L until 50L).toSeq,
+      depth = 2, width = 8L).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(tiny.forall { case (est, exact) => est >= exact }, tiny.toSeq)
+    assert(tiny.exists { case (est, exact) => est > exact }) // collisions real
+    // Sketch frame is bounded by depth x width regardless of input size.
+    assert(Sketches.cmsSketch(df, "k", 2, 8L).count() <= 16L)
+  }
+
+  test("CMS sketches merge by adding counts (union of halves equals the whole)") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i % 23).toLong).toDF("k")
+    val whole = Sketches.cmsSketch(df, "k", 3, 64L)
+    val halves = Sketches.cmsSketch(df.filter(col("k") < 12), "k", 3, 64L)
+      .unionByName(Sketches.cmsSketch(df.filter(col("k") >= 12), "k", 3, 64L))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val a = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = halves.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("histogram quantiles sit within one bucket width below the exact rank statistic") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
     val r = Sketches.histQuantiles(

@@ -154,6 +154,31 @@ class GoldenSpec extends SparkSpec {
     assert(out.toSeq.map(r => (r.getLong(0), r.getLong(2))) == Seq((750L, 3L), (500L, 2L)))
   }
 
+  test("zero-fill casts each fill literal to the metric's aggregated type (emptyValue(dt) path)") {
+    // An INTEGER-typed column: Sum aggregates to LONG (fill literal 0L cast
+    // to long) and MapCol to ARRAY<INT> (fill literal array() cast to the
+    // element type) — the coalesce in the fill-join must adopt the
+    // aggregated side's type for every metric, or the join's schema drifts
+    // from the unfilled bins'.
+    val ints = Seq((600L, 1), (700L, 2), (1000L, 4)).toDF("time", "iv")
+    val out = series(ints)
+      .query(UtsQuery(
+        Seq("s" -> SumM("iv"), "vals" -> MapCol("iv")),
+        where = Seq(Pred.gt("time", 500L)),
+        group = IntervalGroup(100, fill = true, now)))
+    val schema = out.schema
+    assert(schema("s").dataType == org.apache.spark.sql.types.LongType, schema)
+    assert(schema("vals").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.IntegerType, schema)
+    val rows = out.collect()
+    assert(rows.length == 6)
+    val filled = rows(2) // (700,800]: no points
+    assert(filled.getLong(2) == 0L, filled)
+    assert(filled.getSeq[Int](3) == Seq.empty, filled)
+    val populated = rows(0) // (900,1000]: the iv=4 point
+    assert(populated.getLong(2) == 4L && populated.getSeq[Int](3) == Seq(4))
+  }
+
   test("empty series + interval + no bound yields empty, not a crash (Q8-S)") {
     val out = series(q)
       .query(UtsQuery(Seq("n" -> CountM()), group = IntervalGroup(250, fill = true, now)))
