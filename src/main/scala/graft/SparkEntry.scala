@@ -2950,6 +2950,52 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 windowed-DISTINCT gate: [[graft.streaming.StreamOps
+    * .windowedDistinct]] — exact daily-active-users per type from the
+    * chained bounded-state pipeline (watermarked dedup on (type, user,
+    * window) → watermarked window count), over the out-of-order replay.
+    * Chained stateful operators emit in APPEND mode only, so two far-future
+    * sentinel batches advance the watermark past the last real window to
+    * flush it; the sentinels' own rows filter back out by type. The oracle
+    * is the batch `count(DISTINCT user_id)` per epoch-aligned day — the
+    * replay's disorder stays inside the 1 h watermark, so the streamed
+    * counts must equal it exactly.
+    */
+  private def streamDistinctDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"wdist:$dir",
+      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq(("__flush", -1L, maxT + i * 10 * StreamDisorderMs, -1L))
+          .toDF("event_type", "user_id", "time", "event_id")))
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    withStateSession(s) { ss =>
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(col("time")))
+      val agg = graft.streaming.StreamOps.windowedDistinct(
+        src, widthSeconds = 86400, watermarkDelay = "1 hour",
+        tsCol = "ts_event", keyCol = "event_type", idCol = "user_id")
+      val name = s"graft_wdist_gate_${pathToken(dir)}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .filter(col("event_type") =!= "__flush")
+        .select(unix_millis(col("win_start")).as("win_start"), col("event_type"),
+          col("n_distinct"))
+        .orderBy(col("win_start"), col("event_type"))
+    }
+  }
+
   /** §2.9 DISORDER gate for the derivative:
     * [[graft.streaming.StreamOps.streamingDerivativeOrdered]] over the
     * same out-of-order micro-batch harness as [[streamFunnelOrdered]],
@@ -3442,6 +3488,7 @@ object SparkEntry {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
+    "stream_distinct_daily" -> (streamDistinctDaily _),
     "stream_sliding_daily" -> (streamSlidingDaily _),
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_join_attrib" -> (streamJoinAttrib _),
@@ -5821,6 +5868,14 @@ object SparkEntry {
          |       count(*) AS n,
          |       round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 0), 4)
          |         AS sum_value
+         |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // The windowed-distinct gate: the streamed dedup->count chain must equal
+    // the batch COUNT(DISTINCT) per epoch-aligned day exactly (replay
+    // disorder stays inside the watermark horizon).
+    "stream_distinct_daily" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT (time // 86400000) * 86400000 AS win_start, event_type,
+         |       count(DISTINCT user_id) AS n_distinct
          |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // Sliding-window re-derivation: 1-day windows every 12 h ⇒ each event
     // belongs to exactly the two epoch-aligned starts

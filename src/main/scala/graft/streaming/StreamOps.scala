@@ -96,6 +96,52 @@ object StreamOps {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n"))
 
+  /** Per-window DISTINCT cardinality — "daily active users per type" as a
+    * stream: exact `count(DISTINCT idCol)` per (tumbling window, key),
+    * composed from Spark's two bounded-state primitives instead of holding
+    * per-window id SETS in aggregation state. Stage 1 dedups on (key, id,
+    * window); stage 2 is a plain watermarked window COUNT of the deduped
+    * rows (partials merge map-side, the window retires at the watermark).
+    * Both stages' state is watermark-bounded, which is the whole point: a
+    * set-valued `collect_set` aggregate would hold every id in state AND
+    * break partial aggregation. Chained stateful operators require append
+    * output — windows emit once the watermark closes them, so a bounded
+    * replay needs a far-future sentinel to flush the tail (the driver gate
+    * plants one and filters it back out).
+    *
+    * The dedup stage is `dropDuplicates` WITH the event-time window in its
+    * keys — not `dropDuplicatesWithinWatermark`, whose state expires
+    * `watermarkDelay` after a key's FIRST occurrence: a user active at a
+    * window's open and again near its close (gap > delay) would re-admit
+    * and overcount. Keying on the window makes Spark hold each (key, id,
+    * window) row until the watermark passes the WINDOW — exactly the
+    * lifetime per-window distinctness needs, and the minimum any exact
+    * distinct can get away with. Duplicates arriving beyond the watermark
+    * horizon are late rows and drop entirely (standard watermark
+    * semantics), so the streamed count equals the batch `count(DISTINCT)`
+    * whenever disorder stays within `watermarkDelay` — which the gate's
+    * replay does.
+    */
+  def windowedDistinct(
+      stream: DataFrame,
+      widthSeconds: Long,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      idCol: String = "user_id"): DataFrame = {
+    require(widthSeconds > 0, s"window width must be positive, got $widthSeconds")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(window(col(tsCol), s"$widthSeconds seconds").as("__w"),
+        col(keyCol), col(idCol))
+      .dropDuplicates(keyCol, idCol, "__w")
+      .groupBy(col("__w"), col(keyCol))
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(
+        col("__w.start").as("win_start"), col("__w.end").as("win_end"),
+        col(keyCol), col("n_distinct"))
+  }
+
   /** Watermark-bounded stream-stream INNER interval join — the streaming
     * attribution shape (purchase within `windowMs` after the same user's
     * click, impression→conversion, span→trace). Both sides carry

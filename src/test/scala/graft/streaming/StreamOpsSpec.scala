@@ -161,6 +161,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinct dedups across a within-window gap longer than the watermark delay") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "user_id")
+    val out = StreamOps.windowedDistinct(df, widthSeconds = 10,
+      watermarkDelay = "2 seconds", tsCol = "ts", keyCol = "event_type",
+      idCol = "user_id")
+    val q = out.writeStream.format("memory").queryName("wdist")
+      .outputMode("append").start()
+    try {
+      // Window [0,10s): user 1 at 1 s AND 9 s — the 8 s gap exceeds the 2 s
+      // watermark delay, so a first-occurrence-TTL dedup would re-admit and
+      // count 3; keying dedup on the window must count exactly 2 (users 1, 2).
+      input.addData((new Timestamp(1000L), "a", 1L))
+      q.processAllAvailable()
+      input.addData((new Timestamp(3000L), "a", 2L), (new Timestamp(9000L), "a", 1L))
+      q.processAllAvailable()
+      // Window [10,20s): the same user counts again in a NEW window.
+      input.addData((new Timestamp(11000L), "a", 1L))
+      q.processAllAvailable()
+      // Far-future row flushes both windows past the watermark.
+      input.addData((new Timestamp(100000L), "zz", 0L))
+      q.processAllAvailable()
+      val rows = spark.table("wdist")
+        .filter(col("event_type") === "a")
+        .select(col("win_start").cast("long"), col("n_distinct"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq((0L, 2L), (10L, 1L)), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
