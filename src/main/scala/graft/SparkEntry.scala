@@ -2338,6 +2338,15 @@ object SparkEntry {
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Text.tfidfTopTerms(T(s, dir, "documents"), k = 15)
 
+  /** Per-source unigram KL divergence to the corpus blend
+    * ([[graft.ops.Text.tokenDivergence]]) — the mixture-drift report;
+    * per-term contributions round to the 10-dp lattice and sum as exact
+    * decimals, so the oracle re-derives the number with identical
+    * parenthesization.
+    */
+  private def sourceTokenKl(s: SparkSession, dir: String): DataFrame =
+    Text.tokenDivergence(T(s, dir, "documents"))
+
   /** Fixed-width histogram of per-document token counts — the corpus-stats
     * report an LLM data pipeline watches (length distribution shifts signal
     * extraction bugs). One narrow scan + one tiny aggregate; entirely
@@ -3464,6 +3473,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_fp" -> (textRollingFp _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "source_token_kl" -> (sourceTokenKl _),
     "doc_pack_budget" -> (docPackBudget _),
     "doc_pack_budget_bpe" -> (docPackBudgetBpe _),
     "bpe_merge_top_tokens" -> (bpeMergeTopTokens _),
@@ -5555,6 +5565,24 @@ object SparkEntry {
         |SELECT term, CAST(df AS BIGINT) AS df,
         |       round(CAST(tf_sum AS DOUBLE) * ln(CAST(nn.n AS DOUBLE)/df), 4) AS tfidf
         |FROM t, nn ORDER BY tfidf DESC, term LIMIT 15""".stripMargin,
+    // KL(source || corpus) re-derived with IDENTICAL parenthesization:
+    // p_s = c_st/n_s, p_c = c_t/n_tot, per-term p_s*ln(p_s/p_c) rounded to
+    // the 10-dp lattice and summed as DECIMAL(30,10).
+    "source_token_kl" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |              FROM documents),
+        |st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+        |              count(*) AS n_terms FROM st GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_tot FROM st),
+        |terms AS (SELECT st.source, ns.n_s, ns.n_terms,
+        |                 CAST(round((c_st / n_s) * ln((c_st / n_s) / (c_t / n_tot)), 10)
+        |                      AS DECIMAL(30,10)) AS t
+        |          FROM st JOIN ct USING (term) JOIN ns USING (source), nt)
+        |SELECT source, n_s AS n_tokens, n_terms,
+        |       round(CAST(sum(t) AS DOUBLE), 4) AS kl
+        |FROM terms GROUP BY source, n_s, n_terms ORDER BY source""".stripMargin,
     // Distributed prefix sum under the exact window-sum oracle (the window
     // sum over BIGINT is HUGEINT in the oracle engine — cast back).
     "doc_pack_budget" ->

@@ -541,6 +541,52 @@ object Text {
       .limit(k)
   }
 
+  /** Per-source token-distribution divergence: KL(source ‖ corpus) over
+    * unigram distributions — the mixture-drift statistic for training-data
+    * curation ("which source's language is furthest from the blend", the
+    * aggregate twin of [[lmQualityBands]]'s per-document NLL). KL to the
+    * corpus is always finite (every source term is a corpus term —
+    * support(p_s) ⊆ support(p_c) — so no smoothing constant to pick).
+    *
+    * Scale shape: ONE tokenize/explode pass → (source, term) counts (the
+    * groupBy partial-aggregates map-side, so the shuffle carries distinct
+    * (source, term) pairs per partition, not occurrences); the corpus term
+    * counts, per-source totals, and the grand total all derive from that
+    * frame — the corpus is never re-scanned. The per-source and grand
+    * totals are source-cardinality rows, broadcast back.
+    *
+    * Determinism: each term's contribution `p_s·ln(p_s/p_c)` is rounded to
+    * 10 dp and summed as DECIMAL(30,10) — the repo's exact-sum lattice —
+    * so the result is independent of partial-aggregation order and
+    * re-derivable by the oracle with identical parenthesization.
+    *
+    * Output per source: (`source`, `n_tokens`, `n_terms`, `kl`).
+    */
+  def tokenDivergence(
+      df: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = df.select(col(sourceCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(sourceCol), col("term"))
+      .agg(count(lit(1)).as("__c_st"))
+    val ct = st.groupBy(col("term")).agg(sum(col("__c_st")).as("__c_t"))
+    val ns = st.groupBy(col(sourceCol))
+      .agg(sum(col("__c_st")).as("__n_s"), count(lit(1)).as("__n_terms"))
+    val n = st.agg(sum(col("__c_st")).as("__n_tot"))
+    val ps = col("__c_st") / col("__n_s")
+    val pc = col("__c_t") / col("__n_tot")
+    st.join(ct, "term")
+      .join(broadcast(ns), sourceCol)
+      .crossJoin(broadcast(n))
+      .select(col(sourceCol), col("__n_s"), col("__n_terms"),
+        round(ps * log(ps / pc), 10).cast("decimal(30,10)").as("__t"))
+      .groupBy(col(sourceCol), col("__n_s"), col("__n_terms"))
+      .agg(round(sum(col("__t")).cast("double"), 4).as("kl"))
+      .select(col(sourceCol), col("__n_s").as("n_tokens"),
+        col("__n_terms").as("n_terms"), col("kl"))
+      .orderBy(col(sourceCol))
+  }
+
   /** EXACT corpus-wide heavy hitters: every whitespace token whose count is
     * at least `total_tokens / phiDen`, via the two-pass Misra-Gries
     * discipline (Misra & Gries 1982; MAD sketches survey). Pass 1 runs a

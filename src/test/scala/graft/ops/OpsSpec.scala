@@ -946,6 +946,28 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) >= 0.0))
   }
 
+  test("token divergence: KL is zero for an identical source, positive for a shifted one") {
+    // Two sources with the SAME unigram distribution as each other (and so
+    // as the corpus): KL = 0 exactly. A third source skewed onto one term
+    // shifts the blend and must score strictly positive for all three.
+    val same = Seq(
+      (0L, "sA", "a a b c"), (1L, "sB", "a a b c"))
+      .toDF("doc_id", "source", "text")
+    val kl0 = Text.tokenDivergence(same, "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl0 == Map("sA" -> 0.0, "sB" -> 0.0), kl0)
+    val skewed = same.unionByName(
+      Seq((2L, "sC", "z z z z z z z z a")).toDF("doc_id", "source", "text"))
+    val kl = Text.tokenDivergence(skewed, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toList.sortBy(_._1)
+    assert(kl.map(_._1) == List("sA", "sB", "sC"))
+    assert(kl.forall(_._3 > 0.0), kl) // every source now diverges from the blend
+    assert(kl.map(_._2) == List(4L, 4L, 9L)) // n_tokens audit
+    // Identical sources score identically (sC now dominates the blend, so
+    // the balanced pair legitimately diverges MORE from it than sC does).
+    assert(kl.find(_._1 == "sA").get._3 == kl.find(_._1 == "sB").get._3)
+  }
+
   test("multimodal resize pads/truncates to the target budget") {
     val media = Multimodal.withPayload(docs)
     val out = Multimodal.resize(spark, media, targetW = 8, targetH = 4)
