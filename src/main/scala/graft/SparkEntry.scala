@@ -1352,6 +1352,60 @@ object SparkEntry {
         round(element_at(col("qs"), 4), 4).as("p95"))
       .orderBy(col("event_type"))
 
+  /** Robust (median/MAD) outlier report per series —
+    * [[graft.ops.Profile.robustOutliers]] beside [[statsMomentsByType]]'s
+    * classical moments: rank-statistic medians, Iglewicz–Hoaglin 3.5
+    * cutoff.
+    */
+  private def robustOutliersValue(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.robustOutliers(
+      ev(s, dir).df.select(col("event_type"), col("value")),
+      "event_type", "value", cutoff = 3.5)
+      .orderBy(col("event_type"))
+
+  /** Sweep-line session concurrency per event type
+    * ([[graft.ops.Windowed.concurrencySweep]]): per-(type, user) sessions
+    * from the shared 30-minute-gap rule ([[graft.ops.Windowed.sessionIds]]),
+    * each active over `[first event, last event + gap)`, swept for peak
+    * simultaneous sessions and total busy (union) time.
+    */
+  private def concurrencySweepSessions(s: SparkSession, dir: String): DataFrame = {
+    val gap = 1800000L
+    val e = ev(s, dir).df.select(col("event_type"), col("user_id"), col("time"))
+      .withColumn("__k", concat_ws(":", col("event_type"), col("user_id")))
+    val sess = graft.ops.Windowed.sessionIds(e, "__k", "time", gapMs = gap)
+      .groupBy(col("event_type"), col("user_id"), col("session_seq"))
+      .agg(min(col("time")).as("s_start"), (max(col("time")) + gap).as("s_end"))
+    graft.ops.Windowed.concurrencySweep(sess, "event_type", "s_start", "s_end")
+      .orderBy(col("event_type"))
+  }
+
+  /** Temperature-scaled (α = 0.5) mixture plan over per-source character
+    * mass ([[graft.ops.Sampling.mixturePlanTemperature]]): shares ∝
+    * √available, budget 100 000 — the data-derived companion of the
+    * hand-weighted `mixture_plan`.
+    */
+  private def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixturePlanTemperature(
+      T(s, dir, "documents"), "source", "n_chars", budget = 100000L)
+      .orderBy(col("source"))
+
+  /** Containment-pair gate ([[graft.ops.Dedup.containmentPairs]]) over the
+    * corpus PLUS planted anthologies (doc i < 15 concatenated with doc
+    * i+100): each anthology CONTAINS both parts (containment ≈ 1) while its
+    * Jaccard to either is ≈ ½ — below the near-dup threshold — so the
+    * quotation case only this measure catches is load-bearing in the gate.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val partner = base.select((col("doc_id") - 100L).as("doc_id"), col("text").as("__t2"))
+    val planted = base.join(partner, "doc_id").filter(col("doc_id") < 15)
+      .select((col("doc_id") + 9100L).as("doc_id"),
+        concat(col("text"), lit(" "), col("__t2")).as("text"))
+    graft.ops.Dedup.containmentPairs(
+      base.unionByName(planted), n = 3, threshold = 0.8)
+  }
+
   /** Z-order bucket stats — pins the Morton-interleave kernel
     * ([[graft.ops.Layout.zvalue]]) against an arithmetic re-derivation, and
     * the min/max spread per bucket IS the layout claim: a bucket of z-width
@@ -3005,6 +3059,57 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 streaming-HISTOGRAM gate: [[graft.streaming.StreamOps
+    * .windowedHistogram]] maintains per-(day window, type) power-of-two
+    * bucket counts in bounded watermarked state over the out-of-order
+    * replay; quantile lower bounds are then extracted from the emitted
+    * sketch rows with [[graft.ops.Sketches.quantilesFromBuckets]] — the
+    * counts are the mergeable half, the extraction is sketch-sized batch
+    * work. The oracle re-derives per-day est_p50/est_p99 with the identical
+    * integer bit-length bucketing, so stream and batch must agree exactly
+    * (replay disorder stays inside the 1 h watermark). Sentinel flush rows
+    * advance the watermark past the last real window and filter back out.
+    */
+  private def streamHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"whist:$dir",
+      ev(s, dir).df.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("value"),
+          col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq(("__flush", 0.0, maxT + i * 10 * StreamDisorderMs, -1L))
+          .toDF("event_type", "value", "time", "event_id")))
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val dt = org.apache.spark.sql.types.DoubleType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("value", dt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    withStateSession(s) { ss =>
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(col("time")))
+      val hist = graft.streaming.StreamOps.windowedHistogram(
+        src, widthSeconds = 86400, watermarkDelay = "1 hour",
+        tsCol = "ts_event", keyCol = "event_type", valueCol = "value")
+      val name = s"graft_whist_gate_${pathToken(dir)}"
+      val q = hist.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sketch = ss.table(name)
+        .filter(col("event_type") =!= "__flush")
+        .select(unix_millis(col("win_start")).as("win_start"), col("event_type"),
+          col("bucket"), col("cnt"))
+      graft.ops.Sketches.quantilesFromBuckets(
+        sketch, Seq("win_start", "event_type"), "bucket", "cnt",
+        Seq(0.5, 0.99), graft.ops.Sketches.log2Lower)
+        .orderBy(col("win_start"), col("event_type"))
+    }
+  }
+
   /** §2.9 DISORDER gate for the derivative:
     * [[graft.streaming.StreamOps.streamingDerivativeOrdered]] over the
     * same out-of-order micro-batch harness as [[streamFunnelOrdered]],
@@ -3482,6 +3587,11 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified _),
     "mixture_plan" -> (mixturePlanQ _),
     "mixture_apply" -> (mixtureApplyQ _),
+    "mixture_temperature" -> (mixtureTemperature _),
+    "dedup_containment" -> (dedupContainment _),
+    "robust_outliers_value" -> (robustOutliersValue _),
+    "concurrency_sweep" -> (concurrencySweepSessions _),
+    "stream_hist_quantiles" -> (streamHistQuantiles _),
     "text_redact" -> (textRedact _),
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
@@ -4805,6 +4915,109 @@ object SparkEntry {
         |       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
         |       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Robust outlier twin: both medians are rank statistics (k-th smallest,
+    // k = ceil(n/2)) — selecting existing values, never interpolating — and
+    // abs/subtract/multiply are exact IEEE with fixed parenthesization, so
+    // every derived double is bit-identical before the round.
+    "robust_outliers_value" ->
+      s"""WITH e AS ($EvCte),
+         |v AS (SELECT event_type, value AS v FROM e WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, v,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+         |             count(*) OVER (PARTITION BY event_type) AS n FROM v),
+         |m AS (SELECT event_type, max(n) AS n,
+         |             min(CASE WHEN r = ceil(n * 0.5) THEN v END) AS med
+         |      FROM r GROUP BY event_type),
+         |d AS (SELECT v.event_type, v.v, abs(v.v - m.med) AS dev, m.n, m.med
+         |      FROM v JOIN m USING (event_type)),
+         |rd AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rd
+         |       FROM d),
+         |md AS (SELECT event_type,
+         |              min(CASE WHEN rd = ceil(n * 0.5) THEN dev END) AS mad
+         |       FROM rd GROUP BY event_type)
+         |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+         |       round(max(d.med), 4) AS med, round(max(md.mad), 4) AS mad,
+         |       CAST(count(CASE WHEN d.dev > (3.5 * 1.4826) * md.mad THEN 1 END) AS BIGINT)
+         |         AS n_out,
+         |       round(max(CASE WHEN d.dev > (3.5 * 1.4826) * md.mad THEN d.dev END), 4)
+         |         AS max_dev
+         |FROM d JOIN md USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // Sweep-line re-derivation: same 30-min session rule as
+    // session_ids_by_user, intervals [min, max+gap), boundary deltas netted
+    // per timestamp, running sum = concurrency — all exact Long arithmetic.
+    "concurrency_sweep" ->
+      s"""WITH e AS ($EvCte),
+         |o AS (SELECT event_type, user_id, time,
+         |             CASE WHEN time - lag(time) OVER (PARTITION BY event_type, user_id
+         |                                              ORDER BY time) >= 1800000
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |sid AS (SELECT event_type, user_id, time,
+         |               sum(brk) OVER (PARTITION BY event_type, user_id ORDER BY time
+         |                              ROWS UNBOUNDED PRECEDING) AS seq
+         |        FROM o),
+         |sess AS (SELECT event_type, user_id, seq,
+         |                min(time) AS s_start, max(time) + 1800000 AS s_end
+         |         FROM sid GROUP BY 1, 2, 3),
+         |bounds AS (SELECT event_type, s_start AS t, 1 AS d FROM sess
+         |           UNION ALL SELECT event_type, s_end, -1 FROM sess),
+         |net AS (SELECT event_type, t, CAST(sum(d) AS BIGINT) AS net
+         |        FROM bounds GROUP BY 1, 2 HAVING sum(d) <> 0),
+         |run AS (SELECT event_type, t, net,
+         |               CAST(sum(net) OVER (PARTITION BY event_type ORDER BY t
+         |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+         |               lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nt
+         |        FROM net),
+         |agg AS (SELECT event_type, max(run) AS peak_concurrency,
+         |               CAST(coalesce(sum(CASE WHEN run > 0 THEN nt - t END), 0) AS BIGINT)
+         |                 AS busy_ms
+         |        FROM run GROUP BY 1),
+         |cnt AS (SELECT event_type, count(*) AS n_intervals FROM sess GROUP BY 1)
+         |SELECT c.event_type, c.n_intervals,
+         |       coalesce(a.peak_concurrency, 0) AS peak_concurrency,
+         |       coalesce(a.busy_ms, 0) AS busy_ms
+         |FROM cnt c LEFT JOIN agg a USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    // Temperature plan: sqrt is IEEE-correctly-rounded (identical in every
+    // engine), the weight sum rides the round-10 → DECIMAL(30,10) exact
+    // lattice, and everything after is scalar IEEE with one parenthesization.
+    "mixture_temperature" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, available,
+        |             round(sqrt(CAST(available AS DOUBLE)), 10) AS wt FROM a),
+        |t AS (SELECT CAST(sum(CAST(wt AS DECIMAL(30,10))) AS DOUBLE) AS tot FROM w),
+        |p AS (SELECT source, available, wt / tot AS share FROM w, t)
+        |SELECT source, available, round(share, 6) AS share,
+        |       CAST(floor(share * 100000.0) AS BIGINT) AS desired,
+        |       least(1.0, CAST(CAST(floor(share * 100000.0) AS BIGINT) AS DOUBLE) /
+        |                  CAST(greatest(available, 1) AS DOUBLE)) AS fraction,
+        |       least(CAST(floor(share * 100000.0) AS BIGINT), available) AS expected
+        |FROM p ORDER BY source""".stripMargin,
+    // Containment over the corpus + planted anthologies (doc i<15 ++ doc
+    // i+100): the anthology CONTAINS each part (cont ≈ 1) at Jaccard ≈ ½ —
+    // the quotation case the jaccard gates cannot catch.
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT a.doc_id + 9100, a.text || ' ' || b.text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
+        |  WHERE a.doc_id < 15),
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |         FROM docs),
+        |sh AS (SELECT DISTINCT doc_id AS id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+        |SELECT d1, d2, s1.n_sh AS n1, s2.n_sh AS n2,
+        |       round(i*1.0/s1.n_sh, 4) AS cont1,
+        |       round(i*1.0/s2.n_sh, 4) AS cont2
+        |FROM inter JOIN sizes s1 ON s1.id = d1 JOIN sizes s2 ON s2.id = d2
+        |WHERE greatest(round(i*1.0/s1.n_sh, 4), round(i*1.0/s2.n_sh, 4)) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     // OLS trend from the same exact sufficient statistics, same final
     // parenthesization — bitwise-identical doubles before the round.
     "uts_trend_by_type" ->
@@ -5905,6 +6118,32 @@ object SparkEntry {
          |SELECT (time // 86400000) * 86400000 AS win_start, event_type,
          |       count(DISTINCT user_id) AS n_distinct
          |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Streaming-histogram gate: the per-day power-of-two bucket counts the
+    // stream maintained in bounded state must yield the SAME quantile lower
+    // bounds as this batch re-derivation — identical integer bit-length
+    // bucketing (bin-length, never float log), identical ceil-rank rule.
+    "stream_hist_quantiles" ->
+      s"""WITH e AS ($EvCte),
+         |b AS (SELECT (time // 86400000) * 86400000 AS win_start, event_type,
+         |             CASE WHEN value < 1 THEN -1
+         |                  ELSE length(bin(CAST(floor(value) AS BIGINT))) - 1
+         |             END AS bk,
+         |             count(*) AS c
+         |      FROM e WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         |cum AS (SELECT win_start, event_type, bk, c,
+         |               CAST(sum(c) OVER (PARTITION BY win_start, event_type
+         |                                 ORDER BY bk) AS BIGINT) AS cum,
+         |               CAST(sum(c) OVER (PARTITION BY win_start, event_type)
+         |                    AS BIGINT) AS n
+         |        FROM b)
+         |SELECT win_start, event_type, max(n) AS n,
+         |       min(CASE WHEN cum >= ceil(0.5 * n) THEN
+         |             (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
+         |           END) AS est_p50,
+         |       min(CASE WHEN cum >= ceil(0.99 * n) THEN
+         |             (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
+         |           END) AS est_p99
+         |FROM cum GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // Sliding-window re-derivation: 1-day windows every 12 h ⇒ each event
     // belongs to exactly the two epoch-aligned starts
     // floor(time/12h)·12h − i·12h for i ∈ {0,1} (both satisfy

@@ -184,6 +184,51 @@ object Dedup {
     }
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over distinct
+    * shingle sets — the near-dup measure Jaccard systematically misses when
+    * sizes differ. A short doc fully quoted inside a much longer one has
+    * C(short→long) ≈ 1 but J = |A|/|B| ≈ 0: threshold-Jaccard dedup keeps
+    * both copies, and the duplicated passage stays in the training set.
+    * Containment is the subset/quotation detector (Broder's original
+    * resemblance-vs-containment distinction).
+    *
+    * Same count formulation and cost shape as [[jaccardPairs]] (one
+    * shingle-hash self-equi-join grouped by pair, per-doc sizes joined
+    * back — no collected arrays); pairs emit once with BOTH directions'
+    * scores (`cont1` = share of d1's shingles inside d2, `cont2` the
+    * reverse) when either direction reaches `threshold`. The same stopword-
+    * shingle df² hazard applies at 100 TB — cap hot shingles upstream or
+    * generate candidates with [[jaccardPairsPrefixFiltered]] /
+    * [[minhashLshPairs]] and score containment in their verify step.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val hashed = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
+    val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
+    val overlap = sh.as("a").hint("SHUFFLE_HASH")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
+    Ordered.smallResult(
+      overlap
+        .join(counts.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(counts.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+        .select(col("d1"), col("d2"), col("n1"), col("n2"),
+          round(col("ov").cast("double") / col("n1").cast("double"), 4).as("cont1"),
+          round(col("ov").cast("double") / col("n2").cast("double"), 4).as("cont2"))
+        .filter(greatest(col("cont1"), col("cont2")) >= threshold),
+      "d1", "d2")
+  }
+
   /** [[jaccardPairs]] with ppjoin-style prefix-filtered candidate generation:
     * same exact output, but candidates come only from rare "prefix" shingles,
     * so per-shingle join fan-out stays bounded even when some shingles appear

@@ -65,4 +65,71 @@ object Profile {
     }: _*)
     one.select(explode(entries).as("__e")).select(col("__e.*"))
   }
+
+  /** Robust per-group outlier report: median / MAD (median absolute
+    * deviation) and the count of values beyond `cutoff` scaled MADs — the
+    * quality gate that survives the heavy tails that break mean/stddev
+    * z-scores (one extreme value drags the mean AND inflates the stddev, so
+    * classical z-scores mask exactly the rows they should flag; the median
+    * and MAD have 50% breakdown).
+    *
+    * Both medians are RANK STATISTICS (the k-th smallest value at
+    * k = ceil(n/2) — the lower median), not interpolated: interpolation
+    * formulas differ across engines in the last bits, while selecting an
+    * EXISTING value is identical everywhere (same convention as
+    * [[Sketches.histQuantiles]]'s exact twin). The MAD is the same rank
+    * statistic over `abs(value − median)` — subtraction and abs are exact
+    * IEEE, so every derived double is bit-identical cross-engine. The
+    * consistency constant 1.4826 (≈ 1/Φ⁻¹(3/4)) rescales the MAD to a
+    * stddev-comparable unit under normality — `cutoff` is then the familiar
+    * "k sigmas", default 3.5 (Iglewicz–Hoaglin).
+    *
+    * Shape at scale: two hash-partitioned windows keyed by `keyCol` (rank
+    * within group — never a single-partition window) plus one broadcast
+    * join of the per-group medians (one row per group). NULL values are
+    * excluded outright (rank semantics under engine-specific NULL ordering
+    * would silently diverge, same note as [[Sketches.histQuantilesLog2]]).
+    *
+    * Output per group: `n`, `med`, `mad`, `n_out`, `max_dev` (the largest
+    * absolute deviation among outliers; NULL when none) — doubles rounded
+    * to 4 for the cross-engine compare.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"cutoff must be positive, got $cutoff")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("double").as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val wn = Window.partitionBy(col(keyCol))
+    val meds = vals
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__n")).as("__n"),
+        min(when(col("__r") === ceil(col("__n") * 0.5), col("__v"))).as("__med"))
+    val dev = vals.join(broadcast(meds), Seq(keyCol))
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val wd = Window.partitionBy(col(keyCol)).orderBy(col("__dev"))
+    val mads = dev
+      .withColumn("__rd", row_number().over(wd))
+      .groupBy(col(keyCol))
+      .agg(min(when(col("__rd") === ceil(col("__n") * 0.5), col("__dev"))).as("__mad"))
+    // Fixed parenthesization: (cutoff · 1.4826) folds to ONE double constant
+    // in both engines before multiplying the per-group MAD.
+    val bound = lit(cutoff * 1.4826)
+    dev.join(broadcast(mads), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__n")).as("n"),
+        round(max(col("__med")), 4).as("med"),
+        round(max(col("__mad")), 4).as("mad"),
+        count(when(col("__dev") > bound * col("__mad"), lit(1))).as("n_out"),
+        round(max(when(col("__dev") > bound * col("__mad"), col("__dev"))), 4)
+          .as("max_dev"))
+  }
 }

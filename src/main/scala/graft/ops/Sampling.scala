@@ -107,6 +107,54 @@ object Sampling {
       .withColumn("expected", least(col("desired"), col("available")))
   }
 
+  /** Temperature-scaled mixture plan — [[mixturePlan]] with the target
+    * shares DERIVED FROM THE DATA instead of hand-authored: source `s` gets
+    * share ∝ `available_s^alpha`, the multilingual-corpus standard
+    * (α < 1 compresses the head so low-resource sources are not drowned by
+    * the biggest one, α = 1 is proportional sampling, α → 0 uniform). The
+    * default α = 0.5 is computed as `sqrt`, which IEEE 754 requires to be
+    * CORRECTLY ROUNDED — identical in every engine — whereas a general
+    * `pow(x, α)` is not so guaranteed and may differ in the last ulp
+    * between implementations; non-default α therefore trades the bitwise
+    * oracle contract for flexibility (stated here, not hidden).
+    *
+    * Determinism of the normalization: the per-source weights are rounded
+    * to 10 fractional digits and summed as DECIMAL(30,10) — an EXACT,
+    * associative sum, so the total is independent of partial-merge order
+    * (the repo-wide discipline for double sums that feed comparisons).
+    * Everything after is scalar IEEE arithmetic with fixed parenthesization.
+    *
+    * Output one row per source, same schema as [[mixturePlan]] plus the
+    * derived `share`: `(source, available, share, desired, fraction,
+    * expected)` — feed it to [[applyMixturePlan]] unchanged.
+    */
+  def mixturePlanTemperature(
+      df: DataFrame,
+      srcCol: String,
+      countCol: String,
+      budget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val avail = df.groupBy(col(srcCol).as("source"))
+      .agg(sum(col(countCol)).cast("long").as("available"))
+    val weightRaw =
+      if (alpha == 0.5) sqrt(col("available").cast("double"))
+      else pow(col("available").cast("double"), lit(alpha))
+    val weighted = avail.withColumn("__w", round(weightRaw, 10))
+    val total = weighted.agg(
+      sum(col("__w").cast("decimal(30,10)")).cast("double").as("__tot"))
+    weighted.crossJoin(broadcast(total))
+      .withColumn("share", col("__w") / col("__tot"))
+      .withColumn("desired", floor(col("share") * lit(budget.toDouble)).cast("long"))
+      .withColumn("fraction",
+        least(lit(1.0),
+          col("desired").cast("double") / greatest(col("available"), lit(1L)).cast("double")))
+      .withColumn("expected", least(col("desired"), col("available")))
+      .select(col("source"), col("available"), round(col("share"), 6).as("share"),
+        col("desired"), col("fraction"), col("expected"))
+  }
+
   /** Apply a [[mixturePlan]]: keep each row iff its id-hash falls under its
     * source's planned fraction — the same pure-filter posture as
     * [[weightedBySource]], except the thresholds come from a (k-row,

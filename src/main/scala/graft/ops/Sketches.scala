@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketches for cardinality at 100 TB.
@@ -187,11 +188,8 @@ object Sketches {
     val bucket = expr(s"($fv - pmod($fv, ${width}L)) div ${width}L")
     val counts = vals.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
       .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
-    val cum = counts
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .withColumn("__n", sum(col("__c")).over(
-        Window.partitionBy(groupCols.map(col): _*)))
+    val ests = quantilesFromBuckets(counts, groupCols, "__b", "__c", qs,
+      b => b * width)
     // Rank-statistic twin over the raw values, joined back per group: the
     // k-th smallest value (ties broken by order — identical k ⇒ identical
     // value on any engine).
@@ -200,12 +198,6 @@ object Sketches {
       .withColumn("__r", row_number().over(vw))
       .withColumn("__n2", count(lit(1)).over(
         Window.partitionBy(groupCols.map(col): _*)))
-    val estAggs = qs.flatMap { q =>
-      Seq(min(when(col("__cum") >= ceil(lit(q) * col("__n")),
-        col("__b") * width)).as(s"est_p${pName(q)}"))
-    }
-    val ests = cum.groupBy(groupCols.map(col): _*)
-      .agg(max(col("__n")).as("n"), estAggs: _*)
     val exactAggs = qs.map { q =>
       min(when(col("__r") === ceil(lit(q) * col("__n2")),
         col(valueCol))).as(s"exact_p${pName(q)}")
@@ -213,6 +205,43 @@ object Sketches {
     val exacts = ranked.groupBy(groupCols.map(col): _*)
       .agg(exactAggs.head, exactAggs.tail: _*)
     ests.join(exacts, groupCols)
+  }
+
+  /** Quantile estimates from an ALREADY-BUILT bucket-count frame
+    * (`groupCols ++ (bucketCol, cntCol)`, one row per occupied bucket):
+    * cumulative counts per group in bucket order, and for each q the
+    * `lowerBound(bucket)` of the first bucket whose cumulative count
+    * reaches `ceil(q·n)` — the extraction step of [[histQuantiles]] /
+    * [[histQuantilesLog2]], split out because the COUNTS are the mergeable
+    * part: a streaming window can maintain them in bounded state
+    * ([[graft.streaming.StreamOps.windowedHistogram]]), partial profiles
+    * can be unioned and re-summed, and this derivation then runs over the
+    * sketch-sized frame (occupied buckets per group), never the data.
+    * Callers merging frames must re-aggregate counts per (group, bucket)
+    * first — this method assumes one row per bucket.
+    *
+    * Output: groupCols ++ (`n`, per q `est_p<q>`).
+    */
+  def quantilesFromBuckets(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: String,
+      cntCol: String,
+      qs: Seq[Double],
+      lowerBound: Column => Column): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles in (0,1]: $qs")
+    def pName(q: Double) = (q * 100).round.toString
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
+    val cum = counts
+      .withColumn("__cum", sum(col(cntCol)).over(w))
+      .withColumn("__n", sum(col(cntCol)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val estAggs = qs.map { q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")),
+        lowerBound(col(bucketCol)))).as(s"est_p${pName(q)}")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), estAggs: _*)
   }
 
   /** [[histQuantiles]] with POWER-OF-TWO buckets — the relative-error form
@@ -240,30 +269,14 @@ object Sketches {
     // through would silently skew `n`, cumulative counts, and both quantile
     // twins differently per engine.
     val vals = df.filter(col(valueCol).isNotNull)
-    val bucket = when(col(valueCol) < 1, lit(-1L))
-      .otherwise(length(expr(s"bin(CAST(floor($valueCol) AS BIGINT))")).cast("long") - 1L)
-    val counts = vals.groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
+    val counts = vals.groupBy((groupCols.map(col) :+ log2Bucket(col(valueCol)).as("__b")): _*)
       .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
-    val cum = counts
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .withColumn("__n", sum(col("__c")).over(
-        Window.partitionBy(groupCols.map(col): _*)))
+    val ests = quantilesFromBuckets(counts, groupCols, "__b", "__c", qs, log2Lower)
     val vw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
     val ranked = vals
       .withColumn("__r", row_number().over(vw))
       .withColumn("__n2", count(lit(1)).over(
         Window.partitionBy(groupCols.map(col): _*)))
-    // SQL shiftleft (column shift amount; the Scala overload only takes a
-    // literal) — exact 2^b as a Long, like the oracle's `1::BIGINT << b`.
-    val lower = when(col("__b") < 0, lit(0L))
-      .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(__b AS INT))"))
-    val estAggs = qs.map { q =>
-      min(when(col("__cum") >= ceil(lit(q) * col("__n")), lower))
-        .as(s"est_p${pName(q)}")
-    }
-    val ests = cum.groupBy(groupCols.map(col): _*)
-      .agg(max(col("__n")).as("n"), estAggs: _*)
     val exactAggs = qs.map { q =>
       min(when(col("__r") === ceil(lit(q) * col("__n2")),
         col(valueCol))).as(s"exact_p${pName(q)}")
@@ -272,6 +285,25 @@ object Sketches {
       .agg(exactAggs.head, exactAggs.tail: _*)
     ests.join(exacts, groupCols)
   }
+
+  /** Bucket lower bound for the power-of-two family: 2^b as exact Long via
+    * SQL shiftleft (the Scala overload only takes a literal shift), 0 for
+    * the below-1 bucket — shared by [[histQuantilesLog2]] and the streaming
+    * histogram gate's extraction.
+    */
+  def log2Lower(b: Column): Column =
+    when(b < 0, lit(0L))
+      .otherwise(call_function("shiftleft", lit(1L), b.cast("int")))
+
+  /** Power-of-two bucket index: `floor(log2(v))` as exact integer bit-length
+    * (`length(bin(floor(v))) − 1`), −1 for values below 1 — the bucketing
+    * half of [[histQuantilesLog2]], shared with the streaming histogram
+    * ([[graft.streaming.StreamOps.windowedHistogram]]) so batch and stream
+    * land every value in the identical bucket.
+    */
+  def log2Bucket(v: Column): Column =
+    when(v < 1, lit(-1L))
+      .otherwise(length(bin(floor(v).cast("long"))).cast("long") - 1L)
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005): point-query frequency
     * estimates for ANY key from `depth × width` counters — the bounded-state

@@ -326,4 +326,63 @@ object Windowed {
         (col("__bkt") * bucketMs).as("bucket_start"),
         col("n"), col("v_min"), col("v_max"), col("v_first"), col("v_last")): _*)
   }
+
+  /** Sweep-line concurrency over an interval table: per `keyCol`, the PEAK
+    * number of simultaneously-active intervals and the total BUSY time
+    * (length of the union of the intervals — "how long was at least one
+    * session open"), the capacity-planning pair every sessionized event log
+    * eventually needs.
+    *
+    * Shape: each interval explodes to two boundary deltas (+1 at `startCol`,
+    * −1 at `endCol`), deltas are NETTED per (key, timestamp) by a plain
+    * aggregation, and a key-partitioned running sum over the netted
+    * boundaries is the concurrency on each half-open segment
+    * `[t, next_t)` — max of that is the peak, and summing `next_t − t`
+    * where the running count is positive is the union length. Netting
+    * BEFORE the window is what makes the sweep deterministic: all deltas at
+    * one timestamp collapse into one row, so no intra-timestamp processing
+    * order exists to disagree about, and the half-open `[start, end)`
+    * convention falls out for free (an interval ending at `t` nets against
+    * one starting at `t` — they never overlap). Zero-length intervals
+    * (`start == end`) net to 0 and contribute nothing, by the same
+    * convention.
+    *
+    * Cost: one shuffle to net the boundaries, one key-partitioned window
+    * over 2× interval-count rows (hash-partitioned by key — never a
+    * single-partition window; a single GLOBAL timeline instead of per-key
+    * ones is [[runningSumStitched]]'s job). All arithmetic is exact Long —
+    * oracle-replicable bit for bit.
+    *
+    * Output per key: `n_intervals`, `peak_concurrency`, `busy_ms`.
+    */
+  def concurrencySweep(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    requireFree(intervals, "concurrencySweep", "__t", "__d", "__net", "__run", "__seg")
+    val starts = intervals.select(col(keyCol), col(startCol).cast("long").as("__t"),
+      lit(1L).as("__d"))
+    val ends = intervals.select(col(keyCol), col(endCol).cast("long").as("__t"),
+      lit(-1L).as("__d"))
+    val netted = starts.unionByName(ends)
+      .groupBy(col(keyCol), col("__t"))
+      .agg(sum(col("__d")).as("__net"))
+      .filter(col("__net") =!= 0L) // fully-netted timestamps carry no edge
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    val swept = netted
+      .withColumn("__run",
+        sum(col("__net")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__seg",
+        when(col("__run") > 0L, lead(col("__t"), 1).over(w) - col("__t")))
+    val counts = intervals.groupBy(col(keyCol)).agg(count(lit(1)).as("n_intervals"))
+    counts.join(
+      swept.groupBy(col(keyCol)).agg(
+        max(col("__run")).as("peak_concurrency"),
+        coalesce(sum(col("__seg")), lit(0L)).as("busy_ms")),
+      Seq(keyCol), "left")
+      .select(col(keyCol), col("n_intervals"),
+        coalesce(col("peak_concurrency"), lit(0L)).as("peak_concurrency"),
+        coalesce(col("busy_ms"), lit(0L)).as("busy_ms"))
+  }
 }

@@ -142,6 +142,48 @@ object StreamOps {
         col(keyCol), col("n_distinct"))
   }
 
+  /** Per-window value-distribution HISTOGRAM — the streaming half of
+    * [[graft.ops.Sketches.histQuantilesLog2]]: one count per (tumbling
+    * window, key, occupied power-of-two bucket), maintained as ordinary
+    * watermarked window-aggregation state. Bucket counts are the MERGEABLE
+    * part of the quantile sketch (they add across micro-batches exactly like
+    * partial aggregates add map-side), so state per live window is bounded
+    * by the occupied-bucket count — ~64 buckets covers the full positive
+    * Long range — never by the number of events, and a window's counters
+    * retire wholesale when the watermark passes `win_end`. Quantile
+    * EXTRACTION (cumulative counts → `est_p<q>` lower bounds) runs over the
+    * emitted sketch rows with [[graft.ops.Sketches.quantilesFromBuckets]] —
+    * a sketch-sized batch step, deliberately not in the stream: the
+    * estimates are not mergeable, the counts are.
+    *
+    * The bucket index is [[graft.ops.Sketches.log2Bucket]] — the identical
+    * integer bit-length arithmetic as batch, so a stream replay lands every
+    * value in the same bucket as the batch sketch and the per-window counts
+    * (and any quantile derived from them) must match the batch re-derivation
+    * EXACTLY whenever disorder stays inside the watermark; NULL values are
+    * excluded on both sides by the same rule.
+    */
+  def windowedHistogram(
+      stream: DataFrame,
+      widthSeconds: Long,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(widthSeconds > 0, s"window width must be positive, got $widthSeconds")
+    stream
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        window(col(tsCol), s"$widthSeconds seconds"),
+        col(keyCol),
+        graft.ops.Sketches.log2Bucket(col(valueCol)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("bucket"), col("cnt"))
+  }
+
   /** Watermark-bounded stream-stream INNER interval join — the streaming
     * attribution shape (purchase within `windowMs` after the same user's
     * click, impression→conversion, span→trace). Both sides carry

@@ -1186,4 +1186,83 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out.toSet == Set(1L, 2L))
   }
+
+  test("robustOutliers: rank-statistic median/MAD flag the planted extreme; constant group flags none") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(100.0)), ("a", None),  // NULL excluded
+      ("b", Some(7.0)), ("b", Some(7.0)), ("b", Some(7.0))
+    ).toDF("k", "v")
+    val out = Profile.robustOutliers(df, "k", "v", cutoff = 3.5)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // a: n=5 (NULL out), med = 3rd smallest = 3, devs sorted [0,1,1,2,97]
+    //    → mad = 1; bound = 3.5·1.4826 ≈ 5.19 → only 97 flags.
+    // b: med 7, mad 0 → every dev is 0, none exceed 0 strictly.
+    assert(out.toSeq == Seq(("a", 5L, 3.0, 1.0, 1L), ("b", 3L, 7.0, 0.0, 0L)))
+    val maxDev = Profile.robustOutliers(df, "k", "v").filter(col("k") === "a")
+      .select(col("max_dev")).head().getDouble(0)
+    assert(maxDev == 97.0)
+  }
+
+  test("concurrencySweep: netted boundaries give the peak, union length, and half-open touching") {
+    val iv = Seq(
+      // x: [0,10) [5,15) [10,20) — peak 2 (10 nets to zero), union [0,20).
+      ("x", 0L, 10L), ("x", 5L, 15L), ("x", 10L, 20L),
+      // x: zero-length interval counts in n_intervals, never in the sweep.
+      ("x", 30L, 30L),
+      // y: touching [100,110) [110,120) never overlap — peak 1, union 20.
+      ("y", 100L, 110L), ("y", 110L, 120L)
+    ).toDF("k", "s", "e")
+    val out = Windowed.concurrencySweep(iv, "k", "s", "e")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x", 4L, 2L, 20L), ("y", 2L, 1L, 20L)))
+  }
+
+  test("mixturePlanTemperature: sqrt weights, exact-decimal normalization, caps") {
+    val df = Seq(
+      (1L, "A", 60L), (2L, "A", 40L),   // A: 100 → weight 10
+      (3L, "B", 900L)                   // B: 900 → weight 30
+    ).toDF("id", "src", "n")
+    val rows = Sampling.mixturePlanTemperature(df, "src", "n", budget = 40L)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // shares 10/40 = 0.25 and 30/40 = 0.75 (binary-exact), desired 10 / 30,
+    // fractions 10/100 and 30/900, nothing capped.
+    assert(rows.toSeq == Seq(
+      ("A", 100L, 0.25, 10L, 0.1, 10L),
+      ("B", 900L, 0.75, 30L, 30.0 / 900.0, 30L)))
+    // A tiny source with a huge budget caps at fraction 1.
+    val capped = Sampling.mixturePlanTemperature(df, "src", "n", budget = 100000L)
+      .filter(col("source") === "A").head()
+    assert(capped.getDouble(4) == 1.0 &&
+      capped.getLong(5) == 100L)
+  }
+
+  test("containmentPairs catches the quotation pair jaccard misses") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h"),
+      // 1 embeds 0's full token stream in a doc twice the length: every
+      // shingle of 0 appears in 1 (containment 1.0) at jaccard 6/16 < 0.5.
+      (1L, "a b c d e f g h x y z w q r s t u v"),
+      (2L, "totally unrelated words about engines here now")
+    ).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5).collect().isEmpty)
+    val out = Dedup.containmentPairs(corpus, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0, 0.375)))
+  }
+
+  test("quantilesFromBuckets: cumulative-rank lower bounds from a hand-built count frame") {
+    // g: buckets 0×5, 2×4, 7×1 (n = 10): p50 rank 5 → bucket 0,
+    // p90 rank 9 → bucket 2, p100 rank 10 → bucket 7.
+    val counts = Seq(("g", 0L, 5L), ("g", 2L, 4L), ("g", 7L, 1L))
+      .toDF("k", "b", "c")
+    val out = Sketches.quantilesFromBuckets(counts, Seq("k"), "b", "c",
+      Seq(0.5, 0.9, 1.0), b => b * 10L).head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4)) ==
+      (10L, 0L, 20L, 70L))
+  }
 }

@@ -192,6 +192,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHistogram maintains per-window log2 bucket counts matching the batch bucketing") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val out = StreamOps.windowedHistogram(df, widthSeconds = 10,
+      watermarkDelay = "2 seconds", tsCol = "ts", keyCol = "event_type",
+      valueCol = "value")
+    val q = out.writeStream.format("memory").queryName("whist")
+      .outputMode("append").start()
+    try {
+      // Window [0,10s): 0.5 → bucket −1; 3.0, 3.9 → bucket 1; 5.0 → bucket 2.
+      input.addData((new Timestamp(1000L), "a", 0.5), (new Timestamp(2000L), "a", 3.0))
+      q.processAllAvailable()
+      // Cross-batch merge into the same (window, key, bucket) counter, plus
+      // an in-horizon late row for bucket 1.
+      input.addData((new Timestamp(5000L), "a", 5.0), (new Timestamp(4000L), "a", 3.9))
+      q.processAllAvailable()
+      // Window [10,20s): 300 → bucket 8 (256 ≤ 300 < 512).
+      input.addData((new Timestamp(11000L), "a", 300.0))
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L), "zz", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("whist")
+        .filter(col("event_type") === "a")
+        .select(col("win_start").cast("long"), col("bucket"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(rows.toSeq == Seq(
+        (0L, -1L, 1L), (0L, 1L, 2L), (0L, 2L, 1L), (10L, 8L, 1L)), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
