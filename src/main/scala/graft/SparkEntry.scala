@@ -1358,10 +1358,11 @@ object SparkEntry {
     * cutoff.
     */
   private def robustOutliersValue(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Profile.robustOutliers(
-      ev(s, dir).df.select(col("event_type"), col("value")),
-      "event_type", "value", cutoff = 3.5)
-      .orderBy(col("event_type"))
+    graft.ops.Ordered.smallResult(
+      graft.ops.Profile.robustOutliers(
+        ev(s, dir).df.select(col("event_type"), col("value")),
+        "event_type", "value", cutoff = 3.5),
+      "event_type")
 
   /** Sweep-line session concurrency per event type
     * ([[graft.ops.Windowed.concurrencySweep]]): per-(type, user) sessions
@@ -1376,8 +1377,9 @@ object SparkEntry {
     val sess = graft.ops.Windowed.sessionIds(e, "__k", "time", gapMs = gap)
       .groupBy(col("event_type"), col("user_id"), col("session_seq"))
       .agg(min(col("time")).as("s_start"), (max(col("time")) + gap).as("s_end"))
-    graft.ops.Windowed.concurrencySweep(sess, "event_type", "s_start", "s_end")
-      .orderBy(col("event_type"))
+    graft.ops.Ordered.smallResult(
+      graft.ops.Windowed.concurrencySweep(sess, "event_type", "s_start", "s_end"),
+      "event_type")
   }
 
   /** Temperature-scaled (α = 0.5) mixture plan over per-source character
@@ -1386,9 +1388,10 @@ object SparkEntry {
     * hand-weighted `mixture_plan`.
     */
   private def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sampling.mixturePlanTemperature(
-      T(s, dir, "documents"), "source", "n_chars", budget = 100000L)
-      .orderBy(col("source"))
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.mixturePlanTemperature(
+        T(s, dir, "documents"), "source", "n_chars", budget = 100000L),
+      "source")
 
   /** Containment-pair gate ([[graft.ops.Dedup.containmentPairs]]) over the
     * corpus PLUS planted anthologies (doc i < 15 concatenated with doc

@@ -1106,15 +1106,21 @@ object Similarity {
       subDim: Int,
       k: Int,
       queries: DataFrame): Seq[(DataFrame, DataFrame)] = {
-    import org.apache.spark.sql.expressions.Window
     def blk(c: Column, b: Int): Column = slice(c, b * subDim + 1, subDim)
     def sq(a: Column, b: Column): Column = sqDist(a, b)
     // k hash-ordered seed vectors with stable code ids (tiny, broadcast).
+    // Top-k by (hash, vid) via orderBy+limit — TakeOrderedAndProject keeps
+    // it a per-partition top-k merge, never a global sort (the first cut
+    // ranked the WHOLE corpus through an empty-partition window: one task
+    // sorts every vector at 100 TB). Code ids come from one sorted-array
+    // expression over the k survivors — same (hash, vid) order, no window.
     val hOrd = pmod(col("vid") * lit(2654435761L), lit(4294967296L))
     val seeds = e.withColumn("__h", hOrd)
-      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col("vid"))))
-      .filter(col("__rn") <= k)
-      .select((col("__rn") - 1).as("code"), col("v").as("sv"))
+      .select(col("__h"), col("vid"), col("v"))
+      .orderBy(col("__h"), col("vid")).limit(k)
+      .agg(array_sort(collect_list(struct(col("__h"), col("vid"), col("v")))).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("code", "__s")))
+      .select(col("code"), col("__s.v").as("sv"))
     (0 until m).map { b =>
       // Seed assignment, then one Lloyd round: per-(code, position) means
       // rounded to 6 dp, rebuilt into centroid arrays in position order.

@@ -27,13 +27,23 @@ object Sketches {
   /** murmur3's 32-bit finalizer over the low 32 bits of an integral column —
     * full avalanche (a multiplicative/lattice hash leaves min-order
     * statistics biased, which a KMV estimator reads directly as cardinality
-    * error). Pure column arithmetic mod 2³², codegen'd end to end. The
-    * 32×32-bit products are split into 16-bit halves (peak value 2⁴⁹) so
-    * nothing overflows a signed Long — ANSI mode makes a wrapped multiply an
-    * ERROR, not a free mod 2⁶⁴ — while the DuckDB oracle replicates the same
-    * lattice in exact HUGEINT arithmetic.
+    * error). One scalar codegen'd kernel node
+    * ([[org.apache.spark.sql.graftfns.Murmur32Fin]]); the DuckDB oracle
+    * replicates its 16-bit-split mod-2³² lattice in exact HUGEINT
+    * arithmetic. [[hash32Columns]] is the same lattice in the Column DSL,
+    * kept as the spec-pinned reference — as the PLAN hash it was an
+    * exponential tree (each mixing stage reads its operand ~4×) that fell
+    * out of codegen and cost optimizer passes seconds.
     */
-  def hash32(c: Column): Column = {
+  def hash32(c: Column): Column =
+    org.apache.spark.sql.graftfns.TextFunctions.murmur32fin(c.cast("long"))
+
+  /** Column-DSL reference formulation of [[hash32]] (16-bit-split products
+    * keep every intermediate ≤ 2⁴⁹ — ANSI mode errors on a wrapped Long
+    * multiply). SketchesSpec pins `hash32 ≡ hash32Columns` row-for-row; the
+    * oracle SQL is a transliteration of THIS form into HUGEINT.
+    */
+  private[graft] def hash32Columns(c: Column): Column = {
     val m = lit(4294967296L)
     // z * k mod 2³² with z < 2³², k < 2³²: ((zHi·k mod 2³²)·2¹⁶ + zLo·k) mod 2³²
     def mulMod(z: Column, k: Long): Column =
@@ -330,12 +340,18 @@ object Sketches {
       width: Long): DataFrame = {
     require(depth >= 1, s"CMS depth must be >= 1, got $depth")
     require(width >= 2, s"CMS width must be >= 2, got $width")
-    df.select(explode(array((0 until depth).map(r =>
-        struct(
-          lit(r).as("d"),
-          pmod(hash32(col(keyCol).cast("long") + lit(r * 7919L)), lit(width))
-            .as("bucket"))): _*)).as("rb"))
-      .groupBy(col("rb.d").as("d"), col("rb.bucket").as("bucket"))
+    // Explode the depth index FIRST, hash once after: [[hash32]]'s avalanche
+    // tree references its operand ~4× per mixing level, so `depth` copies of
+    // it inside one generator blow the expression past codegen's method
+    // limit and the whole scan falls back to interpreted evaluation (~8×
+    // wall-clock on this path before the split). One instance in a plain
+    // projection stays codegen'd with subexpression elimination.
+    df.select(col(keyCol),
+        explode(array((0 until depth).map(r => lit(r)): _*)).as("d"))
+      .select(col("d"),
+        pmod(hash32(col(keyCol).cast("long") + col("d").cast("long") * lit(7919L)),
+          lit(width)).as("bucket"))
+      .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -354,14 +370,14 @@ object Sketches {
     require(keys.nonEmpty, "cmsEstimate needs at least one probe key")
     val spark = sketch.sparkSession
     import spark.implicits._
+    // Same explode-then-hash shape as [[cmsSketch]] (one hash32 instance).
     val probes = keys.toDF(keyCol)
-      .select(explode(array((0 until depth).map(r =>
-        struct(
-          lit(r).as("d"),
-          pmod(hash32(col(keyCol).cast("long") + lit(r * 7919L)), lit(width))
-            .as("bucket"),
-          col(keyCol).as("__k"))): _*)).as("rb"))
-      .select(col("rb.d").as("d"), col("rb.bucket").as("bucket"), col("rb.__k").as(keyCol))
+      .select(col(keyCol),
+        explode(array((0 until depth).map(r => lit(r)): _*)).as("d"))
+      .select(col("d"),
+        pmod(hash32(col(keyCol).cast("long") + col("d").cast("long") * lit(7919L)),
+          lit(width)).as("bucket"),
+        col(keyCol))
     broadcast(probes)
       .join(sketch, Seq("d", "bucket"), "left")
       .groupBy(col(keyCol))
@@ -384,9 +400,12 @@ object Sketches {
     val exact = df.filter(col(keyCol).isin(probeKeys: _*))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("exact"))
-    est.join(exact, Seq(keyCol), "left")
-      .select(col(keyCol), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
-      .orderBy(col(keyCol))
+    // Report-shape sort: a bare orderBy's range-sampling pass would execute
+    // the whole sketch+probe plan a second time (Ordered.smallResult note).
+    Ordered.smallResult(
+      est.join(exact, Seq(keyCol), "left")
+        .select(col(keyCol), col("est"), coalesce(col("exact"), lit(0L)).as("exact")),
+      keyCol)
   }
 
   /** Theta-style SET ALGEBRA over KMV sketches (Dasgupta et al., the theta

@@ -623,4 +623,61 @@ object TextFunctions {
     */
   def termCounts(text: Column): Column =
     ExpressionUtils.column(TermCounts(ExpressionUtils.expression(text)))
+
+  /** murmur3 32-bit finalizer over the low 32 bits of a long column
+    * ([[Murmur32Fin]]).
+    */
+  def murmur32fin(v: Column): Column =
+    ExpressionUtils.column(Murmur32Fin(ExpressionUtils.expression(v)))
+}
+
+/** murmur3's 32-bit finalizer over the low 32 bits of a long — the sketch
+  * hash behind [[graft.ops.Sketches]] (KMV, KMV set ops, Count-Min).
+  *
+  * Why a custom Expression: the same lattice written in the Column DSL
+  * (`pmod`/`shiftrightunsigned`/`bitwiseXOR` with 16-bit split multiplies to
+  * stay inside ANSI Long bounds) references each mixing stage's operand ~4
+  * times, so the Catalyst TREE grows ~4× per stage — thousands of nodes per
+  * instance. That blows codegen back to interpreted eval AND makes every
+  * optimizer pass walk the exponential tree (driver-side planning seconds
+  * for a 10-row probe frame). One scalar node keeps the tree O(1) and the
+  * arithmetic in plain JVM longs — bit-identical to the DSL formula and to
+  * the oracle's HUGEINT replication (SketchesSpec pins equality against the
+  * original Column formulation).
+  */
+final case class Murmur32Fin(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "murmur32fin"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Murmur32Fin.compute(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"org.apache.spark.sql.graftfns.Murmur32Fin.compute($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Murmur32Fin {
+  private final val M = 4294967296L
+
+  /** `z·k mod 2³²` via the same 16-bit-split lattice as the Column form
+    * (`((z»16)·k mod 2³²)·2¹⁶ + (z∧0xFFFF)·k, mod 2³²`): every intermediate
+    * stays ≤ 2⁴⁹, exactly the overflow-free shape the oracle replicates.
+    */
+  private def mulMod(z: Long, k: Long): Long =
+    ((((z >>> 16) * k) % M) * 65536L + (z & 0xFFFFL) * k) % M
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(v: Long): Long = {
+    val z1 = java.lang.Math.floorMod(v, M)
+    val z2 = mulMod(z1 ^ (z1 >>> 16), 2246822507L)
+    val z3 = mulMod(z2 ^ (z2 >>> 13), 3266489909L)
+    z3 ^ (z3 >>> 16)
+  }
 }

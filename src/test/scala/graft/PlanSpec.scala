@@ -371,4 +371,41 @@ class PlanSpec extends SparkSpec {
       assert(wins.nonEmpty && wins.forall(_.nonEmpty), s"$q: $wins")
     }
   }
+
+  test("robust outliers and concurrency sweep partition every window by the key") {
+    // Rank-statistic medians and the sweep's running sum are key-partitioned
+    // windows — a single-partition fallback here would serialize the whole
+    // corpus through one task at 100 TB.
+    for (q <- Seq("robust_outliers_value", "concurrency_sweep")) {
+      val wins = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.nonEmpty && wins.forall(_.nonEmpty), s"$q: $wins")
+    }
+  }
+
+  test("containment pairs join on shingle-hash equality — never a cartesian") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("PQ family never plans an empty-partition window (seed pick is a top-k limit)") {
+    // pqBlocks once ranked the whole corpus through Window.orderBy to pick
+    // k seeds — one task sorting every vector at 100 TB. Seeds now come
+    // from orderBy+limit (TakeOrderedAndProject); no window may be global.
+    for (q <- Seq("pq_adc_topk", "ann_ivfpq_topk", "ann_ivfpq_recall")) {
+      val wins = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(wins.forall(_.nonEmpty), s"$q: $wins")
+    }
+  }
+
+  test("temperature mixture plan reads only source and count columns") {
+    val p = plan("mixture_temperature")
+    assert(!p.contains("text"), p.take(1500)) // never drags the payload
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p.take(1500))
+  }
 }

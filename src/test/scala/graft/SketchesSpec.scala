@@ -214,4 +214,16 @@ class SketchesSpec extends SparkSpec {
     // `changed` row, not an added/removed pair.
     assert(d.toSeq == Seq(None -> "changed"), d.toSeq)
   }
+
+  test("hash32 kernel equals the Column-DSL reference lattice (incl. negatives and 2^32 edges)") {
+    import spark.implicits._
+    val ids = (Seq(-5L, -1L, 0L, 1L, 65535L, 65536L, 2246822507L,
+      4294967295L, 4294967296L, 4294967297L, Long.MaxValue, Long.MinValue) ++
+      (0L until 1000L).map(_ * 2654435761L)).toDF("v")
+    val mismatch = ids
+      .select(Sketches.hash32(col("v")).as("a"),
+        Sketches.hash32Columns(col("v")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch == 0L)
+  }
 }
