@@ -1648,6 +1648,59 @@ object SparkEntry {
     graft.ops.Ivm.readAgg(s, ivmStreamRollupFor(s, dir), "day", Seq("event_type"))
       .orderBy(col("event_type"))
 
+  /** INCREMENTALLY-MAINTAINED quantile sketch — [[graft.ops.Ivm]] composed
+    * with the histogram family, zero new operator code: the rollup's group
+    * key is `(event_type, log2 bucket)`, so the maintained `n` partials ARE
+    * the per-day bucket counts (counts are a commutative monoid — exactly
+    * what delta maintenance keeps exact), and
+    * [[graft.ops.Sketches.quantilesFromBuckets]] extracts per-day quantile
+    * lower bounds from the rollup at read time — the non-mergeable step,
+    * deliberately outside the maintained state, same split as the streaming
+    * histogram. At 100 TB this is the "p99 dashboard over a year of events"
+    * shape: a daily batch folds into its day's partitions only; no query
+    * ever re-scans the base table. The corpus splits base/batch1/batch2
+    * exactly like [[ivmRollupFor]], and the oracle aggregates ALL events
+    * one-shot — a merge error in any delta skews the hash.
+    */
+  private val ivmHistPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivmHistRollupFor(s: SparkSession, dir: String): String =
+    ivmHistPaths.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-ivmh-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      val e = ev(s, d).df.filter(col("value").isNotNull).select(
+        col("event_id").cast("long").as("event_id"),
+        floor(col("time") / lit(86400000L)).cast("long").as("day"),
+        col("event_type"),
+        graft.ops.Sketches.log2Bucket(col("value")).as("bucket"),
+        col("value"))
+      val baseRows = e.filter(col("event_id") % 5 =!= 0)
+      val batch1 = e.filter(col("event_id") % 10 === 0)
+      val batch2 = e.filter(col("event_id") % 10 === 5)
+      graft.ops.Ivm.buildRollup(s, baseRows, s"$base/r",
+        partitionCol = "day", groupCols = Seq("event_type", "bucket"), valueCol = "value")
+      graft.ops.Ivm.applyDelta(s, s"$base/r", batch1,
+        partitionCol = "day", groupCols = Seq("event_type", "bucket"), valueCol = "value")
+      graft.ops.Ivm.applyDelta(s, s"$base/r", batch2,
+        partitionCol = "day", groupCols = Seq("event_type", "bucket"), valueCol = "value")
+      s"$base/r"
+    })
+
+  private def ivmHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val partials = s.read.parquet(ivmHistRollupFor(s, dir))
+      .select((col("day") * 86400000L).as("win_start"), col("event_type"),
+        col("bucket"), col("n"))
+    graft.ops.Sketches.quantilesFromBuckets(
+      partials, Seq("win_start", "event_type"), "bucket", "n",
+      Seq(0.5, 0.99), graft.ops.Sketches.log2Lower)
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** Z-ordered + zone-mapped events table, built once per JVM per corpus:
     * [[graft.ops.Layout.clusterByZ]] interleaves (user_id, day-index) into
     * one Morton key and range-partitions into 16 files, so every file is a
@@ -3595,6 +3648,7 @@ object SparkEntry {
     "robust_outliers_value" -> (robustOutliersValue _),
     "concurrency_sweep" -> (concurrencySweepSessions _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
+    "ivm_hist_quantiles" -> (ivmHistQuantiles _),
     "text_redact" -> (textRedact _),
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
@@ -3796,6 +3850,34 @@ object SparkEntry {
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
   private val EvCte =
     "SELECT epoch_ms(ts) AS time, event_id, user_id, event_type, value, props FROM events"
+
+  /** Per-day log2-bucket quantile lower bounds, re-derived one-shot —
+    * shared by `stream_hist_quantiles` (bounded-state stream) and
+    * `ivm_hist_quantiles` (delta-maintained rollup): both maintenance paths
+    * must reproduce this batch aggregate exactly.
+    */
+  private val HistQuantilesDailySql =
+    s"""WITH e AS ($EvCte),
+       |b AS (SELECT (time // 86400000) * 86400000 AS win_start, event_type,
+       |             CASE WHEN value < 1 THEN -1
+       |                  ELSE length(bin(CAST(floor(value) AS BIGINT))) - 1
+       |             END AS bk,
+       |             count(*) AS c
+       |      FROM e WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+       |cum AS (SELECT win_start, event_type, bk, c,
+       |               CAST(sum(c) OVER (PARTITION BY win_start, event_type
+       |                                 ORDER BY bk) AS BIGINT) AS cum,
+       |               CAST(sum(c) OVER (PARTITION BY win_start, event_type)
+       |                    AS BIGINT) AS n
+       |        FROM b)
+       |SELECT win_start, event_type, max(n) AS n,
+       |       min(CASE WHEN cum >= ceil(0.5 * n) THEN
+       |             (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
+       |           END) AS est_p50,
+       |       min(CASE WHEN cum >= ceil(0.99 * n) THEN
+       |             (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
+       |           END) AS est_p99
+       |FROM cum GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
   private val ToksCte =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents"
 
@@ -6125,28 +6207,10 @@ object SparkEntry {
     // stream maintained in bounded state must yield the SAME quantile lower
     // bounds as this batch re-derivation — identical integer bit-length
     // bucketing (bin-length, never float log), identical ceil-rank rule.
-    "stream_hist_quantiles" ->
-      s"""WITH e AS ($EvCte),
-         |b AS (SELECT (time // 86400000) * 86400000 AS win_start, event_type,
-         |             CASE WHEN value < 1 THEN -1
-         |                  ELSE length(bin(CAST(floor(value) AS BIGINT))) - 1
-         |             END AS bk,
-         |             count(*) AS c
-         |      FROM e WHERE value IS NOT NULL GROUP BY 1, 2, 3),
-         |cum AS (SELECT win_start, event_type, bk, c,
-         |               CAST(sum(c) OVER (PARTITION BY win_start, event_type
-         |                                 ORDER BY bk) AS BIGINT) AS cum,
-         |               CAST(sum(c) OVER (PARTITION BY win_start, event_type)
-         |                    AS BIGINT) AS n
-         |        FROM b)
-         |SELECT win_start, event_type, max(n) AS n,
-         |       min(CASE WHEN cum >= ceil(0.5 * n) THEN
-         |             (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
-         |           END) AS est_p50,
-         |       min(CASE WHEN cum >= ceil(0.99 * n) THEN
-         |             (CASE WHEN bk < 0 THEN 0 ELSE (1::BIGINT << bk) END)
-         |           END) AS est_p99
-         |FROM cum GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // The IVM-maintained rollup shares it verbatim: base+delta counts must
+    // equal the one-shot aggregate.
+    "ivm_hist_quantiles" -> HistQuantilesDailySql,
+    "stream_hist_quantiles" -> HistQuantilesDailySql,
     // Sliding-window re-derivation: 1-day windows every 12 h ⇒ each event
     // belongs to exactly the two epoch-aligned starts
     // floor(time/12h)·12h − i·12h for i ∈ {0,1} (both satisfy
