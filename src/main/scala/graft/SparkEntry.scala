@@ -1364,23 +1364,63 @@ object SparkEntry {
         "event_type", "value", cutoff = 3.5),
       "event_type")
 
+  /** Winsorized per-type stats ([[graft.ops.Profile.winsorize]]): values
+    * clipped into their type's own [p5, p95] rank-statistic band; the gate
+    * reports the bounds, clip counts, and the exact-decimal mean of the
+    * clipped values — outlier TREATMENT beside `robust_outliers_value`'s
+    * detection.
+    */
+  private def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val wdf = graft.ops.Profile.winsorize(
+      ev(s, dir).df.select(col("event_type"), col("value")),
+      "event_type", "value", loQ = 0.05, hiQ = 0.95)
+    graft.ops.Ordered.smallResult(
+      wdf.filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(max(col("__wlo")), 4).as("lo_bound"),
+          round(max(col("__whi")), 4).as("hi_bound"),
+          count(when(col("value") < col("__wlo"), lit(1))).as("n_clip_lo"),
+          count(when(col("value") > col("__whi"), lit(1))).as("n_clip_hi"),
+          round(
+            sum(round(col("value_w"), 10).cast("decimal(30,10)")).cast("double") /
+              count(lit(1)), 4).as("mean_w")),
+      "event_type")
+  }
+
   /** Sweep-line session concurrency per event type
     * ([[graft.ops.Windowed.concurrencySweep]]): per-(type, user) sessions
     * from the shared 30-minute-gap rule ([[graft.ops.Windowed.sessionIds]]),
     * each active over `[first event, last event + gap)`, swept for peak
     * simultaneous sessions and total busy (union) time.
     */
-  private def concurrencySweepSessions(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(type, user) session intervals `[first event, last event + gap)`
+    * from the shared 30-minute rule — input to both concurrency gates.
+    */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
     val gap = 1800000L
     val e = ev(s, dir).df.select(col("event_type"), col("user_id"), col("time"))
       .withColumn("__k", concat_ws(":", col("event_type"), col("user_id")))
-    val sess = graft.ops.Windowed.sessionIds(e, "__k", "time", gapMs = gap)
+    graft.ops.Windowed.sessionIds(e, "__k", "time", gapMs = gap)
       .groupBy(col("event_type"), col("user_id"), col("session_seq"))
       .agg(min(col("time")).as("s_start"), (max(col("time")) + gap).as("s_end"))
-    graft.ops.Ordered.smallResult(
-      graft.ops.Windowed.concurrencySweep(sess, "event_type", "s_start", "s_end"),
-      "event_type")
   }
+
+  private def concurrencySweepSessions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Windowed.concurrencySweep(
+        sessionIntervals(s, dir), "event_type", "s_start", "s_end"),
+      "event_type")
+
+  /** The GLOBAL sweep twin ([[graft.ops.Windowed.concurrencySweepGlobal]]):
+    * one service-wide timeline over the same session intervals — running
+    * concurrency on the stitched prefix sum, busy segments on the stitched
+    * lag, no single-partition window.
+    */
+  private def concurrencyGlobal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windowed.concurrencySweepGlobal(
+      sessionIntervals(s, dir), "s_start", "s_end")
 
   /** Temperature-scaled (α = 0.5) mixture plan over per-source character
     * mass ([[graft.ops.Sampling.mixturePlanTemperature]]): shares ∝
@@ -3646,7 +3686,9 @@ object SparkEntry {
     "mixture_temperature" -> (mixtureTemperature _),
     "dedup_containment" -> (dedupContainment _),
     "robust_outliers_value" -> (robustOutliersValue _),
+    "winsorized_stats" -> (winsorizedStats _),
     "concurrency_sweep" -> (concurrencySweepSessions _),
+    "concurrency_global" -> (concurrencyGlobal _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
     "ivm_hist_quantiles" -> (ivmHistQuantiles _),
     "text_redact" -> (textRedact _),
@@ -5028,6 +5070,28 @@ object SparkEntry {
          |         AS max_dev
          |FROM d JOIN md USING (event_type)
          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // Winsorization twin: same ceil-rank bounds, same least/greatest clip,
+    // clipped mean on the round-10 decimal lattice.
+    "winsorized_stats" ->
+      s"""WITH e AS ($EvCte),
+         |v AS (SELECT event_type, value AS v FROM e WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, v,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+         |             count(*) OVER (PARTITION BY event_type) AS n FROM v),
+         |b AS (SELECT event_type,
+         |             min(CASE WHEN r = ceil(n * 0.05) THEN v END) AS lo,
+         |             min(CASE WHEN r = ceil(n * 0.95) THEN v END) AS hi
+         |      FROM r GROUP BY 1),
+         |c AS (SELECT v.event_type, v.v,
+         |             least(greatest(v.v, b.lo), b.hi) AS vw, b.lo, b.hi
+         |      FROM v JOIN b USING (event_type))
+         |SELECT event_type, count(*) AS n,
+         |       round(max(lo), 4) AS lo_bound, round(max(hi), 4) AS hi_bound,
+         |       CAST(count(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clip_lo,
+         |       CAST(count(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clip_hi,
+         |       round(CAST(sum(CAST(round(vw, 10) AS DECIMAL(30,10))) AS DOUBLE)
+         |             / count(*), 4) AS mean_w
+         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Sweep-line re-derivation: same 30-min session rule as
     // session_ids_by_user, intervals [min, max+gap), boundary deltas netted
     // per timestamp, running sum = concurrency — all exact Long arithmetic.
@@ -5064,6 +5128,37 @@ object SparkEntry {
          |       coalesce(a.busy_ms, 0) AS busy_ms
          |FROM cnt c LEFT JOIN agg a USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // Global twin: same sessions, one service-wide timeline (busy written
+    // lag-wise: a segment (prev_t, t] is busy when run - net > 0 — the
+    // identical half-open union).
+    "concurrency_global" ->
+      s"""WITH e AS ($EvCte),
+         |o AS (SELECT event_type, user_id, time,
+         |             CASE WHEN time - lag(time) OVER (PARTITION BY event_type, user_id
+         |                                              ORDER BY time) >= 1800000
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |sid AS (SELECT event_type, user_id, time,
+         |               sum(brk) OVER (PARTITION BY event_type, user_id ORDER BY time
+         |                              ROWS UNBOUNDED PRECEDING) AS seq
+         |        FROM o),
+         |sess AS (SELECT event_type, user_id, seq,
+         |                min(time) AS s_start, max(time) + 1800000 AS s_end
+         |         FROM sid GROUP BY 1, 2, 3),
+         |bounds AS (SELECT s_start AS t, 1 AS d FROM sess
+         |           UNION ALL SELECT s_end, -1 FROM sess),
+         |net AS (SELECT t, CAST(sum(d) AS BIGINT) AS net
+         |        FROM bounds GROUP BY 1 HAVING sum(d) <> 0),
+         |run AS (SELECT t, net,
+         |               CAST(sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         |                    AS BIGINT) AS run,
+         |               lag(t) OVER (ORDER BY t) AS pt
+         |        FROM net)
+         |SELECT (SELECT count(*) FROM sess) AS n_intervals,
+         |       CAST(max(run) AS BIGINT) AS peak_concurrency,
+         |       CAST(coalesce(sum(CASE WHEN run - net > 0 THEN t - pt END), 0)
+         |            AS BIGINT) AS busy_ms
+         |FROM run""".stripMargin,
     // Temperature plan: sqrt is IEEE-correctly-rounded (identical in every
     // engine), the weight sum rides the round-10 → DECIMAL(30,10) exact
     // lattice, and everything after is scalar IEEE with one parenthesization.

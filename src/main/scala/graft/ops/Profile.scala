@@ -132,4 +132,45 @@ object Profile {
         round(max(when(col("__dev") > bound * col("__mad"), col("__dev"))), 4)
           .as("max_dev"))
   }
+
+  /** Winsorization — clip `valueCol` into its group's own [loQ, hiQ]
+    * quantile band, emitted as `<valueCol>_w` beside every original column
+    * (plus `__wlo`/`__whi`, the bounds, for the caller's audit): the
+    * outlier TREATMENT next to [[robustOutliers]]'s detection, the standard
+    * pre-aggregation step when a metric's tail is real data but must not
+    * dominate a mean. Bounds are the same rank statistics as everywhere in
+    * this family (k-th smallest at k = ceil(q·n) — an existing value,
+    * engine-identical), computed per group in one key-partitioned window
+    * pass and joined back as a broadcast (one row per group). NULL values
+    * stay NULL (Spark's `greatest`/`least` skip NULLs, which would
+    * otherwise silently clip a NULL to the lower bound). Rows of groups
+    * absent from the bounds (all-NULL groups) keep NULL bounds and pass
+    * through unclipped.
+    */
+  def winsorize(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      loQ: Double = 0.05,
+      hiQ: Double = 0.95): DataFrame = {
+    require(loQ > 0 && loQ < hiQ && hiQ <= 1,
+      s"need 0 < loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("double").as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val wn = Window.partitionBy(col(keyCol))
+    val bounds = vals
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("__r") === ceil(col("__n") * loQ), col("__v"))).as("__wlo"),
+        min(when(col("__r") === ceil(col("__n") * hiQ), col("__v"))).as("__whi"))
+    df.join(broadcast(bounds), Seq(keyCol), "left")
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNotNull && col("__wlo").isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("__wlo")), col("__whi")))
+          .otherwise(col(valueCol).cast("double")))
+  }
 }

@@ -156,8 +156,18 @@ object Windowed {
     require(orderCols.nonEmpty, "lagStitched needs at least one order column")
     requireFree(df, "lagStitched", "__bkt", "__rn", "__lag", "__lastv", "__pred")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint PINS one physical partitioning: range-partitioner
+    // bounds are SAMPLED per execution (rdd.id-seeded), and this frame has
+    // two consumers (the windowed rows and the boundary-summary broadcast).
+    // If exchange reuse doesn't kick in, the two executions draw slightly
+    // different bounds and a seam row stitches against the WRONG bucket's
+    // boundary value — observed as a handful of corrupted lags per million
+    // rows, silent. Correctness must not hang on a reuse optimization.
+    // (Executor-local blocks: an executor loss fails the query — recompute;
+    // same documented trade as jaccardPairsPrefixFiltered.)
     val withBkt = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__bkt", spark_partition_id().cast("long"))
+      .localCheckpoint()
     lagOverBuckets(withBkt, orderCols, valueCol, outCol).drop("__bkt")
   }
 
@@ -227,8 +237,14 @@ object Windowed {
     require(orderCols.nonEmpty, "runningSumStitched needs at least one order column")
     requireFree(df, "runningSumStitched", "__pid", "__off", "__a", "__p")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Pinned partitioning (localCheckpoint) for the same reason as
+    // [[lagStitched]]: the per-partition totals job and the final join are
+    // two executions of this exchange, and re-sampled range bounds between
+    // them would hand rows a __pid whose broadcast offset was computed for
+    // a DIFFERENT partition extent — a silently wrong prefix sum.
     val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -384,5 +400,42 @@ object Windowed {
       .select(col(keyCol), col("n_intervals"),
         coalesce(col("peak_concurrency"), lit(0L)).as("peak_concurrency"),
         coalesce(col("busy_ms"), lit(0L)).as("busy_ms"))
+  }
+
+  /** [[concurrencySweep]] without a key — ONE global timeline, the "how
+    * many sessions does the whole service hold at once" number. A keyed
+    * sweep hash-partitions its windows by the key; a single global timeline
+    * has no key, so the running concurrency rides
+    * [[runningSumStitched]] (two-pass distributed prefix sum — exact for
+    * these integral deltas) and the busy-time segments come from
+    * [[lagStitched]]'s seam-stitched global lag — NO single-partition
+    * window anywhere, which is the entire reason this variant exists. A
+    * segment `(prev_t, t]` counts as busy when the concurrency BEFORE `t`
+    * (`run − net`) was positive — the same half-open union as the keyed
+    * sweep, written lag-wise.
+    *
+    * Output: one row `(n_intervals, peak_concurrency, busy_ms)`.
+    */
+  def concurrencySweepGlobal(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame = {
+    requireFree(intervals, "concurrencySweepGlobal", "__t", "__d", "__net", "__run", "__pt")
+    val starts = intervals.select(col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
+    val ends = intervals.select(col(endCol).cast("long").as("__t"), lit(-1L).as("__d"))
+    val netted = starts.unionByName(ends)
+      .groupBy(col("__t")).agg(sum(col("__d")).as("__net"))
+      .filter(col("__net") =!= 0L)
+    val run = runningSumStitched(netted, Seq("__t"), "__net", "__run")
+    val swept = lagStitched(run, Seq("__t"), "__t", "__pt")
+    val agg = swept.agg(
+      max(col("__run")).cast("long").as("peak_concurrency"),
+      coalesce(sum(when(col("__run") - col("__net") > 0d, col("__t") - col("__pt"))),
+        lit(0L)).cast("long").as("busy_ms"))
+    intervals.agg(count(lit(1)).as("n_intervals"))
+      .crossJoin(broadcast(agg))
+      .select(col("n_intervals"),
+        coalesce(col("peak_concurrency"), lit(0L)).as("peak_concurrency"),
+        col("busy_ms"))
   }
 }

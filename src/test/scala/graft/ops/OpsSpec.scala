@@ -1220,6 +1220,32 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x", 4L, 2L, 20L), ("y", 2L, 1L, 20L)))
   }
 
+  test("winsorize clips into rank-statistic bounds, keeps NULLs NULL") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
+      ("a", Some(5.0)), ("a", Some(6.0)), ("a", Some(7.0)), ("a", Some(8.0)),
+      ("a", Some(9.0)), ("a", Some(100.0)), ("a", None)
+    ).toDF("k", "v")
+    // n=10: lo = value at ceil(0.5)=1 -> 1.0, hi = at ceil(9.0)=9 -> 9.0.
+    val out = Profile.winsorize(df, "k", "v", loQ = 0.05, hiQ = 0.90)
+      .select(col("v"), col("v_w")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(out.contains((Some(100.0), Some(9.0))))   // clipped to hi
+    assert(out.contains((Some(5.0), Some(5.0))))     // in-band untouched
+    assert(out.contains((None, None)))               // NULL stays NULL
+  }
+
+  test("concurrencySweepGlobal matches the keyed sweep's union on one timeline") {
+    val iv = Seq(
+      ("x", 0L, 10L), ("x", 5L, 15L), ("x", 10L, 20L), ("x", 30L, 30L),
+      ("y", 100L, 110L), ("y", 110L, 120L)
+    ).toDF("k", "s", "e")
+    val out = Windowed.concurrencySweepGlobal(iv, "s", "e").head()
+    // Union [0,20) ∪ [100,120) = 40; peak 2 inside [5,10).
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == (6L, 2L, 40L))
+  }
+
   test("mixturePlanTemperature: sqrt weights, exact-decimal normalization, caps") {
     val df = Seq(
       (1L, "A", 60L), (2L, "A", 40L),   // A: 100 → weight 10
