@@ -3155,6 +3155,48 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 approximate windowed-distinct gate: [[graft.streaming.StreamOps
+    * .windowedKmvDistinct]] — the O(k)-state KMV twin of
+    * `stream_distinct_daily` over the SAME out-of-order replay (shared
+    * stream dir). The sketch is a deterministic function of each day's id
+    * set, so the streamed estimates must equal the batch KMV re-derivation
+    * EXACTLY — equality gate, not an error envelope.
+    */
+  private def streamKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"wdist:$dir",
+      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq(("__flush", -1L, maxT + i * 10 * StreamDisorderMs, -1L))
+          .toDF("event_type", "user_id", "time", "event_id")))
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    withStateSession(s) { ss =>
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(col("time")))
+      val agg = graft.streaming.StreamOps.windowedKmvDistinct(
+        src, widthSeconds = 86400, watermarkDelay = "1 hour", k = 64,
+        tsCol = "ts_event", keyCol = "event_type", idCol = "user_id")
+      val name = s"graft_wkmv_gate_${pathToken(dir)}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .filter(col("event_type") =!= "__flush")
+        .select(unix_millis(col("win_start")).as("win_start"), col("event_type"),
+          col("est_distinct"), col("kth"), col("n_buf"))
+        .orderBy(col("win_start"), col("event_type"))
+    }
+  }
+
   /** §2.9 streaming-HISTOGRAM gate: [[graft.streaming.StreamOps
     * .windowedHistogram]] maintains per-(day window, type) power-of-two
     * bucket counts in bounded watermarked state over the out-of-order
@@ -3690,6 +3732,7 @@ object SparkEntry {
     "concurrency_sweep" -> (concurrencySweepSessions _),
     "concurrency_global" -> (concurrencyGlobal _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
+    "stream_kmv_distinct" -> (streamKmvDistinct _),
     "ivm_hist_quantiles" -> (ivmHistQuantiles _),
     "text_redact" -> (textRedact _),
     "sample_fraction" -> (sampleFraction _),
@@ -6306,6 +6349,34 @@ object SparkEntry {
     // equal the one-shot aggregate.
     "ivm_hist_quantiles" -> HistQuantilesDailySql,
     "stream_hist_quantiles" -> HistQuantilesDailySql,
+    // The streamed KMV buffer is a deterministic function of each day's id
+    // set — the batch re-derivation (same murmur lattice as
+    // kmv_distinct_cust, grouped per day) must match EXACTLY.
+    "stream_kmv_distinct" ->
+      s"""WITH e AS ($EvCte),
+         |ids AS (SELECT DISTINCT (time // 86400000) * 86400000 AS win_start,
+         |               event_type, user_id FROM e),
+         |h1 AS (SELECT win_start, event_type,
+         |              CAST(user_id AS HUGEINT) % 4294967296 AS z1 FROM ids),
+         |h2 AS (SELECT win_start, event_type,
+         |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM h1),
+         |h3 AS (SELECT win_start, event_type,
+         |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM h2),
+         |hashed AS (SELECT DISTINCT win_start, event_type,
+         |                  CAST(xor(z3, z3 // 65536) AS BIGINT) AS hv FROM h3),
+         |ranked AS (SELECT win_start, event_type, hv,
+         |                  row_number() OVER (PARTITION BY win_start, event_type
+         |                                     ORDER BY hv) AS r
+         |           FROM hashed),
+         |sk AS (SELECT win_start, event_type,
+         |              max(CASE WHEN r <= 64 THEN hv END) AS kth,
+         |              least(64, count(*)) AS n_buf
+         |       FROM ranked GROUP BY 1, 2)
+         |SELECT win_start, event_type,
+         |       CASE WHEN n_buf < 64 THEN CAST(n_buf AS DOUBLE)
+         |            ELSE 63 * 4294967296.0 / kth END AS est_distinct,
+         |       kth, n_buf
+         |FROM sk ORDER BY win_start, event_type""".stripMargin,
     // Sliding-window re-derivation: 1-day windows every 12 h ⇒ each event
     // belongs to exactly the two epoch-aligned starts
     // floor(time/12h)·12h − i·12h for i ∈ {0,1} (both satisfy

@@ -130,15 +130,26 @@ object Sketches {
       df: DataFrame,
       groupCols: Seq[String],
       keyCol: String,
-      k: Int): DataFrame = {
-    require(k >= 2, s"KMV needs k >= 2, got $k")
-    val agg = udaf(new KmvAgg(k))
+      k: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(agg(hash32(col(keyCol))).as("__kmv"))
+      .agg(kmvAggColumn(col(keyCol), k).as("__kmv"))
       .select(groupCols.map(col) ++ Seq(
         col("__kmv.est").as("est"),
         col("__kmv.kth").as("kth"),
         col("__kmv.n_buf").as("n_buf")): _*)
+
+  /** The KMV aggregation as a reusable aggregate COLUMN
+    * (`struct<est, kth, n_buf>`), so any groupBy — batch or a watermarked
+    * streaming window ([[graft.streaming.StreamOps.windowedKmvDistinct]]) —
+    * can carry the ≤ k-hash buffer as its aggregation state. The buffer is
+    * a [[Aggregator]] with commutative/associative merge, which is exactly
+    * what lets Structured Streaming hold it per live window and fold every
+    * micro-batch's partial in.
+    */
+  def kmvAggColumn(keyCol: Column, k: Int): Column = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val agg = udaf(new KmvAgg(k))
+    agg(hash32(keyCol))
   }
 
   /** [[KmvAgg]] with the raw buffer as the output — the mergeable form set

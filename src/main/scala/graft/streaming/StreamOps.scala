@@ -184,6 +184,43 @@ object StreamOps {
         col(keyCol), col("bucket"), col("cnt"))
   }
 
+  /** Per-window APPROXIMATE distinct — the O(k)-state member of the
+    * windowed-distinct family: [[windowedDistinct]] is exact but its dedup
+    * state holds every (key, id, window) row; this holds ONE ≤ k-hash KMV
+    * buffer per live (window, key) ([[graft.ops.Sketches.kmvAggColumn]] —
+    * an Aggregator whose commutative merge is what streaming aggregation
+    * folds micro-batch partials with), so state is O(k) regardless of id
+    * cardinality — the trade a 100 TB stream makes. The sketch is a
+    * DETERMINISTIC function of the window's id SET (the k smallest distinct
+    * hashes), so the streamed estimate must equal the batch
+    * [[graft.ops.Sketches.kmvDistinct]] over the same per-day sets exactly
+    * whenever replay disorder stays inside the watermark — an equality
+    * gate, not an error-envelope one.
+    *
+    * Output per retired window: `win_start`, `win_end`, keyCol,
+    * `est_distinct` (exact count while n_buf < k), `kth`, `n_buf`.
+    */
+  def windowedKmvDistinct(
+      stream: DataFrame,
+      widthSeconds: Long,
+      watermarkDelay: String,
+      k: Int = 64,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      idCol: String = "user_id"): DataFrame = {
+    require(widthSeconds > 0, s"window width must be positive, got $widthSeconds")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$widthSeconds seconds"), col(keyCol))
+      .agg(graft.ops.Sketches.kmvAggColumn(col(idCol), k).as("__kmv"))
+      .select(
+        col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol),
+        col("__kmv.est").as("est_distinct"),
+        col("__kmv.kth").as("kth"),
+        col("__kmv.n_buf").as("n_buf"))
+  }
+
   /** Watermark-bounded stream-stream INNER interval join — the streaming
     * attribution shape (purchase within `windowMs` after the same user's
     * click, impression→conversion, span→trace). Both sides carry

@@ -224,6 +224,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedKmvDistinct: streamed sketch equals the batch KMV on the same id sets") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "user_id")
+    val out = StreamOps.windowedKmvDistinct(df, widthSeconds = 10,
+      watermarkDelay = "2 seconds", k = 8, tsCol = "ts", keyCol = "event_type",
+      idCol = "user_id")
+    val q = out.writeStream.format("memory").queryName("wkmv")
+      .outputMode("append").start()
+    try {
+      // 30 distinct ids saturate k=8 across two batches (cross-batch merge);
+      // duplicates must not change the buffer.
+      input.addData((0L until 15L).map(i => (new Timestamp(1000L), "a", i)): _*)
+      q.processAllAvailable()
+      input.addData((10L until 30L).map(i => (new Timestamp(5000L), "a", i)): _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L), "zz", 0L))
+      q.processAllAvailable()
+      val got = spark.table("wkmv").filter(col("event_type") === "a")
+        .select(col("est_distinct"), col("kth"), col("n_buf")).head()
+      val batch = graft.ops.Sketches.kmvDistinct(
+        (0L until 30L).map(i => ("a", i)).toDF("event_type", "user_id"),
+        Seq("event_type"), "user_id", k = 8).head()
+      assert((got.getDouble(0), got.getLong(1), got.getInt(2)) ==
+        (batch.getDouble(1), batch.getLong(2), batch.getInt(3)))
+      assert(got.getInt(2) == 8) // saturated: state capped at k hashes
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
