@@ -415,7 +415,7 @@ object Similarity {
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
-      .orderBy(col("query_id"))
+      .transform(r => Ordered.smallResult(r, "query_id"))
   }
 
   /** Recall-after-append DRIFT audit: the same corpus scored twice — once
@@ -445,7 +445,9 @@ object Similarity {
     val stale = ivfRecallWith(df, staleCentroids, queryIds, k, nprobe, idCol, vecCol)
       .select(col("query_id"),
         col("n_hit").as("n_hit_stale"), col("recall_at_k").as("recall_stale"))
-    fresh.join(stale, Seq("query_id")).orderBy(col("query_id"))
+    // Report-shape sort: a bare orderBy's range-sampling pass would run
+    // BOTH recall pipelines a second time (Ordered.smallResult note).
+    Ordered.smallResult(fresh.join(stale, Seq("query_id")), "query_id")
   }
 
   /** Per-`labelCol` mean centroids, public for index-lifecycle callers
@@ -1214,7 +1216,7 @@ object Similarity {
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
-      .orderBy(col("query_id"))
+      .transform(r => Ordered.smallResult(r, "query_id"))
   }
 
   /** IVF+PQ — the billion-scale composition (FAISS `IVFPQ`, Jégou et al.
