@@ -1433,6 +1433,20 @@ object SparkEntry {
         T(s, dir, "documents"), "source", "n_chars", budget = 100000L),
       "source")
 
+  /** The temperature plan APPLIED ([[graft.ops.Sampling.applyMixturePlan]]
+    * over [[mixtureTemperature]]'s plan): the kept-row set under
+    * data-derived hash thresholds — plan and application gated end to end,
+    * mirroring the `mixture_plan`/`mixture_apply` pair.
+    */
+  private def mixtureTemperatureApply(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.applyMixturePlan(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        graft.ops.Sampling.mixturePlanTemperature(
+          T(s, dir, "documents"), "source", "n_chars", budget = 100000L),
+        "source", "doc_id"),
+      "doc_id")
+
   /** Containment-pair gate ([[graft.ops.Dedup.containmentPairs]]) over the
     * corpus PLUS planted anthologies (doc i < 15 concatenated with doc
     * i+100): each anthology CONTAINS both parts (containment ≈ 1) while its
@@ -3726,6 +3740,7 @@ object SparkEntry {
     "mixture_plan" -> (mixturePlanQ _),
     "mixture_apply" -> (mixtureApplyQ _),
     "mixture_temperature" -> (mixtureTemperature _),
+    "mixture_temperature_apply" -> (mixtureTemperatureApply _),
     "dedup_containment" -> (dedupContainment _),
     "robust_outliers_value" -> (robustOutliersValue _),
     "winsorized_stats" -> (winsorizedStats _),
@@ -5218,6 +5233,21 @@ object SparkEntry {
         |                  CAST(greatest(available, 1) AS DOUBLE)) AS fraction,
         |       least(CAST(floor(share * 100000.0) AS BIGINT), available) AS expected
         |FROM p ORDER BY source""".stripMargin,
+    // The applied temperature plan: fractions re-derived as in
+    // mixture_temperature, then the same Knuth hash band as mixture_apply.
+    "mixture_temperature_apply" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, available,
+        |             round(sqrt(CAST(available AS DOUBLE)), 10) AS wt FROM a),
+        |t AS (SELECT CAST(sum(CAST(wt AS DECIMAL(30,10))) AS DOUBLE) AS tot FROM w),
+        |p AS (SELECT source,
+        |  least(1.0, CAST(CAST(floor((wt / tot) * 100000.0) AS BIGINT) AS DOUBLE) /
+        |             CAST(greatest(available, 1) AS DOUBLE)) AS fraction
+        |  FROM w, t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
+        |WHERE (d.doc_id * 2654435761) % 4294967296 < floor(p.fraction * 4294967296.0)
+        |ORDER BY d.doc_id""".stripMargin,
     // Containment over the corpus + planted anthologies (doc i<15 ++ doc
     // i+100): the anthology CONTAINS each part (cont ≈ 1) at Jaccard ≈ ½ —
     // the quotation case the jaccard gates cannot catch.

@@ -381,4 +381,30 @@ class OpsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("containment pairs ≡ naive shingle-set containment on random corpora") {
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 0 until 4) {
+      val rnd = new Random(37 + trial)
+      val docs = (0 until 30).map { i =>
+        val n = rnd.between(3, 25)
+        (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val t = 0.3 + rnd.nextInt(5) / 10.0
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+        .sortBy(p => (p._1, p._2))
+      def sh(s: String): Set[Seq[String]] =
+        s.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.toSeq).toSet
+      val naive = for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        si = sh(ti); sj = sh(tj) if si.nonEmpty && sj.nonEmpty
+        ov = (si & sj).size
+        c1 = BigDecimal(ov.toDouble / si.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        c2 = BigDecimal(ov.toDouble / sj.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if math.max(c1, c2) >= t
+      } yield (i, j, c1, c2)
+      assert(got.toSeq == naive.sortBy(p => (p._1, p._2)), s"trial $trial t=$t")
+    }
+  }
 }
