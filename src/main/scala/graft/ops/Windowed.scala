@@ -420,22 +420,58 @@ object Windowed {
       intervals: DataFrame,
       startCol: String,
       endCol: String): DataFrame = {
-    requireFree(intervals, "concurrencySweepGlobal", "__t", "__d", "__net", "__run", "__pt")
+    requireFree(intervals, "concurrencySweepGlobal",
+      "__t", "__d", "__net", "__pid", "__run", "__pt", "__s")
     val starts = intervals.select(col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
     val ends = intervals.select(col(endCol).cast("long").as("__t"), lit(-1L).as("__d"))
     val netted = starts.unionByName(ends)
       .groupBy(col("__t")).agg(sum(col("__d")).as("__net"))
       .filter(col("__net") =!= 0L)
-    val run = runningSumStitched(netted, Seq("__t"), "__net", "__run")
-    val swept = lagStitched(run, Seq("__t"), "__t", "__pt")
-    val agg = swept.agg(
-      max(col("__run")).cast("long").as("peak_concurrency"),
-      coalesce(sum(when(col("__run") - col("__net") > 0d, col("__t") - col("__pt"))),
-        lit(0L)).cast("long").as("busy_ms"))
+    // FUSED stitch: composing runningSumStitched + lagStitched would range-
+    // partition, materialize and window the timeline TWICE. One pinned
+    // range partitioning serves both — per-partition cumulative sum and lag
+    // in a single window pass, then one broadcast summary stitches both
+    // seams (the exclusive prefix offset for the sum AND the previous
+    // non-empty partition's last timestamp for the lag) from the same
+    // sorted per-partition list.
+    val parts = intervals.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = netted.repartitionByRange(parts, col("__t"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin ONE partitioning for rows + summary (seam note in lagStitched)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__t"))
+    val local = ranged
+      .withColumn("__run", sum(col("__net")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__pt", lag(col("__t"), 1).over(w))
+    val summary = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__net")).as("__tot"), max(col("__t")).as("__last"))
+    val seams = summary
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__tot"), col("__last"))))
+        .as("__s"))
+      .select(explode(transform(col("__s"), (x, i) =>
+        struct(
+          x.getField("__pid").as("__pid"),
+          coalesce(
+            aggregate(slice(col("__s"), lit(1), i), lit(0L),
+              (acc, e) => acc + e.getField("__tot")),
+            lit(0L)).as("__off"),
+          when(i === 0, lit(null).cast("long"))
+            .otherwise(element_at(col("__s"), i).getField("__last")).as("__pred"))))
+        .as("__p"))
+      .select(col("__p.__pid").as("__pid"), col("__p.__off").as("__off"),
+        col("__p.__pred").as("__pred"))
+    val stitched = local.join(broadcast(seams), Seq("__pid"))
+      .select(col("__t"), col("__net"),
+        (col("__run") + col("__off")).as("__run"),
+        coalesce(col("__pt"), col("__pred")).as("__pt"))
+    val agg = stitched.agg(
+      max(col("__run")).as("peak_concurrency"),
+      coalesce(sum(when(col("__run") - col("__net") > 0L, col("__t") - col("__pt"))),
+        lit(0L)).as("busy_ms"))
     intervals.agg(count(lit(1)).as("n_intervals"))
       .crossJoin(broadcast(agg))
       .select(col("n_intervals"),
         coalesce(col("peak_concurrency"), lit(0L)).as("peak_concurrency"),
-        col("busy_ms"))
+        coalesce(col("busy_ms"), lit(0L)).as("busy_ms"))
   }
 }
