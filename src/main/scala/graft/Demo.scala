@@ -202,6 +202,50 @@ object Demo {
             .otherwise(col("o_totalprice"))),
       Seq("o_orderkey"))
       .groupBy(col("change")).count().orderBy(col("change")).show(truncate = false)
+
+    println("== robust outliers (median/MAD) then winsorized means per type ==")
+    ops.Profile.robustOutliers(ev.df.select(col("event_type"), col("value")),
+      "event_type", "value").orderBy(col("event_type")).show(truncate = false)
+    ops.Profile.winsorize(ev.df.select(col("event_type"), col("value")),
+      "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 2).as("mean_raw"),
+        round(avg(col("value_w")), 2).as("mean_winsorized"))
+      .orderBy(col("event_type")).show(truncate = false)
+
+    println("== session concurrency: per-type peaks and the one global timeline ==")
+    val gap = 1800000L
+    val sessions = ops.Windowed.sessionIds(
+      ev.df.select(col("event_type"), col("user_id"), col("time"))
+        .withColumn("__k", concat_ws(":", col("event_type"), col("user_id"))),
+      "__k", "time", gapMs = gap)
+      .groupBy(col("event_type"), col("user_id"), col("session_seq"))
+      .agg(min(col("time")).as("s"), (max(col("time")) + gap).as("e"))
+    ops.Windowed.concurrencySweep(sessions, "event_type", "s", "e")
+      .orderBy(col("event_type")).show(truncate = false)
+    ops.Windowed.concurrencySweepGlobal(sessions, "s", "e").show(truncate = false)
+
+    println("== temperature mixture (shares ∝ sqrt(mass)) -> applied hash bands ==")
+    val docTable = Tsdb.table(spark, sfDir, "documents")
+    val tplan = ops.Sampling.mixturePlanTemperature(docTable, "source", "n_chars", budget = 20000L)
+    tplan.orderBy(col("source")).show(5, truncate = false)
+    ops.Sampling.applyMixturePlan(docTable.select(col("doc_id"), col("source")),
+      tplan, "source", "doc_id")
+      .groupBy(col("source")).count().orderBy(col("source")).show(5, truncate = false)
+
+    println("== containment pairs: the quotation case Jaccard misses ==")
+    val partner = docTable.select((col("doc_id") - 100L).as("doc_id"), col("text").as("t2"))
+    val anthologies = docTable.select(col("doc_id"), col("text")).join(partner, "doc_id")
+      .filter(col("doc_id") < 5)
+      .select((col("doc_id") + 9100L).as("doc_id"),
+        concat(col("text"), lit(" "), col("t2")).as("text"))
+    ops.Dedup.containmentPairs(
+      docTable.select(col("doc_id"), col("text")).unionByName(anthologies),
+      n = 3, threshold = 0.8).show(5, truncate = false)
+
+    println("== Count-Min point estimates vs exact (bounded counters) ==")
+    ops.Sketches.cmsCounts(ev.df.select(col("user_id")), "user_id",
+      probeKeys = (0L until 5L).toSeq, depth = 4, width = 64L).show(truncate = false)
   }
 
   /** Kept separate so the main flow reads as the pipeline story. */
