@@ -3211,6 +3211,56 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 streaming-CMS gate: [[graft.streaming.StreamOps.windowedCms]] —
+    * per-day depth×width counters maintained as bounded window state over
+    * the out-of-order replay; point estimates for probe keys extracted
+    * batch-side by joining [[graft.ops.Sketches.cmsProbes]] against the
+    * emitted counter rows (zero-filled over the day×key grid). The sketch
+    * keys on user_id alone, so the flush sentinels sit 30 h out (their own
+    * day, never a real one) and their windows filter by time. The oracle is
+    * the batch HUGEINT re-derivation per day — equality, not an envelope.
+    */
+  private def streamCmsDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"wcms:$dir",
+      ev(s, dir).df.select(col("user_id").cast("long").as("user_id"),
+        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq((-1L, maxT + i * 30 * StreamDisorderMs, -1L))
+          .toDF("user_id", "time", "event_id")))
+    val maxT = ev(s, dir).df.agg(max(col("time"))).head().getLong(0)
+    val maxDayStart = (maxT / 86400000L) * 86400000L
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    withStateSession(s) { ss =>
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(col("time")))
+      val cms = graft.streaming.StreamOps.windowedCms(
+        src, widthSeconds = 86400, watermarkDelay = "1 hour",
+        depth = 4, width = 64L, tsCol = "ts_event", keyCol = "user_id")
+      val name = s"graft_wcms_gate_${pathToken(dir)}"
+      val q = cms.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sketch = ss.table(name)
+        .select(unix_millis(col("win_start")).as("win_start"),
+          col("d"), col("bucket"), col("cnt"))
+        .filter(col("win_start") <= maxDayStart)
+      val grid = sketch.select(col("win_start")).distinct()
+        .crossJoin(broadcast(
+          graft.ops.Sketches.cmsProbes(ss, (0L until 5L).toSeq, "user_id", 4, 64L)))
+      grid.join(sketch, Seq("win_start", "d", "bucket"), "left")
+        .groupBy(col("win_start"), col("user_id"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+        .orderBy(col("win_start"), col("user_id"))
+    }
+  }
+
   /** §2.9 streaming-HISTOGRAM gate: [[graft.streaming.StreamOps
     * .windowedHistogram]] maintains per-(day window, type) power-of-two
     * bucket counts in bounded watermarked state over the out-of-order
@@ -3748,6 +3798,7 @@ object SparkEntry {
     "concurrency_global" -> (concurrencyGlobal _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
     "stream_kmv_distinct" -> (streamKmvDistinct _),
+    "stream_cms_daily" -> (streamCmsDaily _),
     "ivm_hist_quantiles" -> (ivmHistQuantiles _),
     "text_redact" -> (textRedact _),
     "sample_fraction" -> (sampleFraction _),
@@ -6379,6 +6430,39 @@ object SparkEntry {
     // equal the one-shot aggregate.
     "ivm_hist_quantiles" -> HistQuantilesDailySql,
     "stream_hist_quantiles" -> HistQuantilesDailySql,
+    // Per-day CMS counters re-derived in batch HUGEINT (the cms_user_counts
+    // lattice grouped by day); deterministic hash rows make the streamed
+    // sketch a function of each day's key multiset — equality gate.
+    "stream_cms_daily" ->
+      s"""WITH e AS ($EvCte),
+         |base AS (SELECT (time // 86400000) * 86400000 AS win_start, user_id, r
+         |         FROM e, unnest([0,1,2,3]) AS t(r)),
+         |h1 AS (SELECT win_start, user_id, r,
+         |              CAST(user_id + r * 7919 AS HUGEINT) % 4294967296 AS z1 FROM base),
+         |h2 AS (SELECT win_start, user_id, r,
+         |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM h1),
+         |h3 AS (SELECT win_start, user_id, r,
+         |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM h2),
+         |hb AS (SELECT win_start, user_id, r,
+         |              CAST(xor(z3, z3 // 65536) % 64 AS BIGINT) AS bucket FROM h3),
+         |sk AS (SELECT win_start, r, bucket, count(*) AS cnt FROM hb GROUP BY 1, 2, 3),
+         |pr AS (SELECT unnest(range(0, 5)) AS user_id),
+         |pb AS (SELECT user_id, r FROM pr, unnest([0,1,2,3]) AS t(r)),
+         |q1 AS (SELECT user_id, r,
+         |              CAST(user_id + r * 7919 AS HUGEINT) % 4294967296 AS z1 FROM pb),
+         |q2 AS (SELECT user_id, r,
+         |              (xor(z1, z1 // 65536) * 2246822507) % 4294967296 AS z2 FROM q1),
+         |q3 AS (SELECT user_id, r,
+         |              (xor(z2, z2 // 8192) * 3266489909) % 4294967296 AS z3 FROM q2),
+         |probes AS (SELECT user_id, r,
+         |                  CAST(xor(z3, z3 // 65536) % 64 AS BIGINT) AS bucket FROM q3),
+         |days AS (SELECT DISTINCT win_start FROM base)
+         |SELECT d.win_start, p.user_id, min(coalesce(sk.cnt, 0)) AS est
+         |FROM days d CROSS JOIN probes p
+         |LEFT JOIN sk ON sk.win_start = d.win_start AND p.r = sk.r
+         |            AND p.bucket = sk.bucket
+         |GROUP BY d.win_start, p.user_id
+         |ORDER BY d.win_start, p.user_id""".stripMargin,
     // The streamed KMV buffer is a deterministic function of each day's id
     // set — the batch re-derivation (same murmur lattice as
     // kmv_distinct_cust, grouped per day) must match EXACTLY.

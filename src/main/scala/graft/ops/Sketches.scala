@@ -377,22 +377,33 @@ object Sketches {
       keys: Seq[Long],
       keyCol: String,
       depth: Int,
+      width: Long): DataFrame =
+    broadcast(cmsProbes(sketch.sparkSession, keys, keyCol, depth, width))
+      .join(sketch, Seq("d", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Probe rows `(d, bucket, keyCol)` for a key set — the lookup half of
+    * [[cmsEstimate]], public so per-window consumers (the streaming CMS
+    * gate) can join the same probe lattice against window-scoped sketch
+    * rows. Same explode-then-hash shape as [[cmsSketch]] (one hash32
+    * instance).
+    */
+  def cmsProbes(
+      spark: org.apache.spark.sql.SparkSession,
+      keys: Seq[Long],
+      keyCol: String,
+      depth: Int,
       width: Long): DataFrame = {
-    require(keys.nonEmpty, "cmsEstimate needs at least one probe key")
-    val spark = sketch.sparkSession
+    require(keys.nonEmpty, "cmsProbes needs at least one probe key")
     import spark.implicits._
-    // Same explode-then-hash shape as [[cmsSketch]] (one hash32 instance).
-    val probes = keys.toDF(keyCol)
+    keys.toDF(keyCol)
       .select(col(keyCol),
         explode(array((0 until depth).map(r => lit(r)): _*)).as("d"))
       .select(col("d"),
         pmod(hash32(col(keyCol).cast("long") + col("d").cast("long") * lit(7919L)),
           lit(width)).as("bucket"),
         col(keyCol))
-    broadcast(probes)
-      .join(sketch, Seq("d", "bucket"), "left")
-      .groupBy(col(keyCol))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   /** The driver-gate composition: CMS estimates for a probe key set next to

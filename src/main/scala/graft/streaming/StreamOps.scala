@@ -221,6 +221,51 @@ object StreamOps {
         col("__kmv.n_buf").as("n_buf"))
   }
 
+  /** Per-window Count-Min sketch — the third member of the bounded-state
+    * sketch family beside [[windowedKmvDistinct]] (distinct) and
+    * [[windowedHistogram]] (distribution): per tumbling window, the
+    * `depth × width` salted-murmur counters of
+    * [[graft.ops.Sketches.cmsSketch]] maintained as ordinary watermarked
+    * window-aggregation state (≤ depth·width counter rows per live window,
+    * regardless of key cardinality — counts merge by addition, exactly what
+    * the streaming aggregation folds micro-batch partials with). Point
+    * estimates for ANY key are answered after the fact by joining
+    * [[graft.ops.Sketches.cmsProbes]] against the emitted rows — the
+    * extraction step, batch-side and sketch-sized, like the histogram's
+    * quantile derivation. Deterministic hash rows make the streamed sketch
+    * a function of each window's key multiset, so it must equal the batch
+    * re-derivation exactly under in-watermark disorder.
+    *
+    * Output per retired window: `win_start`, `win_end`, `d`, `bucket`,
+    * `cnt`.
+    */
+  def windowedCms(
+      stream: DataFrame,
+      widthSeconds: Long,
+      watermarkDelay: String,
+      depth: Int,
+      width: Long,
+      tsCol: String = "ts",
+      keyCol: String = "user_id"): DataFrame = {
+    require(widthSeconds > 0, s"window width must be positive, got $widthSeconds")
+    require(depth >= 1, s"CMS depth must be >= 1, got $depth")
+    require(width >= 2, s"CMS width must be >= 2, got $width")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(keyCol),
+        explode(array((0 until depth).map(r => lit(r)): _*)).as("d"))
+      .groupBy(
+        window(col(tsCol), s"$widthSeconds seconds"),
+        col("d"),
+        pmod(graft.ops.Sketches.hash32(
+          col(keyCol).cast("long") + col("d").cast("long") * lit(7919L)),
+          lit(width)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("d"), col("bucket"), col("cnt"))
+  }
+
   /** Watermark-bounded stream-stream INNER interval join — the streaming
     * attribution shape (purchase within `windowMs` after the same user's
     * click, impression→conversion, span→trace). Both sides carry

@@ -253,6 +253,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCms: per-window counters merge across batches and never undercount") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val out = StreamOps.windowedCms(df, widthSeconds = 10,
+      watermarkDelay = "2 seconds", depth = 4, width = 16L,
+      tsCol = "ts", keyCol = "user_id")
+    val q = out.writeStream.format("memory").queryName("wcms")
+      .outputMode("append").start()
+    try {
+      // key 7 appears 3x split across two batches in window [0,10s).
+      input.addData((new Timestamp(1000L), 7L), (new Timestamp(2000L), 7L),
+        (new Timestamp(3000L), 3L))
+      q.processAllAvailable()
+      input.addData((new Timestamp(5000L), 7L), (new Timestamp(6000L), 9L))
+      q.processAllAvailable()
+      input.addData((new Timestamp(100000L), 0L))
+      q.processAllAvailable()
+      val sketch = spark.table("wcms")
+        .filter(col("win_start").cast("long") === 0L)
+        .select(col("d"), col("bucket"), col("cnt"))
+      // State bound: at most depth*width counter rows per window.
+      assert(sketch.count() <= 4 * 16)
+      val est = graft.ops.Sketches.cmsProbes(spark, Seq(7L, 3L, 9L, 42L), "user_id", 4, 16L)
+        .join(sketch, Seq("d", "bucket"), "left")
+        .groupBy(col("user_id"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // est >= true always; exact when the key's rows are collision-free.
+      assert(est(7L) >= 3L && est(3L) >= 1L && est(9L) >= 1L)
+      assert(est(42L) <= est(7L)) // absent key bounded by collision mass
+    } finally q.stop()
+  }
+
   test("runningLastWithTtl keeps per-key count and last value") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.KeyedEvent]
