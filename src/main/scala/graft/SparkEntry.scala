@@ -3211,6 +3211,58 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 stream-STATIC enrichment gate:
+    * [[graft.streaming.StreamOps.enrichStatic]] — the out-of-order event
+    * replay joined per micro-batch against the broadcast customer
+    * dimension (`user_id` → market segment; every corpus user has exactly
+    * one customer row), then daily counts per segment. No join state at
+    * all — only the window aggregation holds any; the flush sentinels'
+    * `user_id = −1` never matches the dimension, so they advance the
+    * watermark and vanish in the join itself. Oracle: the batch
+    * events ⋈ customer rollup per epoch day.
+    */
+  private def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = oooStreamDir(s"wdist:$dir",
+      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
+      maxT => Seq(1, 2).map(i =>
+        Seq(("__flush", -1L, maxT + i * 10 * StreamDisorderMs, -1L))
+          .toDF("event_type", "user_id", "time", "event_id")))
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt)))
+    val dim = T(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment"))
+    withStateSession(s) { ss =>
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .withColumn("ts_event", timestamp_millis(col("time")))
+      // Watermark BEFORE the join: the flush sentinels (user_id = −1) are
+      // dropped BY the join, so a post-join watermark would never see their
+      // event times and the last day's windows would never close.
+      val enriched = graft.streaming.StreamOps.enrichStatic(
+        src.withWatermark("ts_event", "1 hour"), dim, Seq("user_id"))
+      val agg = enriched
+        .groupBy(window(col("ts_event"), "86400 seconds"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("c_mktsegment"), col("n"))
+      val name = s"graft_senrich_gate_${pathToken(dir)}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+        .select(unix_millis(col("win_start")).as("win_start"), col("c_mktsegment"),
+          col("n"))
+        .orderBy(col("win_start"), col("c_mktsegment"))
+    }
+  }
+
   /** §2.9 streaming-CMS gate: [[graft.streaming.StreamOps.windowedCms]] —
     * per-day depth×width counters maintained as bounded window state over
     * the out-of-order replay; point estimates for probe keys extracted
@@ -3799,6 +3851,7 @@ object SparkEntry {
     "stream_hist_quantiles" -> (streamHistQuantiles _),
     "stream_kmv_distinct" -> (streamKmvDistinct _),
     "stream_cms_daily" -> (streamCmsDaily _),
+    "stream_static_enrich" -> (streamStaticEnrich _),
     "ivm_hist_quantiles" -> (ivmHistQuantiles _),
     "text_redact" -> (textRedact _),
     "sample_fraction" -> (sampleFraction _),
@@ -6430,6 +6483,15 @@ object SparkEntry {
     // equal the one-shot aggregate.
     "ivm_hist_quantiles" -> HistQuantilesDailySql,
     "stream_hist_quantiles" -> HistQuantilesDailySql,
+    // Stream-static enrichment: the streamed join-then-window must equal
+    // the batch events ⋈ customer rollup per epoch day (inner join drops
+    // nothing here — every user has exactly one customer row).
+    "stream_static_enrich" ->
+      s"""WITH e AS ($EvCte)
+         |SELECT (time // 86400000) * 86400000 AS win_start, c.c_mktsegment,
+         |       count(*) AS n
+         |FROM e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY win_start, c_mktsegment""".stripMargin,
     // Per-day CMS counters re-derived in batch HUGEINT (the cms_user_counts
     // lattice grouped by day); deterministic hash rows make the streamed
     // sketch a function of each day's key multiset — equality gate.

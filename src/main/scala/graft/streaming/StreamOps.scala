@@ -266,6 +266,27 @@ object StreamOps {
         col("d"), col("bucket"), col("cnt"))
   }
 
+  /** Stream-STATIC enrichment join — the dimension-lookup shape (events ⋈
+    * user/customer attributes) that complements the stream-stream interval
+    * join: the static side is a bounded table, so the join carries NO
+    * streaming state at all (nothing to watermark — only the downstream
+    * aggregation holds state), and the broadcast hint keeps each
+    * micro-batch's join a map-side lookup instead of shuffling the batch.
+    * Spark re-plans the static side per micro-batch; callers joining
+    * against a slowly-changing dimension get each batch enriched against
+    * the dimension AS OF that batch — the usual lookup-table semantics
+    * (snapshot-pin by caching the dim if that drift is unwanted). Inner
+    * join: stream rows without a dimension match drop, exactly like the
+    * batch join the gate replays against.
+    */
+  def enrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "enrichStatic needs at least one join key")
+    stream.join(broadcast(dim), keys)
+  }
+
   /** Watermark-bounded stream-stream INNER interval join — the streaming
     * attribution shape (purchase within `windowMs` after the same user's
     * click, impression→conversion, span→trace). Both sides carry
