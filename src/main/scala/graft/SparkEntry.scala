@@ -5972,7 +5972,7 @@ object SparkEntry {
         |              AS DECIMAL(20,6)) AS nll6
         |       FROM tok JOIN lm USING (token), tot),
         |doc AS (SELECT doc_id, count(*) AS n_tokens,
-        |          round(CAST(sum(nll6) AS DOUBLE) / count(*), 4) AS nll
+        |          CAST(sum(nll6) AS DOUBLE) / count(*) AS nll
         |        FROM pt GROUP BY doc_id),
         |th AS (SELECT quantile_cont(nll, 1.0/3) AS t1, quantile_cont(nll, 2.0/3) AS t2 FROM doc)
         |SELECT doc_id, n_tokens, nll,

@@ -432,9 +432,17 @@ object Text {
         round(-log((coalesce(col("__cnt"), lit(0L)).cast("double") + lit(alpha)) /
             (col("__tot") + lit(alpha) * (col("__v") + lit(1.0)))), 6)
           .cast("decimal(20,6)").as("__nll6"))
+    // The mean stays UNROUNDED: its inputs are bit-identical cross-engine
+    // (exact decimal sum → correctly-rounded double cast → one IEEE
+    // divide), so the raw double hash-matches — whereas round(x, 4) is the
+    // one step where engines can SPLIT: Spark rounds the double's exact
+    // binary expansion while DuckDB rounds a 10⁴-scaled double, and a mean
+    // sitting within a scaled ulp of the .00005 boundary flips (observed at
+    // sf0.1: 3.3945 vs 3.3946 on one of 5 000 documents). Rounding here
+    // would *reduce* determinism, not add it.
     val docs = perTok.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("__nll6")).cast("double") / count(lit(1)).cast("double"), 4)
+        (sum(col("__nll6")).cast("double") / count(lit(1)).cast("double"))
           .as("nll"))
     val th = docs.agg(
       percentile(col("nll"), lit(1.0 / 3)).as("__t1"),

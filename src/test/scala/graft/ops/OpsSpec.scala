@@ -1088,9 +1088,10 @@ class OpsSpec extends SparkSpec {
     def nllTok(cnt: Long): BigDecimal =
       BigDecimal(-math.log((cnt + 0.5) / (6.0 + 0.5 * 4.0)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // Unrounded mean, matching the op (rounding a bit-identical double was
+    // the one step where engines could split — see the scaladoc).
     def nllDoc(cnts: Seq[Long]): Double =
-      (BigDecimal(cnts.map(nllTok).sum.toDouble / cnts.size)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).toDouble
+      cnts.map(nllTok).sum.toDouble / cnts.size
     val out = Text.lmQualityBands(ref, ref).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
       .sortBy(_._1)
