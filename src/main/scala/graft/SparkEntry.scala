@@ -2195,32 +2195,39 @@ object SparkEntry {
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(T(s, dir, "embeddings"), queryId = 0, k = 10, nprobe = 3)
 
-  /** Index paths for [[annIvfPersisted]], one per corpus dir, built at most
+  /** Persisted-index paths, one per (index kind, corpus dir), built at most
     * once per JVM. The path embeds the pid AND the sanitized corpus path:
     * pid isolation means two processes (a verify and a bench, say) never
     * write the same directory concurrently, and the full path (not a hash
     * of it) means two distinct corpus dirs can never collide onto one
     * index. `computeIfAbsent` makes build-once atomic within the JVM; the
-    * shutdown hook reclaims the per-pid directory so crashed-free runs
-    * leave nothing in /tmp.
+    * shutdown hook reclaims the per-pid directory so crash-free runs
+    * leave nothing in /tmp. A production index is built once and probed
+    * millions of times, so repeated gate invocations reuse the built index
+    * and price the PROBE (the first call pays the build, exactly like
+    * production's one-time build job).
     */
-  private val ivfIndexPaths =
+  private val builtIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndexPath(emb: DataFrame, dir: String): String =
-    ivfIndexPaths.computeIfAbsent(dir, { d =>
+  private def builtIndexPath(kind: String, dir: String)(
+      build: String => Unit): String =
+    builtIndexPaths.computeIfAbsent(s"$kind:$dir", { _ =>
       val f = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft-ivf-idx-p${ProcessHandle.current.pid}-" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+        s"graft-$kind-p${ProcessHandle.current.pid}-" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
         }
         rm(f)
       }))
-      Similarity.ivfBuild(emb, f.toString)
+      build(f.toString)
       f.toString
     })
+
+  private def ivfIndexPath(emb: DataFrame, dir: String): String =
+    builtIndexPath("ivf-idx", dir)(Similarity.ivfBuild(emb, _))
 
   /** Persisted-index ANN: [[graft.ops.Similarity.ivfBuild]] writes the
     * cluster-partitioned index once per JVM (via [[ivfIndexPath]]), then
@@ -2236,12 +2243,8 @@ object SparkEntry {
   private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val path = ivfIndexPath(emb, dir)
-    // The query vector itself is one driver-side row — the same "routing
-    // state in RAM" envelope as the probe's k-row centroid table.
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(0L))
+    Similarity.ivfProbePersisted(s, path, queryVec(emb, 0L),
+      k = 10, nprobe = 3, excludeId = Some(0L))
   }
 
   /** IVF index for the APPEND lifecycle gate — built over the even-id half
@@ -2250,24 +2253,11 @@ object SparkEntry {
     * cleanup discipline as [[ivfIndexPath]]; separate index because this
     * one is mutated.
     */
-  private val appendIvfIndexPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def appendIvfIndexPath(emb: DataFrame, dir: String): String =
-    appendIvfIndexPaths.computeIfAbsent(dir, { d =>
-      val f = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft-ivf-apx-p${ProcessHandle.current.pid}-" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_"))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
-        }
-        rm(f)
-      }))
-      Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0), f.toString)
-      Similarity.ivfAppend(emb.filter(col("vec_id") % 2 === 1), f.toString)
-      f.toString
-    })
+    builtIndexPath("ivf-apx", dir) { p =>
+      Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0), p)
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 2 === 1), p)
+    }
 
   /** Build→append→RECLUSTER lifecycle index: the `ann_ivf_recall_stale`
     * drift recipe, but persisted — the base corpus is built with its label
@@ -2277,32 +2267,19 @@ object SparkEntry {
     * routing from the index's own vectors: label 99 becomes its own
     * cluster directory and the drifted region probes at fresh-index recall.
     */
-  private val reclusterIvfIndexPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def reclusterIvfIndexPath(s: SparkSession, dir: String): String =
-    reclusterIvfIndexPaths.computeIfAbsent(dir, { d =>
-      val f = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft-ivf-rcx-p${ProcessHandle.current.pid}-" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_"))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
-        }
-        rm(f)
-      }))
-      val e0 = T(s, d, "embeddings").select(
+    builtIndexPath("ivf-rcx", dir) { p =>
+      val e0 = T(s, dir, "embeddings").select(
         col("vec_id"), col("label"), col("embedding").cast("array<double>").as("embedding"))
       val v0 = e0.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
       val drift = e0.filter(col("vec_id").between(1, 40))
         .crossJoin(broadcast(v0))
         .select((col("vec_id") + 100000L).as("vec_id"), lit(99).as("label"),
           zip_with(col("v0"), col("embedding"), (a, b) => a + lit(0.9) * b).as("embedding"))
-      Similarity.ivfBuild(e0, f.toString)
-      Similarity.ivfAppend(drift, f.toString)
-      Similarity.ivfRecluster(s, f.toString)
-      f.toString
-    })
+      Similarity.ivfBuild(e0, p)
+      Similarity.ivfAppend(drift, p)
+      Similarity.ivfRecluster(s, p)
+    }
 
   /** RECLUSTER lifecycle gate: after [[reclusterIvfIndexPath]]'s
     * build→append→recluster, a drifted query probed at nprobe=3 must see
@@ -2337,10 +2314,8 @@ object SparkEntry {
   private def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val path = appendIvfIndexPath(emb, dir)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    Similarity.ivfProbePersisted(s, path, q, k = 10, nprobe = 3, excludeId = Some(0L))
+    Similarity.ivfProbePersisted(s, path, queryVec(emb, 0L),
+      k = 10, nprobe = 3, excludeId = Some(0L))
   }
 
   /** IVF over k-means‖-seeded centroids — the UNLABELED-corpus scale path:
@@ -3821,8 +3796,10 @@ object SparkEntry {
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
     "emb_quant_topk" -> (embQuantTopk _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
+    "pq_persisted_topk" -> (pqPersistedTopk _),
     "ann_ivfpq_recall" -> (pqAdcRecallQ _),
     "ann_ivfpq_topk" -> (ivfPqTopkQ _),
+    "ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -3949,6 +3926,46 @@ object SparkEntry {
     Similarity.ivfPqTopK(T(s, dir, "embeddings"),
       kClusters = 8, rounds = 2, nprobe = 2,
       m = 4, subDim = 16, kCodes = 8, queryId = 0L, topK = 10)
+
+  /** A corpus vector as a driver-side double array — the query input for
+    * the persisted-index probes (one row; the same "routing state in RAM"
+    * envelope as the probes' k-row centroid tables). */
+  private def queryVec(emb: DataFrame, id: Long): Array[Double] =
+    emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  /** Persisted-PQ gate: [[graft.ops.Similarity.pqBuild]] writes codebooks +
+    * codes once per JVM, then the probe ADC-ranks the CODES TABLE alone —
+    * embeddings are never read at probe time, the memory shape that makes
+    * billion-scale ANN feasible. Same quantization as `pq_adc_topk` — the
+    * oracle is shared verbatim, so a divergence between the persisted and
+    * in-plan quantizations (codebook training, code assignment, LUT
+    * arithmetic) turns the driver red.
+    */
+  private def pqPersistedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = builtIndexPath("pq-idx", dir)(
+      Similarity.pqBuild(emb, _, m = 4, subDim = 16, k = 8))
+    Similarity.pqProbePersisted(s, path, queryVec(emb, 0L),
+      topK = 10, excludeId = Some(0L))
+  }
+
+  /** Persisted IVF+PQ gate: [[graft.ops.Similarity.ivfPqBuild]] writes the
+    * cluster-partitioned codes table once per JVM; the probe reads ONLY the
+    * nprobe=2 probed `cluster=` partitions (a planning-time literal `IN` —
+    * StorageLayoutSpec pins the pruned scan) and ADC-ranks their code rows.
+    * Oracle shared verbatim with `ann_ivfpq_topk`: same coarse routing,
+    * same codebooks, same ADC sums.
+    */
+  private def annIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = builtIndexPath("ivfpq-idx", dir)(
+      Similarity.ivfPqBuild(emb, _, kClusters = 8, rounds = 2,
+        m = 4, subDim = 16, kCodes = 8))
+    Similarity.ivfPqProbePersisted(s, path, queryVec(emb, 0L),
+      topK = 10, nprobe = 2, excludeId = Some(0L))
+  }
 
   /** The vid-keyed k-means-8 coarse-routing CTEs for [[IvfPqSql]] — the
     * [[KMeans8Ctes]] derivation re-expressed over the PQ oracle's `e(vid,
@@ -5897,6 +5914,8 @@ object SparkEntry {
     // Full PQ re-derivation, block by block (generated CTEs — 4 blocks ×
     // seed-assign / Lloyd-round / assign / LUT).
     "pq_adc_topk" -> PqAdcSql,
+    "pq_persisted_topk" -> PqAdcSql,
+    "ann_ivfpq_persisted" -> IvfPqSql,
     "ann_ivfpq_recall" -> PqAdcRecallSql,
     // Coarse k-means routing over the PQ oracle's own CTEs — the IVFPQ
     // composition re-derived end-to-end.

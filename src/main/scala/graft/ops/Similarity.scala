@@ -940,22 +940,7 @@ object Similarity {
       excludeId: Option[Long] = None,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val qn = math.sqrt(blasDot(query, query))
-    val probed = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map { r =>
-        val cv = r.getSeq[Double](r.fieldIndex("cvec")).toArray
-        val cs = blasDot(cv, query) / (math.sqrt(blasDot(cv, cv)) * qn)
-        (r.get(r.fieldIndex("cl")), cs)
-      }
-      // cs desc, cl asc — the same probe-list order as ivfTopK's
-      // `orderBy(cs.desc, cl)`.
-      .sortWith((a, b) =>
-        a._2 > b._2 || (a._2 == b._2 &&
-          a._1.asInstanceOf[Comparable[Any]].compareTo(b._1) < 0))
-      .take(nprobe)
-      .map(_._1)
-      .toSeq
+    val probed = probedClustersOf(spark, path, query, nprobe)
     val qlit = typedlit(query.toSeq)
     val vecs = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isin(probed: _*))
@@ -965,6 +950,36 @@ object Similarity {
         round(cosine(col(vecCol), qlit), 4).as("cosine"): _*)
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Driver-side probe-list selection over a persisted index's k-row
+    * centroid table — deliberate and tiny (every ANN service holds its
+    * routing table in RAM), and exactly what turns the cluster predicate
+    * into a LITERAL `IN` the scan prunes partitions with at planning time.
+    * The scoring replays the in-plan [[cosine]] fold (same left-to-right
+    * double accumulation), so probe selection matches the in-plan paths
+    * bit-for-bit; cs desc, cl asc — the same probe-list order as
+    * [[ivfTopK]]'s `orderBy(cs.desc, cl)`.
+    */
+  private def probedClustersOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      nprobe: Int): Seq[Any] = {
+    val qn = math.sqrt(blasDot(query, query))
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](r.fieldIndex("cvec")).toArray
+        val cs = blasDot(cv, query) / (math.sqrt(blasDot(cv, cv)) * qn)
+        (r.get(r.fieldIndex("cl")), cs)
+      }
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 &&
+          a._1.asInstanceOf[Comparable[Any]].compareTo(b._1) < 0))
+      .take(nprobe)
+      .map(_._1)
+      .toSeq
   }
 
   // -------------------------------------------------- SRP (hyperplane) LSH
@@ -1108,14 +1123,33 @@ object Similarity {
       subDim: Int,
       k: Int,
       queries: DataFrame): Seq[(DataFrame, DataFrame)] = {
-    def blk(c: Column, b: Int): Column = slice(c, b * subDim + 1, subDim)
-    def sq(a: Column, b: Column): Column = sqDist(a, b)
-    // k hash-ordered seed vectors with stable code ids (tiny, broadcast).
-    // Top-k by (hash, vid) via orderBy+limit — TakeOrderedAndProject keeps
-    // it a per-partition top-k merge, never a global sort (the first cut
-    // ranked the WHOLE corpus through an empty-partition window: one task
-    // sorts every vector at 100 TB). Code ids come from one sorted-array
-    // expression over the k survivors — same (hash, vid) order, no window.
+    val cbs = pqCodebooks(e, m, subDim, k)
+    cbs.zipWithIndex.map { case (cb, b) =>
+      (pqAssignBlock(e, cb, b, subDim), pqLutBlock(queries, cb, b, subDim))
+    }
+  }
+
+  /** The block sub-vector: positions `[b·subDim+1, (b+1)·subDim]`. */
+  private def pqBlk(c: Column, b: Int, subDim: Int): Column =
+    slice(c, b * subDim + 1, subDim)
+
+  /** The `m` per-block PQ codebooks `(c, cv)` — query-independent, the part
+    * of the quantization [[pqBuild]] persists. k hash-ordered seed vectors
+    * with stable code ids (tiny, broadcast). Top-k by (hash, vid) via
+    * orderBy+limit — TakeOrderedAndProject keeps it a per-partition top-k
+    * merge, never a global sort (the first cut ranked the WHOLE corpus
+    * through an empty-partition window: one task sorts every vector at
+    * 100 TB). Code ids come from one sorted-array expression over the k
+    * survivors — same (hash, vid) order, no window. Per block: seed
+    * assignment, then one Lloyd round (per-(code, position) means rounded
+    * to 6 dp so partial-sum order cannot wobble an assignment, rebuilt into
+    * centroid arrays in position order).
+    */
+  private def pqCodebooks(
+      e: DataFrame,
+      m: Int,
+      subDim: Int,
+      k: Int): Seq[DataFrame] = {
     val hOrd = pmod(col("vid") * lit(2654435761L), lit(4294967296L))
     val seeds = e.withColumn("__h", hOrd)
       .select(col("__h"), col("vid"), col("v"))
@@ -1124,30 +1158,38 @@ object Similarity {
       .select(posexplode(col("__a")).as(Seq("code", "__s")))
       .select(col("code"), col("__s.v").as("sv"))
     (0 until m).map { b =>
-      // Seed assignment, then one Lloyd round: per-(code, position) means
-      // rounded to 6 dp, rebuilt into centroid arrays in position order.
       val a1 = e.crossJoin(broadcast(seeds))
         .groupBy(col("vid"))
         .agg(min_by(col("code"),
-          struct(sq(blk(col("v"), b), blk(col("sv"), b)), col("code"))).as("c"))
-      val cb = e.join(a1, "vid")
-        .select(col("c"), posexplode(blk(col("v"), b)))
+          struct(sqDist(pqBlk(col("v"), b, subDim), pqBlk(col("sv"), b, subDim)),
+            col("code"))).as("c"))
+      e.join(a1, "vid")
+        .select(col("c"), posexplode(pqBlk(col("v"), b, subDim)))
         .withColumnRenamed("col", "x")
         .groupBy(col("c"), col("pos"))
         .agg(round(avg(col("x")), 6).as("mu"))
         .groupBy(col("c"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
           p => p.getField("mu")).as("cv"))
-      val assign = e.crossJoin(broadcast(cb))
-        .groupBy(col("vid"))
-        .agg(min_by(col("c"),
-          struct(sq(blk(col("v"), b), col("cv")), col("c"))).as(s"c$b"))
-      val lut = queries.crossJoin(broadcast(cb))
-        .select(col("qid"), col("c").as(s"c$b"),
-          sq(blk(col("qv"), b), col("cv")).as(s"d$b"))
-      (assign, lut)
     }
   }
+
+  /** Code assignment for block `b` against codebook `cb`: `(vid, c<b>)` by
+    * nearest centroid under squared L2, ties to the smaller code. */
+  private def pqAssignBlock(
+      e: DataFrame, cb: DataFrame, b: Int, subDim: Int): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .groupBy(col("vid"))
+      .agg(min_by(col("c"),
+        struct(sqDist(pqBlk(col("v"), b, subDim), col("cv")), col("c"))).as(s"c$b"))
+
+  /** Per-query ADC lookup rows for block `b`: `(qid, c<b>, d<b>)` — the
+    * query sub-vector scored once against each of the k centroids. */
+  private def pqLutBlock(
+      queries: DataFrame, cb: DataFrame, b: Int, subDim: Int): DataFrame =
+    queries.crossJoin(broadcast(cb))
+      .select(col("qid"), col("c").as(s"c$b"),
+        sqDist(pqBlk(col("qv"), b, subDim), col("cv")).as(s"d$b"))
 
   /** ADC ranking tail shared by the PQ paths: join the `m` code columns,
     * fold in the broadcast LUT rows (keyed `(qid, c<b>)` — one ranking per
@@ -1269,5 +1311,229 @@ object Similarity {
         candidates = Some(candidates))
       .select(col("vid").as(idCol), col("adc"))
       .limit(topK)
+  }
+
+  // -------------------------------------------------- persisted PQ index
+
+  /** Write a persisted PQ index at `path`: the corpus encoded ONCE into an
+    * `m`-column codes table (`path/codes`: `(vid, c0..c<m-1>)`), the m
+    * per-block codebooks beside it (`path/codebooks`: `(block, c, cv)`),
+    * and a one-row manifest (`path/manifest`: `(m, sub_dim, k)`) so probes
+    * need no out-of-band config.
+    *
+    * This is the piece that makes PQ an INDEX rather than a query shape —
+    * and the reason PQ exists at all: [[pqAdcTopK]] re-trains codebooks and
+    * re-encodes the corpus inside every query plan (~3·m corpus passes),
+    * which at billion scale IS the cost. Here quantization runs once at
+    * build time; every probe afterwards reads only the codes table — `m`
+    * small ints per row instead of the embedding array, a
+    * ~`4·subDim/log2(k)`× smaller scan — and folds in a broadcast LUT
+    * computed from the k·m-row codebooks. Same build-once/probe-forever
+    * shape as [[ivfBuild]]/[[ivfProbePersisted]], for the OTHER
+    * approximation axis (compression instead of routing).
+    */
+  def pqBuild(
+      df: DataFrame,
+      path: String,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(m >= 1 && subDim >= 1 && k >= 2,
+      s"bad PQ config: m=$m subDim=$subDim k=$k")
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val cbs = pqCodebooks(e, m, subDim, k).map(_.localCheckpoint())
+    pqWriteIndex(e, cbs, path, m, subDim, k, None)
+  }
+
+  /** Write a persisted IVF+PQ index at `path`: [[pqBuild]]'s codes table
+    * additionally routed by [[centroidsKMeans]] coarse clusters and stored
+    * CLUSTER-PARTITIONED (`path/codes/cluster=<c>/…`), the centroid table
+    * beside it — [[ivfBuild]]'s partition-pruned probe layout carrying PQ
+    * codes instead of embeddings. At 100 TB this is the billion-scale
+    * composition stored as it is probed: a probe reads `nprobe/k` of a
+    * table whose rows are `m` small ints.
+    */
+  def ivfPqBuild(
+      df: DataFrame,
+      path: String,
+      kClusters: Int,
+      rounds: Int,
+      m: Int,
+      subDim: Int,
+      kCodes: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(kClusters >= 1 && rounds >= 0,
+      s"bad IVF config: kClusters=$kClusters rounds=$rounds")
+    require(m >= 1 && subDim >= 1 && kCodes >= 2,
+      s"bad PQ config: m=$m subDim=$subDim k=$kCodes")
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val cents = centroidsKMeans(e, kClusters, rounds, "vid", "v").localCheckpoint()
+    val cbs = pqCodebooks(e, m, subDim, kCodes).map(_.localCheckpoint())
+    val assigned = assignClusters(e, cents, "vid", "v")
+      .select(col("vid"), col("cluster"))
+    pqWriteIndex(e, cbs, path, m, subDim, kCodes, Some(assigned))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Shared write tail for [[pqBuild]]/[[ivfPqBuild]]: encode `e` against
+    * the codebooks, join in the optional cluster routing, write codes (+
+    * codebooks + manifest). */
+  private def pqWriteIndex(
+      e: DataFrame,
+      cbs: Seq[DataFrame],
+      path: String,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      routing: Option[DataFrame]): Unit = {
+    val codes0 = pqEncode(e, cbs, subDim)
+    routing match {
+      case Some(assigned) =>
+        codes0.join(assigned, "vid")
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+      case None =>
+        codes0.write.mode("overwrite").parquet(s"$path/codes")
+    }
+    cbs.zipWithIndex
+      .map { case (cb, b) => cb.select(lit(b).as("block"), col("c"), col("cv")) }
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val spark = e.sparkSession
+    import spark.implicits._
+    Seq((m, subDim, k)).toDF("m", "sub_dim", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** `(vid, c0..c<m-1>)` — the corpus encoded block by block against the
+    * given codebooks (the [[pqAssignBlock]] rule, bit-identical to the
+    * in-plan paths'). */
+  private def pqEncode(e: DataFrame, cbs: Seq[DataFrame], subDim: Int): DataFrame =
+    cbs.zipWithIndex
+      .map { case (cb, b) => pqAssignBlock(e, cb, b, subDim) }
+      .reduce((x, y) => x.join(y, "vid"))
+
+  /** `(m, sub_dim)` from a PQ index's manifest. */
+  private def pqManifestOf(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/manifest").head()
+    (r.getInt(r.fieldIndex("m")), r.getInt(r.fieldIndex("sub_dim")))
+  }
+
+  /** The m per-block codebook frames read back from a persisted index. */
+  private def pqCodebooksOf(
+      spark: org.apache.spark.sql.SparkSession, path: String, m: Int): Seq[DataFrame] = {
+    val all = spark.read.parquet(s"$path/codebooks")
+    (0 until m).map(b => all.filter(col("block") === b).select(col("c"), col("cv")))
+  }
+
+  /** ADC ranking tail over a persisted codes table: fold the m broadcast
+    * LUT frames (computed from the read-back codebooks against the literal
+    * `query` — the [[pqLutBlock]] arithmetic on the same doubles, so ADC
+    * sums match the in-plan paths bit-for-bit), sum, round, rank. */
+  private def pqProbeRank(
+      codes: DataFrame,
+      cbs: Seq[DataFrame],
+      query: Array[Double],
+      subDim: Int,
+      topK: Int,
+      excludeId: Option[Long],
+      idCol: String): DataFrame = {
+    val qlit = typedlit(query.toSeq)
+    val luts = cbs.zipWithIndex.map { case (cb, b) =>
+      cb.select(col("c").as(s"c$b"),
+        sqDist(pqBlk(qlit, b, subDim), col("cv")).as(s"d$b"))
+    }
+    val base = excludeId.fold(codes)(id => codes.filter(col("vid") =!= id))
+    luts.zipWithIndex.foldLeft(base) {
+      case (acc, (lut, b)) => acc.join(broadcast(lut), s"c$b")
+    }
+      .select(col("vid").as(idCol),
+        round(luts.indices.map(b => col(s"d$b")).reduce(_ + _), 4).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Probe a persisted PQ index: ADC top-k against the literal `query`,
+    * touching ONLY the codes table (m small ints per row — embeddings are
+    * never read at probe time; that is the entire point of PQ). Results are
+    * identical to [[pqAdcTopK]] over the build corpus (same codebooks —
+    * persisted, not re-trained — same codes, same LUT arithmetic, same
+    * (adc, id) order) minus the ~3·m per-query quantization passes.
+    */
+  def pqProbePersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      topK: Int,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id"): DataFrame = {
+    val (m, subDim) = pqManifestOf(spark, path)
+    pqProbeRank(spark.read.parquet(s"$path/codes"), pqCodebooksOf(spark, path, m),
+      query, subDim, topK, excludeId, idCol)
+  }
+
+  /** Probe a persisted IVF+PQ index: the probe list comes from the k-row
+    * centroid table exactly as [[ivfProbePersisted]] ([[probedClustersOf]]
+    * — a literal `IN` the scan prunes `cluster=` partitions with at
+    * planning time), and ONLY those partitions' code rows are ADC-ranked.
+    * Results are identical to [[ivfPqTopK]] over the build corpus: same
+    * centroids (persisted), same probe-list order, same codebooks, same
+    * ADC sums.
+    */
+  def ivfPqProbePersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Array[Double],
+      topK: Int,
+      nprobe: Int,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id"): DataFrame = {
+    val (m, subDim) = pqManifestOf(spark, path)
+    val probed = probedClustersOf(spark, path, query, nprobe)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cluster").isin(probed: _*))
+    pqProbeRank(codes, pqCodebooksOf(spark, path, m),
+      query, subDim, topK, excludeId, idCol)
+  }
+
+  /** Append an ingest batch to a persisted PQ index IN PLACE: each new
+    * vector is encoded against the index's own FROZEN codebooks (read back
+    * from `path/codebooks` — the [[pqAssignBlock]] rule, bit-identical to
+    * the build's) and its code row lands in `path/codes` as a new file.
+    * For an IVF+PQ index the row is also routed to its nearest EXISTING
+    * centroid so it lands in that cluster's partition ([[ivfAppend]]'s
+    * discipline). Appending updates neither codebooks nor centroids by
+    * design — re-training would silently re-score every already-written
+    * code; when measured ADC recall against the stale codebooks degrades
+    * ([[pqRecallStale]]'s signal), rebuild with [[pqBuild]]/[[ivfPqBuild]].
+    */
+  def pqAppend(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val (m, subDim) = pqManifestOf(spark, path)
+    val e = batch.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val codes = pqEncode(e, pqCodebooksOf(spark, path, m), subDim)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))) {
+      val centroids = spark.read.parquet(s"$path/centroids")
+      codes.join(assignClusters(e, centroids, "vid", "v")
+          .select(col("vid"), col("cluster")), "vid")
+        .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    } else {
+      codes.write.mode("append").parquet(s"$path/codes")
+    }
   }
 }
