@@ -3797,7 +3797,9 @@ object SparkEntry {
     "emb_quant_topk" -> (embQuantTopk _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
     "pq_persisted_topk" -> (pqPersistedTopk _),
+    "pq_persisted_append" -> (pqPersistedAppend _),
     "ann_ivfpq_recall" -> (pqAdcRecallQ _),
+    "pq_recall_stale" -> (pqRecallStaleQ _),
     "ann_ivfpq_topk" -> (ivfPqTopkQ _),
     "ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "text_stats" -> (textStats _),
@@ -3878,33 +3880,40 @@ object SparkEntry {
   /** One PQ block's oracle CTEs: seed assignment, one Lloyd round (6-dp
     * means in position order), final code assignment, ADC lookup row.
     * `multiQ` keys the LUT rows by `qid` for query-batch oracles (the
-    * recall gate), mirroring the Spark side's batch LUT.
+    * recall gates), mirroring the Spark side's batch LUT. `train` is the
+    * codebook TRAINING base CTE (seed assignment + Lloyd means; code
+    * assignment always encodes the full `e`) and `pfx` disambiguates CTE
+    * names — together they let one query carry two codebook generations
+    * (the stale-vs-fresh drift oracle: stale trains on the pre-append
+    * base, encodes the grown corpus).
     */
-  private def pqBlockCtes(b: Int, multiQ: Boolean = false): String = {
+  private def pqBlockCtes(
+      b: Int, multiQ: Boolean = false,
+      train: String = "e", pfx: String = ""): String = {
     val lo = b * 16 + 1
     val hi = (b + 1) * 16
     val ev = s"list_slice(e.v, $lo, $hi)"
     val sv = s"list_slice(s.sv, $lo, $hi)"
     val qv = s"list_slice(q.qv, $lo, $hi)"
     val lutQid = if (multiQ) "q.qid, " else ""
-    s"""a1_$b AS (
+    s"""a1_$pfx$b AS (
        |  SELECT vid, code AS c FROM (
        |    SELECT e.vid, s.code, row_number() OVER (PARTITION BY e.vid
        |      ORDER BY ${pqSq(ev, sv)}, s.code) AS rn
-       |    FROM e, seeds s) WHERE rn = 1),
-       |cb_$b AS (
+       |    FROM $train e, seeds$pfx s) WHERE rn = 1),
+       |cb_$pfx$b AS (
        |  SELECT c, list(mu ORDER BY pos) AS cv FROM (
        |    SELECT a.c, ex.pos, round(avg(ex.x), 6) AS mu
        |    FROM (SELECT vid, unnest(list_slice(v, $lo, $hi)) AS x,
-       |                 generate_subscripts(list_slice(v, $lo, $hi), 1) AS pos FROM e) ex
-       |    JOIN a1_$b a USING (vid) GROUP BY a.c, ex.pos) GROUP BY c),
-       |as_$b AS (
+       |                 generate_subscripts(list_slice(v, $lo, $hi), 1) AS pos FROM $train) ex
+       |    JOIN a1_$pfx$b a USING (vid) GROUP BY a.c, ex.pos) GROUP BY c),
+       |as_$pfx$b AS (
        |  SELECT vid, c AS c$b FROM (
        |    SELECT e.vid, cb.c, row_number() OVER (PARTITION BY e.vid
        |      ORDER BY ${pqSq(ev, "cb.cv")}, cb.c) AS rn
-       |    FROM e, cb_$b cb) WHERE rn = 1),
-       |lut_$b AS (
-       |  SELECT ${lutQid}cb.c AS c$b, ${pqSq(qv, "cb.cv")} AS d$b FROM cb_$b cb, q)""".stripMargin
+       |    FROM e, cb_$pfx$b cb) WHERE rn = 1),
+       |lut_$pfx$b AS (
+       |  SELECT ${lutQid}cb.c AS c$b, ${pqSq(qv, "cb.cv")} AS d$b FROM cb_$pfx$b cb, q)""".stripMargin
   }
 
   /** PQ/ADC recall gate: [[graft.ops.Similarity.pqAdcRecall]] — recall@10
@@ -3916,6 +3925,27 @@ object SparkEntry {
   private def pqAdcRecallQ(s: SparkSession, dir: String): DataFrame =
     Similarity.pqAdcRecall(T(s, dir, "embeddings"),
       queryIds = Seq(0L, 1L, 2L), k = 10, m = 4, subDim = 16, kCodes = 8)
+
+  /** PQ codebook-staleness gate: the `ann_ivf_recall_stale` drift recipe
+    * applied to the COMPRESSION axis — 40 planted drifted vectors
+    * (`v₀ + 0.9·vᵢ`, ids +100000) join the corpus, and the drifted
+    * queries' ADC recall is measured under codebooks trained BEFORE the
+    * append (what [[graft.ops.Similarity.pqAppend]]'s frozen codebooks
+    * hold) vs re-trained ones. The stale number is the rebuild signal the
+    * frozen-codebook contract defers to.
+    */
+  private def pqRecallStaleQ(s: SparkSession, dir: String): DataFrame = {
+    val e0 = T(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val v0 = e0.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
+    val drift = e0.filter(col("vec_id").between(1, 40))
+      .crossJoin(broadcast(v0))
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        zip_with(col("v0"), col("embedding"), (a, b) => a + lit(0.9) * b).as("embedding"))
+    Similarity.pqRecallDrift(e0.unionByName(drift), e0,
+      queryIds = Seq(100001L, 100002L, 100003L),
+      k = 10, m = 4, subDim = 16, kCodes = 8)
+  }
 
   /** IVF+PQ gate: [[graft.ops.Similarity.ivfPqTopK]] — 8 coarse k-means
     * clusters (2 Lloyd rounds, the KMeans8 discipline), nprobe=2 routing,
@@ -3947,6 +3977,26 @@ object SparkEntry {
     val emb = T(s, dir, "embeddings")
     val path = builtIndexPath("pq-idx", dir)(
       Similarity.pqBuild(emb, _, m = 4, subDim = 16, k = 8))
+    Similarity.pqProbePersisted(s, path, queryVec(emb, 0L),
+      topK = 10, excludeId = Some(0L))
+  }
+
+  /** Persisted-PQ APPEND lifecycle: the index is built over only even
+    * vec_ids (codebooks trained on the even half), the odd half arrives as
+    * an ingest batch encoded against those FROZEN codebooks
+    * ([[graft.ops.Similarity.pqAppend]]) and appended into the codes
+    * table, and the probe answers from the result. A dropped append keeps
+    * the probe plan green but loses the odd rows; the oracle — which
+    * trains codebooks on the even half and encodes the FULL corpus with
+    * them — turns red.
+    */
+  private def pqPersistedAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = builtIndexPath("pq-apx", dir) { p =>
+      Similarity.pqBuild(emb.filter(col("vec_id") % 2 === 0), p,
+        m = 4, subDim = 16, k = 8)
+      Similarity.pqAppend(emb.filter(col("vec_id") % 2 === 1), p)
+    }
     Similarity.pqProbePersisted(s, path, queryVec(emb, 0L),
       topK = 10, excludeId = Some(0L))
   }
@@ -4067,6 +4117,83 @@ object SparkEntry {
        |             AS DOUBLE) / 10.0, 4) AS recall_at_k
        |FROM exr LEFT JOIN adcr ON exr.qid = adcr.qid AND exr.vid = adcr.vid
        |GROUP BY exr.qid ORDER BY query_id""".stripMargin
+
+  /** The append-lifecycle PQ oracle: codebooks trained on the EVEN half
+    * (the build corpus), the FULL corpus encoded with them (build rows at
+    * build time, odd rows at append time — same frozen codebooks), probed
+    * whole. */
+  private lazy val PqAppendSql: String =
+    s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |et AS (SELECT * FROM e WHERE vid % 2 = 0),
+       |seeds AS (SELECT rn - 1 AS code, sv FROM (
+       |  SELECT v AS sv, row_number() OVER (
+       |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM et)
+       |  WHERE rn <= 8),
+       |q AS (SELECT v AS qv FROM e WHERE vid = 0),
+       |${(0 until 4).map(pqBlockCtes(_, train = "et")).mkString(",\n")}
+       |SELECT e.vid AS vec_id, round(d0 + d1 + d2 + d3, 4) AS adc
+       |FROM e JOIN as_0 USING (vid) JOIN as_1 USING (vid)
+       |       JOIN as_2 USING (vid) JOIN as_3 USING (vid)
+       |       JOIN lut_0 USING (c0) JOIN lut_1 USING (c1)
+       |       JOIN lut_2 USING (c2) JOIN lut_3 USING (c3)
+       |WHERE e.vid <> 0
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+
+  /** The stale-vs-fresh PQ drift oracle: planted drift region, TWO codebook
+    * generations in one query (stale trained on the pre-append base `e0b`,
+    * fresh on the grown `e`; both encode `e`), per-generation ADC top-10,
+    * codebook-independent exact top-10 computed once, both recalls joined
+    * per query.
+    */
+  private lazy val PqRecallStaleSql: String = {
+    def adcCtes(pfx: String) =
+      s"""adc$pfx AS (
+         |  SELECT qid, e.vid, round(d0 + d1 + d2 + d3, 4) AS adc
+         |  FROM e JOIN as_${pfx}0 USING (vid) JOIN as_${pfx}1 USING (vid)
+         |         JOIN as_${pfx}2 USING (vid) JOIN as_${pfx}3 USING (vid)
+         |         JOIN lut_${pfx}0 USING (c0) JOIN lut_${pfx}1 USING (qid, c1)
+         |         JOIN lut_${pfx}2 USING (qid, c2) JOIN lut_${pfx}3 USING (qid, c3)
+         |  WHERE e.vid <> qid),
+         |adcr$pfx AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS r
+         |  FROM adc$pfx) WHERE r <= 10)""".stripMargin
+    def seedsCte(pfx: String, base: String) =
+      s"""seeds$pfx AS (SELECT rn - 1 AS code, sv FROM (
+         |  SELECT v AS sv, row_number() OVER (
+         |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM $base)
+         |  WHERE rn <= 8)""".stripMargin
+    s"""WITH e0b AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q0 AS (SELECT v AS v0 FROM e0b WHERE vid = 0),
+       |drift AS (SELECT vid + 100000 AS vid,
+       |                 list_transform(list_zip(q0.v0, e0b.v), t -> t[1] + 0.9 * t[2]) AS v
+       |          FROM e0b, q0 WHERE vid BETWEEN 1 AND 40),
+       |e AS (SELECT * FROM e0b UNION ALL SELECT * FROM drift),
+       |${seedsCte("", "e")},
+       |${seedsCte("st", "e0b")},
+       |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid IN (100001, 100002, 100003)),
+       |${(0 until 4).map(pqBlockCtes(_, multiQ = true)).mkString(",\n")},
+       |${(0 until 4).map(pqBlockCtes(_, multiQ = true, train = "e0b", pfx = "st")).mkString(",\n")},
+       |${adcCtes("")},
+       |${adcCtes("st")},
+       |ex AS (SELECT q.qid, e.vid, round(${pqSq("e.v", "q.qv")}, 4) AS d2
+       |       FROM e, q WHERE e.vid <> q.qid),
+       |exr AS (SELECT qid, vid FROM (
+       |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS r
+       |  FROM ex) WHERE r <= 10)
+       |SELECT exr.qid AS query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN adcr.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hit_fresh,
+       |       round(CAST(sum(CASE WHEN adcr.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / 10.0, 4) AS recall_fresh,
+       |       CAST(sum(CASE WHEN adcrst.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hit_stale,
+       |       round(CAST(sum(CASE WHEN adcrst.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / 10.0, 4) AS recall_stale
+       |FROM exr
+       |LEFT JOIN adcr ON exr.qid = adcr.qid AND exr.vid = adcr.vid
+       |LEFT JOIN adcrst ON exr.qid = adcrst.qid AND exr.vid = adcrst.vid
+       |GROUP BY exr.qid ORDER BY query_id""".stripMargin
+  }
 
   // DuckDB equivalents. Shared CTE fragment: events with epoch-ms time.
   private val EvCte =
@@ -5915,8 +6042,10 @@ object SparkEntry {
     // seed-assign / Lloyd-round / assign / LUT).
     "pq_adc_topk" -> PqAdcSql,
     "pq_persisted_topk" -> PqAdcSql,
+    "pq_persisted_append" -> PqAppendSql,
     "ann_ivfpq_persisted" -> IvfPqSql,
     "ann_ivfpq_recall" -> PqAdcRecallSql,
+    "pq_recall_stale" -> PqRecallStaleSql,
     // Coarse k-means routing over the PQ oracle's own CTEs — the IVFPQ
     // composition re-derived end-to-end.
     "ann_ivfpq_topk" -> IvfPqSql,

@@ -1241,8 +1241,26 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
     val queries = queriesOf(e, queryIds).localCheckpoint()
+    pqRecallCounts(e, pqCodebooks(e, m, subDim, kCodes), queries, k, subDim)
+      .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
+      .transform(r => Ordered.smallResult(r, "query_id"))
+  }
+
+  /** Recall core shared by [[pqAdcRecall]] and [[pqRecallDrift]]: per-query
+    * `(qid, n_exact, n_hit)` of the ADC top-k under the GIVEN codebooks
+    * against the exact squared-L2 top-k over `e`. */
+  private def pqRecallCounts(
+      e: DataFrame,
+      cbs: Seq[DataFrame],
+      queries: DataFrame,
+      k: Int,
+      subDim: Int): DataFrame = {
+    val perBlock = cbs.zipWithIndex.map { case (cb, b) =>
+      (pqAssignBlock(e, cb, b, subDim), pqLutBlock(queries, cb, b, subDim))
+    }
     val adcTop = perQidTopKBy(
-      pqAdcRank(e, pqBlocks(e, m, subDim, kCodes, queries), m),
+      pqAdcRank(e, perBlock, cbs.size),
       k, "vid", asc("adc"))
       .select(col("qid"), col("vid"), lit(1).as("__hit"))
     val exactTop = perQidTopKBy(
@@ -1256,9 +1274,60 @@ object Similarity {
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-      .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
-        round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
-      .transform(r => Ordered.smallResult(r, "query_id"))
+  }
+
+  /** Recall-after-append DRIFT audit for the PQ approximation —
+    * [[ivfRecallDrift]]'s twin for the compression axis: the grown corpus
+    * `df` is ADC-ranked twice, once under codebooks trained on the
+    * PRE-APPEND corpus `staleTrain` (what a persisted index's frozen
+    * codebooks hold after [[pqAppend]]s — every row, old and new, carries
+    * stale-codebook codes, exactly the on-disk state) and once under
+    * codebooks re-trained on the corpus as it stands, each against the
+    * exact squared-L2 top-k. One row per query with both numbers:
+    * `recall_stale` is the operational signal that says rebuild
+    * ([[pqBuild]] re-trains; [[pqAppend]] never does, by design —
+    * re-training would silently re-score every stored code), and
+    * `recall_fresh` the ceiling a rebuild restores. The exact side is
+    * computed once — it is codebook-independent.
+    *
+    * Reading the pair: fresh ≈ stale (the gate corpus's state) means the
+    * recall loss is QUANTIZATION-limited, not staleness-limited — a
+    * clustered drift region collapses into one code cell under either
+    * generation (ADC cannot rank within a cell; ties break by id), so a
+    * rebuild would not help and the remedy is more blocks/codes or
+    * exact-rerank of the ADC shortlist. fresh ≫ stale is the rebuild
+    * signal proper. Both outcomes are operationally decidable only
+    * because both numbers are measured.
+    */
+  def pqRecallDrift(
+      df: DataFrame,
+      staleTrain: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      m: Int,
+      subDim: Int,
+      kCodes: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1 && kCodes >= 2 && k >= 1,
+      s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes k=$k")
+    def canon(x: DataFrame): DataFrame =
+      x.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+        .localCheckpoint()
+    val e = canon(df)
+    val queries = queriesOf(e, queryIds).localCheckpoint()
+    val fresh = pqRecallCounts(e, pqCodebooks(e, m, subDim, kCodes),
+        queries, k, subDim)
+      .select(col("qid").as("query_id"), col("n_exact"),
+        col("n_hit").as("n_hit_fresh"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_fresh"))
+    val stale = pqRecallCounts(e, pqCodebooks(canon(staleTrain), m, subDim, kCodes),
+        queries, k, subDim)
+      .select(col("qid").as("query_id"),
+        col("n_hit").as("n_hit_stale"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_stale"))
+    Ordered.smallResult(fresh.join(stale, Seq("query_id")), "query_id")
   }
 
   /** IVF+PQ — the billion-scale composition (FAISS `IVFPQ`, Jégou et al.
