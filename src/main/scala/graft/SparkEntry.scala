@@ -2818,16 +2818,30 @@ object SparkEntry {
     * streaming gates: `rows` (any schema with `time` and `event_id` long
     * columns) re-ordered by a BOUNDED perturbation of event time
     * (`__arr = time + hash(event_id) mod D − D/2`, so arrival disorder
-    * never exceeds `D` = 1 h) and split into four arrival-time-range
+    * never exceeds `D` = 1 h) and split into `nBatches` arrival-time-range
     * parquet files — consecutive micro-batches whose event-time ranges
     * OVERLAP, so boundary events genuinely arrive after later-timestamped
-    * ones and must wait in the reorder buffer across batches. Two trailing
-    * single-row sentinel batches (from `sentinels(maxT)`, same schema)
-    * push the watermark past every real event and then give Spark a batch
-    * in which the event-time timeouts fire, flushing the tail of every
-    * key's buffer. File modification times are spaced 10 s apart so the
+    * ones and must wait in the reorder buffer across batches. A trailing
+    * single-row sentinel batch (from `sentinels(maxT)`, same schema)
+    * pushes the watermark past every real event; the no-data micro-batches
+    * Spark schedules after it (`noDataMicroBatches`, on by default) then
+    * fire the event-time timeouts and flush every chained stateful
+    * operator's tail — a second sentinel batch would only duplicate what
+    * the no-data batch already does, at one more full batch cycle of
+    * harness cost. File modification times are spaced 10 s apart so the
     * file source's oldest-first order replays the batches
     * deterministically.
+    *
+    * `nBatches` defaults to 2 — the MINIMUM that still exercises every
+    * gated streaming property: one batch boundary with overlapping
+    * event-time ranges forces cross-batch keyed state / reorder buffering,
+    * and the sentinels exercise watermark flush. Every stream gate's
+    * oracle is a batch re-derivation, so results are batch-count-invariant
+    * BY CONSTRUCTION (a result that changed with the split would already
+    * be a bug); more batches only multiply per-micro-batch harness
+    * overhead (state-store commits × stores × batches), which at 17 gates
+    * was a third of the whole bench. Pass a larger `nBatches` only when a
+    * gate's narrative needs a longer schedule.
     */
   /** Run a streaming gate on a PRIVATE session (shared SparkContext, own
     * conf + temp views) with state partitions sized to the gate's key
@@ -2842,10 +2856,32 @@ object SparkEntry {
     * At production scale the same knob is simply sized UP with key
     * cardinality.
     */
-  private def withStateSession[T](s: SparkSession, n: Int = 8)(f: SparkSession => T): T = {
+  private def withStateSession[T](s: SparkSession, n: Int = 4)(f: SparkSession => T): T = {
     val priv = s.newSession()
     priv.conf.set("spark.sql.shuffle.partitions", n.toString)
-    f(priv)
+    // Micro-batch commits fsync the offset/commit WAL and state files to the
+    // checkpoint every batch — on a disk-backed /tmp that IS the harness
+    // floor for a small gate. A tmpfs checkpoint (fresh UUID base per
+    // invocation, so bench re-runs never resume a finished query and the
+    // memory sink always refills) removes the fsync latency without
+    // touching semantics; production durability wants a real filesystem,
+    // a correctness gate does not. Falls back to the default temp-dir
+    // checkpoint when no tmpfs is mounted.
+    val shm = new java.io.File("/dev/shm")
+    val ckpt: Option[java.io.File] =
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm,
+          s"graft-ckpt-p${ProcessHandle.current.pid}-${java.util.UUID.randomUUID()}")
+        priv.conf.set("spark.sql.streaming.checkpointLocation", d.toString)
+        Some(d)
+      } else None
+    try f(priv)
+    finally ckpt.foreach { d =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(d)
+    }
   }
 
   private val oooStreamDirs =
@@ -2855,7 +2891,8 @@ object SparkEntry {
       cacheKey: String,
       rows: DataFrame,
       sentinels: Long => Seq[DataFrame],
-      disorderMs: Long = StreamDisorderMs): String =
+      disorderMs: Long = StreamDisorderMs,
+      nBatches: Int = 2): String =
     oooStreamDirs.computeIfAbsent(cacheKey, { _ =>
       val d = disorderMs
       val outCols = rows.columns.map(col).toSeq
@@ -2886,12 +2923,13 @@ object SparkEntry {
         java.nio.file.Files.move(part.toPath, tgt)
         tgt.toFile.setLastModified(1000000000000L + idx * 10000L): Unit
       }
-      for (i <- 0 until 4)
+      for (i <- 0 until nBatches)
         shipOne(pert
-          .filter(least(lit(3L), expr(s"((__arr - ${lo}L) * 4) div ${span}L")) === i)
+          .filter(least(lit(nBatches - 1L),
+            expr(s"((__arr - ${lo}L) * $nBatches) div ${span}L")) === i)
           .select(outCols: _*), i)
       sentinels(maxT).zipWithIndex.foreach { case (sdf, i) =>
-        shipOne(sdf.select(outCols: _*), 4 + i)
+        shipOne(sdf.select(outCols: _*), nBatches + i)
       }
       base.toString
     })
@@ -2902,8 +2940,8 @@ object SparkEntry {
         .filter(col("event_type").isin("signup", "click", "purchase"))
         .select(col("user_id").cast("long").as("user_id"), col("event_type"),
           col("time").cast("long").as("time"), col("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq((-1L, "__flush", maxT + i * 10 * StreamDisorderMs, -1L))
+      maxT => Seq(
+        Seq((-1L, "__flush", maxT + 10 * StreamDisorderMs, -1L))
           .toDF("user_id", "event_type", "time", "event_id")))
   }
 
@@ -3109,14 +3147,30 @@ object SparkEntry {
     * replay's disorder stays inside the 1 h watermark, so the streamed
     * counts must equal it exactly.
     */
-  private def streamDistinctDaily(s: SparkSession, dir: String): DataFrame = {
+  /** The SHARED (event_type, user_id) replay for the three day-windowed
+    * distinct/enrich gates — one definition so the first-caller-wins dir
+    * cache can never serve two gates different replays (the token is
+    * shared; a drifted copy of this builder would silently lose). Flush
+    * sentinels sit 30×disorder out (their own day, never a real one):
+    * 10× only closes the last real day when the corpus's final event
+    * falls ≥ ~5 h into its day (maxT+20h−1h ≥ dayStart+24h), so an
+    * early-morning final event would strand that day's windows —
+    * corpus-INDEPENDENT closure needs the wider offset (the CMS gate's
+    * discipline).
+    */
+  private def wdistStreamDir(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val streamDir = oooStreamDir(s"wdist:$dir",
+    oooStreamDir(s"wdist:$dir",
       ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
         col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq(("__flush", -1L, maxT + i * 10 * StreamDisorderMs, -1L))
+      maxT => Seq(
+        Seq(("__flush", -1L, maxT + 30 * StreamDisorderMs, -1L))
           .toDF("event_type", "user_id", "time", "event_id")))
+  }
+
+  private def streamDistinctDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = wdistStreamDir(s, dir)
     val st = org.apache.spark.sql.types.StringType
     val lt = org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3153,12 +3207,7 @@ object SparkEntry {
     */
   private def streamKmvDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val streamDir = oooStreamDir(s"wdist:$dir",
-      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
-        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq(("__flush", -1L, maxT + i * 10 * StreamDisorderMs, -1L))
-          .toDF("event_type", "user_id", "time", "event_id")))
+    val streamDir = wdistStreamDir(s, dir)
     val st = org.apache.spark.sql.types.StringType
     val lt = org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3198,12 +3247,7 @@ object SparkEntry {
     */
   private def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val streamDir = oooStreamDir(s"wdist:$dir",
-      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
-        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq(("__flush", -1L, maxT + i * 10 * StreamDisorderMs, -1L))
-          .toDF("event_type", "user_id", "time", "event_id")))
+    val streamDir = wdistStreamDir(s, dir)
     val st = org.apache.spark.sql.types.StringType
     val lt = org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3252,8 +3296,8 @@ object SparkEntry {
     val streamDir = oooStreamDir(s"wcms:$dir",
       ev(s, dir).df.select(col("user_id").cast("long").as("user_id"),
         col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq((-1L, maxT + i * 30 * StreamDisorderMs, -1L))
+      maxT => Seq(
+        Seq((-1L, maxT + 30 * StreamDisorderMs, -1L))
           .toDF("user_id", "time", "event_id")))
     val maxT = ev(s, dir).df.agg(max(col("time"))).head().getLong(0)
     val maxDayStart = (maxT / 86400000L) * 86400000L
@@ -3305,8 +3349,10 @@ object SparkEntry {
       ev(s, dir).df.filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double").as("value"),
           col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq(("__flush", 0.0, maxT + i * 10 * StreamDisorderMs, -1L))
+      // 30×disorder flush offsets — corpus-independent last-day closure
+      // (see wdistStreamDir).
+      maxT => Seq(
+        Seq(("__flush", 0.0, maxT + 30 * StreamDisorderMs, -1L))
           .toDF("event_type", "value", "time", "event_id")))
     val st = org.apache.spark.sql.types.StringType
     val lt = org.apache.spark.sql.types.LongType
@@ -3360,8 +3406,8 @@ object SparkEntry {
           col("time").cast("long").as("time"),
           col("value").cast("double").as("value"),
           col("event_id").cast("long").as("event_id")),
-      maxT => Seq(1, 2).map(i =>
-        Seq((-1L, maxT + i * 10 * StreamDisorderMs, 0.0, -1L))
+      maxT => Seq(
+        Seq((-1L, maxT + 10 * StreamDisorderMs, 0.0, -1L))
           .toDF("user_id", "time", "value", "event_id")))
     // Sentinels keep event_id in the file schema: it is the stream's `seq`
     // tie-break, matching the batch op's (time, event_id) order.
@@ -3599,12 +3645,20 @@ object SparkEntry {
     * order-insensitive and ties break deterministically, so the batch
     * count+rank oracle gates the final board exactly.
     */
-  private def streamTopkUsers(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val streamDir = oooStreamDir(s"topk:$dir",
+  /** The SHARED replay for both leaderboard gates (exact + Misra-Gries) —
+    * one definition under the shared "topk:" cache token, same
+    * first-caller-wins hazard rationale as [[wdistStreamDir]]. No
+    * sentinels: running leaderboards are watermark-free (every batch
+    * emits a full board generation). */
+  private def topkStreamDir(s: SparkSession, dir: String): String =
+    oooStreamDir(s"topk:$dir",
       ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
         col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
       _ => Seq.empty)
+
+  private def streamTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = topkStreamDir(s, dir)
     val st = org.apache.spark.sql.types.StringType
     val lt = org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -3646,10 +3700,7 @@ object SparkEntry {
     */
   private def streamTopkUsersMg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val streamDir = oooStreamDir(s"topk:$dir",
-      ev(s, dir).df.select(col("event_type"), col("user_id").cast("long").as("user_id"),
-        col("time").cast("long").as("time"), col("event_id").cast("long").as("event_id")),
-      _ => Seq.empty)
+    val streamDir = topkStreamDir(s, dir)
     val st = org.apache.spark.sql.types.StringType
     val lt = org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
