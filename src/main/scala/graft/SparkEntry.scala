@@ -96,6 +96,21 @@ object SparkEntry {
       .select(col("event_id"), col("time"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Disjunction surface gate: a [[graft.uts.Or]] node inside the query
+    * conjunction — `(value > 180 OR event_type = 'signup') AND
+    * event_type < 'v'` compiled to one filter. Pins the reference-absent
+    * OR extension AND its NULL semantics: a NULL-value signup row is kept
+    * (`NULL OR TRUE = TRUE`, the eval-each-then-OR result), identical
+    * three-valued logic in the oracle.
+    */
+  private def utsWhereDisj(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).df
+      .filter(Pred.conj(Seq(
+        Pred.disj(Pred.gt("value", 180.0), Pred.eq("event_type", "signup")),
+        Pred.lt("event_type", "v"))))
+      .select(col("event_id"), col("time"), col("value"), col("event_type"))
+      .orderBy(col("event_id"))
+
   private def utsLastInterval(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     val now = nowOf(e, dir)
@@ -1379,8 +1394,10 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(max(col("__wlo")), 4).as("lo_bound"),
-          round(max(col("__whi")), 4).as("hi_bound"),
+          // Bounds are selected raw corpus values — emitted unrounded (the
+          // robustOutliers med/mad rationale).
+          max(col("__wlo")).as("lo_bound"),
+          max(col("__whi")).as("hi_bound"),
           count(when(col("value") < col("__wlo"), lit(1))).as("n_clip_lo"),
           count(when(col("value") > col("__whi"), lit(1))).as("n_clip_hi"),
           round(
@@ -3740,6 +3757,7 @@ object SparkEntry {
     "uts_global_metrics" -> (utsGlobalMetrics _),
     "uts_count_by_type" -> (utsCountByType _),
     "uts_where_filter" -> (utsWhereFilter _),
+    "uts_where_disj" -> (utsWhereDisj _),
     "uts_last_interval" -> (utsLastInterval _),
     "uts_map_series" -> (utsMapSeries _),
     "uts_derivative" -> (utsDerivative _),
@@ -4587,6 +4605,10 @@ object SparkEntry {
     "uts_where_filter" ->
       s"""SELECT event_id, epoch_ms(ts) AS time, value FROM events
          |WHERE value > 150.0 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "uts_where_disj" ->
+      s"""SELECT event_id, epoch_ms(ts) AS time, value, event_type FROM events
+         |WHERE (value > 180.0 OR event_type = 'signup') AND event_type < 'v'
+         |ORDER BY event_id""".stripMargin,
     // Ordered non-commutative fold: list_reduce's seedless first-element
     // init equals the engine's seed-0 fold for step acc*0.9+x, and the
     // list's ORDER BY (time, event_id) is the fold order being gated.
@@ -5420,10 +5442,10 @@ object SparkEntry {
          |              min(CASE WHEN rd = ceil(n * 0.5) THEN dev END) AS mad
          |       FROM rd GROUP BY event_type)
          |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
-         |       round(max(d.med), 4) AS med, round(max(md.mad), 4) AS mad,
+         |       max(d.med) AS med, max(md.mad) AS mad,
          |       CAST(count(CASE WHEN d.dev > (3.5 * 1.4826) * md.mad THEN 1 END) AS BIGINT)
          |         AS n_out,
-         |       round(max(CASE WHEN d.dev > (3.5 * 1.4826) * md.mad THEN d.dev END), 4)
+         |       max(CASE WHEN d.dev > (3.5 * 1.4826) * md.mad THEN d.dev END)
          |         AS max_dev
          |FROM d JOIN md USING (event_type)
          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
@@ -5443,7 +5465,7 @@ object SparkEntry {
          |             least(greatest(v.v, b.lo), b.hi) AS vw, b.lo, b.hi
          |      FROM v JOIN b USING (event_type))
          |SELECT event_type, count(*) AS n,
-         |       round(max(lo), 4) AS lo_bound, round(max(hi), 4) AS hi_bound,
+         |       max(lo) AS lo_bound, max(hi) AS hi_bound,
          |       CAST(count(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clip_lo,
          |       CAST(count(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clip_hi,
          |       round(CAST(sum(CAST(round(vw, 10) AS DECIMAL(30,10))) AS DOUBLE)

@@ -200,6 +200,14 @@ object Dedup {
     * shingle df² hazard applies at 100 TB — cap hot shingles upstream or
     * generate candidates with [[jaccardPairsPrefixFiltered]] /
     * [[minhashLshPairs]] and score containment in their verify step.
+    *
+    * `n_sh`/`overlap` count DISTINCT SHINGLE HASHES while the oracle counts
+    * distinct shingle strings — hash distinctness ≡ shingle distinctness
+    * modulo 64-bit collisions, the same documented trade as
+    * [[jaccardPairs]]; a collision between two distinct shingles inside one
+    * document would shrink `n_sh`/`overlap` by one and shift both
+    * containment ratios (~2⁻⁶⁴ per pair; accepted, stated here so the
+    * trade is explicit rather than latent).
     */
   def containmentPairs(
       df: DataFrame,
@@ -227,6 +235,49 @@ object Dedup {
           round(col("ov").cast("double") / col("n2").cast("double"), 4).as("cont2"))
         .filter(greatest(col("cont1"), col("cont2")) >= threshold),
       "d1", "d2")
+  }
+
+  /** Distinct colliding (d1 < d2) pairs of an `(id, h)` relation — the
+    * equality-join candidate generator shared by the prefix-filtered path
+    * and its audit. */
+  private def collidingPairs(rel: DataFrame): DataFrame =
+    rel.as("a").hint("SHUFFLE_HASH")
+      .join(rel.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+
+  /** The candidate volumes behind [[jaccardPairsPrefixFiltered]], exposed
+    * for the audit spec: `(prefix-filtered candidate count, full
+    * inverted-index candidate count)` over the same shingle relation.
+    * Candidate volume IS this op's scale contract — the prefix must admit
+    * strictly fewer pairs than the full join on any corpus with shared
+    * shingles (and orders of magnitude fewer under stopword skew) while
+    * never losing a true ≥-threshold pair; a regression in the ranking,
+    * the prefix-length rule, or the canonical order shows up here long
+    * before it shows up as wall-clock.
+    */
+  private[ops] def prefixCandidateCounts(
+      df: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (Long, Long) = {
+    val hashed = df.select(
+      col(idCol).as("id"),
+      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      .localCheckpoint()
+    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df_sh"), col("h"))))
+    val prefix = ranked.join(sizes, "id")
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("id"), col("h"))
+    (collidingPairs(prefix).count(), collidingPairs(sh).count())
   }
 
   /** [[jaccardPairs]] with ppjoin-style prefix-filtered candidate generation:
@@ -282,11 +333,7 @@ object Dedup {
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("id"), col("h"))
       .localCheckpoint()
-    val candidates = prefix.as("a").hint("SHUFFLE_HASH")
-      .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .distinct()
+    val candidates = collidingPairs(prefix)
     // Exact verification on candidates only, as counts: fan each candidate
     // pair out to d1's shingle rows (|cand|·n̄_sh narrow long rows), keep the
     // ones d2 also holds via an (id, h) equality join, count per pair —

@@ -126,11 +126,17 @@ object Profile {
       .groupBy(col(keyCol))
       .agg(
         max(col("__n")).as("n"),
-        round(max(col("__med")), 4).as("med"),
-        round(max(col("__mad")), 4).as("mad"),
+        // med/mad/max_dev are emitted UNROUNDED: each is a selected raw
+        // corpus value or a single IEEE subtract+abs of two raw values —
+        // bit-identical cross-engine already. round(x, 4) on such a double
+        // is the .00005-boundary hazard class (Spark rounds the exact
+        // binary expansion, DuckDB a 1e4-scaled double) that split
+        // lm_quality_bands at sf0.1; reserve rounding for genuinely
+        // divergent float paths.
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
         count(when(col("__dev") > bound * col("__mad"), lit(1))).as("n_out"),
-        round(max(when(col("__dev") > bound * col("__mad"), col("__dev"))), 4)
-          .as("max_dev"))
+        max(when(col("__dev") > bound * col("__mad"), col("__dev"))).as("max_dev"))
   }
 
   /** Winsorization — clip `valueCol` into its group's own [loQ, hiQ]

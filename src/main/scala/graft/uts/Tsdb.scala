@@ -31,7 +31,7 @@ final case class UtsSeries(
     * `coalesce(pred, false)` before negation (plain `NOT pred` would drop
     * NULL-predicate rows).
     */
-  def remove(preds: Seq[Pred] = Nil): UtsSeries =
+  def remove(preds: Seq[Filter] = Nil): UtsSeries =
     if (preds.isEmpty) copy(df = df.limit(0))
     else copy(df = df.filter(!coalesce(Pred.conj(preds), lit(false))))
 
@@ -148,7 +148,7 @@ final class UtsDb(
     seriesMap(name) = series(name).insert(rows); this
   }
 
-  def remove(name: String, preds: Seq[Pred] = Nil): this.type = {
+  def remove(name: String, preds: Seq[Filter] = Nil): this.type = {
     seriesMap(name) = series(name).remove(preds); this
   }
 

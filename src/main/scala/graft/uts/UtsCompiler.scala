@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * whole plan (pushdown, pruning, partial aggregation — all free, SURVEY.md §4).
   *
   * @param metrics  named aggregates, one output column each (uts.ts:18-23)
-  * @param where    AND-ed comparators (uts.ts:285-320)
+  * @param where    AND-ed filter trees — comparator leaves (uts.ts:285-320), plus [[Or]] disjunction nodes (our extension; the reference is AND-only)
   * @param group    [[AnyGroup]] (default, uts.ts:368) or [[IntervalGroup]]
   * @param timeCol  epoch-millisecond LongType column (the reference's
   *                 reserved `time` column, uts.ts:179-181)
@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 final case class UtsQuery(
     metrics: Seq[(String, Metric)],
-    where: Seq[Pred] = Nil,
+    where: Seq[Filter] = Nil,
     group: Grouper = AnyGroup,
     timeCol: String = "time",
     seqCol: Option[String] = None,
@@ -87,7 +87,10 @@ object UtsCompiler {
         case i: Int => Some(i.toLong)
         case _ => None
       }
-      q.where.filter(_.col == q.timeCol).flatMap { p =>
+      // Only conjunct-level (top-level Pred) time bounds translate to
+      // redundant stored-column bounds: a time comparator INSIDE a
+      // disjunction does not bound the result rows, so it must not prune.
+      q.where.collect { case p: Pred if p.col == q.timeCol => p }.flatMap { p =>
         ms(p.than).toSeq.flatMap { x =>
           p.cmp match {
             case Cmp.Gt => Seq(RawTime.ge(df, raw, x + 1))

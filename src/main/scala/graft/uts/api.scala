@@ -14,15 +14,29 @@ object Cmp {
   case object Eq extends Cmp
 }
 
+/** Boolean filter tree over comparators. [[Pred]] is the leaf; [[Or]] the
+  * disjunction node. The reference surface is AND-only (uts.ts:308-319
+  * folds a predicate LIST through `&&`), so a query's `where` stays a
+  * conjunction of filters — but each conjunct may now be a disjunction of
+  * sub-trees, which the reference cannot express at all. Everything
+  * compiles to ONE `Column` consumed by a single `filter`, so Catalyst
+  * sees a plain boolean expression: conjuncts still split and push to the
+  * scan individually, and a disjunction whose alternatives share a column
+  * can still prune row groups via min/max stats.
+  */
+sealed trait Filter {
+  def toColumn: Column
+}
+
 /** One `{is, than}` comparator on a column (uts.ts:223-226, eval at
   * uts.ts:296-306). A missing column evaluates to `false` in the reference
   * (uts.ts:297); SQL three-valued logic gives the same result natively,
-  * because `NULL > v` is not true and a `filter` drops non-true rows.
-  *
-  * Multiple predicates AND together (uts.ts:308-319); there is no OR in the
-  * reference surface.
+  * because `NULL > v` is not true and a `filter` drops non-true rows —
+  * and under [[Or]] a NULL alternative still lets a TRUE sibling keep the
+  * row (`NULL OR TRUE = TRUE`), exactly the eval-each-then-OR result the
+  * reference's per-comparator `false` would produce.
   */
-final case class Pred(col: String, cmp: Cmp, than: Any) {
+final case class Pred(col: String, cmp: Cmp, than: Any) extends Filter {
   def toColumn: Column = cmp match {
     case Cmp.Gt => column(col) > lit(than)
     case Cmp.Lt => column(col) < lit(than)
@@ -30,13 +44,24 @@ final case class Pred(col: String, cmp: Cmp, than: Any) {
   }
 }
 
+/** OR-of-alternatives; alternatives may themselves be [[Or]] trees. The
+  * empty disjunction keeps nothing (the OR identity), mirroring
+  * [[Pred.conj]]'s keep-everything for the empty conjunction. */
+final case class Or(alts: Seq[Filter]) extends Filter {
+  def toColumn: Column =
+    alts.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(false))
+}
+
 object Pred {
   def gt(col: String, v: Any): Pred = Pred(col, Cmp.Gt, v)
   def lt(col: String, v: Any): Pred = Pred(col, Cmp.Lt, v)
   def eq(col: String, v: Any): Pred = Pred(col, Cmp.Eq, v)
 
+  /** OR-of-alternatives — the disjunction surface the reference omits. */
+  def disj(alts: Filter*): Filter = Or(alts)
+
   /** AND-of-all conjunction (uts.ts:311-319); empty list ⇒ keep everything. */
-  def conj(preds: Seq[Pred]): Column =
+  def conj(preds: Seq[Filter]): Column =
     preds.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
 }
 

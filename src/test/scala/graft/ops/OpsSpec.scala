@@ -41,6 +41,27 @@ class OpsSpec extends SparkSpec {
       "jaccardPairsPrefixFiltered leaked CacheManager entries")
   }
 
+  test("prefix filter admits strictly fewer candidates than the full inverted join under skew") {
+    // 30 documents sharing one planted stopword-like 3-shingle ("aaa bbb
+    // ccc" prefixes every text) plus per-doc unique tails: the full
+    // inverted-index join pairs every document with every other through
+    // the hot shingle (C(30,2) = 435 candidates), while the df-ascending
+    // prefix keeps only each doc's RAREST shingles, so the hot shingle
+    // never enters the join. The true pair set here is empty at t=0.8 —
+    // every admitted candidate is verification work, which is exactly
+    // what the audit prices.
+    val skewed = (0L until 30L).map(i =>
+      (i, s"aaa bbb ccc u${i}a u${i}b u${i}c u${i}d u${i}e")).toDF("doc_id", "text")
+    val (pref, full) = Dedup.prefixCandidateCounts(skewed, n = 3, threshold = 0.8)
+    assert(full == 435L, s"full=$full")
+    assert(pref < full / 10, s"prefix=$pref full=$full")
+    // And the filter loses no true pair: outputs equal on the shared
+    // fixture (the equality test above) AND on this skewed one.
+    val a = Dedup.jaccardPairs(skewed, 3, 0.8).collect().toSeq
+    val b = Dedup.jaccardPairsPrefixFiltered(skewed, 3, 0.8).collect().toSeq
+    assert(a == b)
+  }
+
   test("minhash LSH recovers the same pairs as exact jaccard here") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
     // 16 bands × 2 rows: P(candidate | J=0.6) ≈ 1−(1−0.36)¹⁶ ≈ 0.999, so the

@@ -28,6 +28,36 @@ class UtsDbSpec extends SparkSpec {
     assert(db.series("a").df.select($"v").as[Double].collect().sorted.toSeq == Seq(1.0, 9.0))
   }
 
+  test("disjunction trees: OR keeps a row any alternative admits, incl. NULL OR TRUE") {
+    val df = Seq[(Long, Option[Double], String)](
+      (1L, Some(1.0), "a"), (2L, Some(9.0), "b"),
+      (3L, None, "a"),      (4L, None, "b")
+    ).toDF("id", "v", "tag")
+    // (v > 5 OR tag = 'a'): row 2 via the comparator, rows 1 & 3 via the
+    // tag — row 3's NULL v must not poison the disjunction (NULL OR TRUE
+    // = TRUE, the reference's eval-each-then-combine result). Row 4 is
+    // NULL OR FALSE = NULL → dropped.
+    val kept = df.filter(
+      Pred.disj(Pred.gt("v", 5.0), Pred.eq("tag", "a")).toColumn)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    // Nested: conj of (disj, pred) — one filter Column, ordinary 3VL.
+    val nested = df.filter(Pred.conj(Seq(
+      Pred.disj(Pred.gt("v", 5.0), Pred.eq("tag", "a")), Pred.lt("id", 3L))))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(nested == Seq(1L, 2L))
+    // Empty disjunction keeps nothing (OR identity); empty conjunction
+    // keeps everything (AND identity).
+    assert(df.filter(Or(Nil).toColumn).count() == 0L)
+    assert(df.filter(Pred.conj(Nil)).count() == 4L)
+    // remove() with a disjunction: drops rows the tree admits, keeps the
+    // NULL-predicate row (remove's keep-on-NULL contract).
+    val db = new UtsDb(spark)
+    db.insert("d", df.withColumnRenamed("id", "time"))
+    db.remove("d", Seq(Pred.disj(Pred.gt("v", 5.0), Pred.eq("tag", "a"))))
+    assert(db.series("d").df.select($"time").as[Long].collect().sorted.toSeq == Seq(4L))
+  }
+
   test("default retention stamps new series and binds interval queries") {
     val db = new UtsDb(spark).defaultRetention(150L)
     db.insert("a", rows(100L -> 1.0, 200L -> 2.0, 300L -> 3.0))
