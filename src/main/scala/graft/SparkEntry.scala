@@ -3871,6 +3871,7 @@ object SparkEntry {
     "pq_recall_stale" -> (pqRecallStaleQ _),
     "ann_ivfpq_topk" -> (ivfPqTopkQ _),
     "ann_ivfpq_persisted" -> (annIvfPqPersisted _),
+    "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "text_stats" -> (textStats _),
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
@@ -4114,11 +4115,9 @@ object SparkEntry {
       |probes AS (SELECT cl AS cluster FROM kc2, q
       |           ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 2)""".stripMargin
 
-  /** IVF+PQ re-derived whole: coarse k-means routing (top-2 probe lists by
-    * query cosine) restricting the same block-by-block PQ/ADC ranking the
-    * `pq_adc_topk` oracle states.
-    */
-  private lazy val IvfPqSql: String =
+  /** Shared CTE prefix of the IVF+PQ oracles: scan, query, coarse-routing
+    * CTEs, PQ seeds, the four block CTE groups. */
+  private lazy val IvfPqCtePrefix: String =
     s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vid = 0),
        |$KMeansVidCtes,
@@ -4126,15 +4125,39 @@ object SparkEntry {
        |  SELECT v AS sv, row_number() OVER (
        |    ORDER BY (vid * 2654435761) % 4294967296, vid) AS rn FROM e)
        |  WHERE rn <= 8),
-       |${(0 until 4).map(pqBlockCtes(_)).mkString(",\n")}
+       |${(0 until 4).map(pqBlockCtes(_)).mkString(",\n")}""".stripMargin
+
+  /** The probed-and-ADC-ranked relation both IVF+PQ oracles rank from. */
+  private val IvfPqAdcBody: String =
+    """FROM e JOIN kassign USING (vid) JOIN probes USING (cluster)
+      |       JOIN as_0 USING (vid) JOIN as_1 USING (vid)
+      |       JOIN as_2 USING (vid) JOIN as_3 USING (vid)
+      |       JOIN lut_0 USING (c0) JOIN lut_1 USING (c1)
+      |       JOIN lut_2 USING (c2) JOIN lut_3 USING (c3)
+      |WHERE e.vid <> 0""".stripMargin
+
+  /** IVF+PQ re-derived whole: coarse k-means routing (top-2 probe lists by
+    * query cosine) restricting the same block-by-block PQ/ADC ranking the
+    * `pq_adc_topk` oracle states.
+    */
+  private lazy val IvfPqSql: String =
+    s"""$IvfPqCtePrefix
        |SELECT e.vid AS vec_id, round(d0 + d1 + d2 + d3, 4) AS adc
-       |FROM e JOIN kassign USING (vid) JOIN probes USING (cluster)
-       |       JOIN as_0 USING (vid) JOIN as_1 USING (vid)
-       |       JOIN as_2 USING (vid) JOIN as_3 USING (vid)
-       |       JOIN lut_0 USING (c0) JOIN lut_1 USING (c1)
-       |       JOIN lut_2 USING (c2) JOIN lut_3 USING (c3)
-       |WHERE e.vid <> 0
+       |$IvfPqAdcBody
        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+
+  /** Two-stage rerank re-derived whole: the ADC top-50 shortlist from the
+    * same probed relation, then exact squared-L2 over ONLY the shortlist
+    * rows. */
+  private lazy val IvfPqRerankSql: String =
+    s"""$IvfPqCtePrefix,
+       |short AS (
+       |  SELECT e.vid, round(d0 + d1 + d2 + d3, 4) AS adc
+       |  $IvfPqAdcBody
+       |  ORDER BY adc, e.vid LIMIT 50)
+       |SELECT e.vid AS vec_id, round(${pqSq("e.v", "q.qv")}, 4) AS d2
+       |FROM e JOIN short USING (vid), q
+       |ORDER BY d2, vec_id LIMIT 10""".stripMargin
 
   private lazy val PqAdcSql: String =
     s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4186,6 +4209,22 @@ object SparkEntry {
        |             AS DOUBLE) / 10.0, 4) AS recall_at_k
        |FROM exr LEFT JOIN adcr ON exr.qid = adcr.qid AND exr.vid = adcr.vid
        |GROUP BY exr.qid ORDER BY query_id""".stripMargin
+
+  /** Two-stage ANN gate: [[graft.ops.Similarity.ivfPqProbeRerank]] over the
+    * shared persisted IVF+PQ index — ADC narrows the probed partitions to a
+    * 50-row shortlist (codes only), exact squared-L2 reranks those 50
+    * embedding rows via a broadcast semi-join. The production remedy for
+    * PQ's within-cell ranking ceiling, priced: stage 2 reads 50 embedding
+    * rows, never the corpus.
+    */
+  private def annIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = builtIndexPath("ivfpq-idx", dir)(
+      Similarity.ivfPqBuild(emb, _, kClusters = 8, rounds = 2,
+        m = 4, subDim = 16, kCodes = 8))
+    Similarity.ivfPqProbeRerank(s, path, emb, queryVec(emb, 0L),
+      topK = 10, nprobe = 2, shortlist = 50, excludeId = Some(0L))
+  }
 
   /** The append-lifecycle PQ oracle: codebooks trained on the EVEN half
     * (the build corpus), the FULL corpus encoded with them (build rows at
@@ -6117,6 +6156,7 @@ object SparkEntry {
     "pq_persisted_topk" -> PqAdcSql,
     "pq_persisted_append" -> PqAppendSql,
     "ann_ivfpq_persisted" -> IvfPqSql,
+    "ann_ivfpq_rerank" -> IvfPqRerankSql,
     "ann_ivfpq_recall" -> PqAdcRecallSql,
     "pq_recall_stale" -> PqRecallStaleSql,
     // Coarse k-means routing over the PQ oracle's own CTEs — the IVFPQ

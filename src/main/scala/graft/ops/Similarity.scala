@@ -1572,6 +1572,46 @@ object Similarity {
       query, subDim, topK, excludeId, idCol)
   }
 
+  /** Two-stage probe over a persisted IVF+PQ index: ADC narrows, exact
+    * reranks — the standard production remedy for PQ's quantization
+    * ceiling (a clustered region collapses into one code cell, where ADC
+    * cannot rank; [[pqRecallDrift]]'s fresh≈stale outcome is exactly this
+    * signature). Stage 1 is [[ivfPqProbePersisted]] for a `shortlist`-row
+    * candidate set — partition-pruned codes scan, no embeddings touched.
+    * Stage 2 joins the broadcast shortlist (C rows) against the embedding
+    * SOURCE table by id and ranks those C rows by exact squared L2 (the
+    * very distance ADC approximates, same 4-dp rounding and (d, id) tie
+    * order). At 100 TB the cost shape is: codes-table scan of `nprobe/k`
+    * of the corpus + an embedding read of C rows via the broadcast
+    * semi-join — never a full embedding scan; C is the recall/IO knob
+    * (top-k is exact within the shortlist, so recall@k equals shortlist
+    * coverage of the true top-k).
+    */
+  def ivfPqProbeRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      source: DataFrame,
+      query: Array[Double],
+      topK: Int,
+      nprobe: Int,
+      shortlist: Int,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist ($shortlist) must be >= topK ($topK)")
+    val short = ivfPqProbePersisted(spark, path, query, shortlist, nprobe,
+        excludeId, idCol = "vid")
+      .select(col("vid"))
+    val qlit = typedlit(query.toSeq)
+    source.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(short), "vid")
+      .select(col("vid").as(idCol), round(sqDist(col("__v"), qlit), 4).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(topK)
+  }
+
   /** Append an ingest batch to a persisted PQ index IN PLACE: each new
     * vector is encoded against the index's own FROZEN codebooks (read back
     * from `path/codebooks` — the [[pqAssignBlock]] rule, bit-identical to
@@ -1583,6 +1623,25 @@ object Similarity {
     * code; when measured ADC recall against the stale codebooks degrades
     * ([[pqRecallStale]]'s signal), rebuild with [[pqBuild]]/[[ivfPqBuild]].
     */
+  /** Fold a PQ index's accumulated append files back together — one file
+    * per cluster partition for an IVF+PQ index, `numFiles` total for a
+    * plain PQ index (content unchanged, probes identical; see
+    * [[Layout.compactInPlace]] for the swap discipline). NOTE the rebuild
+    * asymmetry with IVF: [[ivfRecluster]] re-trains from the index's own
+    * vectors table, but a PQ index cannot re-train from its own contents —
+    * codes are LOSSY; when [[pqRecallDrift]] says the codebooks no longer
+    * describe the data, rebuild with [[pqBuild]]/[[ivfPqBuild]] over the
+    * source corpus (or keep probes exact-on-top via [[ivfPqProbeRerank]]).
+    */
+  def pqCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val clustered =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
+    Layout.compactInPlace(spark, s"$path/codes",
+      if (clustered) Seq("cluster") else Seq.empty)
+  }
+
   def pqAppend(
       batch: DataFrame,
       path: String,

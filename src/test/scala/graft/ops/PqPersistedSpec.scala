@@ -116,6 +116,64 @@ class PqPersistedSpec extends SparkSpec {
     assert(codes(0L) == codes(1000L), codes.toString)
   }
 
+  test("rerank restores the exact ranking ADC cannot produce within a code cell") {
+    val dir = tmpDir()
+    val df = corpus(40)
+    Similarity.ivfPqBuild(df, s"$dir/idx", kClusters = 1, rounds = 0,
+      m = 2, subDim = 2, kCodes = 4)
+    val q = queryOf(40)
+    // kClusters=1 + full-corpus shortlist: stage 1 admits everything, so
+    // the rerank output IS the exact squared-L2 top-k — the recall ceiling
+    // the shortlist knob trades against.
+    val got = Similarity.ivfPqProbeRerank(spark, s"$dir/idx", df, q,
+      topK = 5, nprobe = 1, shortlist = 39, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qlit = typedlit(q.toSeq)
+    val want = df.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), round(
+        Similarity.dot(col("v"), col("v"))
+          - lit(2.0) * Similarity.dot(col("v"), qlit)
+          + Similarity.dot(qlit, qlit), 4).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // ADC alone CANNOT produce this ranking here: the 4-code quantization
+    // collapses family members into shared cells (ties), while the exact
+    // rerank separates them — distances in the rerank output are strictly
+    // increasing, not tied.
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
+  test("pqCompact folds append files; probes identical before and after") {
+    val dir = tmpDir()
+    val rows = corpusRows(40)
+    Similarity.ivfPqBuild(rows.toDF("vec_id", "embedding"), s"$dir/idx",
+      kClusters = 4, rounds = 1, m = 2, subDim = 2, kCodes = 4)
+    // Three appended batches accumulate small files in the cluster dirs.
+    (0 until 3).foreach { b =>
+      Similarity.pqAppend(
+        Seq((2000L + b, rows(b)._2)).toDF("vec_id", "embedding"), s"$dir/idx")
+    }
+    val q = queryOf(40)
+    val before = Similarity.ivfPqProbePersisted(
+      spark, s"$dir/idx", q, topK = 20, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Similarity.pqCompact(spark, s"$dir/idx")
+    val after = Similarity.ivfPqProbePersisted(
+      spark, s"$dir/idx", q, topK = 20, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    // And the fold really happened: one data file per cluster directory.
+    val clusters = new java.io.File(s"$dir/idx/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(clusters.nonEmpty)
+    clusters.foreach { c =>
+      val parts = c.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${c.getName}: ${parts.length} files")
+    }
+  }
+
   test("pqAppend routes into an IVF+PQ index's frozen-centroid partitions") {
     val dir = tmpDir()
     val rows = corpusRows(40)
