@@ -2335,6 +2335,45 @@ object SparkEntry {
       k = 10, nprobe = 3, excludeId = Some(0L))
   }
 
+  /** §2.9 streaming INDEX-INGEST gate: the `ann_ivf_append` lifecycle with
+    * the ingest arriving as a STREAM — the production shape where new
+    * embeddings trickle in continuously and the index absorbs them without
+    * rebuilds. The even-id half builds the index; the odd half is staged
+    * as three parquet files and replayed one file per micro-batch
+    * (`AvailableNow` + `maxFilesPerTrigger=1`) through a `foreachBatch`
+    * that runs [[graft.ops.Similarity.ivfAppend]] — each batch encodes
+    * against the index's FROZEN centroids and lands in the cluster
+    * partitions. Appends are encode-only, so the final index state is
+    * batch-split-invariant: the probe must equal `ann_ivf_append`'s
+    * exactly (oracle shared verbatim) — a dropped or double-applied
+    * micro-batch loses/duplicates rows and turns the shared oracle red.
+    */
+  private def streamAnnIngestPath(s: SparkSession, dir: String): String =
+    builtIndexPath("ivf-stx", dir) { p =>
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0), p)
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      odd.repartition(3).write.parquet(s"$p/ingest_src")
+      withStateSession(s) { ss =>
+        val src = ss.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$p/ingest_src")
+        val q = src.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) => Similarity.ivfAppend(b, p))
+          .option("checkpointLocation", s"$p/ingest_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
+  private def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val path = streamAnnIngestPath(s, dir)
+    Similarity.ivfProbePersisted(s, path, queryVec(emb, 0L),
+      k = 10, nprobe = 3, excludeId = Some(0L))
+  }
+
   /** IVF over k-means‖-seeded centroids — the UNLABELED-corpus scale path:
     * [[graft.ops.Similarity.centroidsKMeansParallel]]'s oversampled
     * candidate rounds + greedy weighted cut + Lloyd polish feed
@@ -3860,6 +3899,7 @@ object SparkEntry {
     "ann_ivf_recall_stale" -> (annIvfRecallStale _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_append" -> (annIvfAppend _),
+    "stream_ann_ingest" -> (streamAnnIngest _),
     "ann_ivf_recluster" -> (annIvfRecluster _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
@@ -4225,6 +4265,31 @@ object SparkEntry {
     Similarity.ivfPqProbeRerank(s, path, emb, queryVec(emb, 0L),
       topK = 10, nprobe = 2, shortlist = 50, excludeId = Some(0L))
   }
+
+  /** The IVF append-lifecycle oracle: even-half label centroids, the FULL
+    * corpus assigned to them, nprobe=3 probe — shared by `ann_ivf_append`
+    * (batch ingest) and `stream_ann_ingest` (the same ingest as a stream).
+    */
+  private lazy val IvfAppendSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      |       FROM e WHERE vec_id % 2 = 0),
+      |cent AS (
+      |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
+      |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
+      |  GROUP BY label),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT vec_id, arg_max(cl, cs) AS cluster
+      |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
+      |  GROUP BY vec_id),
+      |probes AS (
+      |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
+      |SELECT e.vec_id, e.label, a.cluster,
+      |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
 
   /** The append-lifecycle PQ oracle: codebooks trained on the EVEN half
     * (the build corpus), the FULL corpus encoded with them (build rows at
@@ -6081,26 +6146,11 @@ object SparkEntry {
     // built index), the FULL corpus assigned to them (odd rows = the
     // appended batch, assigned to the same frozen centroids), then the
     // shared probe/top-k tail. A lost append loses every odd row.
-    "ann_ivf_append" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-        |       FROM e WHERE vec_id % 2 = 0),
-        |cent AS (
-        |  SELECT label AS cl, list(m ORDER BY pos) AS cvec
-        |  FROM (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos)
-        |  GROUP BY label),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |assign AS (
-        |  SELECT vec_id, arg_max(cl, cs) AS cluster
-        |  FROM (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs FROM e, cent c)
-        |  GROUP BY vec_id),
-        |probes AS (
-        |  SELECT cl FROM cent, q ORDER BY list_cosine_similarity(cvec, qv) DESC, cl LIMIT 3)
-        |SELECT e.vec_id, e.label, a.cluster,
-        |       round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
-        |FROM e JOIN assign a USING (vec_id) JOIN probes p ON a.cluster = p.cl, q
-        |WHERE e.vec_id <> 0
-        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_append" -> IvfAppendSql,
+    // The ingest-as-a-stream lifecycle computes the IDENTICAL index state
+    // (frozen even-half centroids; appends are encode-only, so the final
+    // vectors table is batch-split-invariant) — oracle shared verbatim.
+    "stream_ann_ingest" -> IvfAppendSql,
     // Unlabeled IVF: full re-derivation of the seeded k-means init — Knuth-
     // hash seeds, two Lloyd rounds (argmax-cosine assign, per-position mean),
     // then the same probe/score tail as ann_ivf_topk.

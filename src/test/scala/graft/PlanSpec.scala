@@ -403,6 +403,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("persisted-PQ probes fold broadcast LUTs; rerank broadcasts its shortlist") {
+    // Probe-time plans must be broadcast-only on the join side: the m LUT
+    // frames are k-row broadcasts folded into the codes scan, and rerank's
+    // stage-2 joins a C-row broadcast shortlist into the embedding source —
+    // nothing corpus-sized may shuffle or sort-merge at probe time.
+    for (q <- Seq("pq_persisted_topk", "ann_ivfpq_persisted", "ann_ivfpq_rerank")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: ${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(1500)}")
+    }
+  }
+
   test("temperature mixture plan reads only source and count columns") {
     val p = plan("mixture_temperature")
     assert(!p.contains("text"), p.take(1500)) // never drags the payload
