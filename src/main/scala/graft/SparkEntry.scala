@@ -2504,6 +2504,35 @@ object SparkEntry {
     graft.ops.Ordered.smallResult(Text.lmQualityBands(d, d), "doc_id")
   }
 
+  /** Count-trained discriminative quality filter
+    * ([[graft.ops.Text.nbQualityScore]]): English docs as the positive
+    * class (the curated-vs-crawl recipe on this corpus's labels), every
+    * document scored by mean per-token NB log-odds — training counts,
+    * smoothing, weights, scores, and the ≥0 decision all re-derived by the
+    * oracle.
+    */
+  private def nbQualityScoreQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.nbQualityScore(T(s, dir, "documents"), col("lang") === "en"),
+      "doc_id")
+
+  /** The classifier AUDIT twin: confusion counts per actual language —
+    * n, predicted-positive count, and unrounded mean score. The number
+    * that says whether the filter is usable before anyone applies it.
+    */
+  private def nbQualityEvalQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Text.nbQualityScore(T(s, dir, "documents"), col("lang") === "en")
+        .join(T(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pred_pos")).cast("long").as("n_pred_pos"),
+          // round-10 → decimal lattice before the sum (the meanVectors
+          // discipline: aggregation-order-proof), mean left unrounded.
+          (sum(round(col("score"), 10).cast("decimal(30,10)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_score")),
+      "lang")
+
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("lang"), Text.langId(col("text")).as("pred_lang"))
@@ -3916,6 +3945,8 @@ object SparkEntry {
     "text_bpe_stats" -> (textBpeStats _),
     "text_quality" -> (textQuality _),
     "lm_quality_bands" -> (lmQualityBandsQ _),
+    "nb_quality_score" -> (nbQualityScoreQ _),
+    "nb_quality_eval" -> (nbQualityEvalQ _),
     "text_langid" -> (textLangid _),
     "text_langid_join" -> (textLangidJoin _),
     "text_fingerprint" -> (textFingerprint _),
@@ -4265,6 +4296,31 @@ object SparkEntry {
     Similarity.ivfPqProbeRerank(s, path, emb, queryVec(emb, 0L),
       topK = 10, nprobe = 2, shortlist = 50, excludeId = Some(0L))
   }
+
+  /** The NB log-odds classifier re-derived whole: per-class token counts,
+    * shared-smoothing weights (6-dp decimal lattice), mean score per doc
+    * (unrounded — exact decimal sum + one IEEE divide), the ≥0 rule.
+    */
+  private lazy val NbQualitySql: String =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS pos,
+      |                  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      |           FROM documents),
+      |cls AS (SELECT token,
+      |               count(*) FILTER (pos) AS cp,
+      |               count(*) FILTER (NOT pos) AS cn
+      |        FROM t GROUP BY token),
+      |tot AS (SELECT CAST(sum(cp) AS DOUBLE) AS np, CAST(sum(cn) AS DOUBLE) AS nn,
+      |               CAST(count(*) AS DOUBLE) AS v FROM cls),
+      |w AS (SELECT token,
+      |             CAST(round(ln((CAST(cp AS DOUBLE) + 0.5) / (np + 0.5*(v + 1.0)))
+      |                      - ln((CAST(cn AS DOUBLE) + 0.5) / (nn + 0.5*(v + 1.0))), 6)
+      |               AS DECIMAL(20,6)) AS w
+      |      FROM cls, tot)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       CAST(sum(w.w) AS DOUBLE) / count(*) AS score,
+      |       CASE WHEN CAST(sum(w.w) AS DOUBLE) / count(*) >= 0 THEN 1 ELSE 0 END AS pred_pos
+      |FROM t JOIN w USING (token)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** The IVF append-lifecycle oracle: even-half label centroids, the FULL
     * corpus assigned to them, nprobe=3 probe — shared by `ann_ivf_append`
@@ -6272,6 +6328,15 @@ object SparkEntry {
     // Unigram LM re-derived end-to-end: token counts → smoothed NLL per
     // token (rounded to 6 dp, summed as decimals — aggregation-order
     // proof) → per-doc mean → quantile_cont tertile banding.
+    "nb_quality_score" -> NbQualitySql,
+    "nb_quality_eval" ->
+      s"""WITH s AS ($NbQualitySql)
+         |SELECT d.lang, count(*) AS n,
+         |       CAST(sum(s.pred_pos) AS BIGINT) AS n_pred_pos,
+         |       CAST(sum(CAST(round(s.score, 10) AS DECIMAL(30,10))) AS DOUBLE)
+         |         / count(*) AS mean_score
+         |FROM s JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "lm_quality_bands" ->
       """WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
         |tok AS (SELECT doc_id, unnest(list_filter(string_split(lt, ' '), x -> x <> '')) AS token

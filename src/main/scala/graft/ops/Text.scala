@@ -454,6 +454,64 @@ object Text {
           .otherwise(lit("tail")).as("band"))
   }
 
+  /** Count-trained linear quality classifier — the DISCRIMINATIVE filter of
+    * web-pretraining pipelines (GPT-3's LR-against-curated quality filter,
+    * DCLM's fastText classifier): each document scored by the mean
+    * per-token log-odds of positive-vs-negative class membership, with the
+    * weights trained IN-PLAN by counting. The weight for token `t` is the
+    * multinomial-NB log-odds estimate
+    * `log((c⁺(t)+α)/(N⁺+α(V+1))) − log((c⁻(t)+α)/(N⁻+α(V+1)))` — exactly a
+    * linear text classifier, chosen over SGD-trained logistic weights
+    * because count-based training is a deterministic aggregate the DuckDB
+    * oracle re-derives end-to-end (an iterative fit would put the model
+    * outside the correctness gate entirely). `posPred` labels the training
+    * classes from the corpus itself — the curated-vs-crawl recipe, e.g.
+    * `col("source").isin(curated: _*)`; rows where it evaluates NULL train
+    * neither class.
+    *
+    * Scale shape: class counts and scoring are token-keyed equality
+    * SHUFFLES (the vocabulary is never broadcast or collected — the
+    * [[lmQualityBands]] discipline); the normalizer totals ride as a
+    * broadcast 1-row frame. Determinism: per-token log-odds rounded to
+    * 6 dp and summed as decimals; the per-doc mean emitted UNROUNDED (its
+    * inputs are an exact decimal sum and one IEEE divide — rounding the
+    * mean is the cross-engine .00005-boundary hazard, see
+    * [[lmQualityBands]]). Output: `(idCol, n_tokens, score,
+    * pred_pos: int)` — `pred_pos = 1` iff score ≥ 0, the NB decision rule.
+    */
+  def nbQualityScore(
+      df: DataFrame,
+      posPred: Column,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val toks = df.select(col(idCol), posPred.as("__pos"),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val cls = toks.groupBy(col("token")).agg(
+      count(when(col("__pos"), lit(1))).as("__cp"),
+      count(when(!col("__pos"), lit(1))).as("__cn"))
+    val tot = cls.agg(
+      sum(col("__cp")).cast("double").as("__np"),
+      sum(col("__cn")).cast("double").as("__nn"),
+      count(lit(1)).cast("double").as("__v"))
+    val w = cls.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(
+          log((col("__cp").cast("double") + lit(alpha)) /
+              (col("__np") + lit(alpha) * (col("__v") + lit(1.0)))) -
+          log((col("__cn").cast("double") + lit(alpha)) /
+              (col("__nn") + lit(alpha) * (col("__v") + lit(1.0)))), 6)
+          .cast("decimal(20,6)").as("__w"))
+    toks.join(w, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__w")).cast("double") / count(lit(1)).cast("double"))
+          .as("score"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        when(col("score") >= 0, lit(1)).otherwise(lit(0)).as("pred_pos"))
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup /
     * provenance key. md5 is available verbatim in the oracle engine, making
     * this the one hash the DuckDB gate can check.

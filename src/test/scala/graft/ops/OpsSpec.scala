@@ -62,6 +62,41 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("NB log-odds classifier separates distinct-vocabulary classes and scores by the formula") {
+    val labeled = Seq(
+      (0L, "alpha beta gamma alpha", "good"),
+      (1L, "beta alpha alpha beta", "good"),
+      (2L, "zork quux blarg zork", "bad"),
+      (3L, "quux zork blarg blarg", "bad"),
+      (4L, "alpha beta zork quux", "good") // mixed-vocab doc, labeled good
+    ).toDF("doc_id", "text", "klass")
+    val scored = Text.nbQualityScore(labeled, col("klass") === "good")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    // Pure-vocabulary docs classify cleanly: positive-class tokens carry
+    // positive log-odds, negative-class tokens negative.
+    assert(scored(0)._4 == 1 && scored(1)._4 == 1)
+    assert(scored(2)._4 == 0 && scored(3)._4 == 0)
+    // Hand-check one weight: alpha appears cp=5 times in good docs (docs
+    // 0,1,4), cn=0 in bad. np = total good tokens = 12, nn = total bad
+    // tokens = 8, v = 6 distinct tokens.
+    val w = math.rint((math.log((5 + 0.5) / (12 + 0.5 * 7)) -
+      math.log((0 + 0.5) / (8 + 0.5 * 7))) * 1e6) / 1e6
+    assert(w > 0)
+    // Doc 0 = tokens alpha×2(w_a), beta(w_b), gamma(w_g): mean of the
+    // 6-dp-rounded weights.
+    def wOf(cp: Long, cn: Long): Double =
+      math.rint((math.log((cp + 0.5) / (12 + 0.5 * 7)) -
+        math.log((cn + 0.5) / (8 + 0.5 * 7))) * 1e6) / 1e6
+    val expected0 = BigDecimal((2 * wOf(5, 0) + wOf(4, 0) + wOf(1, 0)) / 4.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val got0 = BigDecimal(scored(0)._3).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(got0 == expected0, s"$got0 vs $expected0")
+    // The mixed doc (2 good-vocab + 2 bad-vocab tokens) sits near zero but
+    // decides deterministically.
+    assert(scored(4)._2 == 4)
+  }
+
   test("minhash LSH recovers the same pairs as exact jaccard here") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
     // 16 bands × 2 rows: P(candidate | J=0.6) ≈ 1−(1−0.36)¹⁶ ≈ 0.999, so the
