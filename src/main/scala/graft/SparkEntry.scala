@@ -2149,6 +2149,16 @@ object SparkEntry {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(T(s, dir, "documents"), maxDist = 3)
 
+  /** Approximate STRING matching gate ([[graft.ops.Dedup.editDistancePairs]]):
+    * distinct part names within Levenshtein distance 2, candidates from the
+    * rare-q-gram prefix join, verified by the exact codegen'd levenshtein —
+    * the record-linkage primitive the token-set dedup family cannot
+    * express. The oracle is the naive distinct self-join with the same
+    * unit-cost levenshtein.
+    */
+  private def fuzzyPairsPartnames(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(T(s, dir, "part"), k = 2, n = 3, strCol = "p_name")
+
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(T(s, dir, "embeddings"), threshold = 0.8)
 
@@ -3919,6 +3929,7 @@ object SparkEntry {
     "dedup_cluster_rep_logstar" -> (dedupClusterRepLogstar _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "fuzzy_pairs_partnames" -> (fuzzyPairsPartnames _),
     "dedup_srp_pairs" -> (dedupSrpPairs _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
@@ -5959,6 +5970,14 @@ object SparkEntry {
     // The O(log n)-round large-star/small-star contraction computes the
     // same component minima — shared closure oracle gates both algorithms.
     "dedup_cluster_rep_logstar" -> ClusterRepSql,
+    // Naive distinct self-join with the identical unit-cost levenshtein —
+    // the prefix-filtered candidate path must lose no true pair.
+    "fuzzy_pairs_partnames" ->
+      """WITH p AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.s AS s1, b.s AS s2, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY s1, s2""".stripMargin,
     // FNV-1a-64 per token (HUGEINT arithmetic mod 2⁶⁴, matching the
     // SimHash64 kernel's byte loop exactly), per-bit ±1 votes, two's-
     // complement reassembly, then the same pigeonhole chunk join — an

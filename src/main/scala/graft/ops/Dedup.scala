@@ -928,4 +928,74 @@ object Dedup {
         .filter(col("dist") <= maxDist),
       "d1", "d2")
   }
+
+  /** Edit-distance (Levenshtein) pairs over the DISTINCT values of
+    * `strCol` — approximate STRING matching, the record-linkage /
+    * entity-resolution primitive the token-set family (Jaccard, MinHash)
+    * cannot express: "red bolt" vs "red bole" is one edit but shares no
+    * 2-word shingle. Distinct-first is the realistic shape (real catalogs
+    * repeat names millions of times; match the distinct strings, join back
+    * by equality for the id-level expansion) and what makes the pair space
+    * tractable.
+    *
+    * Candidates by q-gram PREFIX filtering (the ed-join analog of
+    * [[jaccardPairsPrefixFiltered]]): an edit rewrites at most `n`
+    * character n-grams, so `k` edits destroy at most `k·n` — of a string's
+    * `k·n + 1` RAREST grams (global (df, gram) canonical order), at least
+    * one survives verbatim in any string within distance `k`. Joining each
+    * string's rare-gram prefix against all strings' full gram sets
+    * therefore loses no true pair, while the hottest grams never generate
+    * candidates. Verification is the exact codegen'd `levenshtein` (same
+    * unit-cost definition in the oracle engine), behind a cheap
+    * `|len(a) − len(b)| ≤ k` guard. Strings shorter than `n` have no gram:
+    * they pair through a broadcast side against the (length ≤ n−1+k) band
+    * — bounded by the alphabet (< |Σ|ⁿ distinct short strings exist), the
+    * [[Similarity.ivfProbePersisted]] routing-state envelope.
+    *
+    * Output: `(s1, s2, dist)`, `s1 < s2`, one row per distinct pair.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      k: Int,
+      n: Int = 3,
+      strCol: String = "p_name"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(n >= 2, s"n must be >= 2, got $n")
+    val names = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val longs = names.filter(length(col("s")) >= n)
+    // (s, gram) — distinct grams per string, via the positional slide.
+    val grams = longs.select(col("s"),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col("s")) - lit(n - 1)),
+        i => col("s").substr(i, lit(n))))).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+    val ranked = grams.join(dfreq, "g")
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("df_g"), col("g"))))
+    val prefix = ranked.filter(col("rk") <= k * n + 1).select(col("s"), col("g"))
+    val candLong = prefix.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.s") =!= col("b.s"))
+      .select(least(col("a.s"), col("b.s")).as("s1"),
+        greatest(col("a.s"), col("b.s")).as("s2"))
+      .distinct()
+    // Short strings (< n chars, gram-less): broadcast against the only
+    // band that can be within k — strings of length <= n-1+k.
+    val shorts = names.filter(length(col("s")) < n)
+    val candShort = names.filter(length(col("s")) <= n - 1 + k).as("b")
+      .crossJoin(broadcast(shorts.select(col("s").as("sa"))))
+      .filter(col("sa") =!= col("b.s"))
+      .select(least(col("sa"), col("b.s")).as("s1"),
+        greatest(col("sa"), col("b.s")).as("s2"))
+      .distinct()
+    Ordered.smallResult(
+      candLong.unionByName(candShort).distinct()
+        .filter(abs(length(col("s1")) - length(col("s2"))) <= k)
+        .select(col("s1"), col("s2"),
+          levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+        .filter(col("dist") <= k),
+      "s1", "s2")
+  }
 }

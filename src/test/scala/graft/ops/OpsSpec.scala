@@ -109,6 +109,46 @@ class OpsSpec extends SparkSpec {
     assert(lsh.toSet == exact.toSet)
   }
 
+  test("edit-distance pairs: prefix candidates lose no true pair; shorts pair via the length band") {
+    // Every name shares the hot prefix "prefixed " (its grams are the most
+    // frequent — the rare-gram prefix must skip them and still find every
+    // pair), plus: an ed=1 pair, an ed=2 pair, an unrelated far name, a
+    // short (<n) string with a 1-edit sibling inside the length band, and
+    // a duplicate spelling (distinct() collapses it — no self pair).
+    val names = Seq(
+      "prefixed alpha bolt", "prefixed alpha bole",          // ed 1
+      "prefixed gamma ring", "prefixed gamna rung",          // ed 2
+      "prefixed zzz completely different qqq",
+      "ab", "abc",                                           // short: ed 1
+      "prefixed alpha bolt"                                  // duplicate
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "p_name")
+    val got = Dedup.editDistancePairs(names, k = 2, n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.contains(("prefixed alpha bole", "prefixed alpha bolt", 1L)), got.toString)
+    assert(got.contains(("prefixed gamma ring", "prefixed gamna rung", 2L)), got.toString)
+    assert(got.contains(("ab", "abc", 1L)), got.toString)
+    // No pair involving the far name; no self pairs from the duplicate.
+    assert(!got.exists(p => p._1.contains("different") || p._2.contains("different")))
+    assert(got.forall(p => p._1 < p._2))
+    // Exhaustive cross-check: exactly the naive answer over distinct names.
+    val distinct = names.select("p_name").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val naive = (for {
+      a <- distinct; b <- distinct if a < b
+      d = {
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if d <= 2
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(got.sortBy(p => (p._1, p._2)) == naive, s"got $got want $naive")
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val out = Dedup.simhashPairs(docs, maxDist = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
