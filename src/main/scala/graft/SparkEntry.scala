@@ -822,6 +822,36 @@ object SparkEntry {
     * that reports exactly the delta. Full-outer value compare, oracle as a
     * FULL JOIN with `IS NOT DISTINCT FROM` per column.
     */
+  /** Time-travel gate ([[graft.ops.Versioned]]): version 1 = every third
+    * event; version 2 = a MERGE of every fourth event with boosted values
+    * (replaces the %12 overlap, inserts the rest), copy-on-write at file
+    * granularity. The gate reads BOTH snapshots after both writes — the
+    * oracle re-derives each version's row set relationally, so a v1 read
+    * polluted by the upsert (the property in-place COW cannot offer), a
+    * dropped carry, or a duplicate merge row all turn it red.
+    */
+  private def tableTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = builtIndexPath("vtab", dir) { p =>
+      val e = ev(s, dir).df.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      graft.ops.Versioned.init(
+        e.filter(col("event_id") % 3 === 0).repartition(4, col("event_id")),
+        s"$p/t")
+      graft.ops.Versioned.upsertVersion(
+        e.filter(col("event_id") % 4 === 0)
+          .withColumn("value", col("value") + lit(1000.0)),
+        s"$p/t", Seq("event_id")): Unit
+    }
+    def stats(v: Int) = graft.ops.Versioned.readVersion(s, s"$path/t", v.toLong)
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+        round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
+          .as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(lit(v).as("version"), col("n"), col("n_value"),
+        col("sum_value"), col("min_id"), col("max_id"))
+    stats(1).unionByName(stats(2)).orderBy(col("version"))
+  }
+
   private def tableDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
     val old = T(s, dir, "orders")
     val base = old.filter(col("o_orderkey") % 97 =!= 0)
@@ -3876,6 +3906,7 @@ object SparkEntry {
     "hist_quantiles_log2" -> (histQuantilesLog2 _),
     "profile_columns" -> (profileColumns _),
     "table_diff_snapshots" -> (tableDiffSnapshots _),
+    "table_time_travel" -> (tableTimeTravel _),
     "profile_drift" -> (profileDrift _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
@@ -5429,6 +5460,23 @@ object SparkEntry {
         |       n_rows_new, n_distinct_new, min_new, max_new
         |FROM po JOIN pn ON po.column = pn.column
         |ORDER BY po.column""".stripMargin,
+    // Both snapshots re-derived relationally: v1 = the %3 slice, v2 = the
+    // MERGE of the boosted %4 batch over it (NOT-EXISTS survivors + batch).
+    "table_time_travel" ->
+      s"""WITH e AS ($EvCte),
+         |v1 AS (SELECT event_id, value FROM e WHERE event_id % 3 = 0),
+         |b  AS (SELECT event_id, value + 1000.0 AS value FROM e WHERE event_id % 4 = 0),
+         |v2 AS (SELECT * FROM v1 WHERE event_id NOT IN (SELECT event_id FROM b)
+         |       UNION ALL SELECT * FROM b),
+         |s1 AS (SELECT 1 AS version, count(*) AS n, count(value) AS n_value,
+         |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |                AS sum_value,
+         |              min(event_id) AS min_id, max(event_id) AS max_id FROM v1),
+         |s2 AS (SELECT 2 AS version, count(*) AS n, count(value) AS n_value,
+         |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |                AS sum_value,
+         |              min(event_id) AS min_id, max(event_id) AS max_id FROM v2)
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
     // The FULL JOIN with per-column IS NOT DISTINCT FROM — the value-compare
     // semantics Diff.snapshots implements with one null-safe struct equality.
     "table_diff_snapshots" ->

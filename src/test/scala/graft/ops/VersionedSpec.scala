@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The versioned-table contract: every version stays readable forever and
+  * byte-for-byte stable across later upserts; MERGE is copy-on-write at
+  * FILE granularity (untouched files carried by reference into the next
+  * manifest, never rewritten); writes are crash-ordered (files → manifest
+  * → latest pointer) and re-writing an existing version fails loud.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-vtab").toString + "/t"
+
+  private def snap(path: String, v: Long): Seq[(Long, String)] =
+    Versioned.readVersion(spark, path, v)
+      .collect().map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("s"))))
+      .sortBy(_._1).toSeq
+
+  test("upsert replaces colliding keys, inserts new ones; old versions stay intact") {
+    val path = tmp()
+    // Two files at v1 (repartition(2) by key range) so COW granularity is
+    // observable: keys 0-9 in two files.
+    val v1df = (0L until 10L).map(k => (k, s"v1-$k")).toDF("k", "s").repartition(2, col("k"))
+    assert(Versioned.init(v1df, path) == 1L)
+    assert(snap(path, 1L) == (0L until 10L).map(k => (k, s"v1-$k")))
+
+    // Batch replaces keys 3 and 7, inserts 100.
+    val batch = Seq((3L, "v2-3"), (7L, "v2-7"), (100L, "v2-100")).toDF("k", "s")
+    assert(Versioned.upsertVersion(batch, path, Seq("k")) == 2L)
+    val want2 = ((0L until 10L).filterNot(k => k == 3 || k == 7).map(k => (k, s"v1-$k"))
+      ++ Seq((3L, "v2-3"), (7L, "v2-7"), (100L, "v2-100"))).sortBy(_._1)
+    assert(snap(path, 2L) == want2)
+    // TIME TRAVEL: v1 still reads exactly as written.
+    assert(snap(path, 1L) == (0L until 10L).map(k => (k, s"v1-$k")))
+    assert(Versioned.latestVersion(spark, path).contains(2L))
+  }
+
+  test("untouched files are carried by reference, not rewritten") {
+    val path = tmp()
+    // Keys hash-split across 4 files; the batch touches ONE key, so at
+    // least one v1 file holds no colliding key and must appear verbatim in
+    // the v2 manifest.
+    Versioned.init((0L until 40L).map(k => (k, s"a$k")).toDF("k", "s")
+      .repartition(4, col("k")), path)
+    def manifestFiles(v: Long): Set[String] =
+      spark.read.parquet(s"$path/_vmanifest/version=$v")
+        .collect().map(_.getString(0)).toSet
+    val m1 = manifestFiles(1L)
+    Versioned.upsertVersion(Seq((5L, "b5")).toDF("k", "s"), path, Seq("k"))
+    val m2 = manifestFiles(2L)
+    val carried = m1 intersect m2
+    assert(carried.nonEmpty, s"no carried files: m1=$m1 m2=$m2")
+    assert((m1 -- m2).nonEmpty) // the touched file left the live set
+    // No duplicates after the merge: each key exactly once.
+    val counts = Versioned.readVersion(spark, path, 2L)
+      .groupBy(col("k")).count().filter(col("count") > 1).count()
+    assert(counts == 0L)
+    assert(Versioned.readVersion(spark, path, 2L).count() == 40L)
+  }
+
+  test("pure-insert batches carry every live file; re-init and bad reads fail loud") {
+    val path = tmp()
+    Versioned.init(Seq((1L, "x")).toDF("k", "s"), path)
+    Versioned.upsertVersion(Seq((2L, "y")).toDF("k", "s"), path, Seq("k"))
+    assert(snap(path, 2L) == Seq((1L, "x"), (2L, "y")))
+    intercept[IllegalArgumentException] {
+      Versioned.init(Seq((9L, "z")).toDF("k", "s"), path)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, path, 99L)
+    }
+  }
+}
