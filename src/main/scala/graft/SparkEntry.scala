@@ -2179,6 +2179,32 @@ object SparkEntry {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(T(s, dir, "documents"), maxDist = 3)
 
+  /** Keep-BEST dedup gate ([[graft.ops.Dedup.exactKeepBest]]): messy
+    * re-crawl copies are planted (the `pipeline_clean_mix` recipe —
+    * leading whitespace + uppercasing, ids +9000), groups keyed by the
+    * md5 of the NORMALIZED text, and each group's survivor is the FULLEST
+    * raw copy (longest raw text — the keep-the-copy-whose-extraction-kept-
+    * most heuristic; ties to the smaller id). The planted copies are the
+    * longer ones, so every planted group's survivor is the +9000 id — the
+    * opposite of `dedup_exact`'s min-id rule, which is exactly what makes
+    * the survivor RULE (not just the grouping) the thing this gate pins.
+    * The oracle re-derives planting, normalization, and the (length desc,
+    * id asc) pick per group.
+    */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 9000L).as("doc_id"),
+        concat(lit("  "), upper(col("text"))).as("text"))
+    val c = d.unionByName(planted)
+    val keyed = Text.normalize(c)
+      .join(c.select(col("doc_id"), length(col("text")).cast("long").as("raw_len")),
+        "doc_id")
+    graft.ops.Ordered.smallResult(
+      Dedup.exactKeepBest(keyed, md5(col("norm_text")), col("raw_len")),
+      "doc_id")
+  }
+
   /** Approximate STRING matching gate ([[graft.ops.Dedup.editDistancePairs]]):
     * distinct part names within Levenshtein distance 2, candidates from the
     * rare-q-gram prefix join, verified by the exact codegen'd levenshtein —
@@ -3961,6 +3987,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "fuzzy_pairs_partnames" -> (fuzzyPairsPartnames _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_srp_pairs" -> (dedupSrpPairs _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
@@ -6018,6 +6045,22 @@ object SparkEntry {
     // The O(log n)-round large-star/small-star contraction computes the
     // same component minima — shared closure oracle gates both algorithms.
     "dedup_cluster_rep_logstar" -> ClusterRepSql,
+    // Planted messy copies, normalized-key groups, survivor by
+    // (raw length desc, id asc) per group — the fullest-copy rule.
+    "dedup_keep_best" ->
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 9000, '  ' || upper(text)
+         |           FROM documents WHERE doc_id < 20),
+         |n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+         |        trim(lower(regexp_replace(text, '${Text.WhitespaceRun}', ' ', 'g'))) AS lt
+         |      FROM c)
+         |SELECT doc_id, n_copies, best_score FROM (
+         |  SELECT doc_id, raw_len AS best_score,
+         |         count(*) OVER (PARTITION BY lt) AS n_copies,
+         |         row_number() OVER (PARTITION BY lt ORDER BY raw_len DESC, doc_id) AS rn
+         |  FROM n) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     // Naive distinct self-join with the identical unit-cost levenshtein —
     // the prefix-filtered candidate path must lose no true pair.
     "fuzzy_pairs_partnames" ->

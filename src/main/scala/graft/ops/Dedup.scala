@@ -929,6 +929,31 @@ object Dedup {
       "d1", "d2")
   }
 
+  /** Exact dedup keeping the BEST copy per duplicate group — highest
+    * `scoreCol`, smaller id on ties — instead of [[exact]]'s smallest id.
+    * What pipelines actually keep when re-crawls of one document differ in
+    * extraction quality: the canonical `keyCol` (e.g. an md5 of the
+    * normalized text) folds the variants into one group, and the survivor
+    * is chosen by a quality signal, not arrival order. One hash-shuffle
+    * aggregate on the key (`max_by` over a (score, −id) struct — the
+    * partial/final merge picks the same row on every topology). Output:
+    * `(idCol, n_copies, best_score)`.
+    */
+  def exactKeepBest(
+      df: DataFrame,
+      keyCol: Column,
+      scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(keyCol.as("__k"), col(idCol).cast("long").as("__id"),
+        scoreCol.as("__score"))
+      .groupBy(col("__k"))
+      .agg(
+        max_by(struct(col("__id"), col("__score")),
+          struct(col("__score"), -col("__id"))).as("__best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__best.__id").as(idCol), col("n_copies"),
+        col("__best.__score").as("best_score"))
+
   /** Edit-distance (Levenshtein) pairs over the DISTINCT values of
     * `strCol` — approximate STRING matching, the record-linkage /
     * entity-resolution primitive the token-set family (Jaccard, MinHash)
