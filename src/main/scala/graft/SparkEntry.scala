@@ -830,8 +830,11 @@ object SparkEntry {
     * polluted by the upsert (the property in-place COW cannot offer), a
     * dropped carry, or a duplicate merge row all turn it red.
     */
-  private def tableTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val path = builtIndexPath("vtab", dir) { p =>
+  /** The shared versioned-table fixture for `table_time_travel` and
+    * `table_version_diff` — ONE builder under the shared cache token (the
+    * [[wdistStreamDir]] first-caller-wins discipline). */
+  private def vtabPath(s: SparkSession, dir: String): String =
+    builtIndexPath("vtab", dir) { p =>
       val e = ev(s, dir).df.select(col("event_id").cast("long").as("event_id"),
         col("event_type"), col("value"))
       graft.ops.Versioned.init(
@@ -842,6 +845,9 @@ object SparkEntry {
           .withColumn("value", col("value") + lit(1000.0)),
         s"$p/t", Seq("event_id")): Unit
     }
+
+  private def tableTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = vtabPath(s, dir)
     def stats(v: Int) = graft.ops.Versioned.readVersion(s, s"$path/t", v.toLong)
       .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
         round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
@@ -850,6 +856,20 @@ object SparkEntry {
       .select(lit(v).as("version"), col("n"), col("n_value"),
         col("sum_value"), col("min_id"), col("max_id"))
     stats(1).unionByName(stats(2)).orderBy(col("version"))
+  }
+
+  /** Temporal audit gate: [[graft.ops.Versioned.diffVersions]] over the
+    * shared fixture — "what did the v2 ingest actually do", summarized per
+    * change type. The oracle derives both snapshots relationally and
+    * replays the null-safe value compare (a NULL-valued %12 row is
+    * UNCHANGED: NULL+1000 is NULL on both sides). */
+  private def tableVersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val path = vtabPath(s, dir)
+    graft.ops.Versioned.diffVersions(s, s"$path/t", 1L, 2L, Seq("event_id"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("change"))
   }
 
   private def tableDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
@@ -3933,6 +3953,7 @@ object SparkEntry {
     "profile_columns" -> (profileColumns _),
     "table_diff_snapshots" -> (tableDiffSnapshots _),
     "table_time_travel" -> (tableTimeTravel _),
+    "table_version_diff" -> (tableVersionDiff _),
     "profile_drift" -> (profileDrift _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
@@ -5504,6 +5525,21 @@ object SparkEntry {
          |                AS sum_value,
          |              min(event_id) AS min_id, max(event_id) AS max_id FROM v2)
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
+    // Both snapshots derived relationally, the diff replayed with the
+    // null-safe value compare; removed is impossible here (MERGE never
+    // deletes), so only added/changed rows can appear.
+    "table_version_diff" ->
+      s"""WITH e AS ($EvCte),
+         |v1 AS (SELECT event_id, value FROM e WHERE event_id % 3 = 0),
+         |b  AS (SELECT event_id, value + 1000.0 AS value FROM e WHERE event_id % 4 = 0),
+         |d AS (SELECT b.event_id,
+         |             CASE WHEN v1.event_id IS NULL THEN 'added'
+         |                  WHEN b.value IS DISTINCT FROM v1.value THEN 'changed'
+         |                  ELSE 'unchanged' END AS change
+         |      FROM b LEFT JOIN v1 USING (event_id))
+         |SELECT change, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM d WHERE change <> 'unchanged'
+         |GROUP BY change ORDER BY change""".stripMargin,
     // The FULL JOIN with per-column IS NOT DISTINCT FROM — the value-compare
     // semantics Diff.snapshots implements with one null-safe struct equality.
     "table_diff_snapshots" ->

@@ -98,6 +98,56 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** What changed between two snapshots — [[Diff.snapshots]] over two
+    * [[readVersion]] reads: `(keys..., change ∈ {added, removed, changed})`.
+    * The temporal audit the versioned layout makes possible: "what did
+    * yesterday's ingest actually do", answerable forever because both
+    * snapshots stay readable. */
+  def diffVersions(
+      spark: SparkSession,
+      path: String,
+      oldV: Long,
+      newV: Long,
+      keys: Seq[String]): DataFrame =
+    Diff.snapshots(readVersion(spark, path, oldV), readVersion(spark, path, newV), keys)
+
+  /** Drop all but the newest `keepLast` versions: dropped manifests are
+    * deleted (their versions fail loud on read from then on) and data
+    * files referenced by NO kept manifest are removed — files carried
+    * forward into a kept version survive, however old the version that
+    * wrote them. The retention half of the lifecycle: snapshots are
+    * forever only until the operator says otherwise, and storage is
+    * reclaimed at FILE granularity, exactly as it was written. Returns the
+    * number of data files deleted.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (fs, _) = fsOf(spark, path)
+    val latest = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"$path: not a versioned table"))
+    val cutoff = latest - keepLast + 1
+    val kept = (cutoff to latest).flatMap(v => liveFiles(spark, path, v)).toSet
+    // Delete dropped manifests first: a reader can no longer resolve a
+    // version whose files are about to go.
+    (1L until cutoff).foreach { v =>
+      fs.delete(new Path(manifestDir(path, v)), true): Unit
+    }
+    val filesRoot = new Path(s"$path/files")
+    var removed = 0
+    if (fs.exists(filesRoot)) {
+      val it = fs.listFiles(filesRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val uri = st.getPath.toUri.toString
+        if (st.isFile && uri.endsWith(".parquet") && !kept.contains(uri)) {
+          fs.delete(st.getPath, false)
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   /** `input_file_name()` URIs and manifest-stored paths must compare in one
     * form; normalize through the filesystem's URI resolution. */
   private def toUri(spark: SparkSession, f: String): String =

@@ -62,6 +62,29 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readVersion(spark, path, 2L).count() == 40L)
   }
 
+  test("vacuum drops old versions' manifests and only their unreferenced files") {
+    val path = tmp()
+    Versioned.init((0L until 20L).map(k => (k, s"a$k")).toDF("k", "s")
+      .repartition(4, col("k")), path)
+    Versioned.upsertVersion(Seq((5L, "b5")).toDF("k", "s"), path, Seq("k"))
+    Versioned.upsertVersion(Seq((6L, "c6")).toDF("k", "s"), path, Seq("k"))
+    val v3Before = snap(path, 3L)
+    val v2Before = snap(path, 2L)
+    val removed = Versioned.vacuum(spark, path, keepLast = 2)
+    // v1's exclusively-owned file(s) are gone; files carried into v2/v3
+    // survive however old.
+    assert(removed >= 1, s"removed=$removed")
+    intercept[IllegalArgumentException] { Versioned.readVersion(spark, path, 1L) }
+    assert(snap(path, 2L) == v2Before)
+    assert(snap(path, 3L) == v3Before)
+    // Idempotent: a second vacuum finds nothing more to remove.
+    assert(Versioned.vacuum(spark, path, keepLast = 2) == 0)
+    // diffVersions still answers over the kept range.
+    val d = Versioned.diffVersions(spark, path, 2L, 3L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d == Seq((6L, "changed")), d.toString)
+  }
+
   test("pure-insert batches carry every live file; re-init and bad reads fail loud") {
     val path = tmp()
     Versioned.init(Seq((1L, "x")).toDF("k", "s"), path)
