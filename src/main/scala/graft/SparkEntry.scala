@@ -1284,6 +1284,25 @@ object SparkEntry {
     * across runs/engines, so re-processing the corpus can never move a
     * document between splits ([[graft.ops.Sampling.assignSplit]]).
     */
+  /** Leakage-safe split gate ([[graft.ops.Sampling.leakageSafeSplit]]):
+    * near-dup clusters (the `dedup_cluster_rep` pipeline) assigned to
+    * train/val/test by their REPRESENTATIVE's hash — every cluster on one
+    * side by construction, the prevention twin of `contamination_check`'s
+    * detection. Oracle: the recursive-CTE closure composed with the
+    * cumulative-hash bands, per document.
+    */
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+      .select(col("d1"), col("d2"))
+    graft.ops.Ordered.smallResult(
+      graft.ops.Sampling.leakageSafeSplit(docs.select(col("doc_id")), pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05))
+        .select(col("doc_id"), col("rep").as("rep_id"),
+          coalesce(col("split"), lit("holdout")).as("split")),
+      "doc_id")
+  }
+
   private def sampleSplitCounts(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.assignSplit(T(s, dir, "documents"), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05))
@@ -4067,6 +4086,7 @@ object SparkEntry {
     "sample_fraction" -> (sampleFraction _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_split_counts" -> (sampleSplitCounts _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "ngram_top_counts" -> (ngramTopCounts _),
     "heavy_hitters_terms" -> (heavyHittersTerms _),
     "repeated_ngram_spans" -> (repeatedNgramSpans _),
@@ -6867,6 +6887,22 @@ object SparkEntry {
         |WHERE split <> 'train'
         |  AND fp IN (SELECT fp FROM s WHERE split = 'train')
         |ORDER BY doc_id""".stripMargin,
+    // The recursive-CTE near-dup closure composed with the cumulative-hash
+    // bands ON THE REPRESENTATIVE — leakage prevention re-derived whole.
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($JaccardPairsSql)),
+         |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id),
+         |cc AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN (rep_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+         |       WHEN (rep_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+         |       WHEN (rep_id * 2654435761) % 4294967296 < 4080218931 THEN 'test'
+         |       ELSE 'holdout' END AS split
+         |FROM cc ORDER BY doc_id""".stripMargin,
     // Cumulative Knuth-hash thresholds: floor(0.8·2³²), floor(0.9·2³²),
     // floor(0.95·2³²) — same truncation as the Scala .toLong.
     "sample_split_counts" ->

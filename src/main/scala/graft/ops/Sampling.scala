@@ -230,6 +230,31 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Near-dup-aware (leakage-safe) split assignment: the split decision is
+    * made on each document's connected NEAR-DUP-CLUSTER representative,
+    * not its own id, so an entire cluster of near-duplicates lands in ONE
+    * split — the train/test-leakage guard a plain id-hash split cannot
+    * give (a re-crawled copy of a training document landing in test is
+    * contamination that `contamination_check` DETECTS; this op PREVENTS
+    * it by construction, for near-dups as well as exact copies).
+    * `pairs` come from any candidate generator at the caller's recall
+    * budget ([[Dedup.jaccardPairs]] / [[Dedup.minhashLshPairs]] /
+    * [[Dedup.srpPairs]]); clusters are their [[Dedup.connectedComponents]]
+    * closure; the split is [[assignSplit]] hashed on the representative.
+    * Scale shape: one CC fold plus one equality join — no new shuffles
+    * beyond the pieces'. Output: `df`'s columns + `rep` + `split`
+    * (NULL beyond the last band, the [[assignSplit]] contract).
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    val cc = Dedup.connectedComponents(df.select(col(idCol)), pairs, idCol)
+      .select(col("id").as(idCol), col("rep"))
+    assignSplit(df.join(cc, Seq(idCol)), "rep", splits)
+  }
+
   /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
     * stratified sampling with a hard cap (eval sets, per-language caps).
     * One shuffle by stratum; the rank window partitions by the stratum key,

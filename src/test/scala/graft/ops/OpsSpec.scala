@@ -62,6 +62,25 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("leakage-safe splits keep every near-dup cluster on one side") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select(col("d1"), col("d2"))
+    val out = Sampling.leakageSafeSplit(
+      docs.select(col("doc_id")), pairs,
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // docs 0/1/4 form one near-dup cluster (rep 0) — all three must share
+    // one split, which must equal the REP's own band, not each member's.
+    val cluster = out.filter(p => Set(0L, 1L, 4L)(p._1))
+    assert(cluster.map(_._2).toSet == Set(0L), cluster.mkString(", "))
+    assert(cluster.map(_._3).toSet.size == 1, cluster.mkString(", "))
+    val repSplit = out.find(_._1 == 0L).get._3
+    assert(cluster.forall(_._3 == repSplit))
+    // Per-rep invariant over the whole output: one split per cluster.
+    assert(out.groupBy(_._2).forall { case (_, g) => g.map(_._3).toSet.size == 1 })
+    assert(out.length == 5)
+  }
+
   test("NB log-odds classifier separates distinct-vocabulary classes and scores by the formula") {
     val labeled = Seq(
       (0L, "alpha beta gamma alpha", "good"),
