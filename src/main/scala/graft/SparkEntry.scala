@@ -4193,9 +4193,17 @@ object SparkEntry {
       .crossJoin(broadcast(v0))
       .select((col("vec_id") + 100000L).as("vec_id"),
         zip_with(col("v0"), col("embedding"), (a, b) => a + lit(0.9) * b).as("embedding"))
-    Similarity.pqRecallDrift(e0.unionByName(drift), e0,
-      queryIds = Seq(100001L, 100002L, 100003L),
-      k = 10, m = 4, subDim = 16, kCodes = 8)
+    // The stale state persisted as it exists in production: codebooks
+    // frozen at pqBuild time (pre-append corpus), the drifted batch encoded
+    // against them by pqAppend. The audit then reads those codes instead of
+    // re-quantizing — Similarity.pqRecallDriftPersisted trains only the
+    // fresh ceiling in-plan.
+    val path = builtIndexPath("pq-stale", dir) { p =>
+      Similarity.pqBuild(e0, p, m = 4, subDim = 16, k = 8)
+      Similarity.pqAppend(drift, p)
+    }
+    Similarity.pqRecallDriftPersisted(e0.unionByName(drift), path,
+      queryIds = Seq(100001L, 100002L, 100003L), k = 10)
   }
 
   /** IVF+PQ gate: [[graft.ops.Similarity.ivfPqTopK]] — 8 coarse k-means

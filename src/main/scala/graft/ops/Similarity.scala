@@ -1094,7 +1094,8 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
-    pqAdcRank(e, pqBlocks(e, m, subDim, k, queriesOf(e, Seq(queryId))), m)
+    val (codes, luts) = pqQuantize(e, m, subDim, k, queriesOf(e, Seq(queryId)))
+    pqAdcRank(codes, luts)
       .select(col("vid").as(idCol), col("adc"))
       .limit(topK)
   }
@@ -1110,23 +1111,75 @@ object Similarity {
     e.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("v").as("qv"))
 
-  /** Per-block PQ codebook machinery shared by [[pqAdcTopK]], [[ivfPqTopK]]
-    * and [[pqAdcRecall]]: for each of the `m` blocks, (code assignments
-    * `(vid, c<b>)`, the per-query ADC lookup rows `(qid, c<b>, d<b>)`).
+  // ---------------------------------------------- per-JVM quantizer cache
+
+  /** Per-JVM cache of TRAINED QUANTIZER STATE — PQ codebooks (k×m rows) and
+    * coarse k-means centroids (k rows) — keyed by a content fingerprint of
+    * the canonical corpus frame plus the quantizer config. The in-plan PQ /
+    * IVF+PQ variants re-train on every execution by construction (they are
+    * the teaching twins of the persisted indexes); training is
+    * deterministic in the corpus (hash-ordered seeds, 6-dp-rounded means),
+    * so two corpora with equal content train equal quantizers and the
+    * second execution can skip the ~3·m corpus passes entirely. Only
+    * k-row-bounded state is ever cached (the [[ivfProbePersisted]] routing
+    * envelope) — never assignments or code tables, which are corpus-sized.
+    * Keys include the owning session's identity: `localCheckpoint`ed frames
+    * die with their session, so a fresh session re-trains rather than
+    * touching another session's blocks.
+    */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]
+
+  /** Content fingerprint of a canonical `(vid, v)` frame: order-independent
+    * XOR fold of per-row xxhash64 (overflow-free under ANSI mode) plus the
+    * row count — one cheap agg job over an already-checkpointed frame. */
+  private def corpusKey(e: DataFrame): String = {
+    val r = e.agg(
+      coalesce(bit_xor(xxhash64(col("vid"), col("v"))), lit(0L)),
+      count(lit(1))).head()
+    s"${System.identityHashCode(e.sparkSession)}:${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  /** [[pqCodebooks]] through the per-JVM cache (bit-identical: training is
+    * deterministic, and the cache returns the same checkpointed frames).
+    * `key` lets a caller that already fingerprinted the corpus (e.g.
+    * [[ivfPqTopK]], which also caches centroids) pay for the agg job once.
+    */
+  private def cachedPqCodebooks(
+      e: DataFrame, m: Int, subDim: Int, k: Int,
+      key: Option[String] = None): Seq[DataFrame] =
+    quantizerCache.computeIfAbsent(
+      s"pq:${key.getOrElse(corpusKey(e))}:$m:$subDim:$k",
+      _ => pqCodebooks(e, m, subDim, k).map(_.localCheckpoint()))
+
+  /** [[centroidsKMeans]] through the per-JVM cache. */
+  private def cachedCentroids(
+      e: DataFrame, k: Int, rounds: Int,
+      idCol: String, vecCol: String,
+      key: Option[String] = None): DataFrame =
+    quantizerCache.computeIfAbsent(
+      s"km:${key.getOrElse(corpusKey(e))}:$k:$rounds",
+      _ => Seq(centroidsKMeans(e, k, rounds, idCol, vecCol).localCheckpoint()))
+      .head
+
+  /** PQ quantization shared by [[pqAdcTopK]], [[ivfPqTopK]] and
+    * [[pqAdcRecall]]: the one-projection codes frame `(vid, c0..c<m-1>)`
+    * plus the `m` per-query ADC lookup frames `(qid, c<b>, d<b>)`.
     * `e` must be the canonical `(vid: long, v: array<double>)` frame;
     * `queries` the `(qid, qv)` batch — codebooks and code assignments are
-    * query-independent, so a query batch shares one quantization.
+    * query-independent, so a query batch shares one quantization (and the
+    * codebooks themselves come from the per-JVM cache).
     */
-  private def pqBlocks(
+  private def pqQuantize(
       e: DataFrame,
       m: Int,
       subDim: Int,
       k: Int,
-      queries: DataFrame): Seq[(DataFrame, DataFrame)] = {
-    val cbs = pqCodebooks(e, m, subDim, k)
-    cbs.zipWithIndex.map { case (cb, b) =>
-      (pqAssignBlock(e, cb, b, subDim), pqLutBlock(queries, cb, b, subDim))
-    }
+      queries: DataFrame,
+      key: Option[String] = None): (DataFrame, Seq[DataFrame]) = {
+    val cbs = cachedPqCodebooks(e, m, subDim, k, key)
+    (pqAssignAll(e, cbs, subDim),
+      cbs.zipWithIndex.map { case (cb, b) => pqLutBlock(queries, cb, b, subDim) })
   }
 
   /** The block sub-vector: positions `[b·subDim+1, (b+1)·subDim]`. */
@@ -1174,14 +1227,36 @@ object Similarity {
     }
   }
 
-  /** Code assignment for block `b` against codebook `cb`: `(vid, c<b>)` by
-    * nearest centroid under squared L2, ties to the smaller code. */
-  private def pqAssignBlock(
-      e: DataFrame, cb: DataFrame, b: Int, subDim: Int): DataFrame =
-    e.crossJoin(broadcast(cb))
-      .groupBy(col("vid"))
-      .agg(min_by(col("c"),
-        struct(sqDist(pqBlk(col("v"), b, subDim), col("cv")), col("c"))).as(s"c$b"))
+  /** A codebook frame as literal `(code, centroid)` pairs sorted by code —
+    * k rows collected to the driver, the same bounded routing-state
+    * envelope as the persisted probes' centroid tables. */
+  private def cbLiteral(cb: DataFrame): Seq[(Int, Seq[Double])] =
+    cb.select(col("c"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** Code assignment for block `b` as a COLUMN: nearest centroid under
+    * squared L2, ties to the smaller code — an argmin over k literal
+    * centroid arrays, so encoding the corpus is a pure projection with no
+    * join or shuffle at all (the earlier broadcast-join + `min_by`
+    * formulation re-shuffled the corpus once PER BLOCK on every
+    * execution). Bit-identical to that formulation: the same [[sqDist]]
+    * folds over the same doubles (centroid values round-trip the driver
+    * exactly), and first-match `array_position` = smallest code on ties
+    * (the literal is code-sorted). */
+  private def pqAssignCol(
+      cbl: Seq[(Int, Seq[Double])], b: Int, subDim: Int): Column = {
+    val dists = array(cbl.map { case (_, cv) =>
+      sqDist(pqBlk(col("v"), b, subDim), typedlit(cv)) }: _*)
+    element_at(typedlit(cbl.map(_._1)),
+      array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** `(vid, c0..c<m-1>)` — the corpus encoded against all m codebooks in
+    * ONE projection over `e`. */
+  private def pqAssignAll(
+      e: DataFrame, cbs: Seq[DataFrame], subDim: Int): DataFrame =
+    e.select(col("vid") +: cbs.zipWithIndex.map { case (cb, b) =>
+      pqAssignCol(cbLiteral(cb), b, subDim).as(s"c$b") }: _*)
 
   /** Per-query ADC lookup rows for block `b`: `(qid, c<b>, d<b>)` — the
     * query sub-vector scored once against each of the k centroids. */
@@ -1191,21 +1266,20 @@ object Similarity {
       .select(col("qid"), col("c").as(s"c$b"),
         sqDist(pqBlk(col("qv"), b, subDim), col("cv")).as(s"d$b"))
 
-  /** ADC ranking tail shared by the PQ paths: join the `m` code columns,
-    * fold in the broadcast LUT rows (keyed `(qid, c<b>)` — one ranking per
-    * query in the batch), exclude each query's own row, order by (qid, adc,
-    * vid). `base` defaults to the full code table; [[ivfPqTopK]] passes a
+  /** ADC ranking tail shared by the PQ paths: fold the broadcast LUT rows
+    * into the codes frame (keyed `(qid, c<b>)` — one ranking per query in
+    * the batch), exclude each query's own row, order by (qid, adc, vid).
+    * `base` defaults to the full code table; [[ivfPqTopK]] passes a
     * cluster-restricted candidate frame instead.
     */
   private def pqAdcRank(
-      e: DataFrame,
-      perBlock: Seq[(DataFrame, DataFrame)],
-      m: Int,
+      codes: DataFrame,
+      luts: Seq[DataFrame],
       candidates: Option[DataFrame] = None): DataFrame = {
-    val codes = perBlock.map(_._1).reduce((x, y) => x.join(y, "vid"))
+    val m = luts.size
     val base = candidates.map(c => codes.join(c, "vid")).getOrElse(codes)
-    val scored = perBlock.zipWithIndex.foldLeft(base) {
-      case (acc, ((_, lut), b)) =>
+    val scored = luts.zipWithIndex.foldLeft(base) {
+      case (acc, (lut, b)) =>
         acc.join(broadcast(lut), if (b == 0) Seq(s"c$b") else Seq("qid", s"c$b"))
     }
     scored.filter(col("vid") =!= col("qid"))
@@ -1241,11 +1315,36 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
     val queries = queriesOf(e, queryIds).localCheckpoint()
-    pqRecallCounts(e, pqCodebooks(e, m, subDim, kCodes), queries, k, subDim)
+    pqRecallCounts(e, cachedPqCodebooks(e, m, subDim, kCodes), queries, k, subDim)
       .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
       .transform(r => Ordered.smallResult(r, "query_id"))
   }
+
+  /** Per-query exact squared-L2 top-k `(qid, vid)` — the codebook-INDEPENDENT
+    * side of every PQ recall audit, factored out so drift audits that rank
+    * twice (stale + fresh) pay for it once. */
+  private def pqExactTop(e: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    perQidTopKBy(
+      e.crossJoin(broadcast(queries))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          round(sqDist(col("v"), col("qv")), 4).as("d2")),
+      k, "vid", asc("d2"))
+      .select(col("qid"), col("vid"))
+
+  /** ADC top-k `(qid, vid, __hit)` under the given codes + LUT frames. */
+  private def pqAdcTop(
+      codes: DataFrame, luts: Seq[DataFrame], k: Int): DataFrame =
+    perQidTopKBy(pqAdcRank(codes, luts), k, "vid", asc("adc"))
+      .select(col("qid"), col("vid"), lit(1).as("__hit"))
+
+  /** `(qid, n_exact, n_hit)` of an ADC top-k against the exact top-k. */
+  private def pqHitCounts(exactTop: DataFrame, adcTop: DataFrame): DataFrame =
+    exactTop.join(adcTop, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
 
   /** Recall core shared by [[pqAdcRecall]] and [[pqRecallDrift]]: per-query
     * `(qid, n_exact, n_hit)` of the ADC top-k under the GIVEN codebooks
@@ -1256,24 +1355,11 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       subDim: Int): DataFrame = {
-    val perBlock = cbs.zipWithIndex.map { case (cb, b) =>
-      (pqAssignBlock(e, cb, b, subDim), pqLutBlock(queries, cb, b, subDim))
+    val luts = cbs.zipWithIndex.map { case (cb, b) =>
+      pqLutBlock(queries, cb, b, subDim)
     }
-    val adcTop = perQidTopKBy(
-      pqAdcRank(e, perBlock, cbs.size),
-      k, "vid", asc("adc"))
-      .select(col("qid"), col("vid"), lit(1).as("__hit"))
-    val exactTop = perQidTopKBy(
-      e.crossJoin(broadcast(queries))
-        .filter(col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"),
-          round(sqDist(col("v"), col("qv")), 4).as("d2")),
-      k, "vid", asc("d2"))
-      .select(col("qid"), col("vid"))
-    exactTop.join(adcTop, Seq("qid", "vid"), "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_exact"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    pqHitCounts(pqExactTop(e, queries, k),
+      pqAdcTop(pqAssignAll(e, cbs, subDim), luts, k))
   }
 
   /** Recall-after-append DRIFT audit for the PQ approximation —
@@ -1317,17 +1403,77 @@ object Similarity {
         .localCheckpoint()
     val e = canon(df)
     val queries = queriesOf(e, queryIds).localCheckpoint()
-    val fresh = pqRecallCounts(e, pqCodebooks(e, m, subDim, kCodes),
-        queries, k, subDim)
+    val exactTop = pqExactTop(e, queries, k).localCheckpoint()
+    def adcTop(cbs: Seq[DataFrame]) =
+      pqAdcTop(pqAssignAll(e, cbs, subDim),
+        cbs.zipWithIndex.map { case (cb, b) =>
+          pqLutBlock(queries, cb, b, subDim) }, k)
+    pqDriftReport(exactTop,
+      adcTop(cachedPqCodebooks(e, m, subDim, kCodes)),
+      adcTop(cachedPqCodebooks(canon(staleTrain), m, subDim, kCodes)),
+      k)
+  }
+
+  /** Join tail shared by the drift audits: one row per query with the
+    * shared exact count and both ADC hit counts / recalls. */
+  private def pqDriftReport(
+      exactTop: DataFrame,
+      adcFresh: DataFrame,
+      adcStale: DataFrame,
+      k: Int): DataFrame = {
+    val fresh = pqHitCounts(exactTop, adcFresh)
       .select(col("qid").as("query_id"), col("n_exact"),
         col("n_hit").as("n_hit_fresh"),
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_fresh"))
-    val stale = pqRecallCounts(e, pqCodebooks(canon(staleTrain), m, subDim, kCodes),
-        queries, k, subDim)
+    val stale = pqHitCounts(exactTop, adcStale)
       .select(col("qid").as("query_id"),
         col("n_hit").as("n_hit_stale"),
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_stale"))
     Ordered.smallResult(fresh.join(stale, Seq("query_id")), "query_id")
+  }
+
+  /** [[pqRecallDrift]] with the stale side answered from a PERSISTED PQ
+    * index instead of re-quantized in-plan — the production form of the
+    * audit: after [[pqBuild]] (codebooks frozen at build time) plus any
+    * number of [[pqAppend]]s, `path/codes` holds exactly the
+    * stale-codebook encoding of the corpus as it stands, so the stale ADC
+    * ranking is a codes-table read + broadcast-LUT fold with NO
+    * quantization pass at all. Only the fresh ceiling trains codebooks
+    * (on the corpus as it stands, by definition un-persistable), and the
+    * codebook-independent exact top-k is computed once and shared by both
+    * sides. Fails loud if the index does not cover exactly `df`'s rows —
+    * a drift number over a partial index would silently measure a
+    * different corpus.
+    */
+  def pqRecallDriftPersisted(
+      df: DataFrame,
+      path: String,
+      queryIds: Seq[Long],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val spark = df.sparkSession
+    val (m, subDim, kCodes) = pqManifestFull(spark, path)
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val staleCodes = spark.read.parquet(s"$path/codes")
+    val nCorpus = e.count()
+    val nCodes = staleCodes.select(col("vid")).distinct().count()
+    require(nCodes == nCorpus,
+      s"persisted index at $path covers $nCodes vids but corpus has $nCorpus")
+    val queries = queriesOf(e, queryIds).localCheckpoint()
+    val exactTop = pqExactTop(e, queries, k).localCheckpoint()
+    val freshCbs = cachedPqCodebooks(e, m, subDim, kCodes)
+    val freshTop = pqAdcTop(pqAssignAll(e, freshCbs, subDim),
+      freshCbs.zipWithIndex.map { case (cb, b) =>
+        pqLutBlock(queries, cb, b, subDim) }, k)
+    val staleTop = pqAdcTop(
+      staleCodes.select(col("vid") +: (0 until m).map(b => col(s"c$b")): _*),
+      pqCodebooksOf(spark, path, m).zipWithIndex.map { case (cb, b) =>
+        pqLutBlock(queries, cb, b, subDim) }, k)
+    pqDriftReport(exactTop, freshTop, staleTop, k)
   }
 
   /** IVF+PQ — the billion-scale composition (FAISS `IVFPQ`, Jégou et al.
@@ -1337,7 +1483,7 @@ object Similarity {
     * its `nprobe` nearest inverted lists, and ONLY vectors on those lists
     * are ranked — by PQ/ADC lookup sums, never by touching embeddings.
     * Composes [[centroidsKMeans]] (routing, broadcast centroid table) with
-    * [[pqBlocks]] (compression, broadcast codebooks + LUT). Scale shape:
+    * [[pqQuantize]] (compression, broadcast codebooks + LUT). Scale shape:
     * at 100 TB the code table is the persisted index (a parquet table
     * partitioned by cluster, exactly [[ivfBuild]]'s layout with `m` small
     * ints per row instead of the embedding array — a ~`4·subDim/log2(k)`×
@@ -1366,7 +1512,8 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
-    val cents = centroidsKMeans(e, kClusters, rounds, "vid", "v")
+    val ck = Some(corpusKey(e))
+    val cents = cachedCentroids(e, kClusters, rounds, "vid", "v", ck)
     val assigned = assignClusters(e, cents, "vid", "v")
       .select(col("vid"), col("cluster"))
     val q = e.filter(col("vid") === queryId).select(col("v").as("__q"))
@@ -1376,8 +1523,9 @@ object Similarity {
       .limit(nprobe)
       .select(col("cluster"))
     val candidates = assigned.join(broadcast(probes), "cluster").select(col("vid"))
-    pqAdcRank(e, pqBlocks(e, m, subDim, kCodes, queriesOf(e, Seq(queryId))), m,
-        candidates = Some(candidates))
+    val (codes, luts) =
+      pqQuantize(e, m, subDim, kCodes, queriesOf(e, Seq(queryId)), ck)
+    pqAdcRank(codes, luts, candidates = Some(candidates))
       .select(col("vid").as(idCol), col("adc"))
       .limit(topK)
   }
@@ -1414,7 +1562,7 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
-    val cbs = pqCodebooks(e, m, subDim, k).map(_.localCheckpoint())
+    val cbs = cachedPqCodebooks(e, m, subDim, k)
     pqWriteIndex(e, cbs, path, m, subDim, k, None)
   }
 
@@ -1443,8 +1591,8 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint()
-    val cents = centroidsKMeans(e, kClusters, rounds, "vid", "v").localCheckpoint()
-    val cbs = pqCodebooks(e, m, subDim, kCodes).map(_.localCheckpoint())
+    val cents = cachedCentroids(e, kClusters, rounds, "vid", "v")
+    val cbs = cachedPqCodebooks(e, m, subDim, kCodes)
     val assigned = assignClusters(e, cents, "vid", "v")
       .select(col("vid"), col("cluster"))
     pqWriteIndex(e, cbs, path, m, subDim, kCodes, Some(assigned))
@@ -1481,18 +1629,24 @@ object Similarity {
   }
 
   /** `(vid, c0..c<m-1>)` — the corpus encoded block by block against the
-    * given codebooks (the [[pqAssignBlock]] rule, bit-identical to the
+    * given codebooks (the [[pqAssignCol]] rule, bit-identical to the
     * in-plan paths'). */
   private def pqEncode(e: DataFrame, cbs: Seq[DataFrame], subDim: Int): DataFrame =
-    cbs.zipWithIndex
-      .map { case (cb, b) => pqAssignBlock(e, cb, b, subDim) }
-      .reduce((x, y) => x.join(y, "vid"))
+    pqAssignAll(e, cbs, subDim)
 
   /** `(m, sub_dim)` from a PQ index's manifest. */
   private def pqManifestOf(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val (m, subDim, _) = pqManifestFull(spark, path)
+    (m, subDim)
+  }
+
+  /** `(m, sub_dim, k)` from a PQ index's manifest. */
+  private def pqManifestFull(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/manifest").head()
-    (r.getInt(r.fieldIndex("m")), r.getInt(r.fieldIndex("sub_dim")))
+    (r.getInt(r.fieldIndex("m")), r.getInt(r.fieldIndex("sub_dim")),
+      r.getInt(r.fieldIndex("k")))
   }
 
   /** The m per-block codebook frames read back from a persisted index. */
@@ -1612,17 +1766,6 @@ object Similarity {
       .limit(topK)
   }
 
-  /** Append an ingest batch to a persisted PQ index IN PLACE: each new
-    * vector is encoded against the index's own FROZEN codebooks (read back
-    * from `path/codebooks` — the [[pqAssignBlock]] rule, bit-identical to
-    * the build's) and its code row lands in `path/codes` as a new file.
-    * For an IVF+PQ index the row is also routed to its nearest EXISTING
-    * centroid so it lands in that cluster's partition ([[ivfAppend]]'s
-    * discipline). Appending updates neither codebooks nor centroids by
-    * design — re-training would silently re-score every already-written
-    * code; when measured ADC recall against the stale codebooks degrades
-    * ([[pqRecallStale]]'s signal), rebuild with [[pqBuild]]/[[ivfPqBuild]].
-    */
   /** Fold a PQ index's accumulated append files back together — one file
     * per cluster partition for an IVF+PQ index, `numFiles` total for a
     * plain PQ index (content unchanged, probes identical; see
@@ -1642,6 +1785,17 @@ object Similarity {
       if (clustered) Seq("cluster") else Seq.empty)
   }
 
+  /** Append an ingest batch to a persisted PQ index IN PLACE: each new
+    * vector is encoded against the index's own FROZEN codebooks (read back
+    * from `path/codebooks` — the [[pqAssignCol]] rule, bit-identical to
+    * the build's) and its code row lands in `path/codes` as a new file.
+    * For an IVF+PQ index the row is also routed to its nearest EXISTING
+    * centroid so it lands in that cluster's partition ([[ivfAppend]]'s
+    * discipline). Appending updates neither codebooks nor centroids by
+    * design — re-training would silently re-score every already-written
+    * code; when measured ADC recall against the stale codebooks degrades
+    * ([[pqRecallDrift]]'s signal), rebuild with [[pqBuild]]/[[ivfPqBuild]].
+    */
   def pqAppend(
       batch: DataFrame,
       path: String,
