@@ -263,21 +263,58 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): (Long, Long) = {
-    val hashed = df.select(
+    val sh = shingleRelation(shingleArrays(df, n, idCol, textCol))
+    (collidingPairs(prefixOf(sh, threshold)).count(),
+      collidingPairs(sh.select(col("id"), col("h"))).count())
+  }
+
+  /** The checkpointed SORTED shingle-array relation `(id, hs)` shared by
+    * [[jaccardPairsPrefixFiltered]] and its candidate audit: ONE
+    * shingle-hash pass over the text (the expensive scan), sorted so the
+    * verification stage can merge-count intersections
+    * ([[org.apache.spark.sql.graftfns.IntersectCountSorted]]). The compact
+    * ARRAY form is what gets materialized — re-exploding checkpointed
+    * arrays per consumer is cheap; materializing exploded rows would be
+    * ~n̄_sh× the bytes. */
+  private def shingleArrays(
+      df: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
+    df.select(
       col(idCol).as("id"),
-      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      array_sort(org.apache.spark.sql.graftfns.TextFunctions
+        .shingleHashes(col(textCol), n)).as("hs"))
       .localCheckpoint()
-    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
+
+  /** The exploded view `(id, n_sh, h)` of a shingle-array relation, the set
+    * size riding along each row — so no stage joins a separate sizes
+    * relation. */
+  private def shingleRelation(hashed: DataFrame): DataFrame =
+    hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"),
+      explode(col("hs")).as("h"))
+
+  /** ppjoin prefix rows `(id, h)` of a shingle relation: global canonical
+    * order = (document frequency ascending, hash), keep rank
+    * ≤ |A| − ⌈t·|A|⌉ + 1. Shared VERBATIM by [[jaccardPairsPrefixFiltered]]
+    * and [[prefixCandidateCounts]] so the audit measures exactly the
+    * algorithm the real path runs — a ranking or prefix-rule change cannot
+    * drift one without the other. */
+  private def prefixOf(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
-    val ranked = sh.join(dfreq, "h")
-      .withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df_sh"), col("h"))))
-    val prefix = ranked.join(sizes, "id")
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("id"), col("h"))
-    (collidingPairs(prefix).count(), collidingPairs(sh).count())
+    // Rank-and-keep per document WITHOUT a window: a window would SORT the
+    // whole exploded relation inside each id partition (WindowExec = sort +
+    // running rank); a hash agg + per-document array_sort + slice does the
+    // same selection with no global sort, and the per-document array is
+    // bounded by the document's own shingle count (the same boundedness as
+    // the hashed-array column itself). (df_sh, h) pairs are unique within a
+    // document — shingle sets are distinct hashes — so slice-after-sort ≡
+    // row_number ≤ p exactly.
+    sh.hint("SHUFFLE_HASH").join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df_sh"), col("h")))).as("__a"),
+        max(col("n_sh")).as("n_sh"))
+      .select(col("id"),
+        explode(slice(col("__a"), lit(1),
+          (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("__s"))
+      .select(col("id"), col("__s.h").as("h"))
   }
 
   /** [[jaccardPairs]] with ppjoin-style prefix-filtered candidate generation:
@@ -289,15 +326,18 @@ object Dedup {
     * Everything runs on the [[org.apache.spark.sql.graftfns.ShingleHashes]]
     * kernel's 64-bit hashes — 16-byte join rows, like [[jaccardPairs]] and
     * [[minhashLshPairs]] (hash distinctness ≡ shingle distinctness modulo
-    * 64-bit collisions, the same documented trade) — and verification is the
-    * count formulation over candidate-restricted narrow rows, never
-    * collected arrays: the first cut of this op shuffled two full shingle-
-    * set arrays per candidate (~2 KB/row) into interpreted array_intersect
-    * calls and spent 9× [[jaccardPairs]]' wall-clock on it.
+    * 64-bit collisions, the same documented trade). Verification merge-
+    * counts each candidate pair's SORTED hash arrays in generated code
+    * ([[org.apache.spark.sql.graftfns.IntersectCountSorted]]): per
+    * candidate it moves the same bytes as the earlier count formulation's
+    * n̄_sh narrow rows, but through one pass with no re-aggregation
+    * shuffle. (Both are distinct from the 9×-slower first cut, which
+    * shuffled arrays into interpreted per-row `array_intersect` set
+    * builds.)
     *
-    * Materialization contract: the hashed relation feeds several branches
-    * (ranking, sizes, verification) and the prefix relation is self-joined,
-    * so both are EAGERLY `localCheckpoint`ed when this method is called (two
+    * Materialization contract: the shingle-array relation feeds several
+    * branches (ranking, both verification sides) and the prefix relation is
+    * self-joined, so both are EAGERLY `localCheckpoint`ed when called (two
     * jobs run here, not at the caller's action). Unlike `.cache()`, nothing
     * registers in the CacheManager — the blocks die with the returned
     * DataFrame via the ContextCleaner, so sweeping many corpora/thresholds
@@ -312,41 +352,38 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val hashed = df.select(
-      col(idCol).as("id"),
-      org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
-      .localCheckpoint()
-    val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
-    // Prefix filtering (ppjoin-style): order each document's shingles by a
-    // global canonical order (ascending document frequency, then hash) and
-    // keep only the first |A| − ⌈t·|A|⌉ + 1. Two sets with J ≥ t MUST share a
-    // prefix shingle under a common total order, so joining prefixes loses no
-    // true pair — but rare-first prefixes collide far less than full sets,
-    // and the hottest (stopword-like) shingles never enter the join at all.
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
-    val ranked = sh.join(dfreq, "h")
-      .withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df_sh"), col("h"))))
-    val prefix = ranked.join(sizes, "id")
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("id"), col("h"))
-      .localCheckpoint()
+    val hashed = shingleArrays(df, n, idCol, textCol)
+    // Prefix filtering (ppjoin-style, [[prefixOf]]): order each document's
+    // shingles by a global canonical order (ascending document frequency,
+    // then hash) and keep only the first |A| − ⌈t·|A|⌉ + 1. Two sets with
+    // J ≥ t MUST share a prefix shingle under a common total order, so
+    // joining prefixes loses no true pair — but rare-first prefixes collide
+    // far less than full sets, and the hottest (stopword-like) shingles
+    // never enter the join at all.
+    val prefix = prefixOf(shingleRelation(hashed), threshold).localCheckpoint()
     val candidates = collidingPairs(prefix)
-    // Exact verification on candidates only, as counts: fan each candidate
-    // pair out to d1's shingle rows (|cand|·n̄_sh narrow long rows), keep the
-    // ones d2 also holds via an (id, h) equality join, count per pair —
-    // |A∩B| without ever shuffling a collected set. A candidate shares ≥ 1
-    // prefix shingle by construction, so the inner join drops no pair.
-    val ov = candidates
-      .join(sh.select(col("id").as("d1"), col("h")), "d1")
-      .join(sh.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
+    // Exact verification on candidates only: join each candidate pair to
+    // the two SORTED hash arrays by id and merge-count the intersection
+    // ([[org.apache.spark.sql.graftfns.IntersectCountSorted]] — codegen'd
+    // O(n1+n2) walk, no allocation). The earlier count formulation fanned
+    // each candidate out to d1's shingle rows and re-aggregated —
+    // |cand|·n̄_sh narrow rows through two shuffles plus a groupBy; this
+    // moves the SAME bytes per candidate (an array ≈ n̄_sh narrow rows) but
+    // once, with no aggregation shuffle, and the id-equality joins
+    // broadcast whenever the corpus side fits. (Distinct from the 9×-slower
+    // first cut this op's history warns about: that shuffled arrays into
+    // interpreted per-row `array_intersect` set-builds; this is a sorted
+    // merge in generated code.)
+    val scored = candidates
+      .join(hashed.select(col("id").as("d1"), col("hs").as("__hs1")), "d1")
+      .join(hashed.select(col("id").as("d2"), col("hs").as("__hs2")), "d2")
+      .select(col("d1"), col("d2"),
+        org.apache.spark.sql.graftfns.TextFunctions
+          .intersectCountSorted(col("__hs1"), col("__hs2")).as("ov"),
+        size(col("__hs1")).cast("long").as("n1"),
+        size(col("__hs2")).cast("long").as("n2"))
     Ordered.smallResult(
-      ov
-        .join(sizes.select(col("id").as("d1"), col("n_sh").as("n1")), "d1")
-        .join(sizes.select(col("id").as("d2"), col("n_sh").as("n2")), "d2")
+      scored
         .select(col("d1"), col("d2"),
           round(col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"), 4)
             .as("jaccard"))

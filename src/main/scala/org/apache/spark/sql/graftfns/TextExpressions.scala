@@ -629,6 +629,60 @@ object TextFunctions {
     */
   def murmur32fin(v: Column): Column =
     ExpressionUtils.column(Murmur32Fin(ExpressionUtils.expression(v)))
+
+  /** `|a ∩ b|` of two SORTED long-array columns ([[IntersectCountSorted]]). */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectCountSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Intersection size of two SORTED `array<long>` columns — one merge walk,
+  * O(|a| + |b|), no allocation. The verification kernel for candidate-pair
+  * dedup ops ([[graft.ops.Dedup.jaccardPairsPrefixFiltered]]): the built-in
+  * `array_intersect` builds a hash set and materializes the intersection
+  * ARRAY per call (interpreted, allocating) when only the COUNT is needed.
+  * Inputs must be ascending and duplicate-free — exactly what
+  * `array_sort` over [[ShingleHashes]] (distinct by construction) yields;
+  * unsorted input silently undercounts, so callers own the sort.
+  */
+final case class IntersectCountSorted(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountSorted.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftfns.IntersectCountSorted.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountSorted {
+  /** Called from both interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** murmur3's 32-bit finalizer over the low 32 bits of a long — the sketch

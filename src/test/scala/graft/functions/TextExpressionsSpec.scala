@@ -201,6 +201,34 @@ class TextExpressionsSpec extends SparkSpec {
     assert(g == Seq("a b", "b c", "c a", "a b", "b c"))
   }
 
+  test("intersectCountSorted equals size(array_intersect) on sorted distinct arrays") {
+    // Edges: empty vs empty, empty vs non-empty, disjoint, identical,
+    // partial overlap, negative hashes (signed long order ≡ sort order).
+    val rows = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(-5L, 1L, 7L), Seq(2L, 3L, 9L)),
+      (Seq(-5L, 1L, 7L), Seq(-5L, 1L, 7L)),
+      (Seq(-9L, -5L, 0L, 3L, 8L), Seq(-5L, 3L, 4L, 8L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ).toDF("a", "b")
+    val both = rows.select(
+      TextFunctions.intersectCountSorted($"a", $"b").as("k"),
+      size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (((k, ref), i) <- both.zipWithIndex) assert(k == ref, s"row $i: kernel=$k ref=$ref")
+    // And on real corpus shingle sets: every document pair of a sample.
+    val hs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(30)
+      .select($"doc_id".as("id"), array_sort(TextFunctions.shingleHashes($"text", 3)).as("hs"))
+    val pairs = hs.as("x").crossJoin(hs.as("y")).filter($"x.id" < $"y.id")
+      .select(
+        TextFunctions.intersectCountSorted($"x.hs", $"y.hs").as("k"),
+        size(array_intersect($"x.hs", $"y.hs")).cast("long").as("ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (k, ref) => k == ref })
+  }
+
   test("kernels work through SQL registration and the session extension path") {
     org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
     docs.createOrReplaceTempView("texpr_docs")
