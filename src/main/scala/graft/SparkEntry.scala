@@ -872,6 +872,48 @@ object SparkEntry {
       .orderBy(col("change"))
   }
 
+  /** Schema-evolution gate ([[graft.ops.Versioned]]): version 1 = every
+    * third event under the original (event_id, event_type, value) schema;
+    * version 2 = a MERGE whose batch ADDS a `src` column (event_id % 7).
+    * The gate reads both snapshots and reports each version's column
+    * ARITY alongside row/src statistics: v1 must still read with 3 columns
+    * (old snapshots keep their schema), v2 with 4 — where carried rows
+    * (files that physically predate `src`) read as NULL and only batch
+    * rows carry values. The oracle re-derives both snapshots relationally
+    * with the batch-only src; a carried row leaking a src value, a dropped
+    * NULL backfill, or a v1 read polluted by the evolved schema turns it
+    * red.
+    */
+  private def vtabSePath(s: SparkSession, dir: String): String =
+    builtIndexPath("vtab-se", dir) { p =>
+      val e = ev(s, dir).df.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      graft.ops.Versioned.init(
+        e.filter(col("event_id") % 3 === 0).repartition(4, col("event_id")),
+        s"$p/t")
+      graft.ops.Versioned.upsertVersion(
+        e.filter(col("event_id") % 4 === 0)
+          .withColumn("value", col("value") + lit(1000.0))
+          .withColumn("src", (col("event_id") % 7).cast("long")),
+        s"$p/t", Seq("event_id")): Unit
+    }
+
+  private def tableSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = vtabSePath(s, dir)
+    def stats(v: Int) = {
+      val d = graft.ops.Versioned.readVersion(s, s"$path/t", v.toLong)
+      val src = if (d.columns.contains("src")) col("src") else lit(null).cast("long")
+      d.agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+        round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
+          .as("sum_value"),
+        count(src).as("n_src"),
+        coalesce(sum(src), lit(0L)).as("sum_src"))
+        .select(lit(v).as("version"), lit(d.columns.length).as("n_cols"),
+          col("n"), col("n_value"), col("sum_value"), col("n_src"), col("sum_src"))
+    }
+    stats(1).unionByName(stats(2)).orderBy(col("version"))
+  }
+
   private def tableDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
     val old = T(s, dir, "orders")
     val base = old.filter(col("o_orderkey") % 97 =!= 0)
@@ -3973,6 +4015,7 @@ object SparkEntry {
     "table_diff_snapshots" -> (tableDiffSnapshots _),
     "table_time_travel" -> (tableTimeTravel _),
     "table_version_diff" -> (tableVersionDiff _),
+    "table_schema_evolution" -> (tableSchemaEvolution _),
     "profile_drift" -> (profileDrift _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
@@ -5552,6 +5595,29 @@ object SparkEntry {
          |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
          |                AS sum_value,
          |              min(event_id) AS min_id, max(event_id) AS max_id FROM v2)
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
+    // Both snapshots re-derived with the batch-only src column: v1 under
+    // the original 3-column schema, v2's carried survivors with NULL src
+    // and the batch with event_id % 7. n_cols states the schema arity the
+    // version-accurate read must expose.
+    "table_schema_evolution" ->
+      s"""WITH e AS ($EvCte),
+         |v1 AS (SELECT event_id, value FROM e WHERE event_id % 3 = 0),
+         |b  AS (SELECT event_id, value + 1000.0 AS value, event_id % 7 AS src
+         |       FROM e WHERE event_id % 4 = 0),
+         |v2 AS (SELECT event_id, value, CAST(NULL AS BIGINT) AS src FROM v1
+         |       WHERE event_id NOT IN (SELECT event_id FROM b)
+         |       UNION ALL SELECT * FROM b),
+         |s1 AS (SELECT 1 AS version, 3 AS n_cols, count(*) AS n,
+         |              count(value) AS n_value,
+         |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |                AS sum_value,
+         |              0 AS n_src, 0 AS sum_src FROM v1),
+         |s2 AS (SELECT 2 AS version, 4 AS n_cols, count(*) AS n,
+         |              count(value) AS n_value,
+         |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |                AS sum_value,
+         |              count(src) AS n_src, coalesce(sum(src), 0) AS sum_src FROM v2)
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
     // Both snapshots derived relationally, the diff replayed with the
     // null-safe value compare; removed is impossible here (MERGE never

@@ -75,27 +75,89 @@ object Versioned {
     val live = liveFiles(spark, path, v)
     // Which live files hold a colliding key? One semi-join scan, grouped to
     // file names — the driver-side list is bounded by the batch's spread.
+    val oldSchema = versionSchemaOf(spark, path, v)
+      .getOrElse(spark.read.parquet(live: _*).schema)
     val keys = batch.select(keyCols.map(col): _*).distinct()
-    val touched = spark.read.parquet(live: _*)
+    val touched = spark.read.schema(oldSchema).parquet(live: _*)
       .withColumn("__f", input_file_name())
       .join(keys, keyCols, "left_semi")
       .select(col("__f")).distinct()
       .collect().map(r => toUri(spark, r.getString(0))).toSet
+    // Fail loud on URI-form drift: every touched file must be a live file
+    // under the same qualified form — a mismatch here would silently carry
+    // AND rewrite the file (duplicate rows in the new version).
+    val liveQ = live.map(f => toUri(spark, f)).toSet
+    require(touched.subsetOf(liveQ),
+      s"$path: touched files not in the live set (URI form mismatch?): " +
+        (touched -- liveQ).take(3).mkString(", "))
     val untouched = live.filterNot(f => touched.contains(toUri(spark, f)))
+    // Schema evolution: batch columns not in the live schema are ADDED
+    // (survivors and carried rows read as NULL for them); live columns
+    // absent from the batch stay (batch rows get NULL); a shared name with
+    // a different type fails loud — silent coercion would corrupt.
+    val newSchema = evolvedSchema(oldSchema, batch.schema, path)
+    def conform(d: DataFrame): DataFrame =
+      d.select(newSchema.fields.map { f =>
+        if (d.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
     val survivors =
-      if (touched.isEmpty) batch
-      else spark.read.parquet(touched.toSeq: _*)
-        .join(keys, keyCols, "left_anti")
-        .unionByName(batch)
-    writeVersion(spark, path, v + 1L, survivors, carried = untouched)
+      if (touched.isEmpty) conform(batch)
+      else conform(spark.read.schema(oldSchema).parquet(touched.toSeq: _*)
+          .join(keys, keyCols, "left_anti"))
+        .unionByName(conform(batch))
+    writeVersion(spark, path, v + 1L, survivors, carried = untouched,
+      schema = newSchema)
+  }
+
+  /** Union of the live schema and the batch schema (live field order first,
+    * batch-only fields appended; everything nullable — carried files lack
+    * the new columns and batch rows may lack old ones). Fails loud when a
+    * shared name changes type. */
+  private def evolvedSchema(
+      old: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      path: String): org.apache.spark.sql.types.StructType = {
+    for (f <- batch.fields; o <- old.fields if o.name == f.name)
+      require(o.dataType == f.dataType,
+        s"$path: column ${f.name} changes type ${o.dataType.simpleString} -> " +
+          s"${f.dataType.simpleString}; schema evolution adds columns, never retypes")
+    org.apache.spark.sql.types.StructType(
+      (old.fields ++ batch.fields.filterNot(f => old.fieldNames.contains(f.name)))
+        .map(_.copy(nullable = true)))
   }
 
   /** Read the table EXACTLY as it stood at `version` — any version, any
-    * time, from the immutable files its manifest lists. */
+    * time, from the immutable files its manifest lists, under the schema
+    * the manifest RECORDS for that version: a version that predates an
+    * added column comes back without it, and carried files that physically
+    * lack a later-added column read as NULL for it (the parquet reader
+    * NULL-backfills columns missing from a file when given an explicit
+    * schema). */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val files = liveFiles(spark, path, version)
     require(files.nonEmpty, s"$path has no manifest for version $version")
-    spark.read.parquet(files: _*)
+    versionSchemaOf(spark, path, version) match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+  }
+
+  /** The schema recorded in a version's manifest; None for manifests
+    * written before schemas were recorded (read then falls back to
+    * parquet's own inference). */
+  private def versionSchemaOf(
+      spark: SparkSession, path: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val mdir = manifestDir(path, v)
+    val (fs, _) = fsOf(spark, path)
+    if (!fs.exists(new Path(mdir))) None
+    else {
+      val m = spark.read.parquet(mdir)
+      if (!m.columns.contains("schema_json")) None
+      else Some(org.apache.spark.sql.types.DataType
+        .fromJson(m.select(col("schema_json")).head().getString(0))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 
   /** What changed between two snapshots — [[Diff.snapshots]] over two
@@ -126,7 +188,9 @@ object Versioned {
     val latest = latestVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"$path: not a versioned table"))
     val cutoff = latest - keepLast + 1
-    val kept = (cutoff to latest).flatMap(v => liveFiles(spark, path, v)).toSet
+    val kept = (cutoff to latest)
+      .flatMap(v => liveFiles(spark, path, v))
+      .map(f => toUri(spark, f)).toSet
     // Delete dropped manifests first: a reader can no longer resolve a
     // version whose files are about to go.
     (1L until cutoff).foreach { v =>
@@ -138,20 +202,42 @@ object Versioned {
       val it = fs.listFiles(filesRoot, true)
       while (it.hasNext) {
         val st = it.next()
-        val uri = st.getPath.toUri.toString
+        val uri = toUri(spark, st.getPath.toString)
         if (st.isFile && uri.endsWith(".parquet") && !kept.contains(uri)) {
           fs.delete(st.getPath, false)
           removed += 1
+        }
+      }
+      // Namespace retention: a staging directory whose data files are all
+      // gone still holds _SUCCESS/.crc markers — unbounded directory growth
+      // at scale. Drop non-parquet sidecars in emptied staging dirs, then
+      // the dirs themselves (a dir that still holds any parquet keeps its
+      // markers: committers may consult them).
+      for (d <- fs.listStatus(filesRoot) if d.isDirectory) {
+        val entries = fs.listStatus(d.getPath)
+        if (!entries.exists(e => e.getPath.getName.endsWith(".parquet"))) {
+          fs.delete(d.getPath, true): Unit
         }
       }
     }
     removed
   }
 
-  /** `input_file_name()` URIs and manifest-stored paths must compare in one
-    * form; normalize through the filesystem's URI resolution. */
-  private def toUri(spark: SparkSession, f: String): String =
-    new Path(f).toUri.toString
+  /** `input_file_name()` URIs, `listStatus` paths and manifest-stored
+    * paths must compare in ONE form; `new Path(f).toUri` alone does NOT
+    * qualify (file:///x vs file:/x vs /x on HDFS/S3 render differently per
+    * source), and a silent form mismatch makes `touched` match nothing —
+    * files then both carried AND rewritten (duplicate rows), or vacuum
+    * deleting live files. Qualify every path against the table's
+    * FileSystem before comparing or storing. */
+  private def toUri(spark: SparkSession, f: String): String = {
+    val p = new Path(f)
+    val q = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri
+    // makeQualified preserves the INPUT's null-vs-empty authority (Path
+    // "file:/x" keeps null, "file:///x" keeps ""), so render both the same.
+    s"${q.getScheme}://${Option(q.getAuthority).getOrElse("")}${q.getPath}"
+  }
 
   private def liveFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
     val mdir = manifestDir(path, v)
@@ -161,13 +247,18 @@ object Versioned {
       .collect().map(_.getString(0)).toSeq
   }
 
-  /** Data files first, manifest second, latest-pointer LAST. */
+  /** Data files first, manifest second, latest-pointer LAST. Every manifest
+    * row carries the version's schema JSON beside the file path (the
+    * per-version schema that makes evolution readable; redundant per row,
+    * but the manifest is one tiny file and a single-column sidecar would
+    * double the crash-ordering surface). */
   private def writeVersion(
       spark: SparkSession,
       path: String,
       v: Long,
       fresh: DataFrame,
-      carried: Seq[String]): Long = {
+      carried: Seq[String],
+      schema: org.apache.spark.sql.types.StructType = null): Long = {
     val (fs, root) = fsOf(spark, path)
     require(!fs.exists(new Path(manifestDir(path, v))),
       s"$path: version $v already exists")
@@ -177,8 +268,9 @@ object Versioned {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.toString).toSeq
     import spark.implicits._
-    (freshFiles ++ carried).map(f => new Path(f).toUri.toString)
-      .toDF("file").coalesce(1)
+    val schemaJson = Option(schema).getOrElse(fresh.schema).json
+    (freshFiles ++ carried).map(f => toUri(spark, f))
+      .toDF("file").withColumn("schema_json", lit(schemaJson)).coalesce(1)
       .write.parquet(manifestDir(path, v))
     Layout.writeLongFile(fs, new Path(root, LatestFile), v)
     v

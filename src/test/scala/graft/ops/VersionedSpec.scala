@@ -85,6 +85,58 @@ class VersionedSpec extends SparkSpec {
     assert(d == Seq((6L, "changed")), d.toString)
   }
 
+  test("schema evolution: added columns NULL-backfill carried rows, old versions keep their schema") {
+    val path = tmp()
+    Versioned.init((0L until 6L).map(k => (k, s"a$k")).toDF("k", "s")
+      .repartition(2, col("k")), path)
+    // v2 batch ADDS column q: replaces key 1, inserts key 10.
+    Versioned.upsertVersion(
+      Seq((1L, "b1", 7.5), (10L, "b10", 2.5)).toDF("k", "s", "q"), path, Seq("k"))
+    // Version-accurate schemas.
+    assert(Versioned.readVersion(spark, path, 1L).columns.toSeq == Seq("k", "s"))
+    assert(Versioned.readVersion(spark, path, 2L).columns.toSeq == Seq("k", "s", "q"))
+    // Carried rows (files physically WITHOUT q) read as NULL; batch rows carry values.
+    val v2 = Versioned.readVersion(spark, path, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    assert(v2 == Seq(
+      (0L, "a0", None), (1L, "b1", Some(7.5)), (2L, "a2", None), (3L, "a3", None),
+      (4L, "a4", None), (5L, "a5", None), (10L, "b10", Some(2.5))), v2.toString)
+    // v3 batch MISSING an old column: s stays in the schema, batch rows get NULL s.
+    Versioned.upsertVersion(Seq((2L, 9.9)).toDF("k", "q"), path, Seq("k"))
+    val v3 = Versioned.readVersion(spark, path, 3L)
+    assert(v3.columns.toSeq == Seq("k", "s", "q"))
+    val r2 = v3.filter(col("k") === 2L).head()
+    assert(r2.isNullAt(1) && r2.getDouble(2) == 9.9)
+    // Changing an existing column's TYPE fails loud.
+    intercept[IllegalArgumentException] {
+      Versioned.upsertVersion(Seq((3L, 42L)).toDF("k", "s"), path, Seq("k"))
+    }
+    // v1 and v2 still read exactly as before v3.
+    assert(snap(path, 1L) == (0L until 6L).map(k => (k, s"a$k")))
+  }
+
+  test("vacuum removes emptied staging dirs and their sidecar markers") {
+    val path = tmp()
+    Versioned.init((0L until 4L).map(k => (k, s"a$k")).toDF("k", "s")
+      .coalesce(1), path)
+    // Rewrite EVERY v1 file (all keys collide) so v1's staging dir empties.
+    Versioned.upsertVersion((0L until 4L).map(k => (k, s"b$k")).toDF("k", "s"), path, Seq("k"))
+    assert(Versioned.vacuum(spark, path, keepLast = 1) >= 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/files"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(dirs.forall(_.startsWith("v2-")), s"stale staging dirs survive: $dirs")
+    // No orphan _SUCCESS/.crc markers anywhere under files/.
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/files"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      assert(!st.getPath.toString.contains("/v1-"), s"v1 residue: ${st.getPath}")
+    }
+    assert(snap(path, 2L) == (0L until 4L).map(k => (k, s"b$k")))
+  }
+
   test("pure-insert batches carry every live file; re-init and bad reads fail loud") {
     val path = tmp()
     Versioned.init(Seq((1L, "x")).toDF("k", "s"), path)
