@@ -2892,29 +2892,35 @@ object SparkEntry {
         count(when(col("k") > 50, lit(1))).as("n_big"))
       .orderBy(col("event_type"))
 
-  /** Every 5th document's payload is a REAL parseable BMP and every
-    * 5k+1st a REAL parseable binary PPM (header fields from doc_id
-    * arithmetic, text bytes as the pixel array —
-    * [[graft.ops.Multimodal.bmpWrap]] / `ppmWrap`); the rest stay raw
-    * text. So one row gates ALL THREE decode paths: `decodeBmp`'s
-    * little-endian header parse and `decodePpm`'s ASCII-header +
-    * exact-raster parse on the planted images (the oracle derives
-    * width/height — and for PPM the digit-count-dependent header length —
-    * from the same doc_id arithmetic; an endianness/offset/raster slip
-    * turns it red) and the documented stub fallback on everything else,
-    * with the `codec` column pinning WHICH path fired per row.
+  /** Planted-container gate over ALL FIVE real codecs: by doc_id % 7, a
+    * document's payload is a REAL parseable BMP / binary PPM / PCM WAV /
+    * PNG / baseline JPEG (header fields from doc_id arithmetic, text bytes
+    * as the pixel/sample/entropy payload — the `*Wrap` builders in
+    * [[graft.ops.Multimodal]]); the remaining two residues stay raw text.
+    * One row gates every decode path: the strict header/chunk/marker
+    * parses on the planted containers (the oracle derives width/height —
+    * and the digit-count- or CRC-frame-dependent byte lengths — from the
+    * same doc_id arithmetic; an endianness, offset, CRC, or
+    * marker-length slip turns it red) and the documented stub fallback on
+    * raw text, with the `codec` column pinning WHICH path fired per row.
     */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = T(s, dir, "documents").select(col("doc_id"),
-      when(col("doc_id") % 5 === 0,
+      when(col("doc_id") % 7 === 0,
         Multimodal.bmpWrap(lit(1) + col("doc_id") % 63, lit(1) + col("doc_id") % 37,
           encode(col("text"), "UTF-8")))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 7 === 1,
           Multimodal.ppmWrap(lit(1) + col("doc_id") % 53, lit(1) + col("doc_id") % 41,
             encode(col("text"), "UTF-8")))
-        .when(col("doc_id") % 5 === 2,
+        .when(col("doc_id") % 7 === 2,
           Multimodal.wavWrap(lit(1) + col("doc_id") % 997, lit(1) + col("doc_id") % 2,
             lit(8000) + col("doc_id") % 100, encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 7 === 3,
+          Multimodal.pngWrap(lit(1) + col("doc_id") % 45, lit(1) + col("doc_id") % 29,
+            encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 7 === 4,
+          Multimodal.jpegWrap(lit(1) + col("doc_id") % 499, lit(1) + col("doc_id") % 307,
+            encode(col("text"), "UTF-8")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
     // smallResult, not orderBy: a range sort's sampling pass would run the
     // whole decode/feature mapPartitions pipeline a second time.
@@ -7228,40 +7234,47 @@ object SparkEntry {
          |                   AND p.purchase_ms >= c.click_ms
          |                   AND p.purchase_ms <= c.click_ms + ${3 * Day}
          |ORDER BY c.user_id, c.click_ms, p.purchase_ms""".stripMargin,
-    // BMP rows (doc_id % 5 = 0): n_bytes = 54-byte header + text bytes.
-    // PPM rows (doc_id % 5 = 1): n_bytes = ASCII header ("P6\n" + w + " "
-    // + h + "\n255\n" — 9 bytes plus the dimensions' digit counts) + the
-    // exact w·h·3 raster ppmWrap pads/truncates to. width/height
-    // re-derived from the same doc_id arithmetic the planted headers
-    // encode — the Spark side must PARSE them back out of the bytes to
-    // agree. Other rows: the stub length formulas. codec pins which of the
-    // three decode paths fired.
-    // WAV rows (doc_id % 5 = 2): n_bytes = 44-byte canonical header +
-    // frames·channels·2 data bytes wavWrap pads/truncates to; width =
-    // frames, height = sample rate — all re-derived from the same doc_id
-    // arithmetic the planted headers encode, so the Spark side must PARSE
-    // them back out of the RIFF bytes to agree.
+    // One residue class per codec (doc_id % 7): n_bytes re-derives each
+    // container's exact framing — BMP 54-byte header + text; PPM ASCII
+    // header (9 bytes + the dimensions' digit counts) + the exact w·h·3
+    // raster; WAV 44-byte canonical header + frames·channels·2 data; PNG
+    // signature + IHDR/IDAT/IEND chunk frames = text + 57; JPEG
+    // SOI/APP0/SOF0/SOS/EOI marker frames = text + 45. width/height (or
+    // frames/rate for WAV) re-derived from the same doc_id arithmetic the
+    // planted headers encode — the Spark side must PARSE them back out of
+    // the bytes (including CRC verification for PNG and the marker walk
+    // for JPEG) to agree. Residues 5-6: the stub length formulas. codec
+    // pins which of the six paths fired.
     "multimodal_features" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
         |                  1 + doc_id % 63 AS bw, 1 + doc_id % 37 AS bh,
         |                  1 + doc_id % 53 AS pw, 1 + doc_id % 41 AS ph,
         |                  1 + doc_id % 997 AS wf, (1 + doc_id % 2) * 2 AS wba,
-        |                  8000 + doc_id % 100 AS wsr
+        |                  8000 + doc_id % 100 AS wsr,
+        |                  1 + doc_id % 45 AS gw, 1 + doc_id % 29 AS gh,
+        |                  1 + doc_id % 499 AS jw, 1 + doc_id % 307 AS jh
         |           FROM documents)
         |SELECT doc_id,
-        |       CAST(CASE WHEN doc_id % 5 = 0 THEN n + 54
-        |                 WHEN doc_id % 5 = 1 THEN 9 + length(CAST(pw AS VARCHAR))
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN n + 54
+        |                 WHEN doc_id % 7 = 1 THEN 9 + length(CAST(pw AS VARCHAR))
         |                      + length(CAST(ph AS VARCHAR)) + pw * ph * 3
-        |                 WHEN doc_id % 5 = 2 THEN 44 + wf * wba
+        |                 WHEN doc_id % 7 = 2 THEN 44 + wf * wba
+        |                 WHEN doc_id % 7 = 3 THEN n + 57
+        |                 WHEN doc_id % 7 = 4 THEN n + 45
         |                 ELSE n END AS BIGINT) AS n_bytes,
-        |       CAST(CASE WHEN doc_id % 5 = 0 THEN bw WHEN doc_id % 5 = 1 THEN pw
-        |                 WHEN doc_id % 5 = 2 THEN wf
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN bw WHEN doc_id % 7 = 1 THEN pw
+        |                 WHEN doc_id % 7 = 2 THEN wf
+        |                 WHEN doc_id % 7 = 3 THEN gw
+        |                 WHEN doc_id % 7 = 4 THEN jw
         |                 ELSE n % 64 END AS BIGINT) AS width,
-        |       CAST(CASE WHEN doc_id % 5 = 0 THEN bh WHEN doc_id % 5 = 1 THEN ph
-        |                 WHEN doc_id % 5 = 2 THEN wsr
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN bh WHEN doc_id % 7 = 1 THEN ph
+        |                 WHEN doc_id % 7 = 2 THEN wsr
+        |                 WHEN doc_id % 7 = 3 THEN gh
+        |                 WHEN doc_id % 7 = 4 THEN jh
         |                 ELSE n // 64 END AS BIGINT) AS height,
-        |       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-        |            WHEN 2 THEN 'wav' ELSE 'stub' END AS codec
+        |       CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |            WHEN 2 THEN 'wav' WHEN 3 THEN 'png' WHEN 4 THEN 'jpeg'
+        |            ELSE 'stub' END AS codec
         |FROM d ORDER BY doc_id""".stripMargin,
     // Byte-exact resize re-derivation: ASCII corpus ⇒ VARCHAR ops are byte
     // ops; md5 over a NUL-padded VARCHAR hashes the raw bytes, matching

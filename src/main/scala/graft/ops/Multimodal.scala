@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * metadata, processed per-partition in batches.
   *
   * The Spark-side shape is real — schema, typed Dataset encoders, partition
-  * iteration, deterministic output — and TWO real formats decode for real:
-  * [[decodeBmp]] (pure-JVM BITMAPINFOHEADER header parse) and [[decodePpm]]
-  * (NetPBM P6 header + strict raster-length check). This environment ships
-  * no image/audio codecs, so compressed formats stay stubbed: payloads that
-  * parse as neither fall back to [[stubDecode]], which derives fake
-  * "decoded" dimensions from the byte length alone, and the emitted `codec`
-  * column makes the fallback observable. Swapping in a full codec (JNI or
-  * an `mapInPandas`-style Python worker on a real cluster) changes only the
-  * decode function bodies, nothing in the plan.
+  * iteration, deterministic output — and FIVE real formats decode for
+  * real, all pure-JVM strict parsers: [[decodeBmp]] (BITMAPINFOHEADER),
+  * [[decodePpm]] (NetPBM P6 + exact raster length), [[decodeWav]] (RIFF
+  * PCM), [[decodePng]] (chunk walk + per-chunk CRC32), and [[decodeJpeg]]
+  * (marker walk + SOF frame header) — the realistic web-crawl container
+  * set. Each extracts dimensions/metadata; pixel/sample DECODING of the
+  * compressed formats (zlib inflate, DCT) is explicitly out of scope —
+  * payloads that parse as none of the five fall back to [[stubDecode]],
+  * which derives fake dimensions from the byte length alone, and the
+  * emitted `codec` column makes the fallback observable. Swapping in a
+  * full codec (JNI or an `mapInPandas`-style Python worker on a real
+  * cluster) changes only the decode function bodies, nothing in the plan.
   *
   * At 100 TB: binary payloads dominate row size, so (a) never shuffle the
   * payload — extract features first, carry only metadata downstream; (b) read
@@ -201,6 +204,153 @@ object Multimodal {
     concat(header, call_function("rpad", data, rasterLen, lit(Array[Byte](0))))
   }
 
+  /** Fourth real format, first COMPRESSED-container one: PNG. The 8-byte
+    * signature, then a full chunk walk — every chunk's `(len, type, data,
+    * crc)` frame must be in bounds, every chunk's CRC32 (the real
+    * polynomial, `java.util.zip.CRC32` — pure JVM) must verify against the
+    * stored value, the FIRST chunk must be a 13-byte IHDR with legal
+    * bit-depth/color-type/compression/filter/interlace fields, and the
+    * walk must terminate at an empty IEND chunk sitting EXACTLY at the
+    * payload's last byte. That is this family's stored-vs-derived-size
+    * discipline compounded with a real checksum: arbitrary bytes cannot
+    * alias as PNG without carrying four correct CRCs and a
+    * byte-exact chunk frame. Dimension/metadata extraction only — IDAT
+    * inflation (zlib + scanline defilter) is explicitly NOT claimed, the
+    * same scope as a metadata pass over a real crawl.
+    */
+  def decodePng(p: Array[Byte]): Option[(Long, Long)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (p.length < 45 || !(0 until 8).forall(i => p(i) == sig(i))) return None
+    def be32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    var i = 8
+    var dims: Option[(Long, Long)] = None
+    var first = true
+    while (i + 12 <= p.length) {
+      val len = be32(i)
+      if (len > (p.length - i - 12).toLong) return None
+      val n = len.toInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, i + 4, 4 + n)
+      if (crc.getValue != be32(i + 8 + n)) return None
+      val isIhdr = p(i + 4) == 'I'.toByte && p(i + 5) == 'H'.toByte &&
+        p(i + 6) == 'D'.toByte && p(i + 7) == 'R'.toByte
+      val isIend = p(i + 4) == 'I'.toByte && p(i + 5) == 'E'.toByte &&
+        p(i + 6) == 'N'.toByte && p(i + 7) == 'D'.toByte
+      if (first) {
+        if (!isIhdr || len != 13L) return None
+        val w = be32(i + 8)
+        val h = be32(i + 12)
+        val depth = p(i + 16) & 0xff
+        val color = p(i + 17) & 0xff
+        val ok = w >= 1 && h >= 1 &&
+          (depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16) &&
+          (color == 0 || color == 2 || color == 3 || color == 4 || color == 6) &&
+          (p(i + 18) & 0xff) == 0 && (p(i + 19) & 0xff) == 0 && (p(i + 20) & 0xff) <= 1
+        if (!ok) return None
+        dims = Some((w, h))
+        first = false
+      } else if (isIend) {
+        return if (len == 0L && i + 12 == p.length) dims else None
+      }
+      i += 12 + n
+    }
+    None
+  }
+
+  /** Fifth real format: JPEG (JFIF/baseline or progressive DCT). SOI, then
+    * a strict marker walk — every segment must start `FF`, carry an
+    * in-bounds big-endian length, and exactly one SOF0/SOF1/SOF2 frame
+    * header (8-bit precision, 1/3/4 components, `len = 8 + 3·ncomp`) must
+    * appear before SOS; the payload must end on the two EOI bytes. The
+    * marker chain IS this format's stored-vs-derived-size equation (each
+    * length field must land the cursor on the next `FF`), so text bytes
+    * cannot walk it by accident — UTF-8 never even contains `FF`.
+    * Dimensions come from the SOF frame header; entropy-coded data after
+    * SOS is not decoded (the [[decodePng]] scope note applies).
+    */
+  def decodeJpeg(p: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 20 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    if (u8(p.length - 2) != 0xff || u8(p.length - 1) != 0xd9) return None
+    var i = 2
+    var dims: Option[(Long, Long)] = None
+    while (i + 4 <= p.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd8 || m == 0xd9) return None // second SOI / EOI before SOS
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone markers
+      else {
+        val len = be16(i + 2)
+        if (len < 2 || i + 2 + len > p.length) return None
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+          if (dims.nonEmpty) return None // two frame headers
+          val h = be16(i + 5)
+          val w = be16(i + 7)
+          val ncomp = u8(i + 9)
+          if (u8(i + 4) != 8 || h < 1 || w < 1 ||
+              !(ncomp == 1 || ncomp == 3 || ncomp == 4) ||
+              len != 8 + 3 * ncomp) return None
+          dims = Some((w.toLong, h.toLong))
+        }
+        if (m == 0xda) return dims // SOS: entropy data runs to the EOI tail
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** A minimal valid PNG container around raw bytes, assembled from pure
+    * Spark expressions — the planting twin of [[bmpWrap]] for the CRC'd
+    * chunk format: signature, an 8-bit-grayscale IHDR whose CRC32 comes
+    * from Spark's own `crc32` (the same IEEE polynomial [[decodePng]]
+    * verifies with `java.util.zip.CRC32`), the data bytes as one IDAT
+    * chunk (CRC'd likewise; [[decodePng]] does not inflate), and the
+    * constant IEND. Total size = payload + 57.
+    */
+  def pngWrap(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      data: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def hex2(v: Column): Column = lpad(hex(v.bitwiseAND(lit(255L))), 2, "0")
+    def be32(v: Column): Column =
+      concat(hex2(shiftright(v, 24)), hex2(shiftright(v, 16)), hex2(shiftright(v, 8)), hex2(v))
+    val ihdrBody = concat(
+      encode(lit("IHDR"), "UTF-8"),
+      unhex(concat(be32(width.cast("long")), be32(height.cast("long")),
+        lit("0800000000")))) // depth 8, grayscale, compression/filter/interlace 0
+    val idatBody = concat(encode(lit("IDAT"), "UTF-8"), data)
+    concat(
+      unhex(lit("89504E470D0A1A0A")),
+      unhex(be32(lit(13L))), ihdrBody, unhex(be32(crc32(ihdrBody))),
+      unhex(be32(length(data).cast("long"))), idatBody, unhex(be32(crc32(idatBody))),
+      unhex(lit("0000000049454E44AE426082")))
+  }
+
+  /** A minimal valid baseline JPEG around raw bytes — the planting twin of
+    * [[bmpWrap]] for the marker-walk format: SOI, a JFIF APP0, a
+    * single-component SOF0 with the given dimensions, SOS, the data bytes
+    * as the entropy segment (UTF-8 text never contains `FF`, so the tail
+    * scan cannot trip), EOI. Total size = payload + 45.
+    */
+  def jpegWrap(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      data: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def hex2(v: Column): Column = lpad(hex(v.bitwiseAND(lit(255L))), 2, "0")
+    def be16(v: Column): Column = concat(hex2(shiftright(v, 8)), hex2(v))
+    concat(
+      unhex(concat(
+        lit("FFD8"), // SOI
+        lit("FFE000104A46494600010100000100010000"), // APP0: len 16, JFIF 1.1
+        lit("FFC0000B08"), // SOF0: len 11, precision 8
+        be16(height.cast("long")), be16(width.cast("long")),
+        lit("01011100"), // 1 component (id 1, sampling 1x1, qtable 0)
+        lit("FFDA0008010100003F00"))), // SOS: len 8, 1 comp, ss 0, se 63
+      data,
+      unhex(lit("FFD9")))
+  }
+
   /** ??? in spirit: a deterministic fake decode so tests and the oracle can
     * pin the plumbing for formats with no in-sandbox codec. width/height
     * are pure functions of the payload length.
@@ -218,8 +368,10 @@ object Multimodal {
 
   /** Per-partition batched decode → typed feature rows. mapPartitions, not a
     * per-row UDF: a real decoder amortizes codec init per batch exactly here.
-    * BMP and binary-PPM payloads parse for real ([[decodeBmp]],
-    * [[decodePpm]]); everything else takes the documented [[stubDecode]]
+    * All five container formats parse for real ([[decodeBmp]],
+    * [[decodePpm]], [[decodeWav]], [[decodePng]], [[decodeJpeg]], probed in
+    * that order — magics are mutually exclusive, so order only breaks
+    * impossible ties); everything else takes the documented [[stubDecode]]
     * fallback. The `codec` column records which path fired — over a real
     * corpus it is the observability signal for how much of the data fell
     * through to the stub instead of silently fabricating dimensions.
@@ -231,6 +383,8 @@ object Multimodal {
         val real = decodeBmp(r.payload).map(("bmp", _))
           .orElse(decodePpm(r.payload).map(("ppm", _)))
           .orElse(decodeWav(r.payload).map(("wav", _)))
+          .orElse(decodePng(r.payload).map(("png", _)))
+          .orElse(decodeJpeg(r.payload).map(("jpeg", _)))
         val (codec, (w, h)) = real.getOrElse(("stub", stubDecode(r.payload)))
         MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, codec)
       }

@@ -1111,6 +1111,59 @@ class OpsSpec extends SparkSpec {
     assert(big.n_bytes == 200L && big.width == 200 % 64 && big.height == 200 / 64)
   }
 
+  test("PNG decode parses pngWrap containers, verifies CRCs, rejects corruption") {
+    val wrapped = Seq((1L, "idat payload bytes"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Multimodal.pngWrap(lit(640), lit(480), encode(col("text"), "UTF-8")).as("payload"))
+    val feats = Multimodal.extractFeatures(spark, wrapped).collect().sortBy(_.doc_id)
+    assert(feats.forall(f => f.width == 640L && f.height == 480L && f.codec == "png"))
+    assert(feats(0).n_bytes == 18L + 57L && feats(1).n_bytes == 57L)
+    // Take a valid container and corrupt it in targeted ways.
+    val good = wrapped.filter(col("doc_id") === 1L)
+      .select(col("payload")).head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodePng(good) == Some((640L, 480L)))
+    def mutate(i: Int, b: Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = b; c
+    }
+    // Flip one IHDR data byte: CRC check must reject.
+    assert(Multimodal.decodePng(mutate(16, 9)) == None)
+    // Truncate before IEND: chunk walk must reject.
+    assert(Multimodal.decodePng(good.dropRight(1)) == None)
+    // Trailing garbage after IEND: IEND must sit at the last byte.
+    assert(Multimodal.decodePng(good :+ 0.toByte) == None)
+    // Wrong signature byte.
+    assert(Multimodal.decodePng(mutate(0, 0x88.toByte)) == None)
+    // Oversized declared chunk length.
+    assert(Multimodal.decodePng(mutate(8, 0x7f.toByte)) == None)
+  }
+
+  test("JPEG decode parses jpegWrap containers, walks markers, rejects corruption") {
+    val wrapped = Seq((1L, "entropy coded text"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Multimodal.jpegWrap(lit(1920), lit(1080), encode(col("text"), "UTF-8")).as("payload"))
+    val feats = Multimodal.extractFeatures(spark, wrapped).collect().sortBy(_.doc_id)
+    assert(feats.forall(f => f.width == 1920L && f.height == 1080L && f.codec == "jpeg"))
+    assert(feats(0).n_bytes == 18L + 45L && feats(1).n_bytes == 45L)
+    val good = wrapped.filter(col("doc_id") === 1L)
+      .select(col("payload")).head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodeJpeg(good) == Some((1920L, 1080L)))
+    def mutate(i: Int, b: Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = b; c
+    }
+    // Missing EOI tail.
+    assert(Multimodal.decodeJpeg(good.dropRight(1)) == None)
+    // Break the APP0 length so the walk lands off a marker boundary.
+    assert(Multimodal.decodeJpeg(mutate(5, 9)) == None)
+    // Degrade SOF0's precision byte: baseline must be 8-bit.
+    assert(Multimodal.decodeJpeg(mutate(24, 12)) == None)
+    // No SOF before SOS (overwrite SOF0 marker into a COM marker).
+    assert(Multimodal.decodeJpeg(mutate(21, 0xfe.toByte)) == None)
+    // Not starting with SOI.
+    assert(Multimodal.decodeJpeg(mutate(1, 0xd7.toByte)) == None)
+  }
+
   test("PPM decode parses ppmWrap containers and rejects non-PPMs") {
     // Round-trip: ppmWrap's ASCII header + exact-length raster parse back.
     val wrapped = Seq((1L, "some pixel bytes"), (2L, "abc"))
