@@ -2521,6 +2521,61 @@ object SparkEntry {
       k = 10, nprobe = 3, excludeId = Some(0L))
   }
 
+  /** §2.9 streaming LEAKAGE-SAFE SPLIT INGEST gate: the `split_leakage_safe`
+    * assignment maintained across a live ingest stream —
+    * [[graft.ops.Sampling.leakageSafeIngestBatch]] composing
+    * [[graft.ops.Dedup.nearDupAgainst]] (persisted-MinHash probe) with the
+    * representative-hash split rule inside one `foreachBatch`. Fixture:
+    * the base corpus is split cluster-consistently and MinHash-indexed;
+    * exact copies of every 11th document (ids +100000) arrive as a
+    * three-file stream replayed one file per micro-batch. Every copy MUST
+    * inherit its source cluster's split (an exact copy shares all band
+    * signatures, so the index probe cannot miss it) — the oracle derives
+    * the batch leakage-safe split of the replayed UNION, which reduces to
+    * the base closure plus copies inheriting their source's representative
+    * (a copy's links duplicate its source's links exactly, so the union's
+    * components and min-id representatives equal the base corpus's). A
+    * copy assigned by its OWN id-hash — the ingest-boundary leak this op
+    * exists to close — lands in a different split for ~20% of copies and
+    * turns the oracle red.
+    */
+  private def streamSplitIngestPath(s: SparkSession, dir: String): String =
+    builtIndexPath("split-ingest", dir) { p =>
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+      val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+        .select(col("d1"), col("d2"))
+      graft.ops.Sampling.leakageSafeSplit(docs.select(col("doc_id")), pairs, splits)
+        .select(col("doc_id"), col("rep"), col("split"))
+        .write.parquet(s"$p/assignment")
+      Dedup.minhashIndexBuild(docs, s"$p/mh", n = 3)
+      val incoming = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      incoming.repartition(3).write.parquet(s"$p/ingest_src")
+      withStateSession(s) { ss =>
+        val src = ss.readStream.schema(incoming.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$p/ingest_src")
+        val q = src.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            graft.ops.Sampling.leakageSafeIngestBatch(b.toDF(), s"$p/mh",
+              s"$p/assignment", splits, n = 3, threshold = 0.6))
+          .option("checkpointLocation", s"$p/ingest_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
+  private def streamSplitIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = streamSplitIngestPath(s, dir)
+    graft.ops.Ordered.smallResult(
+      s.read.parquet(s"$path/assignment")
+        .select(col("doc_id"), col("rep").as("rep_id"),
+          coalesce(col("split"), lit("holdout")).as("split")),
+      "doc_id")
+  }
+
   /** IVF over k-means‖-seeded centroids — the UNLABELED-corpus scale path:
     * [[graft.ops.Similarity.centroidsKMeansParallel]]'s oversampled
     * candidate rounds + greedy weighted cut + Lloyd polish feed
@@ -4087,6 +4142,7 @@ object SparkEntry {
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_append" -> (annIvfAppend _),
     "stream_ann_ingest" -> (streamAnnIngest _),
+    "stream_split_ingest" -> (streamSplitIngest _),
     "ann_ivf_recluster" -> (annIvfRecluster _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
@@ -6983,6 +7039,31 @@ object SparkEntry {
          |       WHEN (rep_id * 2654435761) % 4294967296 < 4080218931 THEN 'test'
          |       ELSE 'holdout' END AS split
          |FROM cc ORDER BY doc_id""".stripMargin,
+    // The replayed-union leakage-safe split, reduced relationally: an
+    // EXACT copy's links duplicate its source's links (identical shingle
+    // sets ⇒ identical jaccard to every third document), so the union's
+    // connected components equal the base corpus's with each copy joining
+    // its source's component, and copy ids (+100000) exceed every base id,
+    // so min-id representatives are unchanged. The union closure therefore
+    // = base closure + copies inheriting their source's representative —
+    // which is exactly what the per-batch ingest must reproduce.
+    "stream_split_ingest" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($JaccardPairsSql)),
+         |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id),
+         |cc AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
+         |un AS (SELECT doc_id, rep_id FROM cc
+         |       UNION ALL
+         |       SELECT doc_id + 100000, rep_id FROM cc WHERE doc_id % 11 = 0)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN (rep_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+         |       WHEN (rep_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+         |       WHEN (rep_id * 2654435761) % 4294967296 < 4080218931 THEN 'test'
+         |       ELSE 'holdout' END AS split
+         |FROM un ORDER BY doc_id""".stripMargin,
     // Cumulative Knuth-hash thresholds: floor(0.8·2³²), floor(0.9·2³²),
     // floor(0.95·2³²) — same truncation as the Scala .toLong.
     "sample_split_counts" ->

@@ -255,6 +255,55 @@ object Sampling {
     assignSplit(df.join(cc, Seq(idCol)), "rep", splits)
   }
 
+  /** Leakage-safe split assignment for ONE INGEST BATCH — the streaming
+    * composition of [[Dedup.nearDupAgainst]] and [[leakageSafeSplit]]: a
+    * newly admitted document that near-dups an already-assigned cluster
+    * must inherit that cluster's split IN THE SAME ingest step, or a
+    * re-crawled copy of a train document lands in test the moment it
+    * arrives (the leak [[leakageSafeSplit]] prevents for the batch corpus
+    * would reopen at the ingest boundary). Per batch: probe the persisted
+    * MinHash index (partition-pruned signature read), verify candidates at
+    * `threshold`, inherit the MINIMUM matched representative (all matches
+    * of one document share a cluster when the corpus was split
+    * cluster-consistently; min is the deterministic tie rule either way),
+    * fall back to self-representation for genuinely new documents, assign
+    * the split by REPRESENTATIVE hash ([[assignSplit]] — identical bands
+    * to the batch path), append the `(id, rep, split)` rows to the
+    * assignment table, and append the batch into the index so LATER
+    * batches can match against it. Call from `foreachBatch`; single-writer
+    * like the rest of the persisted-index family.
+    */
+  def leakageSafeIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      assignPath: String,
+      splits: Seq[(String, Double)],
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      nBuckets: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint()
+    val matches = Dedup.nearDupAgainst(b, indexPath, n, threshold,
+      numHashes, bands, nBuckets, idCol, textCol)
+    val refRep = spark.read.parquet(assignPath)
+      .select(col(idCol).as("ref_id"), col("rep").as("__ref_rep"))
+    val inherited = matches.join(refRep, "ref_id")
+      .groupBy(col("new_id")).agg(min(col("__ref_rep")).as("__irep"))
+    val assigned = assignSplit(
+      b.select(col(idCol).as("new_id"))
+        .join(inherited, Seq("new_id"), "left")
+        .select(col("new_id").as(idCol),
+          coalesce(col("__irep"), col("new_id")).as("rep")),
+      "rep", splits)
+    assigned.select(col(idCol), col("rep"), col("split"))
+      .write.mode("append").parquet(assignPath)
+    Dedup.minhashIndexAppend(b, indexPath, idCol, textCol)
+  }
+
   /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
     * stratified sampling with a hard cap (eval sets, per-language caps).
     * One shuffle by stratum; the rank window partitions by the stratum key,
