@@ -665,10 +665,18 @@ object Dedup {
       .localCheckpoint()
     val probeKeys = ibanded.select(col("band"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val pruned = probeKeys
-      .map { case (b, k) => col("band") === lit(b) && col("bucket") === lit(k) }
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val sigs = spark.read.parquet(s"$path/signatures").filter(pruned)
+    // One IN over the PACKED key (band·nBuckets + bucket, bijective —
+    // bucket < nBuckets by construction) instead of an OR-chain of
+    // per-(band, bucket) conjunctions: both prune partitions at planning
+    // time (the predicate references only partition columns), but the
+    // OR-chain's plan grows two nodes per probed partition while the IN
+    // stays one InSet node however many partitions a large batch touches.
+    val packed = probeKeys.map { case (b, k) => b.toLong * nBuckets + k }
+    val sigs = spark.read.parquet(s"$path/signatures")
+      .filter(packed.headOption.fold(lit(false)) { _ =>
+        (col("band").cast("long") * lit(nBuckets.toLong) + col("bucket"))
+          .isin(packed: _*)
+      })
     val candidates = ibanded.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
