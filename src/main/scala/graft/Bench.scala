@@ -33,8 +33,17 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** Interleave a calibration sample after every this-many queries. */
+  /** Interleave a calibration sample at least every this-many queries
+    * (family boundaries sample more densely — see main). */
   private val CalibEvery = 10
+
+  /** Query family for calibration density: the prefix before the first
+    * underscore groups e.g. dedup_*, stream_*, pq_* — a calib sample lands
+    * at every family boundary so any flagged query has a near-in-time
+    * host-health reading beside it (tools/perfdiff.py's throttle
+    * adjudication reads these positions). */
+  private[graft] def familyOf(name: String): String =
+    name.takeWhile(_ != '_')
 
   /** Fixed single-thread CPU workload (~0.2 s on a healthy core), timed at
     * bench start/end and mid-run and embedded in the artifact — host-level
@@ -78,7 +87,7 @@ object Bench {
       results: Seq[(String, Seq[Either[String, Double]])],
       sfDir: String,
       reps: Int,
-      calib: Seq[Double]): String = {
+      calib: Seq[(Int, Double)]): String = {
     val qs = results.map { case (name, raws) =>
       val v =
         if (raws.exists(_.isLeft)) "\"err\""
@@ -100,8 +109,12 @@ object Bench {
         median(raws.collect { case Right(t) => t })
     }.sum
     val nErr = results.count(_._2.exists(_.isLeft))
-    val calibJson = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"cpu_calib_sec":$calibJson}"""
+    val calibJson = calib.map { case (_, c) => f"$c%.3f" }.mkString("[", ",", "]")
+    // calib_at[i] = index of the query AFTER which cpu_calib_sec[i] was
+    // sampled (-1 = before the first query) — the position axis perfdiff's
+    // throttle adjudication joins on.
+    val calibAtJson = calib.map(_._1.toString).mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
   }
 
   /** One short line the driver can always parse even when the full artifact
@@ -111,13 +124,13 @@ object Bench {
     */
   private[graft] def renderCompact(
       results: Seq[(String, Seq[Either[String, Double]])],
-      calib: Seq[Double]): String = {
+      calib: Seq[(Int, Double)]): String = {
     val total = results.collect {
       case (_, raws) if raws.forall(_.isRight) =>
         median(raws.collect { case Right(t) => t })
     }.sum
     val nErr = results.count(_._2.exists(_.isLeft))
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"calib_first":${calib.head}%.3f,"calib_last":${calib.last}%.3f}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"calib_first":${calib.head._2}%.3f,"calib_last":${calib.last._2}%.3f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -132,7 +145,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val calib = scala.collection.mutable.ArrayBuffer(cpuCalib())
+    val calib = scala.collection.mutable.ArrayBuffer((-1, cpuCalib()))
     // JIT + parquet-footer + page-cache warmup so per-query numbers measure
     // the plan, not first-touch JVM/IO costs; excluded from all timings. One
     // cheap query per table family (lineitem+dims, events, documents,
@@ -156,10 +169,17 @@ object Bench {
           case Right(t) => f"$t%.3f"
           case Left(_)  => "err"
         }.mkString(","))
-      if ((i + 1) % CalibEvery == 0) calib += cpuCalib()
+      // Calibrate at every FAMILY boundary (plus at least every CalibEvery
+      // within a long family): any query then has a host-health sample
+      // within its own family's window, which is what lets perfdiff
+      // machine-adjudicate a flagged median as throttle-vs-regression
+      // instead of a human re-running it.
+      val boundary = i + 1 < names.size &&
+        familyOf(names(i + 1)._1) != familyOf(name)
+      if (boundary || (i + 1) % CalibEvery == 0) calib += ((i, cpuCalib()))
       name -> raws
     }
-    calib += cpuCalib()
+    calib += ((names.size - 1, cpuCalib()))
     val full = renderJson(results, sfDir, reps, calib.toSeq)
     println(full)
     // The full line above routinely exceeds the driver's capture window

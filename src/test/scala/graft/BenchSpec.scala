@@ -25,7 +25,7 @@ class BenchSpec extends AnyFunSuite {
     val results = Seq(
       "good" -> Seq(Right(0.5), Right(0.3), Right(0.4)).asInstanceOf[Seq[Either[String, Double]]],
       "broken" -> Seq(Right(0.1), Left("kaboom: \"quoted\"\npath"), Right(0.1)))
-    val json = Bench.renderJson(results, "/tmp/sf", 3, Seq(0.12, 0.13))
+    val json = Bench.renderJson(results, "/tmp/sf", 3, Seq((-1, 0.12), (1, 0.13)))
     // the broken query never contributes a number anywhere
     assert(json.contains("\"broken\":\"err\""))
     assert(json.contains("\"good\":0.400"))
@@ -44,10 +44,17 @@ class BenchSpec extends AnyFunSuite {
     val results = Seq(
       "a" -> Seq[Either[String, Double]](Right(1.0)),
       "b" -> Seq[Either[String, Double]](Right(2.0)))
-    val json = Bench.renderJson(results, "/tmp/sf", 1, Seq(0.1))
+    val json = Bench.renderJson(results, "/tmp/sf", 1, Seq((-1, 0.1)))
     assert(json.contains("\"value\":3.000"))
     assert(json.contains("\"errors\":{}"))
     assert(json.contains("\"errored\":0"))
     assert(json.contains("\"cpu_calib_sec\":[0.100]"))
+    assert(json.contains("\"calib_at\":[-1]"))
+  }
+
+  test("familyOf groups by the pre-underscore prefix") {
+    assert(Bench.familyOf("dedup_jaccard_prefix") == "dedup")
+    assert(Bench.familyOf("q1_agg") == "q1")
+    assert(Bench.familyOf("concurrency") == "concurrency")
   }
 }
