@@ -17,6 +17,13 @@ con = duckdb.connect()
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+# Derived corpora (graft.ScaleUp) normalize events.ts to epoch-ns BIGINT —
+# one of Tsdb's three documented ts variants; the oracle SQL assumes a
+# timestamp, so expose that variant as TIMESTAMP at the view layer.
+if con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0] == 'BIGINT':
+    con.execute("CREATE OR REPLACE VIEW events AS "
+                f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                f"FROM read_parquet('{sf}/events.parquet')")
 
 
 def norm(v):
