@@ -398,7 +398,13 @@ object Dedup {
     * Σ|cluster|² — `nClusters` is the tractability knob, and a near-dup
     * pair split across two clusters is never compared (the documented
     * recall trade the paper accepts; raise `nClusters` only as far as the
-    * cluster-boundary miss rate tolerates).
+    * cluster-boundary miss rate tolerates). The knob must SCALE with the
+    * corpus: at fixed k a 10× corpus makes 10×-larger clusters and ~100×
+    * pair work (measured 16× wall-clock sf0.1→sf1, BASELINE.md). The
+    * balanced schedule is k ∝ √n — it equalizes the two size-dependent
+    * stages (assignment ~n·k vs pair verification ~n²/k, both n^1.5) and
+    * measured 2.9× wall-clock for the same 10× (k 8→26), inside the dedup
+    * family's scaling band; k ∝ n over-pays assignment (8×).
     *
     * Deterministic end-to-end (hash-seeded [[Similarity.centroidsKMeans]],
     * smaller-id assignment ties, round-4 threshold compare), so the whole
