@@ -598,6 +598,11 @@ object Similarity {
     * iterations polish the chosen seeds. Output matches [[centroidsKMeans]]:
     * `(cl, cvec)` with `cl` the seed vector's id — plug into
     * [[ivfTopKCustom]] for the ANN path.
+    *
+    * Training is deterministic in the corpus, so the k-row result goes
+    * through the per-JVM [[quantizerCache]] like the other trained
+    * quantizer state — re-executions skip the ~2·initRounds + lloydRounds
+    * corpus passes entirely.
     */
   def centroidsKMeansParallel(
       df: DataFrame,
@@ -611,6 +616,26 @@ object Similarity {
     require(oversample > 0, s"oversample must be > 0, got $oversample")
     require(initRounds >= 1, s"initRounds must be >= 1, got $initRounds")
     require(lloydRounds >= 0, s"lloydRounds must be >= 0, got $lloydRounds")
+    val canon = df.select(
+      col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    quantizerCache.computeIfAbsent(
+      s"kmp:${corpusKey(canon)}:$k:$oversample:$initRounds:$lloydRounds",
+      _ => Seq(kMeansParallelTrain(canon, k, oversample, initRounds, lloydRounds)
+        .localCheckpoint()))
+      .head
+  }
+
+  private def kMeansParallelTrain(
+      canon: DataFrame,
+      k: Int,
+      oversample: Double,
+      initRounds: Int,
+      lloydRounds: Int): DataFrame = {
+    val df = canon
+    val idCol = "vid"
+    val vecCol = "v"
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(
