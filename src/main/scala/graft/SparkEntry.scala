@@ -1345,6 +1345,26 @@ object SparkEntry {
       "doc_id")
   }
 
+  /** Shard-export manifest gate ([[graft.ops.Sampling.shardManifest]]):
+    * 8 hash-bucketed training shards over the corpus with per-shard
+    * doc/char mass AND the deterministic loading order's endpoints
+    * (first/last id under (idHash, id)) — membership and SEQUENCE both
+    * pinned by the oracle's re-derivation.
+    */
+  private def exportShards(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.shardManifest(T(s, dir, "documents"),
+      nShards = 8, idCol = "doc_id", weightCol = "n_chars")
+
+  /** Cross-document verbatim-span gate
+    * ([[graft.ops.Dedup.sharedSpanPairs]]): pairs sharing ≥ 3 exact
+    * 8-token runs with the shared-span count — the span-level signal set
+    * similarity dilutes (Lee et al. 2022's dedup axis), re-derived by the
+    * oracle as an 8-gram string self-join.
+    */
+  private def dedupSpanPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpanPairs(T(s, dir, "documents"),
+      spanTokens = 8, minShared = 3)
+
   private def sampleSplitCounts(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.assignSplit(T(s, dir, "documents"), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05))
@@ -2228,6 +2248,16 @@ object SparkEntry {
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(T(s, dir, "embeddings"),
       nClusters = 8, rounds = 2, threshold = 0.8)
+
+  /** Cluster-scoped kNN-graph gate ([[graft.ops.Similarity.knnGraph]]):
+    * each vector's 3 nearest in-cluster neighbors over the shared
+    * KMeans8 pipeline — the graph-analysis primitive gated end to end
+    * (seeding, Lloyd rounds, assignment, pair scope, (cosine, id) rank
+    * order all re-derived by the oracle).
+    */
+  private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(T(s, dir, "embeddings"),
+      nClusters = 8, rounds = 2, kNeighbors = 3)
 
   /** Cluster-balanced coverage sample over the same k-means pipeline as
     * `dedup_semantic`: ≤ 5 vectors per cluster by hash rank.
@@ -4113,6 +4143,9 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_semantic" -> (dedupSemantic _),
+    "knn_graph" -> (knnGraphQ _),
+    "dedup_span_pairs" -> (dedupSpanPairs _),
+    "export_shards" -> (exportShards _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -6337,6 +6370,23 @@ object SparkEntry {
         |       CAST(least(e.vec_id, coalesce(low.low, e.vec_id)) <> e.vec_id AS INT) AS is_dup
         |FROM e JOIN assign a USING (vec_id) LEFT JOIN low ON low.id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // The same k-means pipeline feeding a per-source (cosine DESC, id)
+    // rank over within-cluster candidate pairs — the kNN graph re-derived
+    // whole.
+    "knn_graph" ->
+      s"""WITH $KMeans8Ctes,
+        |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
+        |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+        |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
+        |              JOIN e eb ON ea.vec_id <> eb.vec_id
+        |              JOIN assign ab ON eb.vec_id = ab.vec_id
+        |                           AND aa.cluster = ab.cluster),
+        |r AS (SELECT src, dst, cs,
+        |             row_number() OVER (PARTITION BY src
+        |               ORDER BY cs DESC, dst) AS nbr_rank
+        |      FROM nbrs)
+        |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
+        |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
     // The same k-means pipeline feeding a per-cluster hash-rank window —
     // the sample_stratified shape with the CLUSTER as the stratum.
     "sample_diversity" ->
@@ -7064,6 +7114,39 @@ object SparkEntry {
          |       WHEN (rep_id * 2654435761) % 4294967296 < 4080218931 THEN 'test'
          |       ELSE 'holdout' END AS split
          |FROM un ORDER BY doc_id""".stripMargin,
+    // Hash-bucketed shard membership (Knuth hash mod 8) + the loading
+    // order's endpoints per shard via (h, id) rank windows.
+    "export_shards" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |                  (doc_id * 2654435761) % 4294967296 AS h,
+        |                  ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+        |           FROM documents),
+        |f AS (SELECT shard, doc_id AS first_id FROM (
+        |        SELECT shard, doc_id, row_number() OVER (PARTITION BY shard
+        |          ORDER BY h, doc_id) AS rn FROM s) WHERE rn = 1),
+        |l AS (SELECT shard, doc_id AS last_id FROM (
+        |        SELECT shard, doc_id, row_number() OVER (PARTITION BY shard
+        |          ORDER BY h DESC, doc_id DESC) AS rn FROM s) WHERE rn = 1),
+        |g AS (SELECT shard, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS sum_weight
+        |      FROM s GROUP BY shard)
+        |SELECT g.shard, n_docs, sum_weight, first_id, last_id
+        |FROM g JOIN f USING (shard) JOIN l USING (shard)
+        |ORDER BY g.shard""".stripMargin,
+    // Exact 8-token runs as strings (hash distinctness ≡ span distinctness
+    // modulo 64-bit collisions — the family trade the jaccard oracles
+    // already pin): pairs by span-equality self-join, count per pair.
+    "dedup_span_pairs" ->
+      s"""WITH toks AS ($ToksCte),
+         |sp AS (SELECT DISTINCT doc_id AS id,
+         |              ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||
+         |              ts[i+4]||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS span
+         |       FROM toks, unnest(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+         |inter AS (SELECT a.id AS d1, b.id AS d2, count(*) AS n_spans
+         |          FROM sp a JOIN sp b ON a.span = b.span AND a.id < b.id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, n_spans FROM inter WHERE n_spans >= 3
+         |ORDER BY d1, d2""".stripMargin,
     // Cumulative Knuth-hash thresholds: floor(0.8·2³²), floor(0.9·2³²),
     // floor(0.95·2³²) — same truncation as the Scala .toLong.
     "sample_split_counts" ->

@@ -391,6 +391,55 @@ object Dedup {
       "d1", "d2")
   }
 
+  /** Cross-document VERBATIM-SPAN pairs — the span-level dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): document pairs sharing at least `minShared` exact `L`-token
+    * runs, with the shared-span count per pair. Jaccard answers "how
+    * similar are the SETS"; this answers "do these documents contain the
+    * same PASSAGE" — boilerplate, licenses, syndicated paragraphs — which
+    * set similarity dilutes to nothing inside long documents.
+    *
+    * Shape: one [[org.apache.spark.sql.graftfns.ShingleHashes]] pass at
+    * width `L` (distinct 64-bit span hashes — 16-byte join rows, hash
+    * distinctness ≡ span distinctness modulo 64-bit collisions, the
+    * family's documented trade), an equality self-join on the span hash,
+    * and a count per pair. `maxDf` caps the per-span join fan-out: a span
+    * appearing in d documents generates d² candidate rows, so boilerplate
+    * present in half the corpus would square it — spans above the cap are
+    * EXCLUDED from pairing (documented recall trade: a pair sharing ONLY
+    * ultra-common spans is boilerplate overlap, precisely the signal worth
+    * down-weighting), which is the same hot-key defense as
+    * [[jaccardPairs]]'s `maxShingleDf` cap.
+    */
+  def sharedSpanPairs(
+      df: DataFrame,
+      spanTokens: Int,
+      minShared: Int,
+      maxDf: Long = Long.MaxValue,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sp = df.select(
+      col(idCol).as("id"),
+      explode(org.apache.spark.sql.graftfns.TextFunctions
+        .shingleHashes(col(textCol), spanTokens)).as("h"))
+      .localCheckpoint()
+    val dfreq = sp.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val kept = sp.hint("SHUFFLE_HASH").join(dfreq.filter(col("__df") <= maxDf), "h")
+      .select(col("id"), col("h"))
+    Ordered.smallResult(
+      kept.as("a").hint("SHUFFLE_HASH")
+        .join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_spans"))
+        .filter(col("n_spans") >= minShared),
+      "d1", "d2")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): near-duplicate
     * removal by embedding cosine, scoped WITHIN k-means clusters. The
     * corpus-quadratic all-pairs scan ([[embeddingNearDups]]'s verifier)

@@ -304,6 +304,41 @@ object Sampling {
     Dedup.minhashIndexAppend(b, indexPath, idCol, textCol)
   }
 
+  /** Deterministic training-shard assignment + per-shard manifest — the
+    * EXPORT step of a data pipeline (shard files for a training loader).
+    * Shard membership is `idHash(id) mod nShards` — a pure projection, so
+    * assignment is stable across runs/engines/retries and costs NO shuffle
+    * (the classic fixed-SIZE shard alternative needs a global rank = a
+    * total sort; hash-bucketed sharding is the 100 TB-clean form, with
+    * shard sizes concentrated ~n/nShards by the hash's uniformity). Within
+    * a shard the LOADING ORDER is also pinned: (idHash, id) ascending —
+    * the deterministic sequence reproducible training wants. Returns the
+    * per-shard manifest `(shard, n_docs, sum_chars, first_id, last_id)`
+    * where first/last are the order's endpoints (order-sensitive outputs,
+    * so the gate pins the sequence, not just membership); one aggregation,
+    * shuffle keyed by shard. The writer side is `df.withColumn("shard",
+    * pmod(idHash(id), nShards)).repartition(col("shard")).sortWithinPartitions(hash, id)
+    * .write.partitionBy("shard")` — same assignment expression, no
+    * additional machinery.
+    */
+  def shardManifest(
+      df: DataFrame,
+      nShards: Int,
+      idCol: String,
+      weightCol: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = idHash(col(idCol))
+    Ordered.smallResult(
+      df.select(pmod(h, lit(nShards.toLong)).as("shard"),
+          col(idCol).as("__id"), col(weightCol).cast("long").as("__w"), h.as("__h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__w")), lit(0L)).as("sum_weight"),
+          min_by(col("__id"), struct(col("__h"), col("__id"))).as("first_id"),
+          max_by(col("__id"), struct(col("__h"), col("__id"))).as("last_id")),
+      "shard")
+  }
+
   /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
     * stratified sampling with a hard cap (eval sets, per-language caps).
     * One shuffle by stratum; the rank window partitions by the stratum key,

@@ -552,6 +552,24 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    // Content-keyed per-JVM cache like the other trained quantizer state
+    // (training is deterministic: hash-ordered seeds, id tie-breaks) — the
+    // fingerprint costs one agg scan, a hit skips the seed pass plus
+    // `rounds` assignment/means passes.
+    val canon = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    quantizerCache.computeIfAbsent(s"km:${corpusKey(canon)}:$k:$rounds",
+      _ => Seq(kMeansTrain(canon, k, rounds, "vid", "v").localCheckpoint()))
+      .head
+  }
+
+  /** The raw Lloyd trainer behind [[centroidsKMeans]] (uncached). */
+  private def kMeansTrain(
+      df: DataFrame,
+      k: Int,
+      rounds: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     var cents = df
       .select(
         col(idCol).cast("long").as("cl"),
@@ -747,6 +765,51 @@ object Similarity {
     Sampling.stratifiedExactN(
       assignClusters(df, cents, idCol, vecCol).select(col(idCol), col("cluster")),
       Seq("cluster"), idCol, nPer)
+  }
+
+  /** Cluster-scoped kNN GRAPH: each vector's `kNeighbors` nearest
+    * neighbors by cosine, candidates restricted to its k-means cluster —
+    * the primitive behind graph-based corpus analysis (near-dup community
+    * detection over the edge set, density/outlier scoring by neighbor
+    * similarity, hubness audits). Same scale shape as
+    * [[graft.ops.Dedup.semanticDedup]]: pair work is Σ|cluster|² via
+    * cluster-equality candidates (never all-pairs; `nClusters` is the
+    * knob — k ∝ √n keeps the slope in the family band, see BASELINE.md),
+    * and a neighbor across a cluster boundary is missed by construction
+    * (the SemDeDup recall trade; raise `nClusters` only as far as the miss
+    * rate tolerates, or probe multiple clusters like [[ivfTopK]]). The
+    * per-vector rank window partitions by the SOURCE vector — key
+    * cardinality = corpus, so no single-partition fallback exists.
+    * Deterministic end-to-end (hash-seeded centroids, (cosine DESC, id)
+    * tie order), so the oracle re-derives the whole pipeline. Output:
+    * `(idCol, nbr_rank, neighbor_id, cosine)`, report-sorted.
+    */
+  def knnGraph(
+      df: DataFrame,
+      nClusters: Int,
+      rounds: Int,
+      kNeighbors: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kNeighbors >= 1, s"kNeighbors must be >= 1, got $kNeighbors")
+    val cents = centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
+    val slim = assignClusters(df, cents, idCol, vecCol)
+      .select(col(idCol).cast("long").as("__id"), col("cluster"),
+        col(vecCol).as("__v"))
+      .localCheckpoint()
+    val pairs = slim.as("a").hint("SHUFFLE_HASH")
+      .join(slim.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("__src"), col("b.__id").as("__dst"),
+        round(cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src")).orderBy(col("cosine").desc, col("__dst"))
+    Ordered.smallResult(
+      pairs.withColumn("nbr_rank", row_number().over(w))
+        .filter(col("nbr_rank") <= kNeighbors)
+        .select(col("__src").as(idCol), col("nbr_rank"),
+          col("__dst").as("neighbor_id"), col("cosine")),
+      idCol, "nbr_rank")
   }
 
   /** [[ivfTopK]]'s probe/score body over a CALLER-SUPPLIED centroid frame
@@ -1177,14 +1240,16 @@ object Similarity {
       s"pq:${key.getOrElse(corpusKey(e))}:$m:$subDim:$k",
       _ => pqCodebooks(e, m, subDim, k).map(_.localCheckpoint()))
 
-  /** [[centroidsKMeans]] through the per-JVM cache. */
+  /** [[centroidsKMeans]]'s cache entry for an ALREADY-canonical `(vid, v)`
+    * frame with an optionally precomputed fingerprint (key space shared
+    * with the public method — same content, same entry). */
   private def cachedCentroids(
       e: DataFrame, k: Int, rounds: Int,
       idCol: String, vecCol: String,
       key: Option[String] = None): DataFrame =
     quantizerCache.computeIfAbsent(
       s"km:${key.getOrElse(corpusKey(e))}:$k:$rounds",
-      _ => Seq(centroidsKMeans(e, k, rounds, idCol, vecCol).localCheckpoint()))
+      _ => Seq(kMeansTrain(e, k, rounds, idCol, vecCol).localCheckpoint()))
       .head
 
   /** PQ quantization shared by [[pqAdcTopK]], [[ivfPqTopK]] and
