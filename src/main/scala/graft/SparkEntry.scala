@@ -4056,6 +4056,48 @@ object SparkEntry {
     }
   }
 
+  /** §2.9 deterministic streaming RESERVOIR gate
+    * ([[graft.streaming.StreamOps.bottomKSample]]): per event type, the 5
+    * events with the smallest (idHash, id) over the whole replay — O(k)
+    * state per key, and a sample that is a pure function of the id SET
+    * (min-k of a union = min-k of min-k's), so the final board must equal
+    * the batch [[graft.ops.Sampling.stratifiedExactN]] rank heads exactly,
+    * regardless of replay order or batch splits — unlike a classic Vitter
+    * reservoir, whose draw depends on RNG and arrival order and can never
+    * be oracle-gated.
+    */
+  private def streamSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = topkStreamDir(s, dir)
+    val st = org.apache.spark.sql.types.StringType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", st),
+      org.apache.spark.sql.types.StructField("user_id", lt),
+      org.apache.spark.sql.types.StructField("time", lt),
+      org.apache.spark.sql.types.StructField("event_id", lt)))
+    withStateSession(s) { ss =>
+      import ss.implicits._
+      val src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("event_type").as("key"), col("event_id").as("id"))
+        .as[graft.streaming.StreamOps.SampleEvent]
+      val board = graft.streaming.StreamOps.bottomKSample(ss, src, k = 5)
+      val name = s"graft_bksample_gate_${pathToken(dir)}"
+      val q = board.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = ss.table(name)
+      val latest = t.groupBy(col("key").as("__k")).agg(max(col("gen")).as("__g"))
+      t.join(broadcast(latest), col("key") === col("__k") && col("gen") === col("__g"))
+        .select(col("key").as("event_type"), col("sample_rank"),
+          col("id").as("event_id"))
+        .orderBy(col("event_type"), col("sample_rank"))
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4247,6 +4289,7 @@ object SparkEntry {
     "stream_running_last" -> (streamRunningLast _),
     "stream_session_counts" -> (streamSessionCounts _),
     "stream_topk_users" -> (streamTopkUsers _),
+    "stream_sample_stratified" -> (streamSampleStratified _),
     "stream_topk_users_mg" -> (streamTopkUsersMg _),
     "session_counts_by_type" -> (sessionCountsByType _),
     "session_ids_by_user" -> (sessionIdsByUser _),
@@ -7216,6 +7259,16 @@ object SparkEntry {
          |       count(*) AS n
          |FROM sgrp GROUP BY event_type, sid
          |ORDER BY event_type, sess_start""".stripMargin,
+    // The final streamed reservoir must equal the batch hash-rank heads
+    // (bottom-k by (knuth-hash, id) is a pure function of the id set).
+    "stream_sample_stratified" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+        |               AS sample_rank
+        |           FROM events)
+        |SELECT event_type, sample_rank, event_id FROM r WHERE sample_rank <= 5
+        |ORDER BY event_type, sample_rank""".stripMargin,
     // The final streamed leaderboard must equal the batch count+rank board
     // (counts are order-insensitive; the (cnt DESC, user) tie-break is the
     // determinism contract on both sides).

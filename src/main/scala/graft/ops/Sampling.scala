@@ -30,6 +30,17 @@ object Sampling {
     pmod(hi * lit(2041643008L) + lo * lit(2654435761L), lit(4294967296L))
   }
 
+  /** [[idHash]] as a JVM function — the identical 16-bit-split lattice, for
+    * code that hashes inside typed state (streaming reservoirs) instead of
+    * a Column expression. Bit-equal to the Column form (OpsSpec pins both
+    * against the naive BigInt product). */
+  def idHashLong(id: Long): Long = {
+    val a = Math.floorMod(id, 4294967296L)
+    val hi = a >>> 16
+    val lo = a & 65535L
+    Math.floorMod(hi * 2041643008L + lo * 2654435761L, 4294967296L)
+  }
+
   /** Shuffle-free fractional sample per stratum: keep rows whose id-hash
     * falls under `frac` of the hash space. The 100 TB shape — a pure filter,
     * pushed to the scan, no shuffle, no window; per-stratum proportions hold

@@ -757,4 +757,46 @@ object StreamOps {
             .iterator
       }
   }
+
+  final case class SampleEvent(key: String, id: Long)
+  final case class SampleState(ids: Seq[Long], gen: Long)
+  final case class SampleRow(key: String, gen: Long, sample_rank: Long, id: Long)
+
+  /** Deterministic streaming RESERVOIR: per key, the k ids with the
+    * smallest `(idHash, id)` over everything that has arrived — the
+    * streaming twin of [[graft.ops.Sampling.stratifiedExactN]], and the
+    * reservoir a reproducible pipeline actually wants: classic
+    * Vitter reservoir sampling is RNG-and-arrival-order dependent (a
+    * restart or replay draws a different sample), while a bottom-k-by-hash
+    * set is a pure FUNCTION of the id set — the min-k of a union is the
+    * min-k of min-k's, so the result is batch-split-, order- and
+    * replay-invariant, and equals the batch derivation on the replayed
+    * union EXACTLY (the gate's oracle). State per key is the k ids —
+    * O(k) forever, no matter the stream length. The full board re-emits
+    * per touched batch under a generation stamp (append sinks never
+    * retract), latest generation wins — the [[runningTopK]] discipline.
+    */
+  def bottomKSample(
+      spark: SparkSession,
+      stream: Dataset[SampleEvent],
+      k: Int): Dataset[SampleRow] = {
+    require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
+    def hkey(id: Long): (Long, Long) = (graft.ops.Sampling.idHashLong(id), id)
+    stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[SampleEvent], state: GroupState[SampleState]) =>
+          val st0 = state.getOption.getOrElse(SampleState(Seq.empty, 0L))
+          val merged = (st0.ids.iterator ++ events.map(_.id)).toSeq.distinct
+            .sortBy(hkey).take(k)
+          val gen = st0.gen + 1L
+          state.update(SampleState(merged, gen))
+          merged.zipWithIndex.map { case (id, i) =>
+            SampleRow(key, gen, i + 1L, id)
+          }.iterator
+      }
+  }
 }

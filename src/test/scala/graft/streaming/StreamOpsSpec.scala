@@ -337,6 +337,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bottomKSample: final reservoir equals the batch hash-rank heads, any batch split") {
+    implicit val sql = spark.sqlContext
+    val ids = (0L until 30L)
+    def expect(k: Int): Seq[(Long, Long)] =
+      ids.sortBy(id => (graft.ops.Sampling.idHashLong(id), id)).take(k)
+        .zipWithIndex.map { case (id, i) => (i + 1L, id) }
+    // Two different batch splits of the same ids must converge to the
+    // identical board (pure function of the id set).
+    for ((split, name) <- Seq(Seq(ids.take(7), ids.drop(7)) -> "bk1",
+        Seq(ids.grouped(5).toSeq: _*) -> "bk2")) {
+      val input = MemoryStream[StreamOps.SampleEvent]
+      val out = StreamOps.bottomKSample(spark, input.toDS(), k = 4)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        for (batch <- split) {
+          input.addData(batch.map(StreamOps.SampleEvent("t", _)): _*)
+          q.processAllAvailable()
+        }
+        val t = spark.table(name).as[StreamOps.SampleRow].collect()
+        val gen = t.map(_.gen).max
+        val board = t.filter(_.gen == gen).sortBy(_.sample_rank)
+          .map(r => (r.sample_rank, r.id)).toSeq
+        assert(board == expect(4), s"$name: $board vs ${expect(4)}")
+        assert(gen == split.size.toLong)
+      } finally q.stop()
+    }
+    // Duplicate arrivals collapse (set semantics, like the batch window).
+    val input = MemoryStream[StreamOps.SampleEvent]
+    val out = StreamOps.bottomKSample(spark, input.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("bk3")
+      .outputMode("append").start()
+    try {
+      val head = ids.sortBy(id => (graft.ops.Sampling.idHashLong(id), id)).head
+      input.addData(StreamOps.SampleEvent("t", head), StreamOps.SampleEvent("t", head))
+      q.processAllAvailable()
+      val t = spark.table("bk3").as[StreamOps.SampleRow].collect()
+      assert(t.map(r => (r.sample_rank, r.id)).toSeq == Seq((1L, head)))
+    } finally q.stop()
+  }
+
   test("runningTopKApprox keeps state at <= capacity while the exact map would grow, and its board obeys the MG guarantee") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[StreamOps.CountEvent]
