@@ -2259,6 +2259,28 @@ object SparkEntry {
     Similarity.knnGraph(T(s, dir, "embeddings"),
       nClusters = 8, rounds = 2, kNeighbors = 3)
 
+  /** Integer-exact PageRank gate ([[graft.ops.Graph.pageRankInt]]) over
+    * the cluster-scoped kNN edge set: 5 synchronous power steps with
+    * damping as the exact rational 17/20 and all mass in scaled-long
+    * units, so every rank is a deterministic integer both engines derive
+    * bit-identically — the oracle unrolls the same 5 iterations as
+    * chained CTEs over the shared KMeans8 + kNN derivation. High-rank
+    * vectors are the corpus's similarity hubs (dense near-dup regions) —
+    * the graph-centrality signal dedup-priority and sampling pipelines
+    * weight by.
+    */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val edges = Similarity.knnEdges(emb, nClusters = 8, rounds = 2, kNeighbors = 3)
+    graft.ops.Ordered.smallResult(
+      graft.ops.Graph.pageRankInt(
+        emb.select(col("vec_id")),
+        edges.select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+        iterations = 5, idCol = "vec_id")
+        .select(col("id").as("vec_id"), col("pr")),
+      "vec_id")
+  }
+
   /** Cluster-balanced coverage sample over the same k-means pipeline as
     * `dedup_semantic`: ≤ 5 vectors per cluster by hash rank.
     */
@@ -4188,6 +4210,7 @@ object SparkEntry {
     "knn_graph" -> (knnGraphQ _),
     "dedup_span_pairs" -> (dedupSpanPairs _),
     "export_shards" -> (exportShards _),
+    "graph_pagerank" -> (graphPagerank _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -6430,6 +6453,41 @@ object SparkEntry {
         |      FROM nbrs)
         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
+    // Integer-exact PageRank: the knn derivation above feeding 5 UNROLLED
+    // power-step CTEs — teleport (3S)//(20n), per-edge (r*17)//(20*deg),
+    // all BIGINT floor arithmetic, so both engines derive identical ranks.
+    "graph_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT nd.id, t.tele + coalesce(m.m, 0) AS r
+           |  FROM nodes nd
+           |  CROSS JOIN (SELECT 3000000000000 // (20 * n) AS tele FROM cnt) t
+           |  LEFT JOIN (
+           |    SELECT k.dst AS id,
+           |           CAST(sum((p.r * 17) // (20 * d.deg)) AS BIGINT) AS m
+           |    FROM knn k JOIN pr${i - 1} p ON p.id = k.src
+           |         JOIN deg d ON d.src = k.src
+           |    GROUP BY k.dst) m ON m.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $KMeans8Ctes,
+         |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
+         |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+         |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
+         |              JOIN e eb ON ea.vec_id <> eb.vec_id
+         |              JOIN assign ab ON eb.vec_id = ab.vec_id
+         |                           AND aa.cluster = ab.cluster),
+         |knn AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src
+         |                   ORDER BY cs DESC, dst) AS nbr_rank
+         |          FROM nbrs) WHERE nbr_rank <= 3),
+         |nodes AS (SELECT vec_id AS id FROM e),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM knn GROUP BY src),
+         |pr0 AS (SELECT id, (SELECT 1000000000000 // n FROM cnt) AS r FROM nodes),
+         |$iters
+         |SELECT id AS vec_id, r AS pr FROM pr5 ORDER BY vec_id""".stripMargin
+    },
     // The same k-means pipeline feeding a per-cluster hash-rank window —
     // the sample_stratified shape with the CLUSTER as the stratum.
     "sample_diversity" ->

@@ -790,6 +790,21 @@ object Similarity {
       rounds: Int,
       kNeighbors: Int,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Ordered.smallResult(
+      knnEdges(df, nClusters, rounds, kNeighbors, idCol, vecCol),
+      idCol, "nbr_rank")
+
+  /** [[knnGraph]]'s UNSORTED edge relation — the form downstream graph
+    * operators consume ([[Graph.pageRankInt]], component folds): same
+    * rows, no report sort, so composing does not funnel the edge set
+    * through one partition. */
+  def knnEdges(
+      df: DataFrame,
+      nClusters: Int,
+      rounds: Int,
+      kNeighbors: Int,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(kNeighbors >= 1, s"kNeighbors must be >= 1, got $kNeighbors")
     val cents = centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
@@ -804,12 +819,10 @@ object Similarity {
         round(cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__src")).orderBy(col("cosine").desc, col("__dst"))
-    Ordered.smallResult(
-      pairs.withColumn("nbr_rank", row_number().over(w))
-        .filter(col("nbr_rank") <= kNeighbors)
-        .select(col("__src").as(idCol), col("nbr_rank"),
-          col("__dst").as("neighbor_id"), col("cosine")),
-      idCol, "nbr_rank")
+    pairs.withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= kNeighbors)
+      .select(col("__src").as(idCol), col("nbr_rank"),
+        col("__dst").as("neighbor_id"), col("cosine"))
   }
 
   /** [[ivfTopK]]'s probe/score body over a CALLER-SUPPLIED centroid frame
