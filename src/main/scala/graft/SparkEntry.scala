@@ -914,6 +914,104 @@ object SparkEntry {
     stats(1).unionByName(stats(2)).orderBy(col("version"))
   }
 
+  /** The documents relation with a planted ESCAPE-HAZARD column — quotes,
+    * backslash, tab, comma, non-ASCII — so the text-format round-trip
+    * gates exercise real escaping (the corpus text itself is
+    * whitespace-clean words, which would make any serializer look
+    * correct). */
+  private def hazardDocs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      .withColumn("note",
+        concat(lit("p\\q\t\"r\", é; "), substring(col("text"), 1, 16)))
+
+  /** Shared round-trip compare for the text-source gates: per source, the
+    * read-back row/char mass plus the count of rows that came back
+    * DIFFERENT (full-outer by doc_id — a lost or duplicated row counts as
+    * a mismatch, not just a changed field). The oracle derives the masses
+    * from the parquet source and pins `n_mismatch` at ZERO, so an escaping
+    * defect in EITHER direction (writer or reader) turns the gate red.
+    */
+  private def roundTripReport(orig: DataFrame, back: DataFrame): DataFrame = {
+    val a = orig.select(col("doc_id"), col("source"), col("text"), col("note"))
+    val b = back.select(col("doc_id").as("b_id"), col("source").as("b_source"),
+      col("text").as("b_text"), col("note").as("b_note"))
+    val cmp = a.join(b, col("doc_id") === col("b_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("b_source")).as("src"),
+        when(col("doc_id").isNull || col("b_id").isNull ||
+          col("source") =!= col("b_source") || col("text") =!= col("b_text") ||
+          col("note") =!= col("b_note"), lit(1)).otherwise(lit(0)).as("bad"),
+        coalesce(length(col("b_text")), lit(0)).cast("long").as("chars"))
+    graft.ops.Ordered.smallResult(
+      cmp.groupBy(col("src").as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("sum_chars"),
+          sum(col("bad")).as("n_mismatch")),
+      "source")
+  }
+
+  /** JSONL source/sink round-trip gate: the hazard relation written as
+    * JSON-lines once per JVM, read back under an EXPLICIT schema
+    * (schema-on-read, the landing-zone discipline — inference would cost a
+    * full extra pass and can mistype empty partitions), row-compared
+    * against the source. JSONL is THE interchange format of web-corpus
+    * pipelines; this gate is the library's claim that documents survive
+    * the trip bit-exactly, escaping included.
+    */
+  private def sourceJsonl(s: SparkSession, dir: String): DataFrame = {
+    val docs = hazardDocs(s, dir)
+    val path = builtIndexPath("jsonl", dir)(p => docs.write.json(s"$p/docs"))
+    val back = s.read.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))
+      .json(s"$path/docs")
+    roundTripReport(docs, back)
+  }
+
+  /** CSV round-trip gate: same discipline over the quoted-CSV
+    * writer/reader (header, explicit schema on read). The hazard column
+    * carries commas and quotes — the fields the quoting machinery exists
+    * for. BOTH sides pin RFC-4180 double-quote escaping (`escape="`):
+    * Spark's DEFAULT is backslash-escaping, which this gate measured
+    * round-tripping asymmetrically on quote+backslash content (rows came
+    * back altered — the first red run is kept in the scaladoc as the
+    * reason the option is not optional). Embedded NEWLINES are
+    * deliberately absent: they would force `multiLine=true`, which makes
+    * the read non-splittable (one task per file) — at 100 TB that is the
+    * wrong trade, so the library's CSV contract is RFC-quoted,
+    * single-line records, stated rather than silently assumed.
+    */
+  private def sourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val docs = hazardDocs(s, dir)
+    val path = builtIndexPath("csvsrc", dir)(p =>
+      docs.write.option("header", "true").option("escape", "\"")
+        // The WRITER defaults ignore*WhiteSpace to TRUE — it silently
+        // TRIMS field-edge whitespace (measured: every note ending in a
+        // space came back shortened). Data pipelines cannot accept a
+        // serializer that edits values; both trims are pinned off.
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(s"$p/docs"))
+    val back = s.read.option("header", "true").option("escape", "\"").schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))
+      .csv(s"$path/docs")
+    roundTripReport(docs, back)
+  }
+
   private def tableDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
     val old = T(s, dir, "orders")
     val base = old.filter(col("o_orderkey") % 97 =!= 0)
@@ -4211,6 +4309,8 @@ object SparkEntry {
     "dedup_span_pairs" -> (dedupSpanPairs _),
     "export_shards" -> (exportShards _),
     "graph_pagerank" -> (graphPagerank _),
+    "source_jsonl" -> (sourceJsonl _),
+    "source_csv" -> (sourceCsv _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -7215,6 +7315,20 @@ object SparkEntry {
          |       WHEN (rep_id * 2654435761) % 4294967296 < 4080218931 THEN 'test'
          |       ELSE 'holdout' END AS split
          |FROM un ORDER BY doc_id""".stripMargin,
+    // Round-trip gates: masses from the parquet source, n_mismatch pinned
+    // at ZERO — the engine side computes mismatches by comparing the
+    // read-back rows field by field, so an escaping defect turns it red.
+    // sum_chars counts the READ-BACK text (must equal the source's mass).
+    "source_jsonl" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "source_csv" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Hash-bucketed shard membership (Knuth hash mod 8) + the loading
     // order's endpoints per shard via (h, id) rank windows.
     "export_shards" ->
