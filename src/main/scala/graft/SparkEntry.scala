@@ -2717,6 +2717,66 @@ object SparkEntry {
       }
     }
 
+  /** §2.9 streaming CDC-INTO-TIME-TRAVEL gate: a change stream applied to
+    * a [[graft.ops.Versioned]] table with ONE VERSION PER MICRO-BATCH —
+    * the structured-streaming → lakehouse-table shape (Delta's
+    * foreachBatch MERGE pattern over this repo's own versioned layout).
+    * The base snapshot is the %3 slice; the %4 boosted slice arrives as
+    * three deterministic files (split by event_id % 3 — DISJOINT key
+    * sets, so the final state is batch-order-free) and each micro-batch
+    * runs a file-granular COW MERGE producing version 2, 3, 4. Empty
+    * micro-batches are skipped — committing an empty version is the
+    * production bug this guard documents. The gate reads versions 1 and 4
+    * AFTER the whole replay: v1 must still read exactly as written (time
+    * travel under concurrent-looking ingest) and v4 must equal the batch
+    * MERGE of the full %4 slice — both re-derived relationally by the
+    * oracle; the order-dependent middle versions are pinned by
+    * VersionedSpec, not the oracle.
+    */
+  private def streamTableVersionsPath(s: SparkSession, dir: String): String =
+    builtIndexPath("vtab-stream", dir) { p =>
+      val e = ev(s, dir).df.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      graft.ops.Versioned.init(
+        e.filter(col("event_id") % 3 === 0).repartition(4, col("event_id")),
+        s"$p/t")
+      val ingest = e.filter(col("event_id") % 4 === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      // Three sequential single-file writes → three micro-batches in
+      // arrival order (disjoint %3 residue slices).
+      for (k <- 0 to 2)
+        ingest.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(s"$p/ingest_src")
+      withStateSession(s) { ss =>
+        val src = ss.readStream.schema(ingest.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$p/ingest_src")
+        val q = src.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            if (!b.isEmpty)
+              graft.ops.Versioned.upsertVersion(b.toDF(), s"$p/t", Seq("event_id")): Unit)
+          .option("checkpointLocation", s"$p/ingest_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
+  private def streamTableVersions(s: SparkSession, dir: String): DataFrame = {
+    val path = streamTableVersionsPath(s, dir)
+    val latest = graft.ops.Versioned.latestVersion(s, s"$path/t")
+      .getOrElse(sys.error(s"$path/t: no versioned table"))
+    require(latest == 4L, s"expected 4 versions after the 3-batch replay, got $latest")
+    def stats(v: Int) = graft.ops.Versioned.readVersion(s, s"$path/t", v.toLong)
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+        round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
+          .as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(lit(v).as("version"), col("n"), col("n_value"),
+        col("sum_value"), col("min_id"), col("max_id"))
+    stats(1).unionByName(stats(4)).orderBy(col("version"))
+  }
+
   private def streamSplitIngest(s: SparkSession, dir: String): DataFrame = {
     val path = streamSplitIngestPath(s, dir)
     graft.ops.Ordered.smallResult(
@@ -4341,6 +4401,7 @@ object SparkEntry {
     "ann_ivf_append" -> (annIvfAppend _),
     "stream_ann_ingest" -> (streamAnnIngest _),
     "stream_split_ingest" -> (streamSplitIngest _),
+    "stream_table_versions" -> (streamTableVersions _),
     "ann_ivf_recluster" -> (annIvfRecluster _),
     "ann_ivf_topk_batch" -> (annIvfTopkBatch _),
     "ann_ivf_topk_nolabel" -> (annIvfTopkNolabel _),
@@ -5880,6 +5941,25 @@ object SparkEntry {
          |                AS sum_value,
          |              count(src) AS n_src, coalesce(sum(src), 0) AS sum_src FROM v2)
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
+    // The streamed CDC's endpoints: v1 = the base slice exactly as
+    // written (time travel must survive the whole replay), v4 = the MERGE
+    // of the full boosted %4 slice (disjoint per-batch key sets commute,
+    // so the final state is batch-order-free and batch-derivable).
+    "stream_table_versions" ->
+      s"""WITH e AS ($EvCte),
+         |v1 AS (SELECT event_id, value FROM e WHERE event_id % 3 = 0),
+         |b  AS (SELECT event_id, value + 1000.0 AS value FROM e WHERE event_id % 4 = 0),
+         |v4 AS (SELECT * FROM v1 WHERE event_id NOT IN (SELECT event_id FROM b)
+         |       UNION ALL SELECT * FROM b),
+         |s1 AS (SELECT 1 AS version, count(*) AS n, count(value) AS n_value,
+         |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |                AS sum_value,
+         |              min(event_id) AS min_id, max(event_id) AS max_id FROM v1),
+         |s4 AS (SELECT 4 AS version, count(*) AS n, count(value) AS n_value,
+         |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |                AS sum_value,
+         |              min(event_id) AS min_id, max(event_id) AS max_id FROM v4)
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s4 ORDER BY version""".stripMargin,
     // Both snapshots derived relationally, the diff replayed with the
     // null-safe value compare; removed is impossible here (MERGE never
     // deletes), so only added/changed rows can appear.
