@@ -2367,6 +2367,19 @@ object SparkEntry {
     * the graph-centrality signal dedup-priority and sampling pipelines
     * weight by.
     */
+  /** Contrastive negative-sampling gate
+    * ([[graft.ops.Similarity.negativeSample]]): per vector, 4 pool
+    * negatives excluding its kNN positives — the (anchor, positives,
+    * negatives) triple builder's third leg, deterministic end-to-end
+    * (hash-bottom pool, pair-mix draw order), so the oracle re-derives
+    * pool, exclusions and ranks exactly.
+    */
+  private def negSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val edges = Similarity.knnEdges(emb, nClusters = 8, rounds = 2, kNeighbors = 3)
+    Similarity.negativeSample(emb, edges, poolSize = 64, kNeg = 4)
+  }
+
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val edges = Similarity.knnEdges(emb, nClusters = 8, rounds = 2, kNeighbors = 3)
@@ -4371,6 +4384,7 @@ object SparkEntry {
     "graph_pagerank" -> (graphPagerank _),
     "source_jsonl" -> (sourceJsonl _),
     "source_csv" -> (sourceCsv _),
+    "contrastive_negatives" -> (negSampleQ _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -6633,6 +6647,34 @@ object SparkEntry {
         |      FROM nbrs)
         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
+    // Pool negatives: the knn derivation's edge set excluded from a
+    // hash-bottom-64 pool, ranked per anchor by the exact pair-mix hash.
+    "contrastive_negatives" ->
+      s"""WITH $KMeans8Ctes,
+         |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
+         |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+         |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
+         |              JOIN e eb ON ea.vec_id <> eb.vec_id
+         |              JOIN assign ab ON eb.vec_id = ab.vec_id
+         |                           AND aa.cluster = ab.cluster),
+         |knn AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src
+         |                   ORDER BY cs DESC, dst) AS nbr_rank
+         |          FROM nbrs) WHERE nbr_rank <= 3),
+         |ids AS (SELECT vec_id AS a FROM e),
+         |pool AS (SELECT a AS c FROM ids
+         |         ORDER BY (a * 2654435761) % 4294967296, a LIMIT 64),
+         |cand AS (SELECT i.a, p.c FROM ids i, pool p
+         |         WHERE i.a <> p.c
+         |           AND NOT EXISTS (SELECT 1 FROM knn k
+         |                           WHERE k.src = i.a AND k.dst = p.c)),
+         |r AS (SELECT a, c, row_number() OVER (PARTITION BY a
+         |        ORDER BY ((((a % 4294967296) * 100003 + c) % 4294967296)
+         |                  * 2654435761) % 4294967296, c) AS neg_rank
+         |      FROM cand)
+         |SELECT a AS vec_id, neg_rank, c AS neg_id FROM r WHERE neg_rank <= 4
+         |ORDER BY vec_id, neg_rank""".stripMargin,
     // Integer-exact PageRank: the knn derivation above feeding 5 UNROLLED
     // power-step CTEs — teleport (3S)//(20n), per-edge (r*17)//(20*deg),
     // all BIGINT floor arithmetic, so both engines derive identical ranks.

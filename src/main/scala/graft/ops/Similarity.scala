@@ -825,6 +825,58 @@ object Similarity {
         col("__dst").as("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive training: per anchor,
+    * `kNeg` corpus vectors that are NOT its neighbors, drawn from a
+    * bounded global pool — the (anchor, positive, negatives) triple
+    * builder's missing leg (positives come from [[knnEdges]]; this
+    * excludes exactly those edges, plus self).
+    *
+    * Scale shape: negatives come from a `poolSize`-row POOL (the corpus's
+    * bottom-`poolSize` ids by Knuth hash — a broadcastable
+    * TakeOrderedAndProject, never a corpus × corpus join), so the
+    * candidate relation is anchors × pool. The per-anchor pseudo-random
+    * order is `idHash(anchor · 100003 + candidate)` — a pure function of
+    * the pair, so the draw is stable across runs, engines, retries and
+    * partitionings (the [[graft.ops.Sampling]] contract; an RNG draw
+    * would be none of these). Pool sampling is the production trade
+    * (in-batch/pool negatives): a pool miss for an anchor whose
+    * neighbors saturate the pool is impossible for `poolSize ≫ k + kNeg`.
+    * Output: `(idCol, neg_rank, neg_id)`.
+    */
+  def negativeSample(
+      df: DataFrame,
+      edges: DataFrame,
+      poolSize: Int,
+      kNeg: Int,
+      idCol: String = "vec_id",
+      srcCol: String = "vec_id",
+      dstCol: String = "neighbor_id"): DataFrame = {
+    require(poolSize >= 1 && kNeg >= 1,
+      s"poolSize and kNeg must be >= 1, got $poolSize/$kNeg")
+    val ids = df.select(col(idCol).cast("long").as("__a"))
+    val pool = ids
+      .select(col("__a").as("__c"), Sampling.idHash(col("__a")).as("__h"))
+      .orderBy(col("__h"), col("__c")).limit(poolSize)
+      .select(col("__c"))
+    val e = edges.select(col(srcCol).cast("long").as("__a"),
+      col(dstCol).cast("long").as("__c"))
+    val cands = ids.crossJoin(broadcast(pool))
+      .filter(col("__a") =!= col("__c"))
+      .join(e, Seq("__a", "__c"), "left_anti")
+    // Pair mix: idHash((a mod 2³²)·100003 + c) — the pre-mod keeps the
+    // product ≤ ~2⁴⁹ for any long id (ANSI-overflow-safe), and idHash's
+    // own leading mod makes the oracle's replication exact.
+    val mix = Sampling.idHash(
+      pmod(col("__a"), lit(4294967296L)) * lit(100003L) + col("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__a")).orderBy(mix, col("__c"))
+    Ordered.smallResult(
+      cands.withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= kNeg)
+        .select(col("__a").as(idCol), col("neg_rank"), col("__c").as("neg_id")),
+      idCol, "neg_rank")
+  }
+
   /** [[ivfTopK]]'s probe/score body over a CALLER-SUPPLIED centroid frame
     * `(cl, cvec)` — plug in [[centroidsKMeansParallel]] (or any routing
     * table) without re-deriving the probe plan.

@@ -562,6 +562,32 @@ class OpsSpec extends SparkSpec {
     assert(g.forall { case (s, _, d, _) => assign(s) == assign(d) })
   }
 
+  test("negativeSample: pool members only, never a neighbor or self, dense deterministic ranks") {
+    val ids = (0L until 30L)
+    val df = ids.map(id => (id, Array(1.0f, id.toFloat))).toDF("vec_id", "embedding")
+    // Hand edge set: each anchor's "positives" are its two successors.
+    val edges = ids.flatMap(a => Seq((a, (a + 1) % 30), (a, (a + 2) % 30)))
+      .toDF("vec_id", "neighbor_id")
+    val out = Similarity.negativeSample(df, edges, poolSize = 10, kNeg = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pool = ids.sortBy(id => (graft.ops.Sampling.idHashLong(id), id)).take(10).toSet
+    val edgeSet = ids.flatMap(a => Seq((a, (a + 1) % 30), (a, (a + 2) % 30))).toSet
+    assert(out.nonEmpty)
+    for ((a, _, c) <- out) {
+      assert(pool.contains(c), s"negative $c not from the pool")
+      assert(c != a && !edgeSet.contains((a, c)), s"($a,$c) is self or a positive")
+    }
+    // Dense 1..k ranks per anchor with enough candidates (pool 10, ≤2
+    // exclusions + possibly self → ≥ 7 candidates ≥ k).
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size == 30)
+    assert(byAnchor.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    // Deterministic: a second invocation is identical.
+    val again = Similarity.negativeSample(df, edges, poolSize = 10, kNeg = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("diversity sample: ≤ nPer per cluster, exactly the hash-rank heads of the assignment") {
     def knuth(id: Long): Long =
       ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
