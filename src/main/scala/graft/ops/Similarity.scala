@@ -825,6 +825,51 @@ object Similarity {
         col("__dst").as("neighbor_id"), col("cosine"))
   }
 
+  /** Persist the [[knnEdges]] relation at `path` — the kNN GRAPH as a
+    * build-once artifact, the same build-once/probe-forever discipline as
+    * [[ivfBuild]]: real systems materialize the similarity graph once and
+    * run many consumers over it (centrality, communities, negative
+    * sampling, dedup audits), each of which would otherwise re-pay the
+    * Σ|cluster|² candidate scan per query. Edges land bucketed by nothing
+    * (n·k rows, read whole by every consumer); the config manifest fails
+    * probes loud on a parameter mismatch, the persisted-family rule.
+    */
+  def knnGraphBuild(
+      df: DataFrame,
+      path: String,
+      nClusters: Int,
+      rounds: Int,
+      kNeighbors: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    knnEdges(df, nClusters, rounds, kNeighbors, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/edges")
+    val spark = df.sparkSession
+    spark.range(1)
+      .select(lit(nClusters).as("n_clusters"), lit(rounds).as("rounds"),
+        lit(kNeighbors).as("k_neighbors"))
+      .write.mode("overwrite").json(s"$path/manifest")
+  }
+
+  /** Read a persisted kNN graph's edges, failing loud when the requested
+    * parameters do not match the build's (a probe against a
+    * differently-built graph would silently answer a different question).
+    */
+  def knnGraphEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nClusters: Int,
+      rounds: Int,
+      kNeighbors: Int): DataFrame = {
+    val m = spark.read.json(s"$path/manifest").head()
+    def g(n: String): Long = m.getLong(m.fieldIndex(n))
+    require(g("n_clusters") == nClusters && g("rounds") == rounds &&
+      g("k_neighbors") == kNeighbors,
+      s"$path: built with (${g("n_clusters")}, ${g("rounds")}, ${g("k_neighbors")}), " +
+        s"probed with ($nClusters, $rounds, $kNeighbors)")
+    spark.read.parquet(s"$path/edges")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training: per anchor,
     * `kNeg` corpus vectors that are NOT its neighbors, drawn from a
     * bounded global pool — the (anchor, positive, negatives) triple
