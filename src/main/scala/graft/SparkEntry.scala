@@ -2392,6 +2392,16 @@ object SparkEntry {
     Similarity.knnGraphEdges(s, path, nClusters = 8, rounds = 2, kNeighbors = 3)
   }
 
+  /** kNN-graph recall audit gate
+    * ([[graft.ops.Similarity.knnGraphRecall]]): the cluster-boundary miss
+    * priced as a measured number (3-query sample, global brute-force top-3
+    * vs the scoped board) — the approximation-as-a-number discipline every
+    * approximate family in the registry carries.
+    */
+  private def knnGraphRecallQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphRecall(T(s, dir, "embeddings"),
+      nClusters = 8, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L))
+
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     graft.ops.Ordered.smallResult(
@@ -4397,6 +4407,7 @@ object SparkEntry {
     "source_jsonl" -> (sourceJsonl _),
     "source_csv" -> (sourceCsv _),
     "contrastive_negatives" -> (negSampleQ _),
+    "knn_graph_recall" -> (knnGraphRecallQ _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -6659,6 +6670,36 @@ object SparkEntry {
         |      FROM nbrs)
         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
+    // The scoped board vs the GLOBAL brute-force top-3 for a 3-query
+    // sample — the cluster-boundary miss as a gated number. (gx = the
+    // global exact side; `ex` is taken by the shared KMeans scan CTE.)
+    "knn_graph_recall" ->
+      s"""WITH $KMeans8Ctes,
+         |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
+         |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+         |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
+         |              JOIN e eb ON ea.vec_id <> eb.vec_id
+         |              JOIN assign ab ON eb.vec_id = ab.vec_id
+         |                           AND aa.cluster = ab.cluster),
+         |knn AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src
+         |                   ORDER BY cs DESC, dst) AS nbr_rank
+         |          FROM nbrs) WHERE nbr_rank <= 3),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |gx AS (SELECT qid, vid FROM (
+         |         SELECT q.qid, e.vec_id AS vid,
+         |                row_number() OVER (PARTITION BY q.qid
+         |                  ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+         |                           e.vec_id) AS rn
+         |         FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 3)
+         |SELECT gx.qid AS query_id, count(*) AS n_exact,
+         |       CAST(coalesce(sum(CASE WHEN k.dst IS NOT NULL THEN 1 END), 0)
+         |            AS BIGINT) AS n_hit,
+         |       round(CAST(coalesce(sum(CASE WHEN k.dst IS NOT NULL THEN 1 END), 0)
+         |                  AS BIGINT) / 3.0, 4) AS recall_at_k
+         |FROM gx LEFT JOIN knn k ON k.src = gx.qid AND k.dst = gx.vid
+         |GROUP BY gx.qid ORDER BY query_id""".stripMargin,
     // Pool negatives: the knn derivation's edge set excluded from a
     // hash-bottom-64 pool, ranked per anchor by the exact pair-mix hash.
     "contrastive_negatives" ->

@@ -825,6 +825,50 @@ object Similarity {
         col("__dst").as("neighbor_id"), col("cosine"))
   }
 
+  /** Recall@k audit for the kNN graph's cluster-boundary miss — the
+    * approximation-as-a-number discipline every approximate operator in
+    * this repo carries ([[ivfRecallBatch]], [[pqAdcRecall]]): per sampled
+    * query, the GLOBAL brute-force top-k by cosine against the
+    * cluster-scoped board's top-k, reduced to `n_hit`/`recall_at_k`. A
+    * neighbor across a cluster boundary is the one edge the scoped graph
+    * cannot hold ([[knnEdges]]' documented trade); this prices that miss
+    * so the `nClusters` knob is tuned against a measured number, not a
+    * hope. The exact side scores the corpus once against the broadcast
+    * query batch.
+    */
+  def knnGraphRecall(
+      df: DataFrame,
+      nClusters: Int,
+      rounds: Int,
+      kNeighbors: Int,
+      queryIds: Seq[Long],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val edges = knnEdges(df, nClusters, rounds, kNeighbors, idCol, vecCol)
+      .select(col(idCol).cast("long").as("qid"),
+        col("neighbor_id").as("vid"), lit(1).as("__hit"))
+      .filter(col("qid").isin(queryIds: _*))
+    val e = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+    val queries = queriesOf(e, queryIds).localCheckpoint()
+    val exactTop = perQidTopKBy(
+      e.crossJoin(broadcast(queries))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          round(cosine(col("v"), col("qv")), 4).as("cs")),
+      kNeighbors, "vid", desc("cs"))
+      .select(col("qid"), col("vid"))
+    Ordered.smallResult(
+      exactTop.join(edges, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+        .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") / lit(kNeighbors.toDouble), 4).as("recall_at_k")),
+      "query_id")
+  }
+
   /** Persist the [[knnEdges]] relation at `path` — the kNN GRAPH as a
     * build-once artifact, the same build-once/probe-forever discipline as
     * [[ivfBuild]]: real systems materialize the similarity graph once and

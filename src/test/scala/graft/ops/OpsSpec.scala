@@ -562,6 +562,25 @@ class OpsSpec extends SparkSpec {
     assert(g.forall { case (s, _, d, _) => assign(s) == assign(d) })
   }
 
+  test("knnGraphBuild persists edges; probe fails loud on a config mismatch") {
+    val ids = (0L until 12L)
+    val df = ids.map(id => (id, Array(1.0f, (id % 3).toFloat))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("knn-idx").toString
+    Similarity.knnGraphBuild(df, path, nClusters = 2, rounds = 1, kNeighbors = 2)
+    val persisted = Similarity.knnGraphEdges(spark, path, 2, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val inPlan = Similarity.knnEdges(df, 2, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(persisted.toSeq == inPlan.toSeq)
+    // A probe with different parameters would answer a different question.
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphEdges(spark, path, 2, 1, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphEdges(spark, path, 4, 1, 2)
+    }
+  }
+
   test("negativeSample: pool members only, never a neighbor or self, dense deterministic ranks") {
     val ids = (0L until 30L)
     val df = ids.map(id => (id, Array(1.0f, id.toFloat))).toDF("vec_id", "embedding")
