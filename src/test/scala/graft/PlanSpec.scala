@@ -422,4 +422,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text"), p.take(1500)) // never drags the payload
     assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p.take(1500))
   }
+
+  test("graph-family plans: no cartesian/nested loop; the kNN candidate join is hashed") {
+    // knn_graph: within-cluster candidates via the SHUFFLE_HASH equality
+    // self-join, per-source rank — never an all-pairs product.
+    val knn = plan("knn_graph")
+    assert(!knn.contains("CartesianProduct"), knn.take(1500))
+    assert(knn.contains("ShuffledHashJoin"), knn.take(1500))
+    // pagerank / negatives read the persisted edge parquet (the build runs
+    // once per JVM before planning) and must stay product-free; the
+    // negatives' pool side is a broadcast, never a corpus x corpus join.
+    for (q <- Seq("graph_pagerank", "contrastive_negatives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+    val neg = plan("contrastive_negatives")
+    assert(neg.contains("BroadcastNestedLoopJoin") || neg.contains("BroadcastHashJoin"),
+      neg.take(1500)) // anchors x broadcast pool — the bounded side ships, not the corpus
+  }
+
+  test("shard manifest is one aggregation, no global sort, no text read") {
+    val p = plan("export_shards")
+    assert(!p.contains("text"), p.take(1500)) // weight column only
+    assert(!p.contains("rangepartitioning"), p.take(2000)) // membership is hash-mod, not rank
+  }
+
+  test("span-pair dedup joins on the span hash only — no array or text shuffle") {
+    val p = plan("dedup_span_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
 }
