@@ -2402,6 +2402,18 @@ object SparkEntry {
     Similarity.knnGraphRecall(T(s, dir, "embeddings"),
       nClusters = 8, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L))
 
+  /** The multi-probe REMEDY, measured: the same recall audit at
+    * `nProbe = 2` — each vector joins its two nearest clusters' candidate
+    * spaces ([[graft.ops.Similarity.knnEdges]]' graph-axis nprobe), so
+    * boundary neighbors the single-assign scope structurally misses become
+    * reachable. Audit → remedy → re-measured number, the same loop as
+    * `ann_ivf_recall_stale` → `ann_ivf_recluster`.
+    */
+  private def knnGraphRecallMpQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphRecall(T(s, dir, "embeddings"),
+      nClusters = 8, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L),
+      nProbe = 2)
+
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     graft.ops.Ordered.smallResult(
@@ -4408,6 +4420,7 @@ object SparkEntry {
     "source_csv" -> (sourceCsv _),
     "contrastive_negatives" -> (negSampleQ _),
     "knn_graph_recall" -> (knnGraphRecallQ _),
+    "knn_graph_recall_mp" -> (knnGraphRecallMpQ _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -6670,6 +6683,45 @@ object SparkEntry {
         |      FROM nbrs)
         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
+    // The nProbe=2 remedy re-measured: multi-assign = top-2 clusters per
+    // vector by (cosine DESC, cluster); candidates = probe-set overlap,
+    // deduped; the rest identical to the single-probe audit.
+    "knn_graph_recall_mp" ->
+      s"""WITH $KMeans8Ctes,
+         |multi AS (SELECT vec_id, cl AS cluster FROM (
+         |            SELECT e.vec_id, c.cl,
+         |                   row_number() OVER (PARTITION BY e.vec_id
+         |                     ORDER BY (CASE WHEN isnan(list_cosine_similarity(e.v, c.cvec))
+         |                                    THEN 0.0
+         |                                    ELSE list_cosine_similarity(e.v, c.cvec) END) DESC,
+         |                              c.cl) AS pr
+         |            FROM e, c2 c) WHERE pr <= 2),
+         |nbrs AS (SELECT DISTINCT ma.vec_id AS src, mb.vec_id AS dst
+         |         FROM multi ma JOIN multi mb
+         |              ON ma.cluster = mb.cluster AND ma.vec_id <> mb.vec_id),
+         |scored AS (SELECT n.src, n.dst,
+         |                  round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+         |           FROM nbrs n JOIN e ea ON ea.vec_id = n.src
+         |                JOIN e eb ON eb.vec_id = n.dst),
+         |knn AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src
+         |                   ORDER BY cs DESC, dst) AS nbr_rank
+         |          FROM scored) WHERE nbr_rank <= 3),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |gx AS (SELECT qid, vid FROM (
+         |         SELECT q.qid, e.vec_id AS vid,
+         |                row_number() OVER (PARTITION BY q.qid
+         |                  ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC,
+         |                           e.vec_id) AS rn
+         |         FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 3)
+         |SELECT gx.qid AS query_id, count(*) AS n_exact,
+         |       CAST(coalesce(sum(CASE WHEN k.dst IS NOT NULL THEN 1 END), 0)
+         |            AS BIGINT) AS n_hit,
+         |       round(CAST(coalesce(sum(CASE WHEN k.dst IS NOT NULL THEN 1 END), 0)
+         |                  AS BIGINT) / 3.0, 4) AS recall_at_k
+         |FROM gx LEFT JOIN knn k ON k.src = gx.qid AND k.dst = gx.vid
+         |GROUP BY gx.qid ORDER BY query_id""".stripMargin,
     // The scoped board vs the GLOBAL brute-force top-3 for a 3-query
     // sample — the cluster-boundary miss as a gated number. (gx = the
     // global exact side; `ex` is taken by the shared KMeans scan CTE.)

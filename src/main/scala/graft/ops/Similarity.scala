@@ -792,34 +792,65 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     Ordered.smallResult(
-      knnEdges(df, nClusters, rounds, kNeighbors, idCol, vecCol),
+      knnEdges(df, nClusters, rounds, kNeighbors, 1, idCol, vecCol),
       idCol, "nbr_rank")
 
   /** [[knnGraph]]'s UNSORTED edge relation — the form downstream graph
     * operators consume ([[Graph.pageRankInt]], component folds): same
     * rows, no report sort, so composing does not funnel the edge set
-    * through one partition. */
+    * through one partition.
+    *
+    * `nProbe` is [[ivfTopK]]'s `nprobe` idea on the GRAPH axis — the
+    * measured remedy for [[knnGraphRecall]]'s cluster-boundary miss: each
+    * vector joins the candidate space of its `nProbe` NEAREST clusters
+    * (rank by centroid cosine, ties to the smaller cluster), so two
+    * vectors pair when their probe sets overlap anywhere. Pair work grows
+    * ≤ nProbe²× (usually far less — overlap dedupes), recall across
+    * boundaries is what it buys; `nProbe = 1` is exactly the single-assign
+    * scope. */
   def knnEdges(
       df: DataFrame,
       nClusters: Int,
       rounds: Int,
       kNeighbors: Int,
+      nProbe: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(kNeighbors >= 1, s"kNeighbors must be >= 1, got $kNeighbors")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cents = centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
-    val slim = assignClusters(df, cents, idCol, vecCol)
-      .select(col(idCol).cast("long").as("__id"), col("cluster"),
-        col(vecCol).as("__v"))
+    val e = df.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    val slim = (
+      if (nProbe == 1)
+        assignClusters(df, cents, idCol, vecCol)
+          .select(col(idCol).cast("long").as("__id"), col("cluster"),
+            col(vecCol).as("__v"))
+      else {
+        // Top-nProbe clusters per vector: the same (cosine DESC, cluster)
+        // order as argmax assignment's tie rule, kept to nProbe rows.
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("__id"), col("__v"), col("cl"),
+            nanvl(cosine(col("__v"), col("cvec")), lit(0.0)).as("__cs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__id")).orderBy(col("__cs").desc, col("cl"))
+        scored.withColumn("__pr", row_number().over(w))
+          .filter(col("__pr") <= nProbe)
+          .select(col("__id"), col("cl").as("cluster"), col("__v"))
+      })
       .localCheckpoint()
     val pairs = slim.as("a").hint("SHUFFLE_HASH")
       .join(slim.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__src"), col("b.__id").as("__dst"),
         round(cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
+    // Overlapping probe sets propose a pair once per shared cluster; the
+    // single-probe path is duplicate-free by construction and skips the
+    // dedup shuffle.
+    val uniq = if (nProbe == 1) pairs else pairs.distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__src")).orderBy(col("cosine").desc, col("__dst"))
-    pairs.withColumn("nbr_rank", row_number().over(w))
+    uniq.withColumn("nbr_rank", row_number().over(w))
       .filter(col("nbr_rank") <= kNeighbors)
       .select(col("__src").as(idCol), col("nbr_rank"),
         col("__dst").as("neighbor_id"), col("cosine"))
@@ -842,9 +873,10 @@ object Similarity {
       rounds: Int,
       kNeighbors: Int,
       queryIds: Seq[Long],
+      nProbe: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val edges = knnEdges(df, nClusters, rounds, kNeighbors, idCol, vecCol)
+    val edges = knnEdges(df, nClusters, rounds, kNeighbors, nProbe, idCol, vecCol)
       .select(col(idCol).cast("long").as("qid"),
         col("neighbor_id").as("vid"), lit(1).as("__hit"))
       .filter(col("qid").isin(queryIds: _*))
@@ -886,7 +918,7 @@ object Similarity {
       kNeighbors: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    knnEdges(df, nClusters, rounds, kNeighbors, idCol, vecCol)
+    knnEdges(df, nClusters, rounds, kNeighbors, 1, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/edges")
     val spark = df.sparkSession
     spark.range(1)

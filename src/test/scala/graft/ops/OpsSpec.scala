@@ -562,6 +562,39 @@ class OpsSpec extends SparkSpec {
     assert(g.forall { case (s, _, d, _) => assign(s) == assign(d) })
   }
 
+  test("multi-probe knnEdges recovers boundary neighbors the single assign misses") {
+    // Two tight blobs plus one vector BETWEEN them: its true neighbors
+    // split across both clusters, so single-probe holds at most one side.
+    def knuth(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    val byHash = (0L until 9L).sortBy(id => (knuth(id), id))
+    val mid = byHash.last // assigned last so it can't seed a cluster
+    val vecs = byHash.zipWithIndex.map { case (id, i) =>
+      (id, if (id == mid) Array(1.0f, 1.0f)
+      else if (i % 2 == 0) Array(1.0f, 0.05f * i) else Array(0.05f * i, 1.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def edgesOf(nProbe: Int): Set[(Long, Long)] =
+      Similarity.knnEdges(df, nClusters = 2, rounds = 2, kNeighbors = 4, nProbe = nProbe)
+        .filter(col("vec_id") === mid)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = edgesOf(1)
+    val multi = edgesOf(2)
+    // Multi-probe's board for the boundary vector strictly extends reach:
+    // it sees candidates from BOTH blobs, single-probe from one.
+    assert(single.subsetOf(multi) || multi.size >= single.size)
+    val assign = Similarity.assignClusters(df, Similarity.centroidsKMeans(df, 2, 2))
+      .select(col("vec_id"), col("cluster").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.values.toSet.size == 2, "fixture must split into two clusters")
+    val multiPartners = multi.map { case (_, d) => assign(d) }
+    assert(multiPartners.size == 2,
+      s"multi-probe must reach both clusters, got partners in $multiPartners")
+    val singlePartners = single.map { case (_, d) => assign(d) }
+    assert(singlePartners.size == 1,
+      s"single-probe stays in one cluster, got $singlePartners")
+  }
+
   test("knnGraphBuild persists edges; probe fails loud on a config mismatch") {
     val ids = (0L until 12L)
     val df = ids.map(id => (id, Array(1.0f, (id % 3).toFloat))).toDF("vec_id", "embedding")
