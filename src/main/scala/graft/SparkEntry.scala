@@ -1463,6 +1463,28 @@ object SparkEntry {
     Dedup.sharedSpanPairs(T(s, dir, "documents"),
       spanTokens = 8, minShared = 3)
 
+  /** Capstone composition gate: the TRAINING EXPORT — leakage-safe split
+    * (near-dup clusters assigned whole, [[graft.ops.Sampling
+    * .leakageSafeSplit]]) feeding the deterministic shard manifest
+    * ([[graft.ops.Sampling.shardManifest]]) over the TRAIN side only: the
+    * last two steps a corpus actually takes on its way to a trainer,
+    * composed under ONE oracle (the recursive near-dup closure → rep-hash
+    * split bands → hash-mod shards → loading-order endpoints, re-derived
+    * end to end). A near-dup leaking out of train, a split flip, or a
+    * shard-order wobble anywhere in the chain turns the single gate red.
+    */
+  private def trainingExport(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+      .select(col("d1"), col("d2"))
+    val train = graft.ops.Sampling.leakageSafeSplit(
+        docs.select(col("doc_id"), col("n_chars")), pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05))
+      .filter(col("split") === "train")
+    graft.ops.Sampling.shardManifest(train, nShards = 8,
+      idCol = "doc_id", weightCol = "n_chars")
+  }
+
   private def sampleSplitCounts(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.assignSplit(T(s, dir, "documents"), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05))
@@ -4421,6 +4443,7 @@ object SparkEntry {
     "contrastive_negatives" -> (negSampleQ _),
     "knn_graph_recall" -> (knnGraphRecallQ _),
     "knn_graph_recall_mp" -> (knnGraphRecallMpQ _),
+    "training_export" -> (trainingExport _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
     "asof_join_orders_fwd" -> (asofJoinForward _),
@@ -7556,6 +7579,35 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |       CAST(0 AS BIGINT) AS n_mismatch
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // The full export chain re-derived: near-dup closure → rep-hash train
+    // band → hash-mod shards + order endpoints over the survivors.
+    "training_export" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($JaccardPairsSql)),
+         |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id),
+         |cc AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |train AS (SELECT d.doc_id, d.n_chars
+         |          FROM documents d JOIN cc USING (doc_id)
+         |          WHERE (cc.rep * 2654435761) % 4294967296 < 3435973836),
+         |s AS (SELECT doc_id, n_chars,
+         |             (doc_id * 2654435761) % 4294967296 AS h,
+         |             ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+         |      FROM train),
+         |f AS (SELECT shard, doc_id AS first_id FROM (
+         |        SELECT shard, doc_id, row_number() OVER (PARTITION BY shard
+         |          ORDER BY h, doc_id) AS rn FROM s) WHERE rn = 1),
+         |l AS (SELECT shard, doc_id AS last_id FROM (
+         |        SELECT shard, doc_id, row_number() OVER (PARTITION BY shard
+         |          ORDER BY h DESC, doc_id DESC) AS rn FROM s) WHERE rn = 1),
+         |g AS (SELECT shard, count(*) AS n_docs,
+         |             CAST(sum(n_chars) AS BIGINT) AS sum_weight
+         |      FROM s GROUP BY shard)
+         |SELECT g.shard, n_docs, sum_weight, first_id, last_id
+         |FROM g JOIN f USING (shard) JOIN l USING (shard)
+         |ORDER BY g.shard""".stripMargin,
     // Hash-bucketed shard membership (Knuth hash mod 8) + the loading
     // order's endpoints per shard via (h, id) rank windows.
     "export_shards" ->
