@@ -898,6 +898,38 @@ object SparkEntry {
         s"$p/t", Seq("event_id")): Unit
     }
 
+  /** RESTORE gate ([[graft.ops.Versioned.restore]]): the bad-ingest
+    * roll-back — v1, a boosted-MERGE v2, then restore(1) as v3 carrying
+    * v1's files BY REFERENCE (no rewrite; v2 stays readable for the
+    * post-mortem). The gate reads v1 and the restored v3: both must carry
+    * IDENTICAL stats, which the oracle pins by deriving the base slice
+    * once and emitting it under both version numbers — a restore that
+    * rewrote, dropped, or leaked v2 rows turns it red.
+    */
+  private def tableRestore(s: SparkSession, dir: String): DataFrame = {
+    val path = builtIndexPath("vtab-restore", dir) { p =>
+      val e = ev(s, dir).df.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      graft.ops.Versioned.init(
+        e.filter(col("event_id") % 3 === 0).repartition(4, col("event_id")),
+        s"$p/t")
+      graft.ops.Versioned.upsertVersion(
+        e.filter(col("event_id") % 4 === 0)
+          .withColumn("value", col("value") + lit(1000.0)),
+        s"$p/t", Seq("event_id")): Unit
+      require(graft.ops.Versioned.restore(s, s"$p/t", 1L) == 3L,
+        "restore must mint version 3")
+    }
+    def stats(v: Int) = graft.ops.Versioned.readVersion(s, s"$path/t", v.toLong)
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+        round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
+          .as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(lit(v).as("version"), col("n"), col("n_value"),
+        col("sum_value"), col("min_id"), col("max_id"))
+    stats(1).unionByName(stats(3)).orderBy(col("version"))
+  }
+
   private def tableSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val path = vtabSePath(s, dir)
     def stats(v: Int) = {
@@ -4398,6 +4430,7 @@ object SparkEntry {
     "table_time_travel" -> (tableTimeTravel _),
     "table_version_diff" -> (tableVersionDiff _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
+    "table_restore" -> (tableRestore _),
     "profile_drift" -> (profileDrift _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
@@ -6014,6 +6047,19 @@ object SparkEntry {
          |                AS sum_value,
          |              count(src) AS n_src, coalesce(sum(src), 0) AS sum_src FROM v2)
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
+    // RESTORE: the base slice derived once, emitted under versions 1 and
+    // 3 — the restored snapshot must be value-identical to the original.
+    "table_restore" ->
+      s"""WITH e AS ($EvCte),
+         |v1 AS (SELECT event_id, value FROM e WHERE event_id % 3 = 0),
+         |s AS (SELECT count(*) AS n, count(value) AS n_value,
+         |             round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |               AS sum_value,
+         |             min(event_id) AS min_id, max(event_id) AS max_id FROM v1)
+         |SELECT 1 AS version, n, n_value, sum_value, min_id, max_id FROM s
+         |UNION ALL
+         |SELECT 3 AS version, n, n_value, sum_value, min_id, max_id FROM s
+         |ORDER BY version""".stripMargin,
     // The streamed CDC's endpoints: v1 = the base slice exactly as
     // written (time travel must survive the whole replay), v4 = the MERGE
     // of the full boosted %4 slice (disjoint per-batch key sets commute,

@@ -173,6 +173,27 @@ object Versioned {
       keys: Seq[String]): DataFrame =
     Diff.snapshots(readVersion(spark, path, oldV), readVersion(spark, path, newV), keys)
 
+  /** RESTORE an old snapshot as the table's newest version — the roll-back
+    * verb that completes the lifecycle (init / upsert / read / diff /
+    * vacuum / restore): a bad ingest is undone by writing a NEW version
+    * whose manifest carries version `v`'s files BY REFERENCE (no data is
+    * rewritten or deleted — the bad version stays readable for the
+    * post-mortem, exactly Delta's RESTORE semantics), under `v`'s own
+    * recorded schema. Returns the new version number. Fails loud if `v`
+    * does not resolve.
+    */
+  def restore(spark: SparkSession, path: String, v: Long): Long = {
+    val latest = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"$path: not a versioned table"))
+    val files = liveFiles(spark, path, v)
+    require(files.nonEmpty, s"$path has no manifest for version $v")
+    val schema = versionSchemaOf(spark, path, v)
+      .getOrElse(spark.read.parquet(files: _*).schema)
+    // No data write at all: the restore is manifest-only — every row rides
+    // the carried references.
+    commitManifest(spark, path, latest + 1L, files, schema.json)
+  }
+
   /** Drop all but the newest `keepLast` versions: dropped manifests are
     * deleted (their versions fail loud on read from then on) and data
     * files referenced by NO kept manifest are removed — files carried
@@ -267,9 +288,23 @@ object Versioned {
     val freshFiles = fs.listStatus(new Path(stage))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.toString).toSeq
-    import spark.implicits._
     val schemaJson = Option(schema).getOrElse(fresh.schema).json
-    (freshFiles ++ carried).map(f => toUri(spark, f))
+    commitManifest(spark, path, v, freshFiles ++ carried, schemaJson)
+  }
+
+  /** The manifest-second / pointer-LAST commit tail shared by
+    * [[writeVersion]] and the data-free [[restore]]. */
+  private def commitManifest(
+      spark: SparkSession,
+      path: String,
+      v: Long,
+      files: Seq[String],
+      schemaJson: String): Long = {
+    val (fs, root) = fsOf(spark, path)
+    require(!fs.exists(new Path(manifestDir(path, v))),
+      s"$path: version $v already exists")
+    import spark.implicits._
+    files.map(f => toUri(spark, f))
       .toDF("file").withColumn("schema_json", lit(schemaJson)).coalesce(1)
       .write.parquet(manifestDir(path, v))
     Layout.writeLongFile(fs, new Path(root, LatestFile), v)

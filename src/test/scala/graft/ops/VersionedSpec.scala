@@ -137,6 +137,27 @@ class VersionedSpec extends SparkSpec {
     assert(snap(path, 2L) == (0L until 4L).map(k => (k, s"b$k")))
   }
 
+  test("restore rolls back by reference: no rewrite, the bad version stays readable") {
+    val path = tmp()
+    Versioned.init((0L until 6L).map(k => (k, s"a$k")).toDF("k", "s")
+      .repartition(2, col("k")), path)
+    Versioned.upsertVersion(Seq((1L, "bad"), (99L, "junk")).toDF("k", "s"), path, Seq("k"))
+    assert(Versioned.restore(spark, path, 1L) == 3L)
+    // v3 reads exactly like v1; the bad v2 stays readable for post-mortem.
+    assert(snap(path, 3L) == snap(path, 1L))
+    assert(snap(path, 2L).exists(_ == (99L, "junk")))
+    assert(Versioned.latestVersion(spark, path).contains(3L))
+    // By reference: v3's manifest lists only v1-era files (no new data).
+    val m3 = spark.read.parquet(s"$path/_vmanifest/version=3").select("file")
+      .collect().map(_.getString(0))
+    assert(m3.nonEmpty && m3.forall(_.contains("/v1-")), m3.mkString(", "))
+    // Lifecycle continues normally after a restore.
+    Versioned.upsertVersion(Seq((2L, "after")).toDF("k", "s"), path, Seq("k"))
+    assert(snap(path, 4L).exists(_ == (2L, "after")))
+    // Restoring a vacuumed-away version fails loud.
+    intercept[IllegalArgumentException] { Versioned.restore(spark, path, 99L) }
+  }
+
   test("pure-insert batches carry every live file; re-init and bad reads fail loud") {
     val path = tmp()
     Versioned.init(Seq((1L, "x")).toDF("k", "s"), path)
