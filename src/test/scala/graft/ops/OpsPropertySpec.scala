@@ -407,4 +407,74 @@ class OpsPropertySpec extends SparkSpec {
       assert(got.toSeq == naive.sortBy(p => (p._1, p._2)), s"trial $trial t=$t")
     }
   }
+
+  test("sharedSpanPairs ≡ naive distinct-L-gram intersection counts on random corpora") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(313 + trial)
+      val vocab = Vector("data", "spark", "fast", "slow", "table", "row", "agg", "key")
+      val nDocs = rnd.between(3, 12)
+      val L = rnd.between(2, 4)
+      val docs = (0L until nDocs.toLong).map { id =>
+        val n = rnd.between(0, 14)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val minShared = rnd.between(1, 3)
+      val got = Dedup.sharedSpanPairs(docs.toDF("doc_id", "text"),
+          spanTokens = L, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      def grams(t: String): Set[String] = {
+        val ts = t.split(" ").filter(_.nonEmpty)
+        if (ts.length < L) Set.empty
+        else ts.sliding(L).map(_.mkString(" ")).toSet
+      }
+      val naive = for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        ov = (grams(ti) intersect grams(tj)).size.toLong
+        if ov >= minShared
+      } yield (i, j, ov)
+      assert(got == naive.sortBy(p => (p._1, p._2)), s"trial $trial L=$L m=$minShared")
+    }
+  }
+
+  test("shardManifest ≡ naive hash-mod grouping with (hash, id) endpoints on random ids") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(717 + trial)
+      val ids = rnd.shuffle((0L until 4000L).toList).take(rnd.between(1, 120))
+      val nShards = rnd.between(1, 9)
+      val rows = ids.map(id => (id, rnd.between(0L, 500L)))
+      val got = Sampling.shardManifest(rows.toDF("doc_id", "n_chars"),
+          nShards, "doc_id", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val naive = rows.groupBy { case (id, _) => Sampling.idHashLong(id) % nShards }
+        .map { case (shard, members) =>
+          val ordered = members.map(_._1).sortBy(id => (Sampling.idHashLong(id), id))
+          (shard, members.size.toLong, members.map(_._2).sum,
+            ordered.head, ordered.last)
+        }.toSeq.sortBy(_._1)
+      assert(got == naive, s"trial $trial nShards=$nShards")
+    }
+  }
+
+  test("pageRankInt mass accounting: totals bounded, floors lose at most edges+nodes units per step") {
+    for (trial <- 0 until 4) {
+      val rnd = new Random(929 + trial)
+      val n = rnd.between(2, 12)
+      val nodes = (0L until n.toLong).toList
+      val edges = (for {
+        a <- nodes; b <- nodes if a != b && rnd.nextInt(4) == 0
+      } yield (a, b))
+      if (edges.nonEmpty) {
+        val iters = rnd.between(1, 4)
+        val pr = Graph.pageRankInt(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val S = 1000000000000L
+        // Every node holds at least the teleport floor; nothing exceeds S.
+        val tele = (3L * S) / (20L * n)
+        assert(pr.values.forall(v => v >= tele && v <= S), pr.toString)
+        // Dangling evaporation + floors only LOSE mass: total ≤ S.
+        assert(pr.values.sum <= S, s"total ${pr.values.sum}")
+      }
+    }
+  }
 }
