@@ -149,12 +149,12 @@ object Demo {
 
     println("== SemDeDup: cluster-scoped embedding near-dedup ==")
     ops.Dedup.semanticDedup(Tsdb.table(spark, sfDir, "embeddings"),
-        nClusters = 8, rounds = 2, threshold = 0.8)
+        nClusters = None, rounds = 2, threshold = 0.8)
       .filter(col("is_dup") === 1).show(5, truncate = false)
 
     println("== diversity sample: 2 vectors per embedding cluster ==")
     ops.Similarity.diversitySample(Tsdb.table(spark, sfDir, "embeddings"),
-        nClusters = 4, rounds = 2, nPer = 2)
+        nClusters = Some(4), rounds = 2, nPer = 2)
       .show(8, truncate = false)
 
     println("== mixture plan -> apply: budget shares to kept rows per source ==")

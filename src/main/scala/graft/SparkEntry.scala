@@ -2393,13 +2393,16 @@ object SparkEntry {
   private def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsPrefixFiltered(T(s, dir, "documents"), n = 3, threshold = 0.6)
 
-  /** SemDeDup over the embeddings corpus: same k-means init as
-    * `ann_ivf_topk_nolabel` (8 hash seeds, 2 Lloyd rounds) scoping the
-    * cosine-0.8 near-dup pass to within-cluster pairs.
+  /** SemDeDup over the embeddings corpus at the DEFAULT auto-k schedule
+    * (`nClusters = None` ⇒ [[graft.ops.Similarity.autoClusters]] k ∝ √n,
+    * 2 Lloyd rounds) scoping the cosine-0.8 near-dup pass to
+    * within-cluster pairs — the gate exercises the no-thought path a
+    * production caller gets, and the oracle re-derives the same
+    * data-dependent k from its own count.
     */
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(T(s, dir, "embeddings"),
-      nClusters = 8, rounds = 2, threshold = 0.8)
+      nClusters = None, rounds = 2, threshold = 0.8)
 
   /** Cluster-scoped kNN-graph gate ([[graft.ops.Similarity.knnGraph]]):
     * each vector's 3 nearest in-cluster neighbors over the shared
@@ -2409,7 +2412,7 @@ object SparkEntry {
     */
   private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraph(T(s, dir, "embeddings"),
-      nClusters = 8, rounds = 2, kNeighbors = 3)
+      nClusters = None, rounds = 2, kNeighbors = 3)
 
   /** Integer-exact PageRank gate ([[graft.ops.Graph.pageRankInt]]) over
     * the cluster-scoped kNN edge set: 5 synchronous power steps with
@@ -2442,8 +2445,9 @@ object SparkEntry {
   private def knnIndexEdges(s: SparkSession, dir: String): DataFrame = {
     val path = builtIndexPath("knn-idx", dir)(p =>
       Similarity.knnGraphBuild(T(s, dir, "embeddings"), p,
-        nClusters = 8, rounds = 2, kNeighbors = 3))
-    Similarity.knnGraphEdges(s, path, nClusters = 8, rounds = 2, kNeighbors = 3)
+        nClusters = None, rounds = 2, kNeighbors = 3))
+    Similarity.knnGraphEdges(s, path, nClusters = None, rounds = 2,
+      kNeighbors = 3)
   }
 
   /** kNN-graph recall audit gate
@@ -2454,7 +2458,7 @@ object SparkEntry {
     */
   private def knnGraphRecallQ(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphRecall(T(s, dir, "embeddings"),
-      nClusters = 8, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L))
+      nClusters = None, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L))
 
   /** The multi-probe REMEDY, measured: the same recall audit at
     * `nProbe = 2` — each vector joins its two nearest clusters' candidate
@@ -2465,7 +2469,7 @@ object SparkEntry {
     */
   private def knnGraphRecallMpQ(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphRecall(T(s, dir, "embeddings"),
-      nClusters = 8, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L),
+      nClusters = None, rounds = 2, kNeighbors = 3, queryIds = Seq(0L, 1L, 2L),
       nProbe = 2)
 
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
@@ -2486,7 +2490,7 @@ object SparkEntry {
   private def sampleDiversity(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ordered.smallResult(
       graft.ops.Similarity.diversitySample(T(s, dir, "embeddings"),
-        nClusters = 8, rounds = 2, nPer = 5),
+        nClusters = None, rounds = 2, nPer = 5),
       "cluster", "vec_id")
 
   /** The `maxShingleDf` skew-cap plan (hot-shingle anti-join → candidate
@@ -4748,7 +4752,7 @@ object SparkEntry {
   }
 
   /** The vid-keyed k-means-8 coarse-routing CTEs for [[IvfPqSql]] — the
-    * [[KMeans8Ctes]] derivation re-expressed over the PQ oracle's `e(vid,
+    * [[KMeansAutoCtes]] derivation re-expressed over the PQ oracle's `e(vid,
     * v)` base so both quantizers share one scan CTE.
     */
   private val KMeansVidCtes: String =
@@ -5062,17 +5066,27 @@ object SparkEntry {
        |       count(DISTINCT CAST(floor(time / 86400000.0) AS BIGINT)) AS n_partitions
        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Shared k-means re-derivation (8 Knuth-hash seeds, two Lloyd rounds
-    * under cosine, argmax assignment — the `centroidsKMeans(k=8, rounds=2)`
-    * pipeline) as a CTE-chain fragment ending in
-    * `assign(vec_id, cluster)` — spliced into every oracle that clusters
-    * the embeddings corpus so they cannot drift from each other.
+  /** Shared k-means re-derivation (auto-k Knuth-hash seeds, two Lloyd
+    * rounds under cosine, argmax assignment — the
+    * `centroidsKMeans(autoClusters(n), rounds=2)` pipeline) as a CTE-chain
+    * fragment ending in `assign(vec_id, cluster)` — spliced into every
+    * oracle that clusters the embeddings corpus so they cannot drift from
+    * each other. The seed count re-derives
+    * [[graft.ops.Similarity.autoClusters]]'s `max(4, ceil(sqrt(n/31)))`
+    * from the corpus count, so the oracle tracks the engine's default
+    * k ∝ √n schedule at every scale without a side channel.
     */
-  private val KMeans8Ctes =
+  private val KMeansAutoCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
-      |seeds AS (SELECT vec_id AS cl, v AS cvec FROM e
-      |          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+      |seeds AS (SELECT cl, cvec FROM (
+      |            SELECT vec_id AS cl, v AS cvec,
+      |                   row_number() OVER (
+      |                     ORDER BY (vec_id * 2654435761) % 4294967296,
+      |                              vec_id) AS rn,
+      |                   count(*) OVER () AS n
+      |            FROM e)
+      |          WHERE rn <= greatest(4, CAST(ceil(sqrt(n / 31.0)) AS BIGINT))),
       |a1 AS (SELECT vec_id, arg_max(cl, cs) AS cl FROM
       |         (SELECT e.vec_id, s.cl, list_cosine_similarity(e.v, s.cvec) AS cs
       |          FROM e, seeds s) GROUP BY vec_id),
@@ -6045,7 +6059,8 @@ object SparkEntry {
          |              count(value) AS n_value,
          |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
          |                AS sum_value,
-         |              count(src) AS n_src, coalesce(sum(src), 0) AS sum_src FROM v2)
+         |              count(src) AS n_src,
+         |              CAST(coalesce(sum(src), 0) AS BIGINT) AS sum_src FROM v2)
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY version""".stripMargin,
     // RESTORE: the base slice derived once, emitted under versions 1 and
     // 3 — the restored snapshot must be value-identical to the original.
@@ -6722,7 +6737,7 @@ object SparkEntry {
     // join under the dedup_embedding keep rule — near-dup verdicts scoped by
     // cluster, so a cross-cluster twin legitimately stays.
     "dedup_semantic" ->
-      s"""WITH $KMeans8Ctes,
+      s"""WITH $KMeansAutoCtes,
         |pairs AS (SELECT ea.vec_id AS v1, eb.vec_id AS v2
         |          FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
         |               JOIN e eb ON ea.vec_id < eb.vec_id
@@ -6739,7 +6754,7 @@ object SparkEntry {
     // rank over within-cluster candidate pairs — the kNN graph re-derived
     // whole.
     "knn_graph" ->
-      s"""WITH $KMeans8Ctes,
+      s"""WITH $KMeansAutoCtes,
         |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
         |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
         |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
@@ -6756,7 +6771,7 @@ object SparkEntry {
     // vector by (cosine DESC, cluster); candidates = probe-set overlap,
     // deduped; the rest identical to the single-probe audit.
     "knn_graph_recall_mp" ->
-      s"""WITH $KMeans8Ctes,
+      s"""WITH $KMeansAutoCtes,
          |multi AS (SELECT vec_id, cl AS cluster FROM (
          |            SELECT e.vec_id, c.cl,
          |                   row_number() OVER (PARTITION BY e.vec_id
@@ -6795,7 +6810,7 @@ object SparkEntry {
     // sample — the cluster-boundary miss as a gated number. (gx = the
     // global exact side; `ex` is taken by the shared KMeans scan CTE.)
     "knn_graph_recall" ->
-      s"""WITH $KMeans8Ctes,
+      s"""WITH $KMeansAutoCtes,
          |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
          |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
          |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
@@ -6824,7 +6839,7 @@ object SparkEntry {
     // Pool negatives: the knn derivation's edge set excluded from a
     // hash-bottom-64 pool, ranked per anchor by the exact pair-mix hash.
     "contrastive_negatives" ->
-      s"""WITH $KMeans8Ctes,
+      s"""WITH $KMeansAutoCtes,
          |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
          |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
          |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
@@ -6865,7 +6880,7 @@ object SparkEntry {
            |         JOIN deg d ON d.src = k.src
            |    GROUP BY k.dst) m ON m.id = nd.id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $KMeans8Ctes,
+      s"""WITH $KMeansAutoCtes,
          |nbrs AS (SELECT aa.vec_id AS src, eb.vec_id AS dst,
          |                round(list_cosine_similarity(ea.v, eb.v), 4) AS cs
          |         FROM e ea JOIN assign aa ON ea.vec_id = aa.vec_id
@@ -6887,7 +6902,7 @@ object SparkEntry {
     // The same k-means pipeline feeding a per-cluster hash-rank window —
     // the sample_stratified shape with the CLUSTER as the stratum.
     "sample_diversity" ->
-      s"""WITH $KMeans8Ctes
+      s"""WITH $KMeansAutoCtes
         |SELECT cluster, vec_id, sample_rank FROM (
         |  SELECT a.cluster, a.vec_id,
         |         row_number() OVER (PARTITION BY a.cluster

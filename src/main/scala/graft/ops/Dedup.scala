@@ -453,7 +453,11 @@ object Dedup {
     * balanced schedule is k ∝ √n — it equalizes the two size-dependent
     * stages (assignment ~n·k vs pair verification ~n²/k, both n^1.5) and
     * measured 2.9× wall-clock for the same 10× (k 8→26), inside the dedup
-    * family's scaling band; k ∝ n over-pays assignment (8×).
+    * family's scaling band; k ∝ n over-pays assignment (8×). That
+    * schedule is the DEFAULT: `nClusters = None` resolves k via
+    * [[graft.ops.Similarity.autoClusters]] from one corpus count, so a
+    * caller who never reads this paragraph still inherits the n^1.5
+    * slope; `Some(k)` keeps fixed k as an explicit override.
     *
     * Deterministic end-to-end (hash-seeded [[Similarity.centroidsKMeans]],
     * smaller-id assignment ties, round-4 threshold compare), so the whole
@@ -471,12 +475,13 @@ object Dedup {
     */
   def semanticDedup(
       df: DataFrame,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = Similarity.centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
+    val cents = Similarity.centroidsKMeans(df,
+      Similarity.resolveClusters(df, nClusters), rounds, idCol, vecCol)
     val slim = Similarity.assignClusters(df, cents, idCol, vecCol)
       .select(col(idCol).as("__id"), col("cluster"), col(vecCol).as("__v"))
       .localCheckpoint()

@@ -544,6 +544,29 @@ object Similarity {
     * in behind the same interface for corpora where hash seeding lands all
     * seeds in one region.
     */
+  /** The balanced cluster-count schedule for the cluster-scoped pair
+    * families ([[knnEdges]], [[graft.ops.Dedup.semanticDedup]]):
+    * `k = max(4, ceil(sqrt(n / 31)))`. Cluster-equality candidate work is
+    * Σ|cluster|² ≈ n²/k while assignment costs n·k, so k ∝ √n equalizes
+    * the two stages at n^1.5 — fixed k inherits n²/k quadratic growth
+    * (measured r16: 10× data at fixed k=8 cost 16–26×; this schedule's
+    * k=26 at the same 10× restored the 2.9–3.9× family band, see
+    * BASELINE.md). The divisor 31 pins the schedule to those measured
+    * points (k=9 at the 2 000-vector sf0.1 corpus, k=26 at 20 000). Every
+    * term is an exactly-specified IEEE double op, so the DuckDB oracle
+    * re-derives the same k from the same count.
+    */
+  def autoClusters(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n / 31.0)).toInt)
+
+  /** [[autoClusters]] resolution for an optional caller override: `None`
+    * ⇒ the schedule from one corpus count (the only driver job this
+    * costs); `Some(k)` keeps the caller's fixed k as an explicit,
+    * scale-owned choice.
+    */
+  def resolveClusters(df: DataFrame, nClusters: Option[Int]): Int =
+    nClusters.getOrElse(autoClusters(df.count()))
+
   def centroidsKMeans(
       df: DataFrame,
       k: Int,
@@ -756,12 +779,13 @@ object Similarity {
     */
   def diversitySample(
       df: DataFrame,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       nPer: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
+    val cents = centroidsKMeans(df, resolveClusters(df, nClusters), rounds,
+      idCol, vecCol)
     Sampling.stratifiedExactN(
       assignClusters(df, cents, idCol, vecCol).select(col(idCol), col("cluster")),
       Seq("cluster"), idCol, nPer)
@@ -773,8 +797,10 @@ object Similarity {
     * detection over the edge set, density/outlier scoring by neighbor
     * similarity, hubness audits). Same scale shape as
     * [[graft.ops.Dedup.semanticDedup]]: pair work is Σ|cluster|² via
-    * cluster-equality candidates (never all-pairs; `nClusters` is the
-    * knob — k ∝ √n keeps the slope in the family band, see BASELINE.md),
+    * cluster-equality candidates (never all-pairs; `nClusters = None`
+    * defaults to the [[autoClusters]] k ∝ √n schedule, which keeps the
+    * slope in the family band — a fixed `Some(k)` is an explicit override
+    * that owns the n²/k growth, see BASELINE.md),
     * and a neighbor across a cluster boundary is missed by construction
     * (the SemDeDup recall trade; raise `nClusters` only as far as the miss
     * rate tolerates, or probe multiple clusters like [[ivfTopK]]). The
@@ -786,7 +812,7 @@ object Similarity {
     */
   def knnGraph(
       df: DataFrame,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       kNeighbors: Int,
       idCol: String = "vec_id",
@@ -810,7 +836,7 @@ object Similarity {
     * scope. */
   def knnEdges(
       df: DataFrame,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       kNeighbors: Int,
       nProbe: Int = 1,
@@ -818,7 +844,8 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(kNeighbors >= 1, s"kNeighbors must be >= 1, got $kNeighbors")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val cents = centroidsKMeans(df, nClusters, rounds, idCol, vecCol)
+    val cents = centroidsKMeans(df, resolveClusters(df, nClusters), rounds,
+      idCol, vecCol)
     val e = df.select(col(idCol).cast("long").as("__id"),
       col(vecCol).as("__v"))
     val slim = (
@@ -869,7 +896,7 @@ object Similarity {
     */
   def knnGraphRecall(
       df: DataFrame,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       kNeighbors: Int,
       queryIds: Seq[Long],
@@ -913,16 +940,17 @@ object Similarity {
   def knnGraphBuild(
       df: DataFrame,
       path: String,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       kNeighbors: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    knnEdges(df, nClusters, rounds, kNeighbors, 1, idCol, vecCol)
+    val k = resolveClusters(df, nClusters)
+    knnEdges(df, Some(k), rounds, kNeighbors, 1, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/edges")
     val spark = df.sparkSession
     spark.range(1)
-      .select(lit(nClusters).as("n_clusters"), lit(rounds).as("rounds"),
+      .select(lit(k).as("n_clusters"), lit(rounds).as("rounds"),
         lit(kNeighbors).as("k_neighbors"))
       .write.mode("overwrite").json(s"$path/manifest")
   }
@@ -930,16 +958,19 @@ object Similarity {
   /** Read a persisted kNN graph's edges, failing loud when the requested
     * parameters do not match the build's (a probe against a
     * differently-built graph would silently answer a different question).
+    * `nClusters = None` inherits the build's data-derived [[autoClusters]]
+    * k from the manifest — the caller of an auto-k build cannot know k
+    * without repeating the count, and the manifest is the build's record.
     */
   def knnGraphEdges(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      nClusters: Int,
+      nClusters: Option[Int],
       rounds: Int,
       kNeighbors: Int): DataFrame = {
     val m = spark.read.json(s"$path/manifest").head()
     def g(n: String): Long = m.getLong(m.fieldIndex(n))
-    require(g("n_clusters") == nClusters && g("rounds") == rounds &&
+    require(nClusters.forall(g("n_clusters") == _) && g("rounds") == rounds &&
       g("k_neighbors") == kNeighbors,
       s"$path: built with (${g("n_clusters")}, ${g("rounds")}, ${g("k_neighbors")}), " +
         s"probed with ($nClusters, $rounds, $kNeighbors)")

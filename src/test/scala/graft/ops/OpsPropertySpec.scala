@@ -304,7 +304,7 @@ class OpsPropertySpec extends SparkSpec {
         (i.toLong * rnd.between(1, 4), Array.fill(dim)(rnd.between(-10, 10).toFloat))
       }.distinctBy(_._1).toDF("vec_id", "embedding")
       val threshold = rnd.between(2, 10) / 10.0
-      val semantic = Dedup.semanticDedup(vecs, nClusters = 1, rounds = 1, threshold)
+      val semantic = Dedup.semanticDedup(vecs, nClusters = Some(1), rounds = 1, threshold)
         .select($"vec_id", $"rep_id", $"is_dup")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
       val global = Dedup.embeddingNearDups(vecs, threshold)

@@ -463,7 +463,15 @@ class OpsSpec extends SparkSpec {
     val global = dupsOf(Dedup.embeddingNearDups(df, 0.8).collect())
     // One cluster ⇒ the scoping is a no-op: identical verdicts to the
     // global all-pairs op, column for column.
-    val one = Dedup.semanticDedup(df, nClusters = 1, rounds = 1, threshold = 0.8)
+    // The auto-k default must equal an explicit Some(autoClusters(n)) —
+    // the schedule is a resolution rule, not a different algorithm.
+    val autoK = Similarity.autoClusters(df.count())
+    val autoOut = Dedup.semanticDedup(df, nClusters = None, rounds = 1, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    val fixedOut = Dedup.semanticDedup(df, nClusters = Some(autoK), rounds = 1, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(autoOut == fixedOut)
+    val one = Dedup.semanticDedup(df, nClusters = Some(1), rounds = 1, threshold = 0.8)
       .select(col("vec_id"), col("rep_id"), col("is_dup")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
     val glob = Dedup.embeddingNearDups(df, 0.8).collect()
@@ -472,7 +480,7 @@ class OpsSpec extends SparkSpec {
     // Two clusters: every in-cluster near-dup still drops, but the p/q
     // boundary twins are never compared — exactly one verdict flips.
     val semantic = dupsOf(
-      Dedup.semanticDedup(df, nClusters = 2, rounds = 2, threshold = 0.8).collect())
+      Dedup.semanticDedup(df, nClusters = Some(2), rounds = 2, threshold = 0.8).collect())
     val missed = math.max(p, q)
     assert(global(missed) == 1 && semantic(missed) == 0,
       "the cross-cluster twin must be the documented miss")
@@ -536,7 +544,7 @@ class OpsSpec extends SparkSpec {
       (id, if (i % 2 == 0) Array(1.0f, t) else Array(t, 1.0f))
     }
     val df = vecs.toDF("vec_id", "embedding")
-    val g = Similarity.knnGraph(df, nClusters = 2, rounds = 2, kNeighbors = 3)
+    val g = Similarity.knnGraph(df, nClusters = Some(2), rounds = 2, kNeighbors = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     // Naive re-derivation from the same public assignment + plain cosine.
     val cents = Similarity.centroidsKMeans(df, 2, 2)
@@ -575,7 +583,7 @@ class OpsSpec extends SparkSpec {
     }
     val df = vecs.toDF("vec_id", "embedding")
     def edgesOf(nProbe: Int): Set[(Long, Long)] =
-      Similarity.knnEdges(df, nClusters = 2, rounds = 2, kNeighbors = 4, nProbe = nProbe)
+      Similarity.knnEdges(df, nClusters = Some(2), rounds = 2, kNeighbors = 4, nProbe = nProbe)
         .filter(col("vec_id") === mid)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val single = edgesOf(1)
@@ -595,22 +603,42 @@ class OpsSpec extends SparkSpec {
       s"single-probe stays in one cluster, got $singlePartners")
   }
 
+  test("autoClusters: the k ∝ √n schedule hits the measured calibration points") {
+    // r16 measured points: k=8-equivalent at the 2 000-vector sf0.1 corpus
+    // and k=26 at the 10× derived corpus restore the family scaling band.
+    assert(Similarity.autoClusters(500) == 5)
+    assert(Similarity.autoClusters(2000) == 9)
+    assert(Similarity.autoClusters(20000) == 26)
+    assert(Similarity.autoClusters(1) == 4, "floor keeps tiny corpora scoped")
+    // ~√n: 100× data grows the cluster count ~10×, never more.
+    assert(Similarity.autoClusters(200000) <= 10 * Similarity.autoClusters(2000))
+    // A None probe against an auto-k build inherits the manifest's k.
+    val df = (0L until 12L).map(id => (id, Array(1.0f, (id % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("knn-auto").toString
+    Similarity.knnGraphBuild(df, path, nClusters = None, rounds = 1, kNeighbors = 2)
+    assert(Similarity.knnGraphEdges(spark, path, None, 1, 2).count() > 0)
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphEdges(spark, path, Some(99), 1, 2)
+    }
+  }
+
   test("knnGraphBuild persists edges; probe fails loud on a config mismatch") {
     val ids = (0L until 12L)
     val df = ids.map(id => (id, Array(1.0f, (id % 3).toFloat))).toDF("vec_id", "embedding")
     val path = java.nio.file.Files.createTempDirectory("knn-idx").toString
-    Similarity.knnGraphBuild(df, path, nClusters = 2, rounds = 1, kNeighbors = 2)
-    val persisted = Similarity.knnGraphEdges(spark, path, 2, 1, 2)
+    Similarity.knnGraphBuild(df, path, nClusters = Some(2), rounds = 1, kNeighbors = 2)
+    val persisted = Similarity.knnGraphEdges(spark, path, Some(2), 1, 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
-    val inPlan = Similarity.knnEdges(df, 2, 1, 2)
+    val inPlan = Similarity.knnEdges(df, Some(2), 1, 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
     assert(persisted.toSeq == inPlan.toSeq)
     // A probe with different parameters would answer a different question.
     intercept[IllegalArgumentException] {
-      Similarity.knnGraphEdges(spark, path, 2, 1, 3)
+      Similarity.knnGraphEdges(spark, path, Some(2), 1, 3)
     }
     intercept[IllegalArgumentException] {
-      Similarity.knnGraphEdges(spark, path, 4, 1, 2)
+      Similarity.knnGraphEdges(spark, path, Some(4), 1, 2)
     }
   }
 
@@ -648,7 +676,7 @@ class OpsSpec extends SparkSpec {
     val df = (byHash.indices.map { i =>
       (byHash(i), if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f))
     }).toDF("vec_id", "embedding")
-    val got = Similarity.diversitySample(df, nClusters = 2, rounds = 2, nPer = 3)
+    val got = Similarity.diversitySample(df, nClusters = Some(2), rounds = 2, nPer = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // Re-derive from the public assignment: per cluster, the 3 smallest
     // (knuth, id) members in rank order.
@@ -663,7 +691,7 @@ class OpsSpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._3)).toSeq == expected.sortBy(t => (t._1, t._3)))
     assert(got.groupBy(_._1).values.forall(_.length <= 3))
     // nPer ≥ cluster size degrades to the full per-cluster membership.
-    assert(Similarity.diversitySample(df, 2, 2, nPer = 100).count() == 12L)
+    assert(Similarity.diversitySample(df, Some(2), 2, nPer = 100).count() == 12L)
   }
 
   test("int8 quantization: values in [-127,127], zero vector safe, small round-trip error") {

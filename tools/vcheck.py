@@ -34,6 +34,32 @@ def norm(v):
     return v
 
 
+def normtype(t):
+    """Canonicalize an arrow type so only driver-visible differences remain.
+
+    The driver hashes pyarrow-fetched values, so a DuckDB HUGEINT (arrow
+    decimal128(38,0)) hashes differently from a Spark BIGINT (int64) even
+    when the values are equal — the r16 table_schema_evolution red. Integer
+    widths, timestamp units, and string flavors all canonicalize to the
+    same value on fetch, so collapse those; keep decimal distinct from int
+    and float so the HUGEINT class is caught locally.
+    """
+    s = str(t)
+    if s.startswith(('int', 'uint')):
+        return 'int'
+    if s.startswith('timestamp'):
+        return 'timestamp'
+    if s in ('string', 'large_string', 'string_view'):
+        return 'string'
+    if s in ('float', 'halffloat'):
+        return 'double'
+    if s.startswith('large_list'):
+        return 'list' + s[10:]
+    if s.startswith('list'):
+        return 'list' + s[4:]
+    return s
+
+
 fails = []
 for name, q in sorted(sql.items()):
     if only and name not in only:
@@ -58,6 +84,23 @@ for name, q in sorted(sql.items()):
         print(f'{name}: SCHEMA {sorted(scols)} vs {sorted(ocols)}')
         fails.append(name)
         continue
+    # Declared-type check (LIMIT-0 arrow schemas): catches the
+    # HUGEINT-vs-BIGINT class the value compare normalizes away.
+    try:
+        osch = con.execute(f'SELECT * FROM ({q}) LIMIT 0').arrow().schema
+        ssch = con.execute(
+            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet') LIMIT 0"
+        ).arrow().schema
+        otypes = {f.name: normtype(f.type) for f in osch}
+        stypes = {f.name: normtype(f.type) for f in ssch}
+        tdiff = {c: (stypes[c], otypes[c]) for c in otypes
+                 if stypes.get(c) != otypes[c]}
+        if tdiff:
+            print(f'{name}: TYPES spark-vs-oracle {tdiff}')
+            fails.append(name)
+            continue
+    except Exception as e:
+        print(f'{name}: (type check skipped: {e})')
     if len(orows) != len(srows):
         print(f'{name}: ROWS spark={len(srows)} oracle={len(orows)}')
         fails.append(name)
