@@ -3323,6 +3323,63 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5")),
       "doc_id", "frame_idx")
 
+  /** Fixture for the real-pixel PNG gates: per document, a deterministic
+    * small 8-bit image (dimensions/channels/pixel values all closed-form
+    * functions of `doc_id`, filter type varies per row so all five PNG
+    * filters appear across the corpus) encoded to a COMPLETE PNG by
+    * [[graft.ops.Multimodal.pngEncode]] — deflate, per-row filtering,
+    * CRC'd chunks. The oracle never parses PNG: it re-computes the same
+    * closed-form pixel values, so any defect anywhere in the
+    * deflate→inflate→un-filter round trip turns the gate red.
+    */
+  private def plantedPngs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents").select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val ch = (1 + id % 4).toInt
+        val px = new Array[Byte](w * h * ch)
+        var k = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              px(k) = (((id * 31 + x * 7 + y * 13 + c * 101) % 256) & 0xff).toByte
+              k += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (id, Multimodal.pngEncode(w, h, ch, px, row => ((id + row) % 5).toInt))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Real PNG PIXEL statistics ([[graft.ops.Multimodal.pngPixelStats]]):
+    * plant → inflate → un-filter → all-integer per-image stats; the oracle
+    * pins the planted pixel sums arithmetically.
+    */
+  private def multimodalPixels(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Multimodal.pngPixelStats(s, plantedPngs(s, dir)).toDF(), "doc_id")
+
+  /** Real PNG resize ([[graft.ops.Multimodal.resizePngNearest]]): plant →
+    * decode → nearest-neighbor 5×4 → RE-ENCODE → decode again for stats —
+    * the full codec round trip twice over; the oracle re-derives the
+    * integer source-index mapping `⌊out·src/target⌋` on the closed-form
+    * pixels.
+    */
+  private def multimodalResizePx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.smallResult(
+      Multimodal.pngPixelStats(s,
+        Multimodal.resizePngNearest(s, plantedPngs(s, dir),
+          targetW = 5, targetH = 4).toDF()).toDF(),
+      "doc_id")
+
   // --------------------------------------------------------------- streaming
 
   /** §2.9 batch-equivalence gate: the events table replayed through the FILE
@@ -4572,6 +4629,8 @@ object SparkEntry {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_pixels" -> (multimodalPixels _),
+    "multimodal_resize_px" -> (multimodalResizePx _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_distinct_daily" -> (streamDistinctDaily _),
     "stream_sliding_daily" -> (streamSlidingDaily _),
@@ -8024,5 +8083,35 @@ object SparkEntry {
         |FROM d, unnest(range(0, n // 16)) AS t(i)
         |WHERE i % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Real-pixel PNG stats: the oracle computes the planted closed-form
+    // pixel values directly (it never parses PNG) — the engine must get
+    // the SAME integers back out through deflate → inflate → un-filter.
+    "multimodal_pixels" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+        |                  1 + doc_id % 4 AS ch FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, d.ch,
+        |              (d.doc_id*31 + x*7 + y*13 + c*101) % 256 AS v
+        |       FROM d, unnest(range(0, d.w)) AS tx(x),
+        |            unnest(range(0, d.h)) AS ty(y),
+        |            unnest(range(0, d.ch)) AS tc(c))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels, count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // Nearest-neighbor resize to 5x4: source index = floor(out*src/target),
+    // all-integer, applied to the same closed-form pixels.
+    "multimodal_resize_px" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+        |                  1 + doc_id % 4 AS ch FROM documents),
+        |px AS (SELECT d.doc_id, d.ch,
+        |              (d.doc_id*31 + ((x*d.w) // 5)*7 + ((y*d.h) // 4)*13
+        |               + c*101) % 256 AS v
+        |       FROM d, unnest(range(0, 5)) AS tx(x),
+        |            unnest(range(0, 4)) AS ty(y),
+        |            unnest(range(0, d.ch)) AS tc(c))
+        |SELECT doc_id, CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels, count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
+        |FROM px GROUP BY doc_id, ch ORDER BY doc_id""".stripMargin,
   )
 }

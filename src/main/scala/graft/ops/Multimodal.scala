@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * [[decodePpm]] (NetPBM P6 + exact raster length), [[decodeWav]] (RIFF
   * PCM), [[decodePng]] (chunk walk + per-chunk CRC32), and [[decodeJpeg]]
   * (marker walk + SOF frame header) — the realistic web-crawl container
-  * set. Each extracts dimensions/metadata; pixel/sample DECODING of the
-  * compressed formats (zlib inflate, DCT) is explicitly out of scope —
-  * payloads that parse as none of the five fall back to [[stubDecode]],
+  * set. Each extracts dimensions/metadata; 8-bit non-palette PNG
+  * additionally decodes to REAL pixels ([[decodePngPixels]]: zlib inflate
+  * + the five scanline filters, pure JVM) feeding [[pngPixelStats]] and
+  * [[resizePngNearest]]. Pixel decoding of the OTHER compressed paths
+  * (JPEG DCT) stays out of scope — payloads that parse as none of the
+  * five fall back to [[stubDecode]],
   * which derives fake dimensions from the byte length alone, and the
   * emitted `codec` column makes the fallback observable. Swapping in a
   * full codec (JNI or an `mapInPandas`-style Python worker on a real
@@ -214,9 +217,9 @@ object Multimodal {
     * payload's last byte. That is this family's stored-vs-derived-size
     * discipline compounded with a real checksum: arbitrary bytes cannot
     * alias as PNG without carrying four correct CRCs and a
-    * byte-exact chunk frame. Dimension/metadata extraction only — IDAT
-    * inflation (zlib + scanline defilter) is explicitly NOT claimed, the
-    * same scope as a metadata pass over a real crawl.
+    * byte-exact chunk frame. This is the metadata pass — dimension
+    * extraction without touching IDAT; [[decodePngPixels]] builds the full
+    * inflate + defilter pixel path on top of this validation.
     */
   def decodePng(p: Array[Byte]): Option[(Long, Long)] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -349,6 +352,253 @@ object Multimodal {
         lit("FFDA0008010100003F00"))), // SOS: len 8, 1 comp, ss 0, se 63
       data,
       unhex(lit("FFD9")))
+  }
+
+  /** A fully decoded 8-bit PNG raster: `pixels` is the un-filtered image in
+    * scanline order, `channels` interleaved per pixel (gray=1, gray+alpha=2,
+    * RGB=3, RGBA=4).
+    */
+  final case class PngPixels(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** REAL pixel decode for 8-bit non-interlaced non-palette PNG: the strict
+    * [[decodePng]] frame/CRC validation, then the concatenated IDAT stream
+    * inflated with `java.util.zip.Inflater` (zlib is pure JVM — no native
+    * codec needed) and every scanline un-filtered through the five PNG
+    * filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). The same
+    * strictness discipline as the container walk extends to the raster:
+    * the stream must inflate to EXACTLY `height·(1 + width·channels)`
+    * bytes with nothing left over, and every filter-type byte must be ≤ 4
+    * — a corrupt or truncated IDAT returns None rather than partial
+    * pixels. Out of scope (None, documented): bit depths other than 8,
+    * interlaced images, and palette (color type 3, which would need PLTE
+    * indirection); those still pass [[decodePng]]'s metadata path.
+    */
+  def decodePngPixels(p: Array[Byte]): Option[PngPixels] = {
+    if (decodePng(p).isEmpty) return None // frame shape + all CRCs verified
+    def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0; var depth = 0; var color = 0; var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) { // bounds already proven by decodePng's walk
+      val len = be32(i)
+      val t = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      t match {
+        case "IHDR" =>
+          w = be32(i + 8); h = be32(i + 12)
+          depth = p(i + 16) & 0xff; color = p(i + 17) & 0xff
+          interlace = p(i + 20) & 0xff
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => done = true
+        case _ =>
+      }
+      i += 12 + len
+    }
+    val channels = color match {
+      case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
+      case _ => return None // palette needs PLTE indirection — metadata only
+    }
+    if (depth != 8 || interlace != 0) return None
+    val stride = w.toLong * channels
+    val rawLen = (stride + 1L) * h
+    if (rawLen > Int.MaxValue || idat.size() == 0) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length ||
+          (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0))
+        return None // wrong raster size (too short or surplus bytes)
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val st = stride.toInt
+    val bpp = channels // depth 8: one byte per channel
+    val out = new Array[Byte](h * st)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (st + 1)) & 0xff
+      if (ft > 4) return None
+      val rowIn = y * (st + 1) + 1
+      val rowOut = y * st
+      var x = 0
+      while (x < st) {
+        val rw = raw(rowIn + x) & 0xff
+        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
+        val b = if (y > 0) out(rowOut - st + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(rowOut - st + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rw
+          case 1 => rw + a
+          case 2 => rw + b
+          case 3 => rw + (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            rw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngPixels(w, h, channels, out))
+  }
+
+  /** The ENCODE twin of [[decodePngPixels]]: a complete valid 8-bit PNG
+    * (signature, IHDR, one deflated IDAT, IEND, all CRC'd) around a raw
+    * raster, with a caller-chosen filter type PER ROW so fixtures exercise
+    * all five un-filter paths, not just filter-0. JVM-side (Deflater needs
+    * bytes, not Columns) — gates plant with this inside the same
+    * mapPartitions batch shape the decode uses. Channels map to color
+    * types 1→0 (gray), 2→4 (gray+alpha), 3→2 (RGB), 4→6 (RGBA).
+    */
+  def pngEncode(
+      width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], filterOfRow: Int => Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case n => throw new IllegalArgumentException(s"channels must be 1..4, got $n")
+    }
+    val st = width * channels
+    require(pixels.length == st * height,
+      s"raster must be ${st * height} bytes, got ${pixels.length}")
+    val raw = new Array[Byte]((st + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = math.floorMod(filterOfRow(y), 5)
+      raw(y * (st + 1)) = ft.toByte
+      var x = 0
+      while (x < st) {
+        val cur = pixels(y * st + x) & 0xff
+        val a = if (x >= channels) pixels(y * st + x - channels) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * st + x) & 0xff else 0
+        val c = if (x >= channels && y > 0) pixels((y - 1) * st + x - channels) & 0xff else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (st + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val outBuf = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      outBuf.write(be32(body.length.toLong), 0, 4)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      outBuf.write(tb, 0, 4)
+      outBuf.write(body, 0, body.length)
+      outBuf.write(be32(crc.getValue), 0, 4)
+    }
+    outBuf.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    outBuf.toByteArray
+  }
+
+  /** Per-image REAL pixel statistics for PNG payloads — the
+    * `extractFeatures` shape driven through [[decodePngPixels]]'s full
+    * inflate + un-filter, so the numbers are functions of the IMAGE, not
+    * the stored bytes. All-integer output (sum/max over 0..255 samples) —
+    * no cross-engine float hazard. Payloads that are not decodable 8-bit
+    * PNG are ABSENT from the output by design (this is the typed stats op;
+    * [[extractFeatures]]' `codec` column is the observability pass that
+    * counts the fallthrough).
+    */
+  final case class PngStats(
+      doc_id: Long, width: Long, height: Long, channels: Long,
+      n_pix: Long, sum_pix: Long, max_pix: Long)
+  def pngPixelStats(spark: SparkSession, media: DataFrame): Dataset[PngStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePngPixels(r.payload).map { im =>
+          var s = 0L; var mx = 0L
+          var k = 0
+          while (k < im.pixels.length) {
+            val v = (im.pixels(k) & 0xff).toLong
+            s += v; if (v > mx) mx = v
+            k += 1
+          }
+          PngStats(r.doc_id, im.width.toLong, im.height.toLong,
+            im.channels.toLong, im.pixels.length.toLong, s, mx)
+        }
+      }
+    }
+  }
+
+  /** REAL resize for PNG payloads: decode ([[decodePngPixels]]),
+    * nearest-neighbor resample to `targetW × targetH` (source index =
+    * `⌊outIndex · srcDim / targetDim⌋` — all-integer, so an oracle
+    * re-derives the exact mapping), re-encode ([[pngEncode]], filter 0).
+    * Replaces the byte-budget stub path for PNG containers: the output
+    * payload is a valid PNG whose pixels are a pure function of the
+    * source IMAGE. Non-PNG payloads are absent from the output (the
+    * [[pngPixelStats]] scope rule).
+    */
+  def resizePngNearest(
+      spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(targetW >= 1 && targetH >= 1,
+      s"target dimensions must be >= 1, got ${targetW}x$targetH")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePngPixels(r.payload).map { im =>
+          val ch = im.channels
+          val out = new Array[Byte](targetW * targetH * ch)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * im.height / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * im.width / targetW).toInt
+              var c = 0
+              while (c < ch) {
+                out((y * targetW + x) * ch + c) =
+                  im.pixels((sy * im.width + sx) * ch + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(r.doc_id, pngEncode(targetW, targetH, ch, out, _ => 0))
+        }
+      }
+    }
   }
 
   /** ??? in spirit: a deterministic fake decode so tests and the oracle can

@@ -1326,6 +1326,48 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePng(mutate(8, 0x7f.toByte)) == None)
   }
 
+  test("PNG pixel decode: pngEncode round-trips through all five filters; strict rejects") {
+    // One image per (channels, filter) combination: pixels are a formula,
+    // every row gets a different filter type, and the decode must return
+    // the exact raster for every channel count.
+    for (ch <- 1 to 4) {
+      val (w, h) = (7, 6)
+      val px = Array.tabulate(w * h * ch)(k => ((k * 37 + ch * 11) % 256).toByte)
+      val enc = Multimodal.pngEncode(w, h, ch, px, row => row % 5)
+      assert(Multimodal.decodePng(enc) == Some((w.toLong, h.toLong)),
+        s"metadata walk must accept the encode (ch=$ch)")
+      val dec = Multimodal.decodePngPixels(enc)
+      assert(dec.nonEmpty, s"pixel decode must succeed (ch=$ch)")
+      assert(dec.get.width == w && dec.get.height == h && dec.get.channels == ch)
+      assert(dec.get.pixels.toSeq == px.toSeq, s"raster must round-trip (ch=$ch)")
+    }
+    // 1×1 edge: no left/up neighbors, every filter degenerates correctly.
+    for (ft <- 0 to 4) {
+      val enc1 = Multimodal.pngEncode(1, 1, 3, Array[Byte](10, 20, 30), _ => ft)
+      assert(Multimodal.decodePngPixels(enc1).get.pixels.toSeq == Seq[Byte](10, 20, 30))
+    }
+    // Strictness: a corrupt IDAT byte flips the chunk CRC → None (not junk
+    // pixels); a pngWrap container (raw non-zlib IDAT) fails the inflate.
+    val good = Multimodal.pngEncode(4, 4, 1, Array.fill(16)(7.toByte), _ => 1)
+    val idatAt = good.indexOfSlice("IDAT".getBytes) + 4
+    val bad = good.clone(); bad(idatAt) = (bad(idatAt) ^ 0x40).toByte
+    assert(Multimodal.decodePngPixels(bad).isEmpty)
+    val rawWrap = Seq((1L, "not zlib data")).toDF("doc_id", "text")
+      .select(Multimodal.pngWrap(lit(4), lit(4), encode(col("text"), "UTF-8")))
+      .head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodePng(rawWrap).nonEmpty, "metadata path still accepts it")
+    assert(Multimodal.decodePngPixels(rawWrap).isEmpty, "pixel path must reject")
+    // Nearest-neighbor resize: 2x2 checkerboard upscaled 4x4 quadrants.
+    val checker = Multimodal.pngEncode(2, 2, 1, Array[Byte](0, 100.toByte, 100.toByte, 0), _ => 0)
+    val resized = Multimodal.resizePngNearest(spark,
+      Seq((9L, checker)).toDF("doc_id", "payload"), 4, 4).collect().head
+    val rp = Multimodal.decodePngPixels(resized.payload).get
+    assert(rp.width == 4 && rp.height == 4)
+    val q = rp.pixels.map(_ & 0xff)
+    assert(q.toSeq == Seq(0, 0, 100, 100, 0, 0, 100, 100,
+      100, 100, 0, 0, 100, 100, 0, 0))
+  }
+
   test("JPEG decode parses jpegWrap containers, walks markers, rejects corruption") {
     val wrapped = Seq((1L, "entropy coded text"), (2L, ""))
       .toDF("doc_id", "text")
