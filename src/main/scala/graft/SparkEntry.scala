@@ -930,6 +930,56 @@ object SparkEntry {
     stats(1).unionByName(stats(3)).orderBy(col("version"))
   }
 
+  /** VACUUM gate ([[graft.ops.Versioned.vacuum]]) — the retention verb
+    * exercised end to end with STRUCTURALLY FORCED file accounting:
+    * v1 = every-third events in four hash files; v2 = a disjoint-key
+    * MERGE (touches nothing, all four v1 files carried by reference);
+    * v3 = a MERGE over every v1 key (all four original files rewritten,
+    * v2's files carried). `vacuum(keepLast = 1)` must then delete exactly
+    * the four v1 data files (in no kept manifest) while v2's carried
+    * files SURVIVE their own manifest's deletion (v3 references them) —
+    * the gate reads v3 (its %3=1 rows physically live in v2-era files, so
+    * a wrongly-deleted carry breaks the stats), reports the reclaimed
+    * count, and counts the now-unresolvable v1/v2 reads. A vacuum that
+    * deletes a live file, keeps an orphan, or leaves dropped manifests
+    * readable turns the gate red.
+    */
+  private def tableVacuum(s: SparkSession, dir: String): DataFrame = {
+    val path = builtIndexPath("vtab-vac", dir) { p =>
+      val e = ev(s, dir).df.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      graft.ops.Versioned.init(
+        e.filter(col("event_id") % 3 === 0).repartition(4, col("event_id")),
+        s"$p/t")
+      graft.ops.Versioned.upsertVersion(
+        e.filter(col("event_id") % 3 === 1)
+          .withColumn("value", col("value") + lit(1000.0))
+          .repartition(2, col("event_id")),
+        s"$p/t", Seq("event_id")): Unit
+      graft.ops.Versioned.upsertVersion(
+        e.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") + lit(2000.0)),
+        s"$p/t", Seq("event_id")): Unit
+      val removed = graft.ops.Versioned.vacuum(s, s"$p/t", keepLast = 1)
+      import s.implicits._
+      Seq(removed.toLong).toDF("n_removed").coalesce(1)
+        .write.parquet(s"$p/report")
+    }
+    val nDropped = Seq(1L, 2L).count { v =>
+      try { graft.ops.Versioned.readVersion(s, s"$path/t", v); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+    graft.ops.Versioned.readVersion(s, s"$path/t", 3L)
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
+        round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
+          .as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(lit(3).as("version"), col("n"), col("n_value"),
+        col("sum_value"), col("min_id"), col("max_id"))
+      .crossJoin(s.read.parquet(s"$path/report"))
+      .withColumn("n_dropped_reads", lit(nDropped.toLong))
+  }
+
   private def tableSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val path = vtabSePath(s, dir)
     def stats(v: Int) = {
@@ -2865,6 +2915,15 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
+      // Retention composed into the CDC replay: version growth is bounded
+      // by one vacuum after the last micro-batch — v1/v2 go unresolvable,
+      // their four original data files (all rewritten by the first batch's
+      // %12=0 keys) are reclaimed, and v2's fresh files survive because
+      // the kept v3 manifest still references them.
+      val removed = graft.ops.Versioned.vacuum(s, s"$p/t", keepLast = 2)
+      import s.implicits._
+      Seq(removed.toLong).toDF("n_removed").coalesce(1)
+        .write.parquet(s"$p/report")
     }
 
   private def streamTableVersions(s: SparkSession, dir: String): DataFrame = {
@@ -2872,6 +2931,10 @@ object SparkEntry {
     val latest = graft.ops.Versioned.latestVersion(s, s"$path/t")
       .getOrElse(sys.error(s"$path/t: no versioned table"))
     require(latest == 4L, s"expected 4 versions after the 3-batch replay, got $latest")
+    val nDropped = Seq(1L, 2L).count { v =>
+      try { graft.ops.Versioned.readVersion(s, s"$path/t", v); false }
+      catch { case _: IllegalArgumentException => true }
+    }
     def stats(v: Int) = graft.ops.Versioned.readVersion(s, s"$path/t", v.toLong)
       .agg(count(lit(1)).as("n"), count(col("value")).as("n_value"),
         round(sum(round(col("value"), 10).cast("decimal(30,10)")).cast("double"), 4)
@@ -2879,7 +2942,9 @@ object SparkEntry {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .select(lit(v).as("version"), col("n"), col("n_value"),
         col("sum_value"), col("min_id"), col("max_id"))
-    stats(1).unionByName(stats(4)).orderBy(col("version"))
+    stats(3).unionByName(stats(4)).orderBy(col("version"))
+      .crossJoin(s.read.parquet(s"$path/report"))
+      .withColumn("n_dropped_reads", lit(nDropped.toLong))
   }
 
   private def streamSplitIngest(s: SparkSession, dir: String): DataFrame = {
@@ -4492,6 +4557,7 @@ object SparkEntry {
     "table_version_diff" -> (tableVersionDiff _),
     "table_schema_evolution" -> (tableSchemaEvolution _),
     "table_restore" -> (tableRestore _),
+    "table_vacuum" -> (tableVacuum _),
     "profile_drift" -> (profileDrift _),
     "gopher_quality_rules" -> (gopherQualityRules _),
     "join_bloom_pruned" -> (joinBloomPruned _),
@@ -6134,25 +6200,49 @@ object SparkEntry {
          |UNION ALL
          |SELECT 3 AS version, n, n_value, sum_value, min_id, max_id FROM s
          |ORDER BY version""".stripMargin,
-    // The streamed CDC's endpoints: v1 = the base slice exactly as
-    // written (time travel must survive the whole replay), v4 = the MERGE
-    // of the full boosted %4 slice (disjoint per-batch key sets commute,
-    // so the final state is batch-order-free and batch-derivable).
+    // VACUUM: v3 = the merged final state (disjoint v2 keys + every v1
+    // key rewritten); the reclaimed count is the fixture's four init
+    // files (all rewritten at v3 so no kept manifest references them),
+    // and both dropped versions must fail loud on read.
+    "table_vacuum" ->
+      s"""WITH e AS ($EvCte),
+         |v3 AS (SELECT event_id, value + 2000.0 AS value FROM e WHERE event_id % 3 = 0
+         |       UNION ALL
+         |       SELECT event_id, value + 1000.0 AS value FROM e WHERE event_id % 3 = 1)
+         |SELECT 3 AS version, count(*) AS n, count(value) AS n_value,
+         |       round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
+         |         AS sum_value,
+         |       min(event_id) AS min_id, max(event_id) AS max_id,
+         |       CAST(4 AS BIGINT) AS n_removed,
+         |       CAST(2 AS BIGINT) AS n_dropped_reads
+         |FROM v3""".stripMargin,
+    // The streamed CDC's kept endpoints after the composed vacuum
+    // (keepLast=2): v3 = base with the first batch's %12=0 keys boosted
+    // plus the inserted %12=4 slice, v4 = the MERGE of the full boosted
+    // %4 slice (disjoint per-batch key sets commute, so the final state
+    // is batch-order-free and batch-derivable). The four reclaimed files
+    // are the init files (all rewritten by batch 1); v1/v2 reads must
+    // fail loud.
     "stream_table_versions" ->
       s"""WITH e AS ($EvCte),
          |v1 AS (SELECT event_id, value FROM e WHERE event_id % 3 = 0),
          |b  AS (SELECT event_id, value + 1000.0 AS value FROM e WHERE event_id % 4 = 0),
+         |v3 AS (SELECT * FROM v1 WHERE event_id % 12 <> 0
+         |       UNION ALL SELECT * FROM b WHERE event_id % 12 IN (0, 4)),
          |v4 AS (SELECT * FROM v1 WHERE event_id NOT IN (SELECT event_id FROM b)
          |       UNION ALL SELECT * FROM b),
-         |s1 AS (SELECT 1 AS version, count(*) AS n, count(value) AS n_value,
+         |s3 AS (SELECT 3 AS version, count(*) AS n, count(value) AS n_value,
          |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
          |                AS sum_value,
-         |              min(event_id) AS min_id, max(event_id) AS max_id FROM v1),
+         |              min(event_id) AS min_id, max(event_id) AS max_id FROM v3),
          |s4 AS (SELECT 4 AS version, count(*) AS n, count(value) AS n_value,
          |              round(CAST(sum(CAST(round(value, 10) AS DECIMAL(30,10))) AS DOUBLE), 4)
          |                AS sum_value,
          |              min(event_id) AS min_id, max(event_id) AS max_id FROM v4)
-         |SELECT * FROM s1 UNION ALL SELECT * FROM s4 ORDER BY version""".stripMargin,
+         |SELECT s.*, CAST(4 AS BIGINT) AS n_removed,
+         |       CAST(2 AS BIGINT) AS n_dropped_reads
+         |FROM (SELECT * FROM s3 UNION ALL SELECT * FROM s4) s
+         |ORDER BY version""".stripMargin,
     // Both snapshots derived relationally, the diff replayed with the
     // null-safe value compare; removed is impossible here (MERGE never
     // deletes), so only added/changed rows can appear.
