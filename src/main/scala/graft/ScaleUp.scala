@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   *    key cardinality scales by `factor`. Dimensions stay as-is (TPC-H
   *    scales facts faster than dims; every replica references the same
   *    dim rows).
-  *  - `documents`: replica k > 0 prefixes every token with `r<k>‿` — a
+  *  - `documents`: replica k > 0 prefixes every token with `r<k>x` — a
   *    BIJECTIVE token renaming, so within-replica shingle-set relations
   *    (jaccard values, duplicate clusters, df distributions) are exactly
   *    the source's while across-replica shingle spaces are disjoint.
   *    Replica 0 keeps the original text verbatim. `n_chars` is recomputed.
-  *  - `embeddings`: replica k rotates each vector's dimensions by k —
-  *    norms and within-replica geometry preserved, replicas linearly
-  *    independent of each other.
+  *  - `embeddings`: replica k rotates each vector's dimensions by
+  *    `k mod dim` — norms and within-replica geometry preserved, replicas
+  *    linearly independent of each other (up to `dim` distinct rotations;
+  *    beyond that replicas revisit earlier rotations, which only weakens
+  *    cross-replica independence, never corrupts vectors).
   *  - `events.ts` is normalized to the epoch-ns `LongType` leg of
   *    [[graft.uts.Tsdb]]'s documented ts contract (replicated NTZ/NANOS
   *    values would otherwise need per-variant rewrite logic).
@@ -106,9 +108,12 @@ object ScaleUp {
 
     w(replicate(t("embeddings"), factor) { (d, k) =>
       val e = col("embedding")
+      // Rotate by k % dim: a raw k-rotation at factor-1 >= dim would make
+      // the slice length non-positive and silently truncate the vectors.
+      val r = pmod(lit(k), size(e))
       val rotated =
         if (k == 0) e
-        else concat(slice(e, lit(k + 1), size(e) - lit(k)), slice(e, lit(1), lit(k)))
+        else concat(slice(e, r + lit(1), size(e) - r), slice(e, lit(1), r))
       d.withColumn("vec_id", col("vec_id") + lit(k * VecStride))
         .withColumn("embedding", rotated)
     }, "embeddings")

@@ -2857,6 +2857,15 @@ object SparkEntry {
       val incoming = docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       incoming.repartition(3).write.parquet(s"$p/ingest_src")
+      // The boundary case the index probe alone cannot close: ten pairs of
+      // documents that are near-dups OF EACH OTHER but of nothing indexed
+      // (alien `qx#k` token alphabet), landing in ONE micro-batch — the
+      // intra-batch closure must co-assign each pair (rep = the pair's
+      // smaller id), or the re-crawled-duplicates-in-one-dump leak reopens.
+      s.range(0, 20).select((col("id") + 300000L).as("doc_id"),
+          format_string("qx#%1$da qx#%1$db qx#%1$dc qx#%1$dd qx#%1$de",
+            (col("id") / 2).cast("long")).as("text"))
+        .coalesce(1).write.mode("append").parquet(s"$p/ingest_src")
       withStateSession(s) { ss =>
         val src = ss.readStream.schema(incoming.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$p/ingest_src")
@@ -7768,7 +7777,10 @@ object SparkEntry {
          |cc AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
          |un AS (SELECT doc_id, rep_id FROM cc
          |       UNION ALL
-         |       SELECT doc_id + 100000, rep_id FROM cc WHERE doc_id % 11 = 0)
+         |       SELECT doc_id + 100000, rep_id FROM cc WHERE doc_id % 11 = 0
+         |       UNION ALL
+         |       SELECT 300000 + k*2 + m AS doc_id, 300000 + k*2 AS rep_id
+         |       FROM range(0, 10) tk(k), range(0, 2) tm(m))
          |SELECT doc_id, rep_id,
          |  CASE WHEN (rep_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
          |       WHEN (rep_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'

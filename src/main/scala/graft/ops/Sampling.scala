@@ -274,15 +274,24 @@ object Sampling {
     * arrives (the leak [[leakageSafeSplit]] prevents for the batch corpus
     * would reopen at the ingest boundary). Per batch: probe the persisted
     * MinHash index (partition-pruned signature read), verify candidates at
-    * `threshold`, inherit the MINIMUM matched representative (all matches
-    * of one document share a cluster when the corpus was split
-    * cluster-consistently; min is the deterministic tie rule either way),
-    * fall back to self-representation for genuinely new documents, assign
-    * the split by REPRESENTATIVE hash ([[assignSplit]] — identical bands
-    * to the batch path), append the `(id, rep, split)` rows to the
-    * assignment table, and append the batch into the index so LATER
-    * batches can match against it. Call from `foreachBatch`; single-writer
-    * like the rest of the persisted-index family.
+    * `threshold`, AND link the batch against ITSELF
+    * ([[Dedup.minhashLshPairs]] under the same family parameters) — two
+    * near-duplicate documents that are BOTH new and arrive in the same
+    * micro-batch (re-crawled duplicates commonly land in one crawl dump)
+    * must not hash-split apart just because neither is indexed yet. The
+    * batch's intra-pair connected components and the index matches resolve
+    * together: a component inherits the MINIMUM matched representative of
+    * ANY member (all matches of one document share a cluster when the
+    * corpus was split cluster-consistently; min is the deterministic tie
+    * rule either way), an unmatched component falls back to its minimum
+    * batch id. Then assign the split by REPRESENTATIVE hash
+    * ([[assignSplit]] — identical bands to the batch path), append the
+    * `(id, rep, split)` rows to the assignment table, and append the batch
+    * into the index so LATER batches can match against it. The intra-batch
+    * CC fold is batch-sized (banded candidates, never batch²) — the
+    * per-micro-batch cost a correct ingest boundary requires. Call from
+    * `foreachBatch`; single-writer like the rest of the persisted-index
+    * family.
     */
   def leakageSafeIngestBatch(
       batch: DataFrame,
@@ -304,11 +313,21 @@ object Sampling {
       .select(col(idCol).as("ref_id"), col("rep").as("__ref_rep"))
     val inherited = matches.join(refRep, "ref_id")
       .groupBy(col("new_id")).agg(min(col("__ref_rep")).as("__irep"))
+    // Intra-batch closure: same-batch near-dups share one component even
+    // when neither matches the index; an index match anywhere in the
+    // component pulls the WHOLE component onto that cluster's rep.
+    val intra = Dedup.minhashLshPairs(b, n, threshold,
+      numHashes, bands, idCol, textCol)
+    val comp = Dedup.connectedComponents(
+      b.select(col(idCol).as("id")),
+      intra.select(col("d1"), col("d2")))
+      .select(col("id").as("new_id"), col("rep").as("__comp"))
+    val compRep = comp.join(inherited, Seq("new_id"), "left")
+      .groupBy(col("__comp")).agg(min(col("__irep")).as("__crep"))
     val assigned = assignSplit(
-      b.select(col(idCol).as("new_id"))
-        .join(inherited, Seq("new_id"), "left")
+      comp.join(compRep, Seq("__comp"))
         .select(col("new_id").as(idCol),
-          coalesce(col("__irep"), col("new_id")).as("rep")),
+          coalesce(col("__crep"), col("__comp")).as("rep")),
       "rep", splits)
     assigned.select(col(idCol), col("rep"), col("split"))
       .write.mode("append").parquet(assignPath)
@@ -324,7 +343,7 @@ object Sampling {
     * shard sizes concentrated ~n/nShards by the hash's uniformity). Within
     * a shard the LOADING ORDER is also pinned: (idHash, id) ascending —
     * the deterministic sequence reproducible training wants. Returns the
-    * per-shard manifest `(shard, n_docs, sum_chars, first_id, last_id)`
+    * per-shard manifest `(shard, n_docs, sum_weight, first_id, last_id)`
     * where first/last are the order's endpoints (order-sensitive outputs,
     * so the gate pins the sequence, not just membership); one aggregation,
     * shuffle keyed by shard. The writer side is `df.withColumn("shard",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -1016,8 +1016,10 @@ object Similarity {
       .filter(col("__a") =!= col("__c"))
       .join(e, Seq("__a", "__c"), "left_anti")
     // Pair mix: idHash((a mod 2³²)·100003 + c) — the pre-mod keeps the
-    // product ≤ ~2⁴⁹ for any long id (ANSI-overflow-safe), and idHash's
-    // own leading mod makes the oracle's replication exact.
+    // PRODUCT ≤ ~2⁴⁹ for any long anchor id; the + c term then stays
+    // ANSI-overflow-safe for candidate ids below ~2⁶² (any realistic id
+    // space; a candidate within 2⁴⁹ of Long.MaxValue would overflow).
+    // idHash's own leading mod makes the oracle's replication exact.
     val mix = Sampling.idHash(
       pmod(col("__a"), lit(4294967296L)) * lit(100003L) + col("__c"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1428,21 +1430,43 @@ object Similarity {
     * second execution can skip the ~3·m corpus passes entirely. Only
     * k-row-bounded state is ever cached (the [[ivfProbePersisted]] routing
     * envelope) — never assignments or code tables, which are corpus-sized.
-    * Keys include the owning session's identity: `localCheckpoint`ed frames
+    * Keys include the owning session's UUID: `localCheckpoint`ed frames
     * die with their session, so a fresh session re-trains rather than
-    * touching another session's blocks.
+    * touching another session's blocks (a UUID, unlike an identity hash
+    * code, can never be reused by a new session object after GC). The
+    * cache is LRU-BOUNDED: quantizer state is k-row-small but a long-lived
+    * JVM cycling many corpora would otherwise accumulate entries (and pin
+    * their checkpoint blocks) without limit.
     */
-  private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]
+  private val QuantCacheMax = 64
+  private val quantizerCache: java.util.Map[String, Seq[DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[DataFrame]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[DataFrame]]): Boolean =
+          size() > QuantCacheMax
+      })
+
+  /** One UUID per SparkSession object, weakly held — the session-lifetime
+    * cache-key component ([[quantizerCache]] scaladoc). */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   /** Content fingerprint of a canonical `(vid, v)` frame: order-independent
-    * XOR fold of per-row xxhash64 (overflow-free under ANSI mode) plus the
-    * row count — one cheap agg job over an already-checkpointed frame. */
+    * WRAPPING-SUM fold of per-row xxhash64 (summed in DECIMAL(38,0) so ANSI
+    * mode cannot overflow and — unlike the XOR fold this replaces — a row
+    * with even multiplicity does not cancel out of the fingerprint: corpora
+    * {x,x,y} and {z,z,y} no longer share a key) plus the row count — one
+    * cheap agg job over an already-checkpointed frame. */
   private def corpusKey(e: DataFrame): String = {
     val r = e.agg(
-      coalesce(bit_xor(xxhash64(col("vid"), col("v"))), lit(0L)),
+      coalesce(sum(xxhash64(col("vid"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")),
       count(lit(1))).head()
-    s"${System.identityHashCode(e.sparkSession)}:${r.getLong(0)}:${r.getLong(1)}"
+    s"${sessionId(e.sparkSession)}:${r.getDecimal(0)}:${r.getLong(1)}"
   }
 
   /** [[pqCodebooks]] through the per-JVM cache (bit-identical: training is

@@ -81,6 +81,39 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("leakageSafeIngestBatch: same-batch near-dups co-assign; index match pulls the component") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+    Dedup.minhashIndexBuild(base, s"$dir/mh", n = 3)
+    Sampling.leakageSafeSplit(base.select(col("doc_id")),
+        Dedup.jaccardPairs(base, n = 3, threshold = 0.6).select(col("d1"), col("d2")),
+        splits)
+      .select(col("doc_id"), col("rep"), col("split"))
+      .write.parquet(s"$dir/assignment")
+    // One micro-batch: 100/300/301 all near-dup indexed doc 1 (and each
+    // other); 200/201 near-dup ONLY each other — the boundary hole.
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (200L, "qq1 qq2 qq3 qq4 qq5"),
+      (201L, "qq1 qq2 qq3 qq4 qq5"),
+      (300L, "alpha beta gamma delta epsilon"),
+      (301L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    Sampling.leakageSafeIngestBatch(batch, s"$dir/mh", s"$dir/assignment",
+      splits, n = 3, threshold = 0.6)
+    val rows = spark.read.parquet(s"$dir/assignment")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(100L)._1 == rows(1L)._1, "an index match inherits the cluster rep")
+    assert(rows(200L)._1 == 200L && rows(201L)._1 == 200L,
+      "both-new same-batch near-dups must share the pair's min id as rep")
+    assert(rows(200L)._2 == rows(201L)._2, "…and therefore one split")
+    assert(rows(300L)._1 == rows(1L)._1 && rows(301L)._1 == rows(1L)._1,
+      "an index match anywhere in the component pulls the WHOLE component")
+    assert(rows(301L)._2 == rows(1L)._2)
+  }
+
   test("NB log-odds classifier separates distinct-vocabulary classes and scores by the formula") {
     val labeled = Seq(
       (0L, "alpha beta gamma alpha", "good"),

@@ -25,8 +25,12 @@ query is classified from evidence already inside the NEW artifact:
      there. -> WARN.
   3. CONTIGUOUS-CLUSTER: >= 2 other shared queries within +/-3 run-order
      positions are also >= 1.3x elevated AND the cluster spans more than
-     one query family — unrelated plans do not co-regress by alphabetical
-     adjacency, hosts do. -> WARN.
+     one query family AND the nearest calib sample corroborates (>= 1.15x
+     the run minimum). The calib corroboration is load-bearing: a
+     regression in a widely-shared helper (a prefix pipeline, a quantizer
+     primitive) slows alphabetically adjacent queries across families too
+     — exactly the throttle signature — but it cannot elevate the PURE-CPU
+     calib loop, so an uncorroborated cluster stays a FAIL. -> WARN.
   4. UNSTABLE-REPS: the flagged query's own reps disagree by >= 1.8x — a
      plan regression reproduces on every rep, so a median built from reps
      that wild is a measurement, not a verdict. -> WARN.
@@ -38,6 +42,13 @@ SPARK_GRAFT_BENCH_ONLY=<q> SPARK_GRAFT_BENCH_REPS=5 on an idle VM if in
 doubt. Legacy artifacts without calib_at carry only ~20 coarse calib
 samples, so signal 2 is weaker there; artifacts from the family-boundary
 calib era have a sample beside every family.
+
+WARN-count backstop: per-flag adjudication can only excuse ISOLATED noise.
+When more than max(6, 10% of shared) flags all land as WARN, the run as a
+whole FAILS anyway — a library-wide slowdown (shared-helper regression,
+build-config drift) would otherwise print PASS one excused query at a
+time. Re-run on an idle host; a genuinely throttled artifact clears on the
+re-measure, a real broad regression does not.
 """
 import json
 import sys
@@ -104,9 +115,12 @@ def main() -> int:
         neighbors = [x for x in shared
                      if x != q and abs(pos[x] - pos[q]) <= 3
                      and nq[x] >= oq[x] * 1.3 and nq[x] - oq[x] > 0.1]
-        if len(neighbors) >= 2 and len({family(x) for x in neighbors + [q]}) >= 2:
+        if (len(neighbors) >= 2 and len({family(x) for x in neighbors + [q]}) >= 2
+                and nc is not None and nc[1] >= 1.15 * calib_min):
             return ("WARN", "contiguous-cluster: also elevated nearby: "
-                            + ", ".join(neighbors[:4]) + " — throttle-window signature")
+                            + ", ".join(neighbors[:4])
+                            + f" — with calib {nc[1] / calib_min:.2f}x min, "
+                              "throttle-window signature")
         if len(clean) >= 2 and min(clean) > 0 and max(clean) / min(clean) >= 1.8:
             return ("WARN", f"unstable-reps: raws spread "
                             f"{min(clean):.2f}-{max(clean):.2f}s "
@@ -144,6 +158,12 @@ def main() -> int:
               f"{ratio}x + {abs_s}s vs {sys.argv[2]}")
         return 1
     warned = len(regressions) - fails
+    warn_cap = max(6, len(shared) // 10)
+    if warned > warn_cap:
+        print(f"FAIL: {warned} flags all adjudicated WARN exceeds the "
+              f"backstop cap {warn_cap} — per-flag excuses cannot clear a "
+              "library-wide slowdown; re-measure on an idle host")
+        return 1
     tail = f" ({warned} flagged, all machine-adjudicated as host noise)" if warned else ""
     print(f"PASS: no unexplained per-query regression beyond "
           f"{ratio}x + {abs_s}s vs {sys.argv[2]}{tail}")
