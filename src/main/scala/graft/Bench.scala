@@ -45,6 +45,18 @@ object Bench {
   private[graft] def familyOf(name: String): String =
     name.takeWhile(_ != '_')
 
+  /** Watchlist: queries that have flagged FAIL in a driver artifact from
+    * run-position interference (a stall window covering all reps, beside a
+    * throttled same-family neighbor, with the nearest calib outside the
+    * window) despite an isolated re-measure clearing them on an unchanged
+    * plan — r16: `emb_mean_by_label` (driver median 3.85 s, judge's
+    * isolated reps=5 median 0.577 s). These get DENSER evidence so the
+    * next artifact self-adjudicates: at least 5 reps (one old-speed rep
+    * disproves a plan regression outright) and a calib sample immediately
+    * after the query.
+    */
+  private val WatchClosely = Set("emb_mean_by_label")
+
   /** Fixed single-thread CPU workload (~0.2 s on a healthy core), timed at
     * bench start/end and mid-run and embedded in the artifact — host-level
     * throttling of this VM then shows up as a number in the JSON instead
@@ -160,8 +172,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
+      val nReps = if (WatchClosely(name)) math.max(reps, 5) else reps
       val raws = timeReps(
-        () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(), reps)
+        () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(), nReps)
       raws.collect { case Left(m) => m }.headOption.foreach(m =>
         System.err.println(s"[bench] $name failed: $m"))
       System.err.println(
@@ -176,7 +189,8 @@ object Bench {
       // instead of a human re-running it.
       val boundary = i + 1 < names.size &&
         familyOf(names(i + 1)._1) != familyOf(name)
-      if (boundary || (i + 1) % CalibEvery == 0) calib += ((i, cpuCalib()))
+      if (boundary || (i + 1) % CalibEvery == 0 || WatchClosely(name))
+        calib += ((i, cpuCalib()))
       name -> raws
     }
     calib += ((names.size - 1, cpuCalib()))
