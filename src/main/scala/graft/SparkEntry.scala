@@ -3441,6 +3441,49 @@ object SparkEntry {
     graft.ops.Ordered.smallResult(
       Multimodal.pngPixelStats(s, plantedPngs(s, dir)).toDF(), "doc_id")
 
+  /** The PALETTE (color type 3) pixel path
+    * ([[graft.ops.Multimodal.pngEncodePalette]] →
+    * [[graft.ops.Multimodal.decodePngPixels]]' PLTE expansion): per
+    * document a 16-entry closed-form palette and a closed-form index
+    * raster, read back as plain RGB — the oracle composes the two
+    * formulas, so a wrong palette lookup, index filter, or channel order
+    * turns it red.
+    */
+  private def multimodalPixelsPalette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 9).toInt
+          val h = (3 + id % 7).toInt
+          val pal = new Array[Byte](16 * 3)
+          var j = 0
+          while (j < 16) {
+            var c = 0
+            while (c < 3) {
+              pal(j * 3 + c) = (((id * 7 + j * 11 + c * 29) % 256) & 0xff).toByte
+              c += 1
+            }
+            j += 1
+          }
+          val idx = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              idx(y * w + x) = (((id + 3 * x + 5 * y) % 16) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.pngEncodePalette(w, h, pal, idx,
+            row => ((id + row) % 5).toInt))
+        }
+      }.toDF("doc_id", "payload")
+    graft.ops.Ordered.smallResult(
+      Multimodal.pngPixelStats(s, planted).toDF(), "doc_id")
+  }
+
   /** Real PNG resize ([[graft.ops.Multimodal.resizePngNearest]]): plant →
     * decode → nearest-neighbor 5×4 → RE-ENCODE → decode again for stats —
     * the full codec round trip twice over; the oracle re-derives the
@@ -4705,6 +4748,7 @@ object SparkEntry {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_pixels" -> (multimodalPixels _),
+    "multimodal_pixels_palette" -> (multimodalPixelsPalette _),
     "multimodal_resize_px" -> (multimodalResizePx _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_distinct_daily" -> (streamDistinctDaily _),
@@ -8200,6 +8244,21 @@ object SparkEntry {
         |       CAST(ch AS BIGINT) AS channels, count(*) AS n_pix,
         |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // Palette path: pixel value = palette formula composed with the index
+    // formula — the PLTE indirection re-derived arithmetically.
+    "multimodal_pixels_palette" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |              (d.doc_id*7 + ((d.doc_id + 3*x + 5*y) % 16)*11
+        |               + c*29) % 256 AS v
+        |       FROM d, unnest(range(0, d.w)) AS tx(x),
+        |            unnest(range(0, d.h)) AS ty(y),
+        |            unnest(range(0, 3)) AS tc(c))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels, count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // Nearest-neighbor resize to 5x4: source index = floor(out*src/target),
     // all-integer, applied to the same closed-form pixels.
     "multimodal_resize_px" ->

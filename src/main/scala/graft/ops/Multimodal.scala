@@ -370,9 +370,11 @@ object Multimodal {
     * the stream must inflate to EXACTLY `height·(1 + width·channels)`
     * bytes with nothing left over, and every filter-type byte must be ≤ 4
     * — a corrupt or truncated IDAT returns None rather than partial
-    * pixels. Out of scope (None, documented): bit depths other than 8,
-    * interlaced images, and palette (color type 3, which would need PLTE
-    * indirection); those still pass [[decodePng]]'s metadata path.
+    * pixels. Palette images (color type 3) decode THROUGH the PLTE
+    * indirection to plain RGB (every index strictly bounds-checked against
+    * the palette). Out of scope (None, documented): bit depths other
+    * than 8 and interlaced images; those still pass [[decodePng]]'s
+    * metadata path.
     */
   def decodePngPixels(p: Array[Byte]): Option[PngPixels] = {
     if (decodePng(p).isEmpty) return None // frame shape + all CRCs verified
@@ -381,6 +383,7 @@ object Multimodal {
         ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
     var i = 8
     var w = 0; var h = 0; var depth = 0; var color = 0; var interlace = 0
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) { // bounds already proven by decodePng's walk
@@ -391,15 +394,21 @@ object Multimodal {
           w = be32(i + 8); h = be32(i + 12)
           depth = p(i + 16) & 0xff; color = p(i + 17) & 0xff
           interlace = p(i + 20) & 0xff
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
         case "IDAT" => idat.write(p, i + 8, len)
         case "IEND" => done = true
         case _ =>
       }
       i += 12 + len
     }
+    // Raster channels as STORED (palette rows carry one index byte/pixel).
     val channels = color match {
       case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
-      case _ => return None // palette needs PLTE indirection — metadata only
+      case 3 =>
+        if (plte == null || plte.length == 0 || plte.length % 3 != 0 ||
+            plte.length > 768) return None
+        1
+      case _ => return None
     }
     if (depth != 8 || interlace != 0) return None
     val stride = w.toLong * channels
@@ -452,7 +461,20 @@ object Multimodal {
       }
       y += 1
     }
-    Some(PngPixels(w, h, channels, out))
+    if (color != 3) return Some(PngPixels(w, h, channels, out))
+    // Palette expansion: index bytes → RGB triples, every index strict.
+    val nEntries = plte.length / 3
+    val rgb = new Array[Byte](w * h * 3)
+    var k = 0
+    while (k < out.length) {
+      val idx = out(k) & 0xff
+      if (idx >= nEntries) return None // index past the palette: corrupt
+      rgb(k * 3) = plte(idx * 3)
+      rgb(k * 3 + 1) = plte(idx * 3 + 1)
+      rgb(k * 3 + 2) = plte(idx * 3 + 2)
+      k += 1
+    }
+    Some(PngPixels(w, h, 3, rgb))
   }
 
   /** The ENCODE twin of [[decodePngPixels]]: a complete valid 8-bit PNG
@@ -526,6 +548,57 @@ object Multimodal {
     chunk("IDAT", idat.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     outBuf.toByteArray
+  }
+
+  /** The PALETTE encode twin: a complete valid color-type-3 PNG — the
+    * 8-bit index raster filtered per row exactly like [[pngEncode]]'s
+    * (bpp = 1), a PLTE chunk carrying `palette` (RGB triples, ≤ 256
+    * entries), deflated IDAT, all CRC'd. [[decodePngPixels]] reads it back
+    * THROUGH the indirection as plain RGB, so a fixture pins the palette
+    * lookup path end to end.
+    */
+  def pngEncodePalette(
+      width: Int, height: Int,
+      palette: Array[Byte], indices: Array[Byte],
+      filterOfRow: Int => Int): Array[Byte] = {
+    require(palette.nonEmpty && palette.length % 3 == 0 && palette.length <= 768,
+      s"palette must be 3..768 bytes of RGB triples, got ${palette.length}")
+    require(indices.length == width * height,
+      s"index raster must be ${width * height} bytes, got ${indices.length}")
+    val n = palette.length / 3
+    require(indices.forall(b => (b & 0xff) < n),
+      s"an index exceeds the $n-entry palette")
+    // Reuse pngEncode's filtering/deflate/chunk pipeline on the 1-channel
+    // index raster, then rewrite the color type and splice PLTE in —
+    // simpler than duplicating the writer: rebuild chunks here instead.
+    val gray = pngEncode(width, height, 1, indices, filterOfRow)
+    // Extract the deflated IDAT body from the gray encode (one IDAT chunk
+    // at a fixed offset: 8 sig + 25 IHDR).
+    def be32At(a: Array[Byte], i: Int): Int =
+      ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
+        ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+    val idatLen = be32At(gray, 33)
+    val idatBody = java.util.Arrays.copyOfRange(gray, 41, 41 + idatLen)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length.toLong), 0, 4)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4)
+      out.write(body, 0, body.length)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, 3, 0, 0, 0))
+    chunk("PLTE", palette)
+    chunk("IDAT", idatBody)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Per-image REAL pixel statistics for PNG payloads — the

@@ -1390,6 +1390,18 @@ class OpsSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
     assert(Multimodal.decodePng(rawWrap).nonEmpty, "metadata path still accepts it")
     assert(Multimodal.decodePngPixels(rawWrap).isEmpty, "pixel path must reject")
+    // Palette (color type 3): indices expand THROUGH the PLTE to RGB.
+    val pal = Array.tabulate(4 * 3)(k => ((k * 50 + 7) % 256).toByte)
+    val idc = Array[Byte](0, 1, 2, 3, 3, 2) // 3x2 raster
+    val penc = Multimodal.pngEncodePalette(3, 2, pal, idc, row => row % 5)
+    assert(Multimodal.decodePng(penc) == Some((3L, 2L)), "metadata walk accepts PLTE form")
+    val pdec = Multimodal.decodePngPixels(penc).get
+    assert(pdec.channels == 3 && pdec.width == 3 && pdec.height == 2)
+    val expect = idc.flatMap(i => pal.slice((i & 0xff) * 3, (i & 0xff) * 3 + 3))
+    assert(pdec.pixels.toSeq == expect.toSeq, "PLTE expansion must be exact")
+    intercept[IllegalArgumentException] { // out-of-palette index refused at encode
+      Multimodal.pngEncodePalette(1, 1, pal, Array[Byte](9), _ => 0)
+    }
     // Nearest-neighbor resize: 2x2 checkerboard upscaled 4x4 quadrants.
     val checker = Multimodal.pngEncode(2, 2, 1, Array[Byte](0, 100.toByte, 100.toByte, 0), _ => 0)
     val resized = Multimodal.resizePngNearest(spark,
