@@ -1266,7 +1266,9 @@ object SparkEntry {
       (col("doc_id") + 9000L).as("doc_id"),
       concat(lit("  "), upper(col("text"))).as("text"), col("source"))
     val corpus = base.unionByName(planted)
-    val canon = Text.normalize(corpus)
+    // canon feeds the dedup, the band scoring, and the final join-back —
+    // checkpointed so the regex normalization scan runs once, not thrice.
+    val canon = Text.normalize(corpus).localCheckpoint()
     val survivors = Dedup.exact(canon, "norm_text")
     val kept = Text.filterByQualityBand(
       canon.join(survivors.select(col("doc_id")), "doc_id"),
