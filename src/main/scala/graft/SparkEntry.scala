@@ -3443,6 +3443,35 @@ object SparkEntry {
     graft.ops.Ordered.smallResult(
       Multimodal.pngPixelStats(s, plantedPngs(s, dir)).toDF(), "doc_id")
 
+  /** Real PCM SAMPLE statistics ([[graft.ops.Multimodal.wavSampleStats]])
+    * — the audio twin of `multimodal_pixels`: per document a closed-form
+    * 16-bit waveform (`((doc_id·37 + i·101) mod 4001) − 2000` at
+    * interleaved index i) encoded to a complete RIFF container by
+    * [[graft.ops.Multimodal.wavEncode]], decoded back through the strict
+    * [[graft.ops.Multimodal.decodeWavSamples]] path, reduced to
+    * all-integer stats (sum, max |s|, exact energy Σs²) the oracle
+    * re-derives arithmetically.
+    */
+  private def multimodalWavSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = (20 + id % 13).toInt
+          val ch = (1 + id % 2).toInt
+          val ss = new Array[Int](frames * ch)
+          var i = 0
+          while (i < ss.length) {
+            ss(i) = (((id * 37 + i * 101) % 4001) - 2000).toInt
+            i += 1
+          }
+          (id, Multimodal.wavEncode(ch, 8000L + (id % 100), ss))
+        }
+      }.toDF("doc_id", "payload")
+    graft.ops.Ordered.smallResult(
+      Multimodal.wavSampleStats(s, planted).toDF(), "doc_id")
+  }
+
   /** The PALETTE (color type 3) pixel path
     * ([[graft.ops.Multimodal.pngEncodePalette]] →
     * [[graft.ops.Multimodal.decodePngPixels]]' PLTE expansion): per
@@ -4752,6 +4781,7 @@ object SparkEntry {
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_pixels_palette" -> (multimodalPixelsPalette _),
     "multimodal_resize_px" -> (multimodalResizePx _),
+    "multimodal_wav_samples" -> (multimodalWavSamples _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_distinct_daily" -> (streamDistinctDaily _),
     "stream_sliding_daily" -> (streamSlidingDaily _),
@@ -8246,6 +8276,21 @@ object SparkEntry {
         |       CAST(ch AS BIGINT) AS channels, count(*) AS n_pix,
         |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // Audio samples: the closed-form 16-bit waveform re-derived per
+    // interleaved index; energy as exact integer Σs².
+    "multimodal_wav_samples" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 13 AS frames,
+        |                  1 + doc_id % 2 AS ch,
+        |                  8000 + doc_id % 100 AS rate FROM documents),
+        |sv AS (SELECT d.doc_id, d.ch, d.rate,
+        |              (d.doc_id*37 + i*101) % 4001 - 2000 AS s
+        |       FROM d, unnest(range(0, d.frames * d.ch)) AS t(i))
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |       CAST(rate AS BIGINT) AS sample_rate,
+        |       count(*) AS n_samples, CAST(sum(s) AS BIGINT) AS sum_samples,
+        |       CAST(max(abs(s)) AS BIGINT) AS max_abs,
+        |       CAST(sum(s*s) AS BIGINT) AS sum_sq
+        |FROM sv GROUP BY doc_id, ch, rate ORDER BY doc_id""".stripMargin,
     // Palette path: pixel value = palette formula composed with the index
     // formula — the PLTE indirection re-derived arithmetically.
     "multimodal_pixels_palette" ->

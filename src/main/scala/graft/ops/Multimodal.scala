@@ -156,6 +156,98 @@ object Multimodal {
     Some((dataSize / blockAlign, rate))
   }
 
+  /** REAL SAMPLE decode for PCM WAV — the audio twin of
+    * [[decodePngPixels]]: the strict [[decodeWav]] container validation,
+    * then the data chunk decoded to signed sample values (8-bit PCM is
+    * unsigned-biased-128 per the spec, 16-bit is signed little-endian) and
+    * reduced per channel is NOT needed at this layer — the raw interleaved
+    * sample sequence comes back in frame order. Returns
+    * `(channels, sampleRate, samples)`; None exactly when [[decodeWav]]
+    * refuses the container.
+    */
+  def decodeWavSamples(p: Array[Byte]): Option[(Int, Long, Array[Int])] = {
+    if (decodeWav(p).isEmpty) return None // strict framing + size equations
+    def u8(i: Int): Int = p(i) & 0xff
+    val channels = u8(22) | (u8(23) << 8)
+    val rate = (u8(24) | (u8(25) << 8) | (u8(26) << 16) | (u8(27) << 24)).toLong & 0xffffffffL
+    val bits = u8(34) | (u8(35) << 8)
+    val n = (p.length - 44) / (bits / 8)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (bits == 8) u8(44 + i) - 128 // unsigned with a 128 bias
+        else (u8(44 + i * 2) | (u8(44 + i * 2 + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    Some((channels, rate, out))
+  }
+
+  /** Per-clip integer sample statistics driven through [[decodeWavSamples]]
+    * — the [[pngPixelStats]] discipline on the audio axis: all-integer
+    * outputs (count, sum, max |sample|, sum of squares for an exact energy
+    * reading), so no cross-engine float hazard exists. Non-PCM-WAV
+    * payloads are absent from the output ([[pngPixelStats]]' scope rule;
+    * [[extractFeatures]] counts the fallthrough).
+    */
+  final case class WavStats(
+      doc_id: Long, channels: Long, sample_rate: Long,
+      n_samples: Long, sum_samples: Long, max_abs: Long, sum_sq: Long)
+  def wavSampleStats(spark: SparkSession, media: DataFrame): Dataset[WavStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavSamples(r.payload).map { case (ch, rate, ss) =>
+          var sum = 0L; var mx = 0L; var sq = 0L
+          var i = 0
+          while (i < ss.length) {
+            val v = ss(i).toLong
+            sum += v
+            val a = math.abs(v); if (a > mx) mx = a
+            sq += v * v
+            i += 1
+          }
+          WavStats(r.doc_id, ch.toLong, rate, ss.length.toLong, sum, mx, sq)
+        }
+      }
+    }
+  }
+
+  /** JVM-side 16-bit PCM WAV writer — [[pngEncode]]'s planting role for
+    * the audio samples path: a complete valid RIFF container around exact
+    * sample VALUES (not opaque bytes), so fixtures drive
+    * [[decodeWavSamples]] with closed-form waveforms. `samples` is the
+    * interleaved frame-order sequence; its length must divide evenly into
+    * frames of `channels`.
+    */
+  def wavEncode(channels: Int, sampleRate: Long, samples: Array[Int]): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not divide into $channels-channel frames")
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+      "a sample exceeds the 16-bit range")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(i: Int, s: String): Unit = s.indices.foreach(j => out(i + j) = s(j).toByte)
+    val blockAlign = channels * 2
+    tag(0, "RIFF"); le32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16L); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * blockAlign)
+    le16(32, blockAlign); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen.toLong)
+    var i = 0
+    while (i < samples.length) { le16(44 + i * 2, samples(i)); i += 1 }
+    out
+  }
+
   /** A minimal valid PCM-WAV container around raw bytes, assembled from
     * pure Spark expressions — the planting twin of [[bmpWrap]] for the
     * audio format. 16-bit samples; the data bytes are truncated/zero-padded

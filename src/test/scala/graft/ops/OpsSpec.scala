@@ -1413,6 +1413,37 @@ class OpsSpec extends SparkSpec {
       100, 100, 0, 0, 100, 100, 0, 0))
   }
 
+  test("WAV sample decode: wavEncode round-trips exact 16-bit values; 8-bit bias; strict rejects") {
+    val ss = Array(-32768, -1, 0, 1, 32767, 1234)
+    val enc = Multimodal.wavEncode(2, 44100L, ss)
+    assert(Multimodal.decodeWav(enc) == Some((3L, 44100L)), "3 stereo frames")
+    val (ch, rate, got) = Multimodal.decodeWavSamples(enc).get
+    assert(ch == 2 && rate == 44100L && got.toSeq == ss.toSeq)
+    // 8-bit PCM: unsigned stored, biased-128 signed out. Hand-build: 2
+    // frames mono, bytes 0,128,255 -> -128, 0, 127... build via bytes.
+    val b8 = {
+      val data = Array[Byte](0, 128.toByte, 255.toByte, 64)
+      val out = Multimodal.wavEncode(1, 8000L, Array(0, 0)) // 16-bit shell, 4 data bytes
+      // rewrite as 8-bit: patch bits/blockAlign/byteRate and data
+      out(34) = 8; out(32) = 1 // bits, blockAlign (1 ch × 1 byte)
+      out(28) = (8000 & 0xff).toByte; out(29) = ((8000 >> 8) & 0xff).toByte
+      out(30) = 0; out(31) = 0 // byte rate 8000·1
+      data.indices.foreach(i => out(44 + i) = data(i))
+      out
+    }
+    assert(Multimodal.decodeWavSamples(b8).get._3.toSeq == Seq(-128, 0, 127, -64))
+    // Strictness: a truncated payload fails the data-size equation.
+    assert(Multimodal.decodeWavSamples(enc.dropRight(1)).isEmpty)
+    intercept[IllegalArgumentException] { // odd sample count for stereo
+      Multimodal.wavEncode(2, 8000L, Array(1, 2, 3))
+    }
+    // Stats op: exact integer sum / max-abs / energy.
+    val st = Multimodal.wavSampleStats(spark,
+      Seq((7L, enc)).toDF("doc_id", "payload")).collect().head
+    assert(st.n_samples == 6L && st.sum_samples == ss.map(_.toLong).sum)
+    assert(st.max_abs == 32768L && st.sum_sq == ss.map(v => v.toLong * v).sum)
+  }
+
   test("JPEG decode parses jpegWrap containers, walks markers, rejects corruption") {
     val wrapped = Seq((1L, "entropy coded text"), (2L, ""))
       .toDF("doc_id", "text")
