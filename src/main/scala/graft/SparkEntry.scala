@@ -2502,6 +2502,32 @@ object SparkEntry {
       kNeighbors = 3)
   }
 
+  /** Persisted-kNN-graph APPEND gate
+    * ([[graft.ops.Similarity.knnGraphAppend]]): build over the base
+    * corpus, then ingest a planted batch (every 10th vector, id+100000,
+    * dimensions rotated by one — oracle-expressible, norm-preserving) that
+    * routes to the FROZEN build centroids; only the touched clusters'
+    * edge partitions rewrite, and the oracle re-derives the whole
+    * post-append relation as the union corpus assigned under the BASE
+    * corpus's centroids — a re-trained routing, a missed board merge, or
+    * an unmerged existing board all turn it red.
+    */
+  private def knnGraphAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val path = builtIndexPath("knn-append", dir) { p =>
+      val base = T(s, dir, "embeddings")
+      Similarity.knnGraphBuild(base, p, nClusters = None, rounds = 2,
+        kNeighbors = 3)
+      val e = col("embedding")
+      val batch = base.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(e, lit(2), size(e) - lit(1)), slice(e, lit(1), lit(1)))
+          .as("embedding"))
+      Similarity.knnGraphAppend(batch, p)
+    }
+    graft.ops.Ordered.smallResult(
+      Similarity.knnGraphEdges(s, path, None, 2, 3), "vec_id", "nbr_rank")
+  }
+
   /** kNN-graph recall audit gate
     * ([[graft.ops.Similarity.knnGraphRecall]]): the cluster-boundary miss
     * priced as a measured number (3-query sample, global brute-force top-3
@@ -4686,6 +4712,7 @@ object SparkEntry {
     "contrastive_negatives" -> (negSampleQ _),
     "knn_graph_recall" -> (knnGraphRecallQ _),
     "knn_graph_recall_mp" -> (knnGraphRecallMpQ _),
+    "knn_graph_append" -> (knnGraphAppendQ _),
     "training_export" -> (trainingExport _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
@@ -7001,6 +7028,31 @@ object SparkEntry {
         |      FROM nbrs)
         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
+    // Post-append graph = the UNION corpus assigned under the BASE
+    // corpus's frozen centroids (c2), pairs and boards re-derived whole —
+    // the append contract as one relation.
+    "knn_graph_append" ->
+      s"""WITH $KMeansAutoCtes,
+         |planted AS (SELECT vec_id + 100000 AS vec_id,
+         |                   list_concat(v[2:], [v[1]]) AS v
+         |            FROM e WHERE vec_id % 10 = 0),
+         |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM planted),
+         |uassign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+         |              (SELECT u.vec_id, c.cl,
+         |                      list_cosine_similarity(u.v, c.cvec) AS cs
+         |               FROM u, c2 c) GROUP BY vec_id),
+         |nbrs AS (SELECT ua.vec_id AS src, b.vec_id AS dst,
+         |                round(list_cosine_similarity(a.v, b.v), 4) AS cs
+         |         FROM u a JOIN uassign ua ON a.vec_id = ua.vec_id
+         |              JOIN u b ON a.vec_id <> b.vec_id
+         |              JOIN uassign ub ON b.vec_id = ub.vec_id
+         |                           AND ua.cluster = ub.cluster),
+         |r AS (SELECT src, dst, cs,
+         |             row_number() OVER (PARTITION BY src
+         |               ORDER BY cs DESC, dst) AS nbr_rank
+         |      FROM nbrs)
+         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
+         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
     // The nProbe=2 remedy re-measured: multi-assign = top-2 clusters per
     // vector by (cosine DESC, cluster); candidates = probe-set overlap,
     // deduped; the rest identical to the single-probe audit.

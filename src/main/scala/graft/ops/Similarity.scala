@@ -846,41 +846,67 @@ object Similarity {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cents = centroidsKMeans(df, resolveClusters(df, nClusters), rounds,
       idCol, vecCol)
+    if (nProbe == 1)
+      return knnEdgesAssigned(df, cents, kNeighbors, idCol, vecCol)
     val e = df.select(col(idCol).cast("long").as("__id"),
       col(vecCol).as("__v"))
-    val slim = (
-      if (nProbe == 1)
-        assignClusters(df, cents, idCol, vecCol)
-          .select(col(idCol).cast("long").as("__id"), col("cluster"),
-            col(vecCol).as("__v"))
-      else {
-        // Top-nProbe clusters per vector: the same (cosine DESC, cluster)
-        // order as argmax assignment's tie rule, kept to nProbe rows.
-        val scored = e.crossJoin(broadcast(cents))
-          .select(col("__id"), col("__v"), col("cl"),
-            nanvl(cosine(col("__v"), col("cvec")), lit(0.0)).as("__cs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__id")).orderBy(col("__cs").desc, col("cl"))
-        scored.withColumn("__pr", row_number().over(w))
-          .filter(col("__pr") <= nProbe)
-          .select(col("__id"), col("cl").as("cluster"), col("__v"))
-      })
+    // Top-nProbe clusters per vector: the same (cosine DESC, cluster)
+    // order as argmax assignment's tie rule, kept to nProbe rows.
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__v"), col("cl"),
+        nanvl(cosine(col("__v"), col("cvec")), lit(0.0)).as("__cs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__cs").desc, col("cl"))
+    val slim = scored.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col("__id"), col("cl").as("cluster"), col("__v"))
       .localCheckpoint()
-    val pairs = slim.as("a").hint("SHUFFLE_HASH")
+    // Overlapping probe sets propose a pair once per shared cluster —
+    // deduped; the single-probe path above is duplicate-free by
+    // construction and skips the dedup shuffle.
+    rankBoards(pairsWithin(slim).distinct(), kNeighbors)
+      .select(col("__src").as(idCol), col("nbr_rank"),
+        col("__dst").as("neighbor_id"), col("cosine"))
+  }
+
+  /** The FROZEN-centroid edge derivation shared by [[knnEdges]]'
+    * single-probe path, [[knnGraphBuild]], and [[knnGraphAppend]]'s
+    * full-recompute contract: each vector's `kNeighbors` nearest
+    * same-cluster neighbors against a GIVEN centroid frame (no training
+    * here — the caller owns where the centroids came from, which is what
+    * lets an append replay the exact build-time routing). */
+  def knnEdgesAssigned(
+      df: DataFrame,
+      centroids: DataFrame,
+      kNeighbors: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val slim = assignClusters(df, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("__id"), col("cluster"),
+        col(vecCol).as("__v"))
+      .localCheckpoint()
+    rankBoards(pairsWithin(slim), kNeighbors)
+      .select(col("__src").as(idCol), col("nbr_rank"),
+        col("__dst").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Within-cluster directed candidate pairs of an assigned
+    * `(__id, cluster, __v)` frame — the Σ|cluster|² stage, SHUFFLE_HASH
+    * on the cluster id. */
+  private def pairsWithin(slim: DataFrame): DataFrame =
+    slim.as("a").hint("SHUFFLE_HASH")
       .join(slim.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__src"), col("b.__id").as("__dst"),
         round(cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
-    // Overlapping probe sets propose a pair once per shared cluster; the
-    // single-probe path is duplicate-free by construction and skips the
-    // dedup shuffle.
-    val uniq = if (nProbe == 1) pairs else pairs.distinct()
+
+  /** Per-source (cosine DESC, id) boards kept to `kNeighbors` rows —
+    * the rank window whose key cardinality is the corpus. */
+  private def rankBoards(pairs: DataFrame, kNeighbors: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__src")).orderBy(col("cosine").desc, col("__dst"))
-    uniq.withColumn("nbr_rank", row_number().over(w))
+    pairs.withColumn("nbr_rank", row_number().over(w))
       .filter(col("nbr_rank") <= kNeighbors)
-      .select(col("__src").as(idCol), col("nbr_rank"),
-        col("__dst").as("neighbor_id"), col("cosine"))
   }
 
   /** Recall@k audit for the kNN graph's cluster-boundary miss — the
@@ -933,9 +959,12 @@ object Similarity {
     * [[ivfBuild]]: real systems materialize the similarity graph once and
     * run many consumers over it (centrality, communities, negative
     * sampling, dedup audits), each of which would otherwise re-pay the
-    * Σ|cluster|² candidate scan per query. Edges land bucketed by nothing
-    * (n·k rows, read whole by every consumer); the config manifest fails
-    * probes loud on a parameter mismatch, the persisted-family rule.
+    * Σ|cluster|² candidate scan per query. Layout: `edges` PARTITIONED by
+    * the source's cluster (so [[knnGraphAppend]] rewrites only the
+    * clusters a batch lands in), `vectors` (canonical `(vid, v)`, same
+    * partitioning — the append's scoring side), `centroids` (the FROZEN
+    * routing, k rows), and the config manifest that fails probes loud on
+    * a parameter mismatch, the persisted-family rule.
     */
   def knnGraphBuild(
       df: DataFrame,
@@ -946,13 +975,104 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val k = resolveClusters(df, nClusters)
-    knnEdges(df, Some(k), rounds, kNeighbors, 1, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/edges")
+    val cents = centroidsKMeans(df, k, rounds, idCol, vecCol)
     val spark = df.sparkSession
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = assignClusters(
+      df.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v")),
+      cents, "vid", "v").localCheckpoint()
+    assigned.select(col("vid"), col("v"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    val srcCluster = assigned.select(col("vid").as("__sid"), col("cluster"))
+    knnEdgesAssigned(df, cents, kNeighbors, idCol, vecCol)
+      .join(srcCluster, col(idCol) === col("__sid"))
+      .select(col(idCol), col("nbr_rank"), col("neighbor_id"), col("cosine"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/edges")
     spark.range(1)
       .select(lit(k).as("n_clusters"), lit(rounds).as("rounds"),
         lit(kNeighbors).as("k_neighbors"))
       .write.mode("overwrite").json(s"$path/manifest")
+  }
+
+  /** Append an ingest batch to a persisted kNN graph IN PLACE — the
+    * missing lifecycle verb beside [[ivfAppend]]/[[pqAppend]]: new vectors
+    * route to their nearest FROZEN build-time centroid (re-training would
+    * silently re-scope every stored board; staleness is priced by
+    * [[knnGraphRecall]] like the IVF family's drift gates), and only the
+    * clusters the batch lands in are touched. Per touched cluster: the
+    * batch scores against the stored members once (never old × old — those
+    * pairs are already on the stored boards), NEW sources get fresh
+    * boards, EXISTING sources merge the new candidate edges into their
+    * stored board under the same (cosine DESC, id) rank, and the cluster's
+    * edge partition is rewritten copy-on-write (dynamic partition
+    * overwrite; untouched clusters' files are never opened). The vectors
+    * table appends the batch into the same partitions. Contract, spec- and
+    * oracle-pinned: after append the edge relation EQUALS
+    * [[knnEdgesAssigned]] of the union corpus under the stored centroids.
+    * Driver-side state is the touched-cluster id list (≤ k rows — the
+    * [[ivfProbePersisted]] routing envelope).
+    */
+  def knnGraphAppend(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val m = spark.read.json(s"$path/manifest").head()
+    val kNeighbors = m.getLong(m.fieldIndex("k_neighbors")).toInt
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assignedB = assignClusters(
+      batch.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v")),
+      cents, "vid", "v").localCheckpoint()
+    val touched = assignedB.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val oldVec = spark.read.parquet(s"$path/vectors")
+      .filter(col("cluster").isin(touched: _*)) // partition-pruned scan
+      .select(col("vid"), col("v"), col("cluster"))
+    require(oldVec.join(assignedB, Seq("vid"), "left_semi").isEmpty,
+      s"$path: a batch id already exists in a touched cluster — ids must " +
+        "be globally unique across the graph's lifetime")
+    val tagged = oldVec.withColumn("__isnew", lit(false))
+      .unionByName(assignedB.select(col("vid"), col("v"), col("cluster"))
+        .withColumn("__isnew", lit(true)))
+      .localCheckpoint()
+    // One scored join: every (any, new) same-cluster directed pair.
+    // Directed boards also need (new, old) — the FLIP of the old-src rows
+    // (cosine is symmetric); (new, new) pairs already appear in both
+    // directions, so flipping only old-src rows creates no duplicates.
+    val scored = tagged.as("a").hint("SHUFFLE_HASH")
+      .join(tagged.filter(col("__isnew")).as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("__src"), col("b.vid").as("__dst"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"),
+        col("a.cluster").as("__cl"), col("a.__isnew").as("__srcnew"))
+      .localCheckpoint()
+    val candTo = scored.select(col("__src"), col("__dst"), col("cosine"), col("__cl"))
+    val candFrom = scored.filter(!col("__srcnew"))
+      .select(col("__dst").as("__src"), col("__src").as("__dst"),
+        col("cosine"), col("__cl"))
+    // Stored boards of the touched clusters only — old×old pair work is
+    // never re-paid; a new candidate can only ENTER a board, so
+    // top-k(stored board ∪ new candidates) = top-k of the union corpus.
+    val oldEdges = spark.read.parquet(s"$path/edges")
+      .filter(col("cluster").isin(touched: _*))
+      .select(col(idCol).cast("long").as("__src"),
+        col("neighbor_id").cast("long").as("__dst"), col("cosine"),
+        col("cluster").as("__cl"))
+    val merged = rankBoards(
+      oldEdges.unionByName(candTo).unionByName(candFrom), kNeighbors)
+      .select(col("__src").as(idCol), col("nbr_rank"),
+        col("__dst").as("neighbor_id"), col("cosine"),
+        col("__cl").as("cluster"))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(s"$path/edges")
+    assignedB.select(col("vid"), col("v"), col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
   /** Read a persisted kNN graph's edges, failing loud when the requested
@@ -974,7 +1094,11 @@ object Similarity {
       g("k_neighbors") == kNeighbors,
       s"$path: built with (${g("n_clusters")}, ${g("rounds")}, ${g("k_neighbors")}), " +
         s"probed with ($nClusters, $rounds, $kNeighbors)")
-    spark.read.parquet(s"$path/edges")
+    // Drop the physical partition column: consumers see the edge RELATION
+    // (vec_id, nbr_rank, neighbor_id, cosine); the cluster layout is the
+    // append path's concern.
+    val e = spark.read.parquet(s"$path/edges")
+    e.select(e.columns.filterNot(_ == "cluster").map(col).toSeq: _*)
   }
 
   /** Deterministic NEGATIVE sampling for contrastive training: per anchor,

@@ -656,6 +656,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphAppend: post-append persisted graph ≡ frozen-centroid rebuild of the union") {
+    val base = (0L until 12L).map(id => (id, Array(1.0f, (id % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("knn-app").toString
+    Similarity.knnGraphBuild(base, path, nClusters = Some(3), rounds = 1, kNeighbors = 2)
+    val batch = Seq((100L, Array(1.0f, 0.1f)), (101L, Array(1.0f, 2.1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.knnGraphAppend(batch, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("nbr_rank"), col("neighbor_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val persisted = rows(Similarity.knnGraphEdges(spark, path, Some(3), 1, 2))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val expected = rows(Similarity.knnEdgesAssigned(base.unionByName(batch), cents, 2))
+    assert(persisted == expected, "append must equal the frozen-centroid union rebuild")
+    assert(persisted.map(_._1).distinct.length == 14, "all 14 vectors carry boards")
+    // Re-appending an existing id fails loud (single-writer id contract).
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphAppend(batch, path)
+    }
+  }
+
   test("knnGraphBuild persists edges; probe fails loud on a config mismatch") {
     val ids = (0L until 12L)
     val df = ids.map(id => (id, Array(1.0f, (id % 3).toFloat))).toDF("vec_id", "embedding")
