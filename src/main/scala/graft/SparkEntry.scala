@@ -2528,6 +2528,49 @@ object SparkEntry {
       Similarity.knnGraphEdges(s, path, None, 2, 3), "vec_id", "nbr_rank")
   }
 
+  /** §2.9 streaming GRAPH ingest: the knn_graph_append batch replayed as
+    * TWO micro-batches through `foreachBatch` →
+    * [[graft.ops.Similarity.knnGraphAppend]], with a
+    * [[graft.ops.Similarity.knnGraphCompact]] after the replay (the
+    * vectors table folds back to one file per cluster; the graph must
+    * read identically through the fold). Because append ≡ frozen-centroid
+    * union rebuild, the final graph is BATCH-SPLIT INVARIANT — the second
+    * batch's candidates include the first batch's appended vectors, and
+    * the oracle is the same one-shot union derivation as
+    * `knn_graph_append`.
+    */
+  private def streamKnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = builtIndexPath("knn-stream", dir) { p =>
+      val base = T(s, dir, "embeddings")
+      Similarity.knnGraphBuild(base, s"$p/g", nClusters = None, rounds = 2,
+        kNeighbors = 3)
+      val e = col("embedding")
+      val batchAll = base.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(e, lit(2), size(e) - lit(1)), slice(e, lit(1), lit(1)))
+          .as("embedding"))
+      for (k <- 0 to 1)
+        batchAll.filter(pmod((col("vec_id") / lit(10)).cast("long"), lit(2)) === k)
+          .coalesce(1).write.mode("append").parquet(s"$p/src")
+      withStateSession(s) { ss =>
+        val src = ss.readStream.schema(batchAll.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$p/src")
+        val q = src.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            if (!b.isEmpty) Similarity.knnGraphAppend(b.toDF(), s"$p/g"))
+          .option("checkpointLocation", s"$p/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Similarity.knnGraphCompact(s, s"$p/g")
+    }
+    graft.ops.Ordered.smallResult(
+      Similarity.knnGraphEdges(s, s"$path/g", None, 2, 3),
+      "vec_id", "nbr_rank")
+  }
+
   /** kNN-graph recall audit gate
     * ([[graft.ops.Similarity.knnGraphRecall]]): the cluster-boundary miss
     * priced as a measured number (3-query sample, global brute-force top-3
@@ -4713,6 +4756,7 @@ object SparkEntry {
     "knn_graph_recall" -> (knnGraphRecallQ _),
     "knn_graph_recall_mp" -> (knnGraphRecallMpQ _),
     "knn_graph_append" -> (knnGraphAppendQ _),
+    "stream_knn_ingest" -> (streamKnnIngest _),
     "training_export" -> (trainingExport _),
     "sample_diversity" -> (sampleDiversity _),
     "emb_mean_by_label" -> (embMeanByLabel _),
@@ -5341,6 +5385,32 @@ object SparkEntry {
       |assign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
       |             (SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cvec) AS cs
       |              FROM e, c2 c) GROUP BY vec_id)""".stripMargin
+
+  /** The union-corpus frozen-centroid graph re-derivation shared by
+    * `knn_graph_append` and `stream_knn_ingest` (one batch vs a two-batch
+    * replay — identical final state by the append contract). */
+  private lazy val KnnAppendUnionSql =
+    s"""WITH $KMeansAutoCtes,
+       |planted AS (SELECT vec_id + 100000 AS vec_id,
+       |                   list_concat(v[2:], [v[1]]) AS v
+       |            FROM e WHERE vec_id % 10 = 0),
+       |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM planted),
+       |uassign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
+       |              (SELECT u.vec_id, c.cl,
+       |                      list_cosine_similarity(u.v, c.cvec) AS cs
+       |               FROM u, c2 c) GROUP BY vec_id),
+       |nbrs AS (SELECT ua.vec_id AS src, b.vec_id AS dst,
+       |                round(list_cosine_similarity(a.v, b.v), 4) AS cs
+       |         FROM u a JOIN uassign ua ON a.vec_id = ua.vec_id
+       |              JOIN u b ON a.vec_id <> b.vec_id
+       |              JOIN uassign ub ON b.vec_id = ub.vec_id
+       |                           AND ua.cluster = ub.cluster),
+       |r AS (SELECT src, dst, cs,
+       |             row_number() OVER (PARTITION BY src
+       |               ORDER BY cs DESC, dst) AS nbr_rank
+       |      FROM nbrs)
+       |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
+       |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin
 
   /** The mixture gate's weight CASE, generated from [[MixWeights]] so the
     * Spark plan and the oracle can never disagree on a share.
@@ -7030,29 +7100,11 @@ object SparkEntry {
         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
     // Post-append graph = the UNION corpus assigned under the BASE
     // corpus's frozen centroids (c2), pairs and boards re-derived whole —
-    // the append contract as one relation.
-    "knn_graph_append" ->
-      s"""WITH $KMeansAutoCtes,
-         |planted AS (SELECT vec_id + 100000 AS vec_id,
-         |                   list_concat(v[2:], [v[1]]) AS v
-         |            FROM e WHERE vec_id % 10 = 0),
-         |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM planted),
-         |uassign AS (SELECT vec_id, arg_max(cl, cs) AS cluster FROM
-         |              (SELECT u.vec_id, c.cl,
-         |                      list_cosine_similarity(u.v, c.cvec) AS cs
-         |               FROM u, c2 c) GROUP BY vec_id),
-         |nbrs AS (SELECT ua.vec_id AS src, b.vec_id AS dst,
-         |                round(list_cosine_similarity(a.v, b.v), 4) AS cs
-         |         FROM u a JOIN uassign ua ON a.vec_id = ua.vec_id
-         |              JOIN u b ON a.vec_id <> b.vec_id
-         |              JOIN uassign ub ON b.vec_id = ub.vec_id
-         |                           AND ua.cluster = ub.cluster),
-         |r AS (SELECT src, dst, cs,
-         |             row_number() OVER (PARTITION BY src
-         |               ORDER BY cs DESC, dst) AS nbr_rank
-         |      FROM nbrs)
-         |SELECT src AS vec_id, nbr_rank, dst AS neighbor_id, cs AS cosine
-         |FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
+    // the append contract as one relation. The SAME oracle gates the
+    // streaming two-batch replay: append ≡ frozen-centroid union rebuild
+    // makes the final state batch-split invariant by construction.
+    "knn_graph_append" -> KnnAppendUnionSql,
+    "stream_knn_ingest" -> KnnAppendUnionSql,
     // The nProbe=2 remedy re-measured: multi-assign = top-2 clusters per
     // vector by (cosine DESC, cluster); candidates = probe-set overlap,
     // deduped; the rest identical to the single-probe audit.

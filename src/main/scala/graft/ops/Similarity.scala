@@ -1075,6 +1075,18 @@ object Similarity {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
+  /** Fold a kNN graph's accumulated vector-append files back to one file
+    * per cluster partition ([[Layout.compactInPlace]]'s swap discipline) —
+    * the [[ivfCompact]] role here: edge partitions are REWRITTEN whole on
+    * every append (dynamic overwrite) and never fragment, but the vectors
+    * table appends a file per batch per cluster and is the append path's
+    * scan side, so it is the one that needs folding. Content unchanged;
+    * appends after a compact behave identically.
+    */
+  def knnGraphCompact(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Layout.compactInPlace(spark, s"$path/vectors", Seq("cluster"))
+
   /** Read a persisted kNN graph's edges, failing loud when the requested
     * parameters do not match the build's (a probe against a
     * differently-built graph would silently answer a different question).

@@ -677,6 +677,18 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.knnGraphAppend(batch, path)
     }
+    // Compact folds the appended vector files; the graph reads identically
+    // and a further append still works.
+    Similarity.knnGraphCompact(spark, path)
+    val vdir = new java.io.File(s"$path/vectors")
+    for (d <- vdir.listFiles() if d.isDirectory)
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} must fold to one file")
+    assert(rows(Similarity.knnGraphEdges(spark, path, Some(3), 1, 2)) == expected)
+    Similarity.knnGraphAppend(
+      Seq((200L, Array(1.0f, 1.5f))).toDF("vec_id", "embedding"), path)
+    assert(Similarity.knnGraphEdges(spark, path, Some(3), 1, 2)
+      .filter(col("vec_id") === 200L).count() > 0)
   }
 
   test("knnGraphBuild persists edges; probe fails loud on a config mismatch") {
