@@ -1537,6 +1537,17 @@ object SparkEntry {
     graft.ops.Sampling.shardManifest(T(s, dir, "documents"),
       nShards = 8, idCol = "doc_id", weightCol = "n_chars")
 
+  /** Per-epoch loading-order gate
+    * ([[graft.ops.Sampling.epochShardManifest]]): three epochs over the
+    * same 8 shards — membership/mass identical per shard across epochs,
+    * ENDPOINTS differ per epoch (the pair-mix reshuffle), all re-derived
+    * by the oracle under the same integer hash lattice.
+    */
+  private def exportEpochOrder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.epochShardManifest(T(s, dir, "documents"),
+      nShards = 8, epochs = Seq(0, 1, 2), idCol = "doc_id",
+      weightCol = "n_chars")
+
   /** Cross-document verbatim-span gate
     * ([[graft.ops.Dedup.sharedSpanPairs]]): pairs sharing ≥ 3 exact
     * 8-token runs with the shared-span count — the span-level signal set
@@ -4749,6 +4760,7 @@ object SparkEntry {
     "knn_graph" -> (knnGraphQ _),
     "dedup_span_pairs" -> (dedupSpanPairs _),
     "export_shards" -> (exportShards _),
+    "export_epoch_order" -> (exportEpochOrder _),
     "graph_pagerank" -> (graphPagerank _),
     "source_jsonl" -> (sourceJsonl _),
     "source_csv" -> (sourceCsv _),
@@ -8029,6 +8041,30 @@ object SparkEntry {
         |SELECT g.shard, n_docs, sum_weight, first_id, last_id
         |FROM g JOIN f USING (shard) JOIN l USING (shard)
         |ORDER BY g.shard""".stripMargin,
+    // Per-epoch reshuffle: shard membership from the base hash, order from
+    // the (id, epoch) pair-mix — both integer lattices re-derived.
+    "export_epoch_order" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |                  ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+        |           FROM documents),
+        |w AS (SELECT s.*, e AS epoch,
+        |             ((((doc_id % 4294967296) * 100003 + e) % 4294967296)
+        |              * 2654435761) % 4294967296 AS mx
+        |      FROM s, range(0, 3) t(e)),
+        |f AS (SELECT shard, epoch, doc_id AS first_id FROM (
+        |        SELECT shard, epoch, doc_id, row_number() OVER (
+        |          PARTITION BY shard, epoch ORDER BY mx, doc_id) AS rn
+        |        FROM w) WHERE rn = 1),
+        |l AS (SELECT shard, epoch, doc_id AS last_id FROM (
+        |        SELECT shard, epoch, doc_id, row_number() OVER (
+        |          PARTITION BY shard, epoch ORDER BY mx DESC, doc_id DESC) AS rn
+        |        FROM w) WHERE rn = 1),
+        |g AS (SELECT shard, epoch, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS sum_weight
+        |      FROM w GROUP BY shard, epoch)
+        |SELECT g.shard, g.epoch, n_docs, sum_weight, first_id, last_id
+        |FROM g JOIN f USING (shard, epoch) JOIN l USING (shard, epoch)
+        |ORDER BY g.shard, g.epoch""".stripMargin,
     // Exact 8-token runs as strings (hash distinctness ≡ span distinctness
     // modulo 64-bit collisions — the family trade the jaccard oracles
     // already pin): pairs by span-equality self-join, count per pair.

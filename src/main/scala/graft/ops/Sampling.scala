@@ -369,6 +369,45 @@ object Sampling {
       "shard")
   }
 
+  /** Deterministic PER-EPOCH reshuffle of the training-shard loading
+    * order — the loader-side need [[shardManifest]] leaves open: epochs
+    * must traverse each shard in DIFFERENT orders (fixed-order epochs bias
+    * curricula) yet every worker/engine/retry must derive the SAME order
+    * per epoch with no RNG state. Shard membership stays
+    * `idHash(id) mod nShards` — STABLE across epochs, so shard files are
+    * written once and only the read order changes. The epoch-`e` order
+    * within a shard is `(mix, id)` ascending with
+    * `mix = idHash((id mod 2³²)·100003 + e)` — the [[Similarity
+    * .negativeSample]] pair-mix discipline on the (id, epoch) pair: a pure
+    * function, so epochs are decorrelated without ever materializing a
+    * permutation. One aggregation keyed by (shard, epoch); output manifest
+    * `(shard, epoch, n_docs, sum_weight, first_id, last_id)` with the
+    * order's endpoints (order-sensitive, so a gate pins the sequence).
+    */
+  def epochShardManifest(
+      df: DataFrame,
+      nShards: Int,
+      epochs: Seq[Int],
+      idCol: String,
+      weightCol: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    val h = idHash(col(idCol))
+    val withE = df.select(pmod(h, lit(nShards.toLong)).as("shard"),
+        col(idCol).as("__id"), col(weightCol).cast("long").as("__w"))
+      .withColumn("epoch", explode(array(epochs.map(e => lit(e.toLong)): _*)))
+    val mix = idHash(
+      pmod(col("__id"), lit(4294967296L)) * lit(100003L) + col("epoch"))
+    Ordered.smallResult(
+      withE.withColumn("__m", mix)
+        .groupBy(col("shard"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__w")), lit(0L)).as("sum_weight"),
+          min_by(col("__id"), struct(col("__m"), col("__id"))).as("first_id"),
+          max_by(col("__id"), struct(col("__m"), col("__id"))).as("last_id")),
+      "shard", "epoch")
+  }
+
   /** Exactly `n` rows per stratum, chosen by id-hash rank — deterministic
     * stratified sampling with a hard cap (eval sets, per-language caps).
     * One shuffle by stratum; the rank window partitions by the stratum key,

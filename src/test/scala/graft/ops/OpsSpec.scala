@@ -81,6 +81,27 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("epochShardManifest: stable membership, decorrelated order, hash-exact endpoints") {
+    val df = (0L until 200L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    val out = Sampling.epochShardManifest(df, 4, Seq(0, 1), "doc_id", "w")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def mix(id: Long, e: Long) =
+      Sampling.idHashLong(Math.floorMod(id, 4294967296L) * 100003L + e)
+    for (sh <- 0L until 4L; e <- 0L to 1L) {
+      val ids = (0L until 200L).filter(i => Sampling.idHashLong(i) % 4 == sh)
+      val ordered = ids.sortBy(i => (mix(i, e), i))
+      val (n, sw, f, l) = out((sh, e))
+      assert(n == ids.size && sw == ids.map(i => i % 7 + 1).sum,
+        s"membership/mass must be epoch-invariant (shard $sh epoch $e)")
+      assert(f == ordered.head && l == ordered.last,
+        s"endpoints must follow the (mix, id) order (shard $sh epoch $e)")
+    }
+    assert((0L until 4L).exists(sh =>
+      out((sh, 0L))._3 != out((sh, 1L))._3 || out((sh, 0L))._4 != out((sh, 1L))._4),
+      "epochs must actually reshuffle at least one shard's endpoints")
+  }
+
   test("leakageSafeIngestBatch: same-batch near-dups co-assign; index match pulls the component") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon"),
