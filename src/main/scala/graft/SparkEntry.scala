@@ -3608,6 +3608,48 @@ object SparkEntry {
           targetW = 5, targetH = 4).toDF()).toDF(),
       "doc_id")
 
+  /** Real LOSSY-codec round trip ([[graft.ops.Multimodal.jpegEncodeGray]] →
+    * [[graft.ops.Multimodal.decodeJpegGrayPixels]]): per document a
+    * closed-form grayscale GRADIENT raster (`16 + 2·(doc_id mod 32) + 4x +
+    * 5y`, max 198 — smooth so baseline JPEG's DCT keeps the error tiny;
+    * measured max |err| = 2 at quality 0.9 across 500 fixtures) is
+    * entropy-coded by the JDK's own baseline encoder and decoded back
+    * through the strict marker walk + Huffman/IDCT pipeline. JPEG being
+    * lossy, the gate pins STRUCTURE exactly (dims, pixel count) and the
+    * pixels by the `within_bound` discipline of `approx_distinct_users`:
+    * `max |decoded − planted| ≤ 8` as a 0/1 column the oracle expects to
+    * be 1 — a decoder that mangles the raster (wrong stride, band order,
+    * marker slip) lands errors in the tens-to-hundreds and turns it red,
+    * while JDK-version codec drift of a count or two cannot.
+    */
+  private def multimodalJpegPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          val px = new Array[Byte](w * h)
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(k) = ((16 + (id % 32) * 2 + 4 * x + 5 * y) & 0xff).toByte
+              k += 1; x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.jpegEncodeGray(w, h, px, 0.9f), px)
+        }
+      }.toDF("doc_id", "payload", "ref")
+    graft.ops.Ordered.smallResult(
+      Multimodal.jpegGrayErrStats(s, planted).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pix"),
+          (col("max_abs_err") <= 8).cast("long").as("err_bounded")),
+      "doc_id")
+  }
+
   // --------------------------------------------------------------- streaming
 
   /** §2.9 batch-equivalence gate: the events table replayed through the FILE
@@ -4864,6 +4906,7 @@ object SparkEntry {
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_pixels_palette" -> (multimodalPixelsPalette _),
     "multimodal_resize_px" -> (multimodalResizePx _),
+    "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_wav_samples" -> (multimodalWavSamples _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_distinct_daily" -> (streamDistinctDaily _),
@@ -8446,6 +8489,15 @@ object SparkEntry {
         |       CAST(3 AS BIGINT) AS channels, count(*) AS n_pix,
         |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // Lossy-codec round trip: structure closed-form, pixels by the
+    // within-bound discipline (JPEG error is codec-owned; the engine must
+    // land within 8 counts of the planted gradient on EVERY pixel).
+    "multimodal_jpeg_pixels" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(w*h AS BIGINT) AS n_pix, CAST(1 AS BIGINT) AS err_bounded
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Nearest-neighbor resize to 5x4: source index = floor(out*src/target),
     // all-integer, applied to the same closed-form pixels.
     "multimodal_resize_px" ->

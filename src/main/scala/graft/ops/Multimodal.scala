@@ -834,6 +834,136 @@ object Multimodal {
     * stay identical. Frames never re-join the blob: only (doc_id, frame_idx,
     * frame bytes) flow on, keeping shuffle payloads frame-sized.
     */
+  // ------------------------------------------------------------ JPEG pixels
+
+  /** Headless AWT, set once before any `javax.imageio` touch below: local
+    * mode shares one JVM across executor threads and nothing here needs a
+    * display. Cheap and idempotent, so every codec entry point references
+    * it first.
+    */
+  private lazy val headless: Unit = {
+    System.setProperty("java.awt.headless", "true")
+  }
+
+  /** ENTROPY-CODED baseline-JPEG encode of an 8-bit GRAYSCALE raster via
+    * the JDK's own codec (`javax.imageio`, part of `java.desktop` — pure
+    * JVM, no native image libs), at an explicit quality factor. The
+    * planting twin of [[decodeJpegGrayPixels]] for real-compression
+    * fixtures, the way [[pngEncode]] twins [[decodePngPixels]]: unlike
+    * [[jpegWrap]] (which frames arbitrary bytes for the metadata walk),
+    * the output here is a complete compressed image whose entropy data the
+    * decode side must actually run the Huffman+IDCT pipeline to recover.
+    * Grayscale by contract: one component sidesteps chroma subsampling, so
+    * a smooth fixture's round-trip error stays within a few counts and an
+    * error-bound gate is tight (chroma paths documented out of scope, the
+    * [[decodePngPixels]] scope-note discipline).
+    */
+  def jpegEncodeGray(
+      width: Int, height: Int, pixels: Array[Byte], quality: Float): Array[Byte] = {
+    headless
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(pixels.length == width * height,
+      s"raster must be ${width * height} bytes, got ${pixels.length}")
+    require(quality > 0f && quality <= 1f, s"quality must be in (0,1], got $quality")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(pixels, 0, buf, 0, pixels.length)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      ios.close()
+      wr.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL pixel decode for baseline GRAYSCALE JPEG: the strict
+    * [[decodeJpeg]] marker walk validates the container first (every
+    * length lands on `FF`, one SOF, EOI tail), then the JDK codec runs the
+    * actual Huffman + dequantize + IDCT pipeline, and the decoded raster
+    * must be single-band with dimensions EQUAL to the SOF header's — a
+    * payload that walks but decodes inconsistently returns None, the
+    * [[decodePngPixels]] strictness discipline.
+    *
+    * Determinism scope (documented): JPEG is lossy and the inverse DCT is
+    * the JDK's — bit-stable within one JDK, but not a cross-engine
+    * contract the way PNG's inflate is. Gates therefore pin STRUCTURE
+    * exactly (dims, pixel count) and pixels by ERROR BOUND against a
+    * planted reference raster ([[jpegGrayErrStats]]), never raw lossy
+    * samples; a DuckDB oracle re-derives the structure and the bound
+    * closed-form. Color JPEG is out of scope here (chroma upsampling
+    * varies by decoder); the metadata path [[decodeJpeg]] still covers it.
+    */
+  def decodeJpegGrayPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    headless
+    decodeJpeg(p).flatMap { case (w, h) =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth.toLong != w || img.getHeight.toLong != h ||
+          img.getRaster.getNumBands != 1) None
+      else {
+        val r = img.getRaster
+        val out = new Array[Byte](img.getWidth * img.getHeight)
+        var y = 0
+        var k = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            out(k) = (r.getSample(x, y, 0) & 0xff).toByte
+            k += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((w.toInt, h.toInt, out))
+      }
+    }
+  }
+
+  /** Per-image error statistics for a REAL lossy round trip: decode the
+    * JPEG payload ([[decodeJpegGrayPixels]]) and reduce against the
+    * planted reference raster to structure + the max absolute per-pixel
+    * error — the integer an error-bound gate can threshold. Rows whose
+    * payload fails the strict decode, or whose reference length mismatches
+    * the decoded raster, are ABSENT from the output (the
+    * [[pngPixelStats]] scope rule), so a silently-wrong decoder shrinks
+    * the row count and turns the gate red on `rows` before `hash`.
+    */
+  final case class JpegPlanted(doc_id: Long, payload: Array[Byte], ref: Array[Byte])
+  final case class JpegErrStats(
+      doc_id: Long, width: Long, height: Long, n_pix: Long, max_abs_err: Long)
+  def jpegGrayErrStats(
+      spark: SparkSession, planted: DataFrame): Dataset[JpegErrStats] = {
+    import spark.implicits._
+    planted.as[JpegPlanted].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeJpegGrayPixels(r.payload).flatMap { case (w, h, px) =>
+          if (px.length != r.ref.length) None
+          else {
+            var mx = 0L
+            var k = 0
+            while (k < px.length) {
+              val d = math.abs((px(k) & 0xff) - (r.ref(k) & 0xff)).toLong
+              if (d > mx) mx = d
+              k += 1
+            }
+            Some(JpegErrStats(r.doc_id, w.toLong, h.toLong, px.length.toLong, mx))
+          }
+        }
+      }
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
   def sampleFrames(
       spark: SparkSession,

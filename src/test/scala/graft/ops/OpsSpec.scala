@@ -1469,6 +1469,66 @@ class OpsSpec extends SparkSpec {
       100, 100, 0, 0, 100, 100, 0, 0))
   }
 
+  test("JPEG gray pixels: bounded lossy round trip; strict rejects; ImageIO parity pins the PNG codec") {
+    // Gradient fixtures at the gate's formula: structure exact, max error
+    // far under the gate's <=8 bound (measured 2 at quality 0.9).
+    for (id <- Seq(0L, 5L, 12L, 31L)) {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val px = Array.tabulate(w * h) { k =>
+        ((16 + (id % 32) * 2 + 4 * (k % w) + 5 * (k / w)) & 0xff).toByte
+      }
+      val enc = Multimodal.jpegEncodeGray(w, h, px, 0.9f)
+      assert(Multimodal.decodeJpeg(enc) == Some((w.toLong, h.toLong)),
+        "strict marker walk must accept the JDK encode")
+      val (dw, dh, dec) = Multimodal.decodeJpegGrayPixels(enc).get
+      assert(dw == w && dh == h && dec.length == px.length)
+      val maxErr = dec.zip(px).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff))
+      }.max
+      assert(maxErr <= 8, s"lossy round-trip error $maxErr exceeds the gate bound")
+    }
+    // Strictness inherited from the walk: truncation and text reject before
+    // the codec ever runs; a jpegWrap container (valid markers, raw
+    // non-entropy body) must fail the codec stage, not return junk.
+    val enc0 = Multimodal.jpegEncodeGray(8, 8, Array.fill(64)(50.toByte), 0.9f)
+    assert(Multimodal.decodeJpegGrayPixels(enc0.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeJpegGrayPixels("plain text".getBytes("UTF-8")).isEmpty)
+    val framed = Seq((1L, "xyz")).toDF("doc_id", "text")
+      .select(Multimodal.jpegWrap(lit(6), lit(4), encode(col("text"), "UTF-8")))
+      .head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodeJpeg(framed).nonEmpty, "metadata path still accepts it")
+    assert(Multimodal.decodeJpegGrayPixels(framed).isEmpty, "pixel path must reject")
+    // ImageIO PARITY: two independent PNG implementations must agree
+    // byte-for-byte (PNG is lossless). Our pngEncode read by the JDK
+    // decoder, and a JDK-written PNG read by our decodePngPixels — any
+    // filter/stride/CRC defect in the hand-written codec breaks one
+    // direction even if encode/decode self-roundtrip cancels it.
+    val (w, h) = (9, 5)
+    for (ch <- Seq(1, 3)) {
+      val px = Array.tabulate(w * h * ch)(k => ((k * 53 + 11) % 256).toByte)
+      val enc = Multimodal.pngEncode(w, h, ch, px, row => row % 5)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(img != null && img.getWidth == w && img.getHeight == h &&
+        img.getRaster.getNumBands == ch, s"JDK must read our PNG (ch=$ch)")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(img.getRaster.getSample(x, y, c) == (px((y * w + x) * ch + c) & 0xff),
+          s"sample ($x,$y,$c) ch=$ch")
+    }
+    val bgr = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      bgr.getRaster.setSample(x, y, c, (x * 41 + y * 17 + c * 71) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bgr, "png", bos))
+    val ours = Multimodal.decodePngPixels(bos.toByteArray)
+    assert(ours.nonEmpty, "our decoder must accept the JDK-written PNG")
+    assert(ours.get.width == w && ours.get.height == h && ours.get.channels == 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((ours.get.pixels((y * w + x) * 3 + c) & 0xff) ==
+        (x * 41 + y * 17 + c * 71) % 256, s"JDK->ours sample ($x,$y,$c)")
+  }
+
   test("WAV sample decode: wavEncode round-trips exact 16-bit values; 8-bit bias; strict rejects") {
     val ss = Array(-32768, -1, 0, 1, 32767, 1234)
     val enc = Multimodal.wavEncode(2, 44100L, ss)
