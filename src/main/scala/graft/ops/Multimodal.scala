@@ -505,7 +505,13 @@ object Multimodal {
     if (depth != 8 || interlace != 0) return None
     val stride = w.toLong * channels
     val rawLen = (stride + 1L) * h
-    if (rawLen > Int.MaxValue || idat.size() == 0) return None
+    // Decompression-bomb guard: deflate's best case is ~1032:1, so a raster
+    // larger than idat*1032 (or an absolute 256 MiB) cannot be legitimate —
+    // reject BEFORE allocating (a ~100-byte IHDR-forged PNG must not cost
+    // 2 GiB of executor heap per row on untrusted web-crawl payloads).
+    val maxRaw = math.min(Int.MaxValue.toLong, 1L << 28)
+    if (rawLen > maxRaw || rawLen > idat.size().toLong * 1032L + 64L ||
+        idat.size() == 0) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -513,7 +519,10 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // Any zero-progress iteration is corrupt input: truncated stream
+        // (needsInput), FDICT preset-dictionary header (needsDictionary),
+        // or any other stall — treat all as undecodable rather than spin.
+        if (n == 0) return None
         off += n
       }
       if (off != raw.length ||

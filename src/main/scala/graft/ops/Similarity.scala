@@ -1033,9 +1033,17 @@ object Similarity {
     val oldVec = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isin(touched: _*)) // partition-pruned scan
       .select(col("vid"), col("v"), col("cluster"))
-    require(oldVec.join(assignedB, Seq("vid"), "left_semi").isEmpty,
-      s"$path: a batch id already exists in a touched cluster — ids must " +
-        "be globally unique across the graph's lifetime")
+    // Global uniqueness guard: a reused id whose NEW vector routes to a
+    // different cluster than the original would pass a touched-cluster-only
+    // check and silently break the append ≡ frozen-centroid union-rebuild
+    // invariant with duplicate vec_id boards — so the batch ids are checked
+    // against the FULL vectors table (column-pruned to vid, semi-joined
+    // against the broadcast-size batch; no vector payload is read).
+    require(spark.read.parquet(s"$path/vectors").select(col("vid"))
+        .join(broadcast(assignedB.select(col("vid"))), Seq("vid"), "left_semi")
+        .isEmpty,
+      s"$path: a batch id already exists in the graph — ids must be " +
+        "globally unique across the graph's lifetime")
     val tagged = oldVec.withColumn("__isnew", lit(false))
       .unionByName(assignedB.select(col("vid"), col("v"), col("cluster"))
         .withColumn("__isnew", lit(true)))

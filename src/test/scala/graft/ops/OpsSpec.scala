@@ -710,6 +710,13 @@ class OpsSpec extends SparkSpec {
       Seq((200L, Array(1.0f, 1.5f))).toDF("vec_id", "embedding"), path)
     assert(Similarity.knnGraphEdges(spark, path, Some(3), 1, 2)
       .filter(col("vec_id") === 200L).count() > 0)
+    // Global id uniqueness: a reused id whose NEW vector routes to a
+    // DIFFERENT cluster than the stored original must still fail loud —
+    // the guard checks the full vectors table, not just touched clusters.
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphAppend( // id 5 lives near (1,2); (1,0) routes away
+        Seq((5L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"), path)
+    }
   }
 
   test("knnGraphBuild persists edges; probe fails loud on a config mismatch") {
@@ -1467,6 +1474,35 @@ class OpsSpec extends SparkSpec {
     val q = rp.pixels.map(_ & 0xff)
     assert(q.toSeq == Seq(0, 0, 100, 100, 0, 0, 100, 100,
       100, 100, 0, 0, 100, 100, 0, 0))
+  }
+
+  test("PNG pixel decode: adversarial payloads (FDICT stall, decompression bomb) rejected promptly") {
+    // FDICT zlib header (0x78 0x20: checksum-valid, preset-dictionary bit
+    // set): Inflater.inflate() returns 0 with needsInput()==false forever —
+    // the decode must classify the zero-progress iteration as corrupt and
+    // return None instead of spinning the executor thread.
+    val fdict = Seq((1L, Array[Byte](0x78, 0x20, 1, 2, 3))).toDF("doc_id", "data")
+      .select(Multimodal.pngWrap(lit(4), lit(4), col("data")).as("payload"))
+      .head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodePng(fdict).nonEmpty, "container framing is valid")
+    assert(Multimodal.decodePngPixels(fdict).isEmpty,
+      "FDICT stream must be rejected, not inflated forever")
+    // Decompression bomb: a tiny container whose IHDR claims 46000x46000
+    // (~2.1 GB raster) must be refused BEFORE the raster allocation — both
+    // the absolute cap and the idat-size*1032 deflate-ratio bound fire.
+    val bomb = Seq((2L, "tiny")).toDF("doc_id", "text")
+      .select(Multimodal.pngWrap(lit(46000), lit(46000),
+        encode(col("text"), "UTF-8")).as("payload"))
+      .head().getAs[Array[Byte]](0)
+    assert(bomb.length < 200, "the attack payload is small by construction")
+    assert(Multimodal.decodePngPixels(bomb).isEmpty,
+      "IHDR-forged giant raster must be rejected without allocation")
+    // A raster marginally over the idat-ratio bound but under the absolute
+    // cap is also refused: 2 IDAT bytes cannot legally inflate to 1 MB.
+    val ratio = Seq((3L, Array[Byte](0x78, 0x01))).toDF("doc_id", "data")
+      .select(Multimodal.pngWrap(lit(1024), lit(1024), col("data")).as("payload"))
+      .head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodePngPixels(ratio).isEmpty)
   }
 
   test("JPEG gray pixels: bounded lossy round trip; strict rejects; ImageIO parity pins the PNG codec") {
