@@ -200,8 +200,13 @@ object Bench {
     // (BENCH_r05..r07 all came back tail-truncated, "parsed": null). Two
     // independent survival paths: (a) the full artifact on disk, (b) a LAST
     // compact line small enough that tail-truncation keeps it intact.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) write bench_subset.json so a
+    // local iteration can never clobber the round's committed full-registry
+    // artifact (that clobber corrupted the r16 and muddied the r17
+    // adjudication — the official artifact must only ever be a full run).
+    val outFile = if (only.isDefined) "bench_subset.json" else "bench_out.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(renderCompact(results, calib.toSeq))
     spark.stop()

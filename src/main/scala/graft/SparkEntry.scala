@@ -2743,6 +2743,32 @@ object SparkEntry {
   private def simPairsThreshold(s: SparkSession, dir: String): DataFrame =
     Similarity.pairsAbove(T(s, dir, "embeddings"), threshold = 0.3)
 
+  /** Sub-quadratic cosine threshold-pairs
+    * ([[graft.ops.Similarity.pairsAboveBanded]]): SRP band-equality
+    * candidates + exact verify, returning `pairsAbove`'s relation under the
+    * BRUTE-FORCE all-pairs oracle — the scale twin `sim_pairs_threshold`
+    * (the documented O(n²) audit baseline, 12.5× wall at 10× data) was
+    * missing. The corpus has no organic pairs ≥ 0.9 (max ≈ 0.51), so the
+    * gate plants both recall families the op's contract names: 50
+    * quarter-SCALED duplicates (identical signatures by fp exactness —
+    * recall CERTAIN) and 50 tight near-dups (`x + x²/128`, cosine ≈ 0.9999
+    * — nonlinear so the direction actually moves; same IEEE double ops on
+    * both engines). The oracle brute-forces the same augmented corpus, so a
+    * single missed candidate hash-fails the gate.
+    */
+  private def simPairsBanded(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scaled = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.25)).as("embedding"))
+    val pert = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => x + x * x / lit(128.0)).as("embedding"))
+    Similarity.pairsAboveBanded(
+      e.unionByName(scaled).unionByName(pert), threshold = 0.9, dim = 64)
+  }
+
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(T(s, dir, "embeddings"), queryId = 0, k = 10, nprobe = 3)
 
@@ -4834,6 +4860,7 @@ object SparkEntry {
     "dedup_srp_pairs" -> (dedupSrpPairs _),
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
+    "sim_pairs_banded" -> (simPairsBanded _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
     "ann_ivf_recall" -> (annIvfRecall _),
@@ -7314,6 +7341,23 @@ object SparkEntry {
         |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+        |ORDER BY v1, v2""".stripMargin,
+    // Brute-force all-pairs over the SAME augmented corpus the banded gate
+    // builds (quarter-scaled dups + x+x²/128 near-dups on vec_id < 50): the
+    // oracle is the exhaustive relation, so the LSH-candidate op must reach
+    // recall 1 on it to hash-match.
+    "sim_pairs_banded" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(v, x -> x * 0.25) FROM base WHERE vec_id < 50
+        |  UNION ALL
+        |  SELECT vec_id + 300000, list_transform(v, x -> x + x * x / 128.0) FROM base WHERE vec_id < 50)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
         |ORDER BY v1, v2""".stripMargin,
     // Full IVF re-derivation: per-label mean centroids, argmax-cosine
     // assignment, nprobe=3 probe list, exact re-scoring within probed

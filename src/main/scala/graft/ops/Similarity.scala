@@ -1480,6 +1480,30 @@ object Similarity {
       bands: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val cand = srpCandidates(df, dim, numBits, bands, idCol, vecCol)
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vv"))
+    cand
+      .join(vecs.select(col("id").as("v1"), col("vv").as("va")), Seq("v1"))
+      .join(vecs.select(col("id").as("v2"), col("vv").as("vb")), Seq("v2"))
+      .select(col("v1"), col("v2"), round(cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The SRP band-equality candidate relation behind [[srpPairs]] and
+    * [[pairsAboveBanded]]: unordered distinct `(v1 < v2)` id pairs whose
+    * `numBits`-bit sign signatures agree EXACTLY in at least one of `bands`
+    * bands. By pigeonhole this contains every pair whose full-signature
+    * Hamming distance is < `bands`; the band explode carries signatures
+    * only (one long per band), never the vectors.
+    */
+  private[ops] def srpCandidates(
+      df: DataFrame,
+      dim: Int,
+      numBits: Int,
+      bands: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     require(numBits >= 1 && numBits <= 62, s"numBits must be in [1, 62], got $numBits")
     require(bands >= 1 && numBits % bands == 0,
@@ -1499,18 +1523,75 @@ object Similarity {
     val sigDf = df.select(col(idCol).cast("long").as("id"),
       explode(array(sigs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = sigDf.as("a")
+    sigDf.as("a")
       .join(sigDf.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("v1"), col("b.id").as("v2"))
       .distinct()
-    val vecs = df.select(col(idCol).cast("long").as("id"), v.as("vv"))
-    cand
-      .join(vecs.select(col("id").as("v1"), col("vv").as("va")), Seq("v1"))
-      .join(vecs.select(col("id").as("v2"), col("vv").as("vb")), Seq("v2"))
-      .select(col("v1"), col("v2"), round(cosine(col("va"), col("vb")), 4).as("cosine"))
-      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[pairsAbove]]'s relation — `(v1 < v2, round(cosine,4) ≥ threshold)`,
+    * report-sorted, zero-norm rows dropped — from SRP band-equality
+    * candidates + exact verification instead of the all-pairs block grid:
+    * the sub-quadratic threshold-pairs surface for HIGH-similarity mining
+    * over corpora with real near-duplicate structure.
+    *
+    * Cost shape: signatures are `numBits` codegen'd dot folds per vector
+    * (one narrow pass), candidates one band-equality equi-join on
+    * fixed-width longs, verification one id join-back scoring only the
+    * candidates — O(n·numBits·dim + candidates·dim), vs [[pairsAbove]]'s
+    * O(n²·dim/2). The 12-bit default band (4096 buckets) keeps the random
+    * birthday-collision candidate mass ≈ n²·bands/4096 — at n = 10⁶ that is
+    * ~10⁹ cheap verifies where brute force is 5·10¹¹ full-width scores, and
+    * a larger `numBits` buys sparser buckets linearly.
+    *
+    * Recall contract (the honest fine print): a candidate survives only if
+    * the pair agrees exactly in ≥ 1 of `bands` bands, so
+    *   - exact and positive-power-of-two-SCALED duplicates are found with
+    *     CERTAINTY (identical signatures — fp scaling commutes with the
+    *     sign test; the re-crawled-identical-content case);
+    *   - any pair with signature Hamming distance < `bands` is found with
+    *     certainty (pigeonhole across bands);
+    *   - a pair at angle θ is a candidate with p = 1−(1−(1−θ/π)^(numBits/bands))^bands
+    *     — at the defaults, ≥ 0.9999 for cosine ≥ 0.9995 and still ≈ 0.97
+    *     at cosine 0.99. Size `bands`/`numBits` to the target threshold.
+    *   Equality with [[pairsAbove]] is therefore guaranteed for the
+    *   scaled-dup family and holds with probability → 1 for tight near-dup
+    *   corpora; at LOW thresholds on isotropic data the relation itself is
+    *   Θ(n²) rows, no candidate scheme can beat brute force, and
+    *   [[pairsAbove]] is the right call — this op is the ≥ ~0.9 band.
+    *   (Metric-tree pruning — triangle inequality on k-means cells — was
+    *   rejected: it is exact but prunes NOTHING on isotropic corpora, where
+    *   every cluster radius ≈ every centroid distance; sign-LSH candidates
+    *   degrade gracefully there instead.)
+    *
+    * Verification is bit-identical to [[pairsAbove]]: same sequential
+    * double fold, same HALF_UP rounding, zero-norm sides dropped before the
+    * join (their cosine is undefined; the block kernel drops the same
+    * pairs).
+    */
+  def pairsAboveBanded(
+      df: DataFrame,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 48,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cand = srpCandidates(df, dim, numBits, bands, idCol, vecCol)
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vv"))
+      .withColumn("nrm", sqrt(dot(col("vv"), col("vv"))))
+      .filter(col("nrm") > 0)
+    Ordered.smallResult(
+      cand
+        .join(vecs.select(col("id").as("v1"), col("vv").as("va"), col("nrm").as("na")), Seq("v1"))
+        .join(vecs.select(col("id").as("v2"), col("vv").as("vb"), col("nrm").as("nb")), Seq("v2"))
+        .select(col("v1"), col("v2"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      "v1", "v2")
   }
 
   /** Product quantization with asymmetric-distance (ADC) probing — the

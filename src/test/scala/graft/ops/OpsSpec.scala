@@ -291,6 +291,31 @@ class OpsSpec extends SparkSpec {
     assert(srp.length == 5 && srp.forall(_._3 == 1.0)) // the 5 planted pairs
   }
 
+  test("pairsAboveBanded equals pairsAbove on a near-dup corpus, drops zero-norms") {
+    // The sim_pairs_banded gate's two planted recall families in miniature:
+    // quarter-scaled duplicates (identical signatures — recall certain) and
+    // the x + x²/128 nonlinear perturbation (cosine ≈ 0.9999), plus a
+    // zero-norm row both formulations must drop.
+    val d = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scaled = d.select((col("vec_id") + 100L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.25)).as("embedding"))
+    val pert = d.select((col("vec_id") + 200L).as("vec_id"),
+      transform(col("embedding"), x => x + x * x / lit(128.0)).as("embedding"))
+    val zero = Seq((999L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = d.unionByName(scaled).unionByName(pert).unionByName(zero)
+    val exact = Similarity.pairsAbove(corpus, 0.99, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val banded = Similarity.pairsAboveBanded(corpus, 0.99, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(banded == exact)
+    // Each base id pairs with its scaled and perturbed twin plus the
+    // scaled×perturbed cross — recall on all three is what the gate pins.
+    assert(exact.count { case (a, b, _) => a < 100 && b == a + 100 } == 5)
+    assert(exact.count { case (a, b, _) => a < 100 && b == a + 200 } == 5)
+    assert(exact.count { case (a, b, _) => a >= 100 && b == a + 100 } == 5)
+    assert(exact.forall { case (a, b, _) => a != 999L && b != 999L })
+  }
+
   test("srp weights mix: distinct hyperplanes, both signs in each") {
     val w = Array.tabulate(16, 8)((j, d) => Similarity.srpWeight(j, d))
     // A degenerate mixer collapses hyperplanes into near-identical rows (the
