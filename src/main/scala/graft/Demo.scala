@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.uts._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Manual end-to-end driver: loads the real test corpus and runs the core
   * query surface, printing results + physical plans. Usage:
@@ -46,7 +47,7 @@ object Demo {
 
     println("== near-dup pairs (exact n-gram Jaccard, J >= 0.6) ==")
     // Checkpointed: shown here AND fed to connectedComponents below.
-    val pairs = ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.6).localCheckpoint()
+    val pairs = ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.6).narrowCheckpoint()
     pairs.show(5, truncate = false)
 
     println("== transitive cluster collapse (connected components) ==")

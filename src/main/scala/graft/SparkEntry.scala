@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.uts._
 import graft.ops.{AsofJoin, Dedup, Funnel, Joins, Layout, Multimodal, Similarity, Text}
+import graft.ops.Materialize.NarrowSyntax
 
 /** Driver contract — one `queries` entry (+ `oracleSql` ANSI SQL when
   * expressible) per operator from SURVEY.md §2 and the extended-mandate ops.
@@ -1268,7 +1269,7 @@ object SparkEntry {
     val corpus = base.unionByName(planted)
     // canon feeds the dedup, the band scoring, and the final join-back —
     // checkpointed so the regex normalization scan runs once, not thrice.
-    val canon = Text.normalize(corpus).localCheckpoint()
+    val canon = Text.normalize(corpus).narrowCheckpoint()
     val survivors = Dedup.exact(canon, "norm_text")
     val kept = Text.filterByQualityBand(
       canon.join(survivors.select(col("doc_id")), "doc_id"),
@@ -3676,6 +3677,47 @@ object SparkEntry {
       "doc_id")
   }
 
+  /** COLOR lossy round trip ([[graft.ops.Multimodal.jpegEncodeRgb]] →
+    * [[graft.ops.Multimodal.decodeJpegRgbPixels]]): the gray gate's
+    * discipline on 3 bands. Per document a closed-form RGB gradient with
+    * the channels SEPARATED by ≥ 36 counts everywhere
+    * (R = 20+2·(id%16)+2x+2y ≤ 104, G = 140+(id%8)+x+y ≤ 174,
+    * B = 200+(id%8)+x+2y ≤ 246) — so a band-order or stride bug lands
+    * errors ≥ ~30 while the measured codec error is 4 (quality 0.9, worst
+    * over the fixture family; chroma conversion + subsampling included).
+    * Gate bound `max |err| ≤ 12`: 3× the measured worst for JDK drift,
+    * 3× under the smallest cross-channel signal.
+    */
+  private def multimodalJpegRgb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          val px = new Array[Byte](3 * w * h)
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(k) = ((20 + (id % 16) * 2 + 2 * x + 2 * y) & 0xff).toByte
+              px(k + 1) = ((140 + (id % 8) + x + y) & 0xff).toByte
+              px(k + 2) = ((200 + (id % 8) + x + 2 * y) & 0xff).toByte
+              k += 3; x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.jpegEncodeRgb(w, h, px, 0.9f), px)
+        }
+      }.toDF("doc_id", "payload", "ref")
+    graft.ops.Ordered.smallResult(
+      Multimodal.jpegRgbErrStats(s, planted).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pix"),
+          (col("max_abs_err") <= 12).cast("long").as("err_bounded")),
+      "doc_id")
+  }
+
   // --------------------------------------------------------------- streaming
 
   /** §2.9 batch-equivalence gate: the events table replayed through the FILE
@@ -4934,6 +4976,7 @@ object SparkEntry {
     "multimodal_pixels_palette" -> (multimodalPixelsPalette _),
     "multimodal_resize_px" -> (multimodalResizePx _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
+    "multimodal_jpeg_rgb" -> (multimodalJpegRgb _),
     "multimodal_wav_samples" -> (multimodalWavSamples _),
     "stream_tumbling_daily" -> (streamTumblingDaily _),
     "stream_distinct_daily" -> (streamDistinctDaily _),
@@ -8537,6 +8580,16 @@ object SparkEntry {
     // within-bound discipline (JPEG error is codec-owned; the engine must
     // land within 8 counts of the planted gradient on EVERY pixel).
     "multimodal_jpeg_pixels" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(w*h AS BIGINT) AS n_pix, CAST(1 AS BIGINT) AS err_bounded
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Color twin: same closed-form structure; the engine must run the full
+    // 3-band Huffman/IDCT/YCbCr(+chroma upsample) pipeline and land every
+    // R/G/B sample within 12 counts of the planted gradient (measured
+    // codec worst: 4; any band-order/stride bug: >= ~30).
+    "multimodal_jpeg_rgb" ->
       """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
         |           FROM documents)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Deduplication operators for document corpora, from exact to near-dup.
   *
@@ -282,7 +283,7 @@ object Dedup {
       col(idCol).as("id"),
       array_sort(org.apache.spark.sql.graftfns.TextFunctions
         .shingleHashes(col(textCol), n)).as("hs"))
-      .localCheckpoint()
+      .narrowCheckpoint()
 
   /** The exploded view `(id, n_sh, h)` of a shingle-array relation, the set
     * size riding along each row — so no stage joins a separate sizes
@@ -360,7 +361,7 @@ object Dedup {
     // joining prefixes loses no true pair — but rare-first prefixes collide
     // far less than full sets, and the hottest (stopword-like) shingles
     // never enter the join at all.
-    val prefix = prefixOf(shingleRelation(hashed), threshold).localCheckpoint()
+    val prefix = prefixOf(shingleRelation(hashed), threshold).narrowCheckpoint()
     val candidates = collidingPairs(prefix)
     // Exact verification on candidates only: join each candidate pair to
     // the two SORTED hash arrays by id and merge-count the intersection
@@ -425,7 +426,7 @@ object Dedup {
       col(idCol).as("id"),
       explode(org.apache.spark.sql.graftfns.TextFunctions
         .shingleHashes(col(textCol), spanTokens)).as("h"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val dfreq = sp.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val kept = sp.hint("SHUFFLE_HASH").join(dfreq.filter(col("__df") <= maxDf), "h")
       .select(col("id"), col("h"))
@@ -484,7 +485,7 @@ object Dedup {
       Similarity.resolveClusters(df, nClusters), rounds, idCol, vecCol)
     val slim = Similarity.assignClusters(df, cents, idCol, vecCol)
       .select(col(idCol).as("__id"), col("cluster"), col(vecCol).as("__v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     // SHUFFLE_HASH: equi-join on the cluster id needs no sort order, and
     // the per-cluster nested pair loop is the intended work, not the join.
     val pairs = slim.as("a").hint("SHUFFLE_HASH")
@@ -722,7 +723,7 @@ object Dedup {
     // join; un-checkpointed it would re-sign the batch once per consumer.
     val ibanded = ibanded0
       .withColumn("bucket", pmod(xxhash64(col("bsig")), lit(nBuckets.toLong)))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val probeKeys = ibanded.select(col("band"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     // One IN over the PACKED key (band·nBuckets + bucket, bijective —
@@ -856,12 +857,14 @@ object Dedup {
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
     }
     // With a dir: reliable checkpoint on the interval rounds, persist (NOT
-    // localCheckpoint — it would truncate lineage to executor blocks) in
-    // between, so recovery replays from the last reliable cut. Without a
-    // dir: executor-local blocks everywhere (single-JVM gate mode).
-    // `round` 0 marks the always-reliable cuts (edges, seed).
+    // a lineage-truncating local checkpoint — that would pin recovery to
+    // executor blocks) in between, so recovery replays from the last
+    // reliable cut. Without a dir: the session's [[Materialize]] mode
+    // decides (executor-local blocks by default; reliable everywhere when
+    // the session is flipped to reliable). `round` 0 marks the
+    // always-reliable cuts (edges, seed).
     def cut(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isEmpty) df.localCheckpoint()
+      if (checkpointDir.isEmpty) df.narrowCheckpoint()
       else if (round % checkpointInterval == 0) df.checkpoint()
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Checkpoint the edge projection BEFORE the symmetric union: the union
@@ -923,11 +926,11 @@ object Dedup {
     * a set compare (count + one anti-join probe, both O(1) driver reads).
     *
     * Same materialization lifecycle as [[connectedComponents]]'s no-dir
-    * mode: each round's edge set is `localCheckpoint`ed (iterative lineage
-    * would nest exponentially) and the superseded round's blocks are
-    * released immediately. Cluster runs needing fault tolerance follow the
-    * documented `checkpointDir` pattern there — omitted here to keep the
-    * deep-graph path lean; near-dup gates are minutes, not hours.
+    * mode: each round's edge set is cut via [[Materialize.narrow]]
+    * (iterative lineage would nest exponentially) and the superseded
+    * round's blocks are released immediately. Cluster runs needing fault
+    * tolerance flip the session's materialize mode to reliable or follow
+    * the documented `checkpointDir` interval pattern there.
     */
   def connectedComponentsLogRounds(
       vertices: DataFrame,
@@ -936,7 +939,7 @@ object Dedup {
       srcCol: String = "d1",
       dstCol: String = "d2",
       maxIters: Int = 20): DataFrame = {
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    def cut(df: DataFrame): DataFrame = df.narrowCheckpoint()
     // Canonical larger→smaller edges, self-loops dropped. Both star steps
     // preserve the invariant (they only ever emit (v, m) with m < v).
     var e = cut(edges
@@ -1093,7 +1096,7 @@ object Dedup {
     require(n >= 2, s"n must be >= 2, got $n")
     val names = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .narrowCheckpoint()
     val longs = names.filter(length(col("s")) >= n)
     // (s, gram) — distinct grams per string, via the positional slide.
     val grams = longs.select(col("s"),

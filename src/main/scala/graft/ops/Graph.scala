@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Graph analytics over edge relations (the kNN graph, near-dup pair sets).
   *
@@ -47,14 +48,14 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val S = 1000000000000L
-    val ns = nodes.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    val ns = nodes.select(col(idCol).cast("long").as("id")).narrowCheckpoint()
     val n = ns.count()
     require(n > 0, "pageRankInt needs at least one node")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val edgesDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+      .narrowCheckpoint()
     val tele = (3L * S) / (20L * n)
     var ranks = ns.select(col("id"), lit(S / n).as("r"))
     for (i <- 1 to iterations) {
@@ -66,7 +67,7 @@ object Graph {
       ranks = ns
         .join(contribs, Seq("id"), "left")
         .select(col("id"), (lit(tele) + coalesce(col("__m"), lit(0L))).as("r"))
-      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 8 == 0 && i < iterations) ranks = ranks.narrowCheckpoint()
     }
     ranks.select(col("id"), col("r").as("pr"))
   }

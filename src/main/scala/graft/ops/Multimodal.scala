@@ -973,6 +973,125 @@ object Multimodal {
     }
   }
 
+  /** ENTROPY-CODED baseline-JPEG encode of an 8-bit RGB raster (3 bytes
+    * per pixel, R,G,B interleaved) — [[jpegEncodeGray]]'s 3-band sibling,
+    * same JDK codec, same explicit-quality contract. The color path adds
+    * the two lossy stages grayscale sidesteps: RGB↔YCbCr conversion and
+    * (below the writer's quality cutoff) chroma subsampling — so color
+    * round-trip error bounds are WIDER than gray's and gates must be sized
+    * to them (see [[decodeJpegRgbPixels]]'s scope note). The buffer is
+    * written in the `TYPE_3BYTE_BGR` layout's byte order directly — no
+    * per-pixel color-model conversion on the encode side.
+    */
+  def jpegEncodeRgb(
+      width: Int, height: Int, rgb: Array[Byte], quality: Float): Array[Byte] = {
+    headless
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(rgb.length == 3 * width * height,
+      s"raster must be ${3 * width * height} bytes (RGB interleaved), got ${rgb.length}")
+    require(quality > 0f && quality <= 1f, s"quality must be in (0,1], got $quality")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var k = 0
+    while (k < rgb.length) { // RGB → the buffer's BGR byte order
+      buf(k) = rgb(k + 2); buf(k + 1) = rgb(k + 1); buf(k + 2) = rgb(k)
+      k += 3
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      ios.close()
+      wr.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL pixel decode for COLOR (3-component) baseline JPEG —
+    * [[decodeJpegGrayPixels]]' discipline extended to 3 bands: the strict
+    * [[decodeJpeg]] marker walk validates the container, the JDK codec
+    * runs Huffman + dequantize + IDCT + YCbCr→RGB (and chroma UPSAMPLING
+    * when the stream is subsampled), and the decoded image must be
+    * 3-band with dimensions equal to the SOF header's. Output raster is
+    * R,G,B interleaved via the color model's `getRGB` (exact for 8-bit
+    * sRGB — no rendering conversion), so band order is pinned regardless
+    * of the decoder's internal buffer layout.
+    *
+    * Determinism scope (documented): everything gray's note says, PLUS
+    * chroma subsampling — the JDK writer subsamples chroma below its
+    * quality cutoff and different decoders upsample differently, so color
+    * error bounds are decoder-dependent in a way gray never is. Gates pin
+    * structure exactly and pixels by a WIDER error bound on SMOOTH planted
+    * gradients (where upsampling interpolation error stays small);
+    * CMYK/4-component streams stay out of scope (the walk accepts their
+    * SOF, the 3-band check here rejects them).
+    */
+  def decodeJpegRgbPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    headless
+    decodeJpeg(p).flatMap { case (w, h) =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth.toLong != w || img.getHeight.toLong != h ||
+          img.getRaster.getNumBands != 3) None
+      else {
+        val out = new Array[Byte](3 * img.getWidth * img.getHeight)
+        var y = 0
+        var k = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val argb = img.getRGB(x, y)
+            out(k) = ((argb >> 16) & 0xff).toByte
+            out(k + 1) = ((argb >> 8) & 0xff).toByte
+            out(k + 2) = (argb & 0xff).toByte
+            k += 3
+            x += 1
+          }
+          y += 1
+        }
+        Some((w.toInt, h.toInt, out))
+      }
+    }
+  }
+
+  /** [[jpegGrayErrStats]] for the color path: decode via
+    * [[decodeJpegRgbPixels]] and reduce to structure + the max absolute
+    * per-SAMPLE error across all 3·w·h R/G/B samples against the planted
+    * interleaved reference. Same absent-row rule: strict-decode failures
+    * and reference-length mismatches shrink the row count rather than
+    * emit junk stats.
+    */
+  def jpegRgbErrStats(
+      spark: SparkSession, planted: DataFrame): Dataset[JpegErrStats] = {
+    import spark.implicits._
+    planted.as[JpegPlanted].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeJpegRgbPixels(r.payload).flatMap { case (w, h, px) =>
+          if (px.length != r.ref.length) None
+          else {
+            var mx = 0L
+            var k = 0
+            while (k < px.length) {
+              val d = math.abs((px(k) & 0xff) - (r.ref(k) & 0xff)).toLong
+              if (d > mx) mx = d
+              k += 1
+            }
+            Some(JpegErrStats(r.doc_id, w.toLong, h.toLong, (w * h).toLong, mx))
+          }
+        }
+      }
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
   def sampleFrames(
       spark: SparkSession,

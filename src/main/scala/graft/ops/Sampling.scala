@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Deterministic sampling for training-data pipelines (data mixing, eval
   * splits, per-stratum caps). Randomness comes from the Knuth multiplicative
@@ -306,7 +307,7 @@ object Sampling {
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
-    val b = batch.localCheckpoint()
+    val b = batch.narrowCheckpoint()
     val matches = Dedup.nearDupAgainst(b, indexPath, n, threshold,
       numHashes, bands, nBuckets, idCol, textCol)
     val refRep = spark.read.parquet(assignPath)

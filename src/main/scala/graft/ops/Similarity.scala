@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -289,7 +290,7 @@ object Similarity {
     // corpus for a handful of rows.
     val queries = df.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val probes = broadcast(queries).crossJoin(broadcast(centroids))
       .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
       .withColumn("pr", row_number().over(
@@ -391,7 +392,7 @@ object Similarity {
     val assigned = assignedOf(df, centroids, idCol, vecCol, Nil)
     val queries = df.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val probes = broadcast(queries).crossJoin(broadcast(centroids))
       .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
       .withColumn("pr", row_number().over(
@@ -582,7 +583,7 @@ object Similarity {
     val canon = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
     quantizerCache.computeIfAbsent(s"km:${corpusKey(canon)}:$k:$rounds",
-      _ => Seq(kMeansTrain(canon, k, rounds, "vid", "v").localCheckpoint()))
+      _ => Seq(kMeansTrain(canon, k, rounds, "vid", "v").narrowCheckpoint()))
       .head
   }
 
@@ -660,11 +661,11 @@ object Similarity {
     val canon = df.select(
       col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     quantizerCache.computeIfAbsent(
       s"kmp:${corpusKey(canon)}:$k:$oversample:$initRounds:$lloydRounds",
       _ => Seq(kMeansParallelTrain(canon, k, oversample, initRounds, lloydRounds)
-        .localCheckpoint()))
+        .narrowCheckpoint()))
       .head
   }
 
@@ -686,7 +687,7 @@ object Similarity {
       .withColumn("__h", Sampling.idHash(col("cl")))
       .orderBy(col("__h"), col("cl")).limit(1)
       .select(col("cl"), col("cvec"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val ell = oversample * k
     for (r <- 1 to initRounds) {
       val cList = broadcast(cands.groupBy().agg(
@@ -712,7 +713,7 @@ object Similarity {
         .filter((col("__phi") > lit(0.0)) &&
           (u < least(lit(1.0), lit(ell) * col("__d2") / col("__phi"))))
         .select(col("cl"), col("cvec"))
-      cands = cands.union(fresh).localCheckpoint()
+      cands = cands.union(fresh).narrowCheckpoint()
     }
     // Candidate weight = how many corpus vectors it attracts (ties in
     // assignedOf break to the smaller id, so duplicate-direction candidates
@@ -860,7 +861,7 @@ object Similarity {
     val slim = scored.withColumn("__pr", row_number().over(w))
       .filter(col("__pr") <= nProbe)
       .select(col("__id"), col("cl").as("cluster"), col("__v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     // Overlapping probe sets propose a pair once per shared cluster —
     // deduped; the single-probe path above is duplicate-free by
     // construction and skips the dedup shuffle.
@@ -884,7 +885,7 @@ object Similarity {
     val slim = assignClusters(df, centroids, idCol, vecCol)
       .select(col(idCol).cast("long").as("__id"), col("cluster"),
         col(vecCol).as("__v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     rankBoards(pairsWithin(slim), kNeighbors)
       .select(col("__src").as(idCol), col("nbr_rank"),
         col("__dst").as("neighbor_id"), col("cosine"))
@@ -935,8 +936,8 @@ object Similarity {
       .filter(col("qid").isin(queryIds: _*))
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
-    val queries = queriesOf(e, queryIds).localCheckpoint()
+      .narrowCheckpoint()
+    val queries = queriesOf(e, queryIds).narrowCheckpoint()
     val exactTop = perQidTopKBy(
       e.crossJoin(broadcast(queries))
         .filter(col("vid") =!= col("qid"))
@@ -981,7 +982,7 @@ object Similarity {
     val assigned = assignClusters(
       df.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v")),
-      cents, "vid", "v").localCheckpoint()
+      cents, "vid", "v").narrowCheckpoint()
     assigned.select(col("vid"), col("v"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
     val srcCluster = assigned.select(col("vid").as("__sid"), col("cluster"))
@@ -1026,7 +1027,7 @@ object Similarity {
     val assignedB = assignClusters(
       batch.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v")),
-      cents, "vid", "v").localCheckpoint()
+      cents, "vid", "v").narrowCheckpoint()
     val touched = assignedB.select(col("cluster")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
@@ -1047,7 +1048,7 @@ object Similarity {
     val tagged = oldVec.withColumn("__isnew", lit(false))
       .unionByName(assignedB.select(col("vid"), col("v"), col("cluster"))
         .withColumn("__isnew", lit(true)))
-      .localCheckpoint()
+      .narrowCheckpoint()
     // One scored join: every (any, new) same-cluster directed pair.
     // Directed boards also need (new, old) — the FLIP of the old-src rows
     // (cosine is symmetric); (new, new) pairs already appear in both
@@ -1058,7 +1059,7 @@ object Similarity {
       .select(col("a.vid").as("__src"), col("b.vid").as("__dst"),
         round(cosine(col("a.v"), col("b.v")), 4).as("cosine"),
         col("a.cluster").as("__cl"), col("a.__isnew").as("__srcnew"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val candTo = scored.select(col("__src"), col("__dst"), col("cosine"), col("__cl"))
     val candFrom = scored.filter(!col("__srcnew"))
       .select(col("__dst").as("__src"), col("__src").as("__dst"),
@@ -1357,7 +1358,7 @@ object Similarity {
     // k-row routing table, checkpointed once: it feeds both the assignment
     // broadcast and the centroids rewrite, and each would otherwise re-run
     // the corpus-wide (label, pos) aggregate.
-    val centroids = centroidsOf(held, vecCol, labelCol).localCheckpoint()
+    val centroids = centroidsOf(held, vecCol, labelCol).narrowCheckpoint()
     val extra = held.columns.filterNot(c => c == idCol || c == vecCol).toSeq
     assignedOf(held, centroids, idCol, vecCol, extra)
       .write.mode("overwrite").partitionBy("cluster").parquet(vtmp.toString)
@@ -1625,7 +1626,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$k topK=$topK")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val (codes, luts) = pqQuantize(e, m, subDim, k, queriesOf(e, Seq(queryId)))
     pqAdcRank(codes, luts)
       .select(col("vid").as(idCol), col("adc"))
@@ -1704,7 +1705,7 @@ object Similarity {
       key: Option[String] = None): Seq[DataFrame] =
     quantizerCache.computeIfAbsent(
       s"pq:${key.getOrElse(corpusKey(e))}:$m:$subDim:$k",
-      _ => pqCodebooks(e, m, subDim, k).map(_.localCheckpoint()))
+      _ => pqCodebooks(e, m, subDim, k).map(_.narrowCheckpoint()))
 
   /** [[centroidsKMeans]]'s cache entry for an ALREADY-canonical `(vid, v)`
     * frame with an optionally precomputed fingerprint (key space shared
@@ -1715,7 +1716,7 @@ object Similarity {
       key: Option[String] = None): DataFrame =
     quantizerCache.computeIfAbsent(
       s"km:${key.getOrElse(corpusKey(e))}:$k:$rounds",
-      _ => Seq(kMeansTrain(e, k, rounds, idCol, vecCol).localCheckpoint()))
+      _ => Seq(kMeansTrain(e, k, rounds, idCol, vecCol).narrowCheckpoint()))
       .head
 
   /** PQ quantization shared by [[pqAdcTopK]], [[ivfPqTopK]] and
@@ -1869,8 +1870,8 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes k=$k")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
-    val queries = queriesOf(e, queryIds).localCheckpoint()
+      .narrowCheckpoint()
+    val queries = queriesOf(e, queryIds).narrowCheckpoint()
     pqRecallCounts(e, cachedPqCodebooks(e, m, subDim, kCodes), queries, k, subDim)
       .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / lit(k.toDouble), 4).as("recall_at_k"))
@@ -1956,10 +1957,10 @@ object Similarity {
     def canon(x: DataFrame): DataFrame =
       x.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
-        .localCheckpoint()
+        .narrowCheckpoint()
     val e = canon(df)
-    val queries = queriesOf(e, queryIds).localCheckpoint()
-    val exactTop = pqExactTop(e, queries, k).localCheckpoint()
+    val queries = queriesOf(e, queryIds).narrowCheckpoint()
+    val exactTop = pqExactTop(e, queries, k).narrowCheckpoint()
     def adcTop(cbs: Seq[DataFrame]) =
       pqAdcTop(pqAssignAll(e, cbs, subDim),
         cbs.zipWithIndex.map { case (cb, b) =>
@@ -2013,14 +2014,14 @@ object Similarity {
     val (m, subDim, kCodes) = pqManifestFull(spark, path)
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val staleCodes = spark.read.parquet(s"$path/codes")
     val nCorpus = e.count()
     val nCodes = staleCodes.select(col("vid")).distinct().count()
     require(nCodes == nCorpus,
       s"persisted index at $path covers $nCodes vids but corpus has $nCorpus")
-    val queries = queriesOf(e, queryIds).localCheckpoint()
-    val exactTop = pqExactTop(e, queries, k).localCheckpoint()
+    val queries = queriesOf(e, queryIds).narrowCheckpoint()
+    val exactTop = pqExactTop(e, queries, k).narrowCheckpoint()
     val freshCbs = cachedPqCodebooks(e, m, subDim, kCodes)
     val freshTop = pqAdcTop(pqAssignAll(e, freshCbs, subDim),
       freshCbs.zipWithIndex.map { case (cb, b) =>
@@ -2067,7 +2068,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$kCodes topK=$topK")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val ck = Some(corpusKey(e))
     val cents = cachedCentroids(e, kClusters, rounds, "vid", "v", ck)
     val assigned = assignClusters(e, cents, "vid", "v")
@@ -2117,7 +2118,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$k")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val cbs = cachedPqCodebooks(e, m, subDim, k)
     pqWriteIndex(e, cbs, path, m, subDim, k, None)
   }
@@ -2146,7 +2147,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$kCodes")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val cents = cachedCentroids(e, kClusters, rounds, "vid", "v")
     val cbs = cachedPqCodebooks(e, m, subDim, kCodes)
     val assigned = assignClusters(e, cents, "vid", "v")
@@ -2361,7 +2362,7 @@ object Similarity {
     val (m, subDim) = pqManifestOf(spark, path)
     val e = batch.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val codes = pqEncode(e, pqCodebooksOf(spark, path, m), subDim)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

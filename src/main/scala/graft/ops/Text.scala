@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Text-analysis operators for large-scale document pipelines: tokenization,
   * per-document stats, quality scoring, n-gram language ID, fingerprinting,
@@ -390,7 +391,7 @@ object Text {
     // 10× data; ~2× of that was the double pass). The checkpointed frame
     // is the narrow (id, quality) projection, never the text.
     val scored = qualityScore(df, idCol, textCol).select(col(idCol), col("quality"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     val bounds = scored.agg(
       percentile(col("quality"), lit(loQuantile)).as("__qlo"),
       percentile(col("quality"), lit(hiQuantile)).as("__qhi"))
@@ -561,7 +562,7 @@ object Text {
     // corpus it summarizes.
     packCountsByBudget(
       df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
-        .localCheckpoint(),
+        .narrowCheckpoint(),
       budget, idCol, "n_tokens")
 
   /** [[packByBudget]] over a caller-supplied count column — the hook that

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.NarrowSyntax
 
 /** Distributed exact trailing ROWS-frame aggregates over a single globally
   * ordered series.
@@ -167,7 +168,7 @@ object Windowed {
     // same documented trade as jaccardPairsPrefixFiltered.)
     val withBkt = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__bkt", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .narrowCheckpoint()
     lagOverBuckets(withBkt, orderCols, valueCol, outCol).drop("__bkt")
   }
 
@@ -244,7 +245,7 @@ object Windowed {
     // a DIFFERENT partition extent — a silently wrong prefix sum.
     val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .narrowCheckpoint()
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -437,7 +438,7 @@ object Windowed {
     val parts = intervals.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = netted.repartitionByRange(parts, col("__t"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin ONE partitioning for rows + summary (seam note in lagStitched)
+      .narrowCheckpoint() // pin ONE partitioning for rows + summary (seam note in lagStitched)
     val w = Window.partitionBy(col("__pid")).orderBy(col("__t"))
     val local = ranged
       .withColumn("__run", sum(col("__net")).over(

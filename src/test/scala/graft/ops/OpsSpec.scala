@@ -1530,6 +1530,44 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePngPixels(ratio).isEmpty)
   }
 
+  test("JPEG RGB pixels: bounded 3-band lossy round trip; band order pinned; strict rejects") {
+    // The multimodal_jpeg_rgb gate's gradient family: channels separated by
+    // >= 36 counts so a band-order bug cannot hide inside the lossy bound.
+    for (id <- Seq(0L, 7L, 12L, 31L)) {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val px = Array.tabulate(3 * w * h) { k =>
+        val p = k / 3; val x = p % w; val y = p / w
+        (k % 3 match {
+          case 0 => 20 + (id % 16) * 2 + 2 * x + 2 * y
+          case 1 => 140 + (id % 8) + x + y
+          case _ => 200 + (id % 8) + x + 2 * y
+        }).toByte
+      }
+      val enc = Multimodal.jpegEncodeRgb(w, h, px, 0.9f)
+      assert(Multimodal.decodeJpeg(enc) == Some((w.toLong, h.toLong)),
+        "strict marker walk must accept the JDK color encode")
+      val (dw, dh, dec) = Multimodal.decodeJpegRgbPixels(enc).get
+      assert(dw == w && dh == h && dec.length == px.length)
+      val maxErr = dec.zip(px).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff))
+      }.max
+      assert(maxErr <= 12, s"color round-trip error $maxErr exceeds the gate bound")
+      // Band order REALLY is R,G,B in the decoded raster: the planted
+      // channels are disjoint ranges, so ordering is checkable per pixel.
+      assert((dec(0) & 0xff) < 120 && (dec(1) & 0xff) > 120 &&
+        (dec(1) & 0xff) < 190 && (dec(2) & 0xff) > 190)
+    }
+    // A GRAYSCALE stream is not a 3-band stream: the RGB path must reject
+    // it (and vice versa the gray path rejects color), not silently adapt.
+    val gray = Multimodal.jpegEncodeGray(8, 8, Array.fill(64)(50.toByte), 0.9f)
+    assert(Multimodal.decodeJpegRgbPixels(gray).isEmpty)
+    val colorEnc = Multimodal.jpegEncodeRgb(8, 8, Array.fill(192)(50.toByte), 0.9f)
+    assert(Multimodal.decodeJpegGrayPixels(colorEnc).isEmpty)
+    assert(Multimodal.decodeJpegRgbPixels(colorEnc.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeJpegRgbPixels("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("JPEG gray pixels: bounded lossy round trip; strict rejects; ImageIO parity pins the PNG codec") {
     // Gradient fixtures at the gate's formula: structure exact, max error
     // far under the gate's <=8 bound (measured 2 at quality 0.9).
