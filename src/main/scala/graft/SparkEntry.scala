@@ -3622,6 +3622,52 @@ object SparkEntry {
       Multimodal.pngPixelStats(s, planted).toDF(), "doc_id")
   }
 
+  /** Observable PNG sub-class routing ([[graft.ops.Multimodal.pngCodecTag]]
+    * via extractFeatures): per document, a PNG container whose class is a
+    * closed-form function of `doc_id mod 4` — a REAL depth-8 image
+    * ([[graft.ops.Multimodal.pngEncode]], the only class the full pixel
+    * path accepts), a 16-bit IHDR (`png16`), an Adam7-interlaced IHDR
+    * (`png_i`), and a depth-4 IHDR (`png_ld`), the last three framed by
+    * [[graft.ops.Multimodal.pngContainer]] (valid chunk walk + CRCs, so
+    * the metadata path accepts all four). The gate counts rows and
+    * pixel-path successes per codec tag: any class silently collapsing
+    * into plain `png` (the r17/r18 carry-over) flips a group's counts; a
+    * pixel path that starts accepting a class it cannot decode flips
+    * `n_pixel_decoded`.
+    */
+  private def multimodalPngClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 45).toInt
+          val h = (1 + id % 29).toInt
+          val payload = (id % 4) match {
+            case 0 =>
+              val px = Array.tabulate(w * h)(k => (((id * 31 + k * 7) % 256) & 0xff).toByte)
+              Multimodal.pngEncode(w, h, 1, px, row => ((id + row) % 5).toInt)
+            case 1 => Multimodal.pngContainer(w, h, depth = 16, colorType = 0,
+              interlace = 0, idat = Array[Byte](1, 2, 3))
+            case 2 => Multimodal.pngContainer(w, h, depth = 8, colorType = 0,
+              interlace = 1, idat = Array[Byte](1, 2, 3))
+            case _ => Multimodal.pngContainer(w, h, depth = 4, colorType = 0,
+              interlace = 0, idat = Array[Byte](1, 2, 3))
+          }
+          (id, payload, w.toLong, h.toLong)
+        }
+      }.toDF("doc_id", "payload", "w", "h")
+    val feats = Multimodal.extractFeatures(s, planted.select(col("doc_id"), col("payload"))).toDF()
+    val pix = Multimodal.pngPixelStats(s, planted.select(col("doc_id"), col("payload")))
+      .toDF().select(col("doc_id"), lit(1L).as("pix"))
+    graft.ops.Ordered.smallResult(
+      feats.join(pix, Seq("doc_id"), "left")
+        .groupBy(col("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pix"), lit(0L))).as("n_pixel_decoded"),
+          sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h")),
+      "codec")
+  }
+
   /** Real PNG resize ([[graft.ops.Multimodal.resizePngNearest]]): plant →
     * decode → nearest-neighbor 5×4 → RE-ENCODE → decode again for stats —
     * the full codec round trip twice over; the oracle re-derives the
@@ -4974,6 +5020,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_pixels_palette" -> (multimodalPixelsPalette _),
+    "multimodal_png_classes" -> (multimodalPngClasses _),
     "multimodal_resize_px" -> (multimodalResizePx _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_rgb" -> (multimodalJpegRgb _),
@@ -8576,6 +8623,19 @@ object SparkEntry {
         |       CAST(3 AS BIGINT) AS channels, count(*) AS n_pix,
         |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // PNG sub-class routing: codec tag + pixel-path acceptance per class is
+    // a pure function of doc_id mod 4; widths/heights are the planted
+    // closed forms, so the oracle needs no PNG parsing at all.
+    "multimodal_png_classes" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 45 AS w, 1 + doc_id % 29 AS h,
+        |                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'png16'
+        |                       WHEN 2 THEN 'png_i' ELSE 'png_ld' END AS codec
+        |           FROM documents)
+        |SELECT codec, count(*) AS n,
+        |       CAST(sum(CASE WHEN codec = 'png' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pixel_decoded,
+        |       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM d GROUP BY codec ORDER BY codec""".stripMargin,
     // Lossy-codec round trip: structure closed-form, pixels by the
     // within-bound discipline (JPEG error is codec-owned; the engine must
     // land within 8 counts of the planted gradient on EVERY pixel).

@@ -466,7 +466,13 @@ object Multimodal {
     * indirection to plain RGB (every index strictly bounds-checked against
     * the palette). Out of scope (None, documented): bit depths other
     * than 8 and interlaced images; those still pass [[decodePng]]'s
-    * metadata path.
+    * metadata path. ALSO out of scope by the decompression-bomb guard:
+    * rasters larger than 256 MiB (`1<<28` bytes of filtered raw, i.e.
+    * ≈268 M pixels for grayscale, ≈67 M for RGBA) return None even when
+    * well-formed — callers sizing gates/fixtures must stay under that
+    * bound. Untrusted web-crawl payloads can forge IHDR dims far beyond
+    * any legitimate corpus image, so the cap is deliberate, not a codec
+    * limit.
     */
   def decodePngPixels(p: Array[Byte]): Option[PngPixels] = {
     if (decodePng(p).isEmpty) return None // frame shape + all CRCs verified
@@ -509,7 +515,7 @@ object Multimodal {
     // larger than idat*1032 (or an absolute 256 MiB) cannot be legitimate —
     // reject BEFORE allocating (a ~100-byte IHDR-forged PNG must not cost
     // 2 GiB of executor heap per row on untrusted web-crawl payloads).
-    val maxRaw = math.min(Int.MaxValue.toLong, 1L << 28)
+    val maxRaw = 1L << 28
     if (rawLen > maxRaw || rawLen > idat.size().toLong * 1032L + 64L ||
         idat.size() == 0) return None
     val raw = new Array[Byte](rawLen.toInt)
@@ -800,6 +806,62 @@ object Multimodal {
     * corpus it is the observability signal for how much of the data fell
     * through to the stub instead of silently fabricating dimensions.
     */
+  /** Observable sub-classification of a [[decodePng]]-VALID payload by the
+    * IHDR fields that decide whether [[decodePngPixels]] can take it:
+    * `png_i` (interlace 1 — Adam7 layout, wins when both apply since it
+    * changes the raster layout wholesale), `png16` (bit depth 16),
+    * `png_ld` (depths 1/2/4), `png` (depth 8, non-interlaced — the one
+    * class the full pixel path accepts). Closes the r17/r18 carry-over:
+    * a 16-bit or interlaced PNG previously tagged plain `png` and took
+    * the stub-adjacent fallthrough with NO distinct tag, so corpus stats
+    * could not see how much data the pixel path was silently skipping.
+    * Caller must have `decodePng(p).nonEmpty` (IHDR is then proven to be
+    * the first chunk: depth at byte 24, interlace at byte 28).
+    */
+  def pngCodecTag(p: Array[Byte]): String = {
+    val depth = p(24) & 0xff
+    val interlace = p(28) & 0xff
+    if (interlace != 0) "png_i"
+    else if (depth == 16) "png16"
+    else if (depth != 8) "png_ld"
+    else "png"
+  }
+
+  /** JVM-side PNG CONTAINER framer with caller-chosen IHDR fields —
+    * the planting twin of [[pngCodecTag]]: a chunk-framed, CRC'd PNG
+    * (signature, IHDR, one IDAT carrying `idat` verbatim, IEND) whose
+    * depth/colorType/interlace are arbitrary legal values, so fixtures
+    * can plant the classes [[decodePngPixels]] does NOT decode (16-bit,
+    * Adam7, low-depth) and gates can count them by `codec` tag. The IDAT
+    * bytes are NOT deflated pixel data — the metadata walk never inflates,
+    * and the pixel path correctly refuses these classes before touching
+    * IDAT.
+    */
+  def pngContainer(
+      width: Int, height: Int, depth: Int, colorType: Int, interlace: Int,
+      idat: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    val outBuf = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      outBuf.write(be32(body.length.toLong), 0, 4)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      outBuf.write(tb, 0, 4)
+      outBuf.write(body, 0, body.length)
+      outBuf.write(be32(crc.getValue), 0, 4)
+    }
+    outBuf.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    outBuf.toByteArray
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -807,7 +869,7 @@ object Multimodal {
         val real = decodeBmp(r.payload).map(("bmp", _))
           .orElse(decodePpm(r.payload).map(("ppm", _)))
           .orElse(decodeWav(r.payload).map(("wav", _)))
-          .orElse(decodePng(r.payload).map(("png", _)))
+          .orElse(decodePng(r.payload).map(d => (pngCodecTag(r.payload), d)))
           .orElse(decodeJpeg(r.payload).map(("jpeg", _)))
         val (codec, (w, h)) = real.getOrElse(("stub", stubDecode(r.payload)))
         MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, codec)
@@ -912,17 +974,42 @@ object Multimodal {
     * closed-form. Color JPEG is out of scope here (chroma upsampling
     * varies by decoder); the metadata path [[decodeJpeg]] still covers it.
     */
+  /** Guarded `ImageIO.read` for UNTRUSTED JPEG payloads — the shared
+    * gate both pixel decoders go through before the JDK codec touches the
+    * stream. Two hazards of attacker-controlled SOF headers are closed
+    * here, mirroring [[decodePngPixels]]' decompression-bomb posture:
+    *
+    *  1. ALLOCATION: `ImageIO.read` sizes its raster from the SOF dims
+    *     (up to 65535×65535 × up to 4 components ≈ 17 GB) before any
+    *     caller check can run. We reject when `4·w·h` (worst-case JPEG
+    *     band count, so the cap holds even when the stream's real
+    *     component count differs from the caller's expectation) exceeds
+    *     the PNG path's 256 MiB (`1<<28`) raster bound — computed in
+    *     Long, so 65535² cannot wrap.
+    *  2. CRASH CLASS: only IOException used to be caught, but malformed
+    *     color streams can throw CMMException / IllegalArgumentException /
+    *     other RuntimeExceptions out of the codec; any of those killed the
+    *     task instead of shrinking the row count. All NonFatal throws now
+    *     classify as "undecodable" → None.
+    */
+  private def readJpegGuarded(
+      p: Array[Byte], w: Long, h: Long, bands: Int)
+      : Option[java.awt.image.BufferedImage] = {
+    if (w <= 0 || h <= 0 || 4L * w * h > (1L << 28)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth.toLong != w || img.getHeight.toLong != h ||
+        img.getRaster.getNumBands != bands) None
+    else Some(img)
+  }
+
   def decodeJpegGrayPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     headless
     decodeJpeg(p).flatMap { case (w, h) =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        catch { case _: java.io.IOException => null }
-      if (img == null || img.getWidth.toLong != w || img.getHeight.toLong != h ||
-          img.getRaster.getNumBands != 1) None
-      else {
+      readJpegGuarded(p, w, h, bands = 1).map { img =>
         val r = img.getRaster
-        val out = new Array[Byte](img.getWidth * img.getHeight)
+        val out = new Array[Byte]((w * h).toInt) // guard proved 4·w·h ≤ 2^28
         var y = 0
         var k = 0
         while (y < img.getHeight) {
@@ -934,7 +1021,7 @@ object Multimodal {
           }
           y += 1
         }
-        Some((w.toInt, h.toInt, out))
+        (w.toInt, h.toInt, out)
       }
     }
   }
@@ -1037,13 +1124,8 @@ object Multimodal {
   def decodeJpegRgbPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     headless
     decodeJpeg(p).flatMap { case (w, h) =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        catch { case _: java.io.IOException => null }
-      if (img == null || img.getWidth.toLong != w || img.getHeight.toLong != h ||
-          img.getRaster.getNumBands != 3) None
-      else {
-        val out = new Array[Byte](3 * img.getWidth * img.getHeight)
+      readJpegGuarded(p, w, h, bands = 3).map { img =>
+        val out = new Array[Byte]((3L * w * h).toInt) // guard: 4·w·h ≤ 2^28
         var y = 0
         var k = 0
         while (y < img.getHeight) {
@@ -1058,7 +1140,7 @@ object Multimodal {
           }
           y += 1
         }
-        Some((w.toInt, h.toInt, out))
+        (w.toInt, h.toInt, out)
       }
     }
   }

@@ -1530,6 +1530,57 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePngPixels(ratio).isEmpty)
   }
 
+  test("PNG sub-classes: png16/png_i/png_ld codec tags observable; pixel path refuses them") {
+    val wrap16 = Multimodal.pngContainer(6, 4, depth = 16, colorType = 0,
+      interlace = 0, idat = Array[Byte](1, 2, 3))
+    val wrapI = Multimodal.pngContainer(6, 4, depth = 8, colorType = 0,
+      interlace = 1, idat = Array[Byte](1, 2, 3))
+    val wrapLd = Multimodal.pngContainer(6, 4, depth = 4, colorType = 0,
+      interlace = 0, idat = Array[Byte](1, 2, 3))
+    val plain = Multimodal.pngEncode(6, 4, 1,
+      Array.tabulate(24)(k => (k * 9).toByte), _ => 0)
+    // The metadata walk accepts all four classes (CRCs + frame valid)...
+    for (p <- Seq(wrap16, wrapI, wrapLd, plain))
+      assert(Multimodal.decodePng(p) == Some((6L, 4L)))
+    // ...the full pixel path only the depth-8 non-interlaced one.
+    assert(Multimodal.decodePngPixels(wrap16).isEmpty)
+    assert(Multimodal.decodePngPixels(wrapI).isEmpty)
+    assert(Multimodal.decodePngPixels(wrapLd).isEmpty)
+    assert(Multimodal.decodePngPixels(plain).nonEmpty)
+    // extractFeatures now SAYS which class fired instead of a flat "png".
+    val feats = Multimodal.extractFeatures(spark,
+      Seq((1L, wrap16), (2L, wrapI), (3L, wrapLd), (4L, plain))
+        .toDF("doc_id", "payload")).collect().sortBy(_.doc_id)
+    assert(feats.map(_.codec).toSeq == Seq("png16", "png_i", "png_ld", "png"))
+    assert(feats.forall(f => f.width == 6L && f.height == 4L))
+    // Adam7 wins the tag when both bits are set: it changes the raster
+    // layout wholesale, 16-bit only the sample width.
+    val both = Multimodal.pngContainer(6, 4, depth = 16, colorType = 0,
+      interlace = 1, idat = Array[Byte](1))
+    assert(Multimodal.pngCodecTag(both) == "png_i")
+  }
+
+  test("JPEG pixel decode: SOF-forged raster bomb rejected before ImageIO allocation") {
+    // A ~60-byte container whose SOF claims 46000x46000 (12.9 GB at 3
+    // bands) walks the metadata path fine, but BOTH pixel decoders must
+    // refuse it at the raster-size guard, before ImageIO sizes a buffer
+    // from the attacker-controlled dims. 4·w·h > 2^28 fires regardless of
+    // the stream's real component count.
+    val bomb = Seq((1L, "tiny")).toDF("doc_id", "text")
+      .select(Multimodal.jpegWrap(lit(46000), lit(46000),
+        encode(col("text"), "UTF-8")).as("payload"))
+      .head().getAs[Array[Byte]](0)
+    assert(bomb.length < 200, "the attack payload is small by construction")
+    assert(Multimodal.decodeJpeg(bomb) == Some((46000L, 46000L)),
+      "metadata path still reports the claimed dims")
+    assert(Multimodal.decodeJpegGrayPixels(bomb).isEmpty)
+    assert(Multimodal.decodeJpegRgbPixels(bomb).isEmpty)
+    // Boundary sanity: a legitimate small image still decodes — the guard
+    // does not reject the sizes real gates use.
+    val ok = Multimodal.jpegEncodeRgb(16, 16, Array.fill(768)(90.toByte), 0.9f)
+    assert(Multimodal.decodeJpegRgbPixels(ok).nonEmpty)
+  }
+
   test("JPEG RGB pixels: bounded 3-band lossy round trip; band order pinned; strict rejects") {
     // The multimodal_jpeg_rgb gate's gradient family: channels separated by
     // >= 36 counts so a band-order bug cannot hide inside the lossy bound.
