@@ -2770,6 +2770,77 @@ object SparkEntry {
       e.unionByName(scaled).unionByName(pert), threshold = 0.9, dim = 64)
   }
 
+  /** MID-BAND recall audit for [[graft.ops.Similarity.pairsAboveBanded]]
+    * — the gate `sim_pairs_banded` cannot provide (its corpus has no
+    * organic pairs in [0.9, 0.999], so a geometry that under-recalls at
+    * the advertised threshold 0.9 still passed; r18's (48, 4) default had
+    * boundary candidate probability ≈ 0.49 there). Per document pair
+    * `p = doc_id div 2` a vector pair is PLANTED at exact cosine
+    * 0.90/0.95/0.99/0.999 by `p mod 4`: side a is a ±1 vector (two-round
+    * integer mixer over (p, j) — [[graft.ops.Similarity.srpWeight]]'s
+    * recipe), side b = a ⊙ (c ± s) with +s on the first half of the
+    * coordinates and −s on the second, so ⟨a,b⟩ = 16c, |a| = |b| = 4 and
+    * cos(a,b) = c EXACTLY (one multiply per coordinate; distinct ±1
+    * vectors keep every cross cosine ≤ 14/16 = 0.875 < 0.9, so families
+    * stay separable). The banded op runs at threshold 0.9 with the
+    * THRESHOLD-DERIVED default geometry ([[graft.ops.Similarity.srpGeometryFor]]
+    * → (253, 23), boundary recall ≥ 0.99); per family the gate reports
+    * planted-pair count and `recall_ok` = found ≥ ⌈0.95·expected⌉ — slack
+    * for the ≈1% per-pair miss budget the 0.99 target allows, deterministic
+    * because the SRP planes are seed-free. The oracle re-derives the
+    * counts analytically (cosines are exact by construction — no vector
+    * math in SQL) and expects every family's recall_ok = 1.
+    */
+  private def simPairsBandedRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 16
+    val cosines = Array(0.90, 0.95, 0.99, 0.999)
+    val vecs = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val p = id / 2
+          val f = (p % 4).toInt
+          val cf = cosines(f)
+          val sf = math.sqrt(1.0 - cf * cf)
+          val a = Array.tabulate(d) { j =>
+            val h1 = ((p * 131071L + j.toLong + 1L) * 2654435761L) & 0xffffffffL
+            val h2 = (((h1 >> 16) + h1) * 2246822519L) & 0xffffffffL
+            if ((h2 >> 31) == 1L) 1.0 else -1.0
+          }
+          val v =
+            if (id % 2 == 0) a
+            else Array.tabulate(d)(j => a(j) * (cf + (if (j < d / 2) sf else -sf)))
+          (id, v)
+        }
+      }.toDF("vec_id", "embedding")
+    val sides = vecs.select(col("vec_id"),
+      (col("vec_id") - col("vec_id") % 2).divide(2).cast("long").as("p"),
+      (col("vec_id") % 2).as("side"), col("embedding"))
+    val planted = sides.filter(col("side") === 0)
+      .select(col("p"), col("embedding").as("va"))
+      .join(sides.filter(col("side") === 1)
+        .select(col("p"), col("embedding").as("vb")), Seq("p"))
+      .filter(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.90)
+      .select(col("p"), (col("p") % 4).as("fam"))
+    val found = Similarity.pairsAboveBanded(vecs, threshold = 0.90, dim = d)
+      .select((col("v1") - col("v1") % 2).divide(2).cast("long").as("p"),
+        col("v1"), col("v2"))
+      .filter(col("v2") === col("v1") + 1 && col("v1") % 2 === 0)
+      .select(col("p"), lit(1L).as("hit"))
+    graft.ops.Ordered.smallResult(
+      planted.join(found, Seq("p"), "left")
+        .groupBy(col("fam"))
+        .agg(count(lit(1)).as("n_expected"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(
+          element_at(typedlit(Seq("0.90", "0.95", "0.99", "0.999")),
+            col("fam").cast("int") + 1).as("family"),
+          col("n_expected"),
+          (col("n_found") >= ceil(col("n_expected") * lit(0.95)))
+            .cast("long").as("recall_ok")),
+      "family")
+  }
+
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(T(s, dir, "embeddings"), queryId = 0, k = 10, nprobe = 3)
 
@@ -4949,6 +5020,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "sim_pairs_banded" -> (simPairsBanded _),
+    "sim_pairs_banded_recall" -> (simPairsBandedRecall _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
     "ann_ivf_recall" -> (annIvfRecall _),
@@ -7449,6 +7521,18 @@ object SparkEntry {
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
         |ORDER BY v1, v2""".stripMargin,
+    // Banded-pairs recall audit: planted-pair cosines are EXACT by
+    // construction (cos(a, a⊙(c±s)) = c), so expected counts are pure
+    // doc_id arithmetic — and the threshold-derived geometry must find
+    // >= 95% of every family (per-pair candidate probability >= 0.99 at
+    // the 0.90 boundary, higher above it).
+    "sim_pairs_banded_recall" ->
+      """WITH pairs AS (SELECT doc_id // 2 AS p FROM documents
+        |               GROUP BY 1 HAVING count(*) = 2)
+        |SELECT CASE p % 4 WHEN 0 THEN '0.90' WHEN 1 THEN '0.95'
+        |            WHEN 2 THEN '0.99' ELSE '0.999' END AS family,
+        |       count(*) AS n_expected, CAST(1 AS BIGINT) AS recall_ok
+        |FROM pairs GROUP BY 1 ORDER BY family""".stripMargin,
     // Full IVF re-derivation: per-label mean centroids, argmax-cosine
     // assignment, nprobe=3 probe list, exact re-scoring within probed
     // clusters — same approximation, independently computed.

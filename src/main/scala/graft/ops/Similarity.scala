@@ -1498,6 +1498,51 @@ object Similarity {
     * Hamming distance is < `bands`; the band explode carries signatures
     * only (one long per band), never the vectors.
     */
+  /** (numBits, bands) derived from the REQUESTED threshold so the banded
+    * candidate pass reaches `targetRecall` AT THE THRESHOLD BOUNDARY — the
+    * inversion of the collision formula the [[pairsAboveBanded]] scaladoc
+    * states. A pair at angle θ agrees per bit with p = 1 − θ/π and is a
+    * candidate with 1 − (1 − p^r)^b (r bits per band, b bands); for each
+    * r ∈ [4, 24] the smallest b with that ≥ `targetRecall` at
+    * θ = arccos(threshold) is b(r) = ⌈ln(1 − targetRecall)/ln(1 − p^r)⌉.
+    * Among the feasible (r·b ≤ 256 signature bits, b ≤ 32 bands) choices
+    * the FALSE-CANDIDATE budget picks the winner: a random (orthogonal)
+    * pair collides per band with 2^−r, so the expected fraction of the n²
+    * pair mass surviving as candidates is ≈ b·2^−r — geometries at or
+    * under 1/256 take the fewest signature bits, otherwise the minimum
+    * false fraction wins. Resulting defaults: threshold 0.9 → (253, 23)
+    * (boundary recall ≥ 0.99, false mass ≈ 1.1%), 0.95 → (180, 15),
+    * 0.99 → (55, 5), 0.999 → (30, 3). The r18 default (48, 4) gave
+    * boundary recall ≈ 0.49 at threshold 0.9 — half the boundary pairs
+    * missed at the op's own advertised use; this sizing replaces it.
+    */
+  def srpGeometryFor(threshold: Double, targetRecall: Double = 0.99): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val pBit = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    var bestBits = 0; var bestBands = 0; var bestFalse = Double.MaxValue
+    var cheapBits = Int.MaxValue; var cheapBands = 0
+    var r = 4
+    while (r <= 24) {
+      val pBand = math.pow(pBit, r)
+      val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+      if (b >= 1 && b <= 32 && r * b <= 256) {
+        val falseFrac = b * math.pow(0.5, r)
+        if (falseFrac < bestFalse) {
+          bestFalse = falseFrac; bestBits = r * b; bestBands = b
+        }
+        if (falseFrac <= 1.0 / 256.0 && r * b < cheapBits) {
+          cheapBits = r * b; cheapBands = b
+        }
+      }
+      r += 1
+    }
+    require(bestBands > 0, s"no feasible SRP geometry for threshold=$threshold")
+    if (cheapBands > 0) (cheapBits, cheapBands) else (bestBits, bestBands)
+  }
+
   private[ops] def srpCandidates(
       df: DataFrame,
       dim: Int,
@@ -1506,24 +1551,23 @@ object Similarity {
       idCol: String,
       vecCol: String): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    require(numBits >= 1 && numBits <= 62, s"numBits must be in [1, 62], got $numBits")
     require(bands >= 1 && numBits % bands == 0,
       s"bands ($bands) must divide numBits ($numBits)")
     val bandBits = numBits / bands
+    require(bandBits >= 1 && bandBits <= 62,
+      s"bits per band must be in [1, 62], got $bandBits ($numBits/$bands)")
+    // All band signatures in ONE fused codegen kernel
+    // ([[org.apache.spark.sql.graftfns.SrpBandSigs]]): the per-bit Column
+    // formulation (numBits dot nodes, each with a dim-element weight
+    // literal) overflows janino's 64 KB method limit at the
+    // threshold-derived geometries and dropped the whole stage out of
+    // codegen. Signatures only — the vectors join back by id for
+    // verification, so the band explode never replicates the payload.
     val v = col(vecCol).cast("array<double>")
-    val sigs = (0 until bands).map { b =>
-      val sig = (0 until bandBits).map { k =>
-        val j = b * bandBits + k
-        val w = typedlit((0 until dim).map(d => srpWeight(j, d)))
-        when(dot(v, w) >= 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    // Signatures only — the vectors join back by id for verification, so the
-    // band explode never replicates the payload.
     val sigDf = df.select(col(idCol).cast("long").as("id"),
-      explode(array(sigs: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      org.apache.spark.sql.graftfns.VectorFunctions
+        .srpBandSigs(v, dim, numBits, bands).as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("band", "sig")))
     sigDf.as("a")
       .join(sigDf.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -1555,8 +1599,13 @@ object Similarity {
     *   - any pair with signature Hamming distance < `bands` is found with
     *     certainty (pigeonhole across bands);
     *   - a pair at angle θ is a candidate with p = 1−(1−(1−θ/π)^(numBits/bands))^bands
-    *     — at the defaults, ≥ 0.9999 for cosine ≥ 0.9995 and still ≈ 0.97
-    *     at cosine 0.99. Size `bands`/`numBits` to the target threshold.
+    *     — and the DEFAULT geometry (numBits = bands = 0) is
+    *     [[srpGeometryFor]]'s inversion of that formula at the requested
+    *     `threshold`, sized so a pair AT the boundary is a candidate with
+    *     ≥ 0.99 (threshold 0.9 → (253, 23), 0.99 → (55, 5)); the
+    *     `sim_pairs_banded_recall` gate measures this on planted pair
+    *     families at cosine 0.90/0.95/0.99/0.999. Explicit
+    *     `numBits`/`bands` override for callers trading recall for cost.
     *   Equality with [[pairsAbove]] is therefore guaranteed for the
     *   scaled-dup family and holds with probability → 1 for tight near-dup
     *   corpora; at LOW thresholds on isotropic data the relation itself is
@@ -1576,11 +1625,15 @@ object Similarity {
       df: DataFrame,
       threshold: Double,
       dim: Int,
-      numBits: Int = 48,
-      bands: Int = 4,
+      numBits: Int = 0,
+      bands: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cand = srpCandidates(df, dim, numBits, bands, idCol, vecCol)
+    require((numBits == 0) == (bands == 0),
+      s"numBits and bands must be overridden together, got ($numBits, $bands)")
+    val (nb, b) =
+      if (numBits == 0) srpGeometryFor(threshold) else (numBits, bands)
+    val cand = srpCandidates(df, dim, nb, b, idCol, vecCol)
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vv"))
       .withColumn("nrm", sqrt(dot(col("vv"), col("vv"))))

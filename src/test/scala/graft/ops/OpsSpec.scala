@@ -316,6 +316,55 @@ class OpsSpec extends SparkSpec {
     assert(exact.forall { case (a, b, _) => a != 999L && b != 999L })
   }
 
+  test("srpGeometryFor inverts the collision formula; banded recall >= 0.95 at every planted band") {
+    // The sizing itself: boundary candidate probability at the requested
+    // threshold must meet the target for the derived (numBits, bands).
+    for (t <- Seq(0.90, 0.95, 0.99, 0.999)) {
+      val (nb, b) = Similarity.srpGeometryFor(t)
+      val r = nb / b
+      assert(nb % b == 0 && r <= 62 && nb <= 256 && b <= 32)
+      val pBit = 1.0 - math.acos(t) / math.Pi
+      val boundary = 1.0 - math.pow(1.0 - math.pow(pBit, r), b)
+      assert(boundary >= 0.99, s"threshold $t -> ($nb, $b): boundary recall $boundary")
+    }
+    assert(Similarity.srpGeometryFor(0.90) == (253, 23)) // r18's (48,4) gave 0.49 here
+    // Measured mid-band recall on the sim_pairs_banded_recall fixture
+    // shape: pairs planted at EXACT cosines 0.90/0.95/0.99/0.999 (side b =
+    // a ⊙ (c ± s) — one multiply per coordinate), banded at threshold 0.9
+    // with the derived default geometry.
+    val d = 16
+    val cosines = Array(0.90, 0.95, 0.99, 0.999)
+    val nPairs = 200
+    val rows = (0L until (2L * nPairs)).map { id =>
+      val p = id / 2
+      val f = (p % 4).toInt
+      val cf = cosines(f)
+      val sf = math.sqrt(1.0 - cf * cf)
+      val a = Array.tabulate(d) { j =>
+        val h1 = ((p * 131071L + j.toLong + 1L) * 2654435761L) & 0xffffffffL
+        val h2 = (((h1 >> 16) + h1) * 2246822519L) & 0xffffffffL
+        if ((h2 >> 31) == 1L) 1.0 else -1.0
+      }
+      val v =
+        if (id % 2 == 0) a
+        else Array.tabulate(d)(j => a(j) * (cf + (if (j < d / 2) sf else -sf)))
+      (id, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val found = Similarity.pairsAboveBanded(corpus, 0.90, dim = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = (0 until 4).map { f =>
+      val ps = (0 until nPairs).filter(_ % 4 == f)
+      val hit = ps.count(p => found.contains((2L * p, 2L * p + 1)))
+      val rec = hit.toDouble / ps.size
+      info(f"family cosine=${cosines(f)}%.3f recall=$rec%.4f ($hit/${ps.size})")
+      rec
+    }
+    // >= 0.99 per-pair candidate probability at the boundary; 0.95 asserted
+    // so a deterministic unlucky fixture cannot flake the suite.
+    assert(recalls.forall(_ >= 0.95), s"mid-band recall regressed: $recalls")
+  }
+
   test("srp weights mix: distinct hyperplanes, both signs in each") {
     val w = Array.tabulate(16, 8)((j, d) => Similarity.srpWeight(j, d))
     // A degenerate mixer collapses hyperplanes into near-identical rows (the
