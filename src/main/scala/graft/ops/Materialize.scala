@@ -30,6 +30,20 @@ import org.apache.spark.sql.DataFrame
   *    silent local-tmp default — a node-local dir would claim fault
   *    tolerance it does not have. Fails loud when neither is set.
   *
+  *    CLEANUP is part of this posture: Spark deletes a non-streaming
+  *    checkpoint's files only when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+  *    default, and READ ONCE at SparkContext start by the ContextCleaner —
+  *    setting it at runtime here would be a silent no-op, so this
+  *    primitive does not try). A long-lived reliable-mode job whose
+  *    iterative call sites checkpoint repeatedly ([[Graph.pageRankInt]]
+  *    every 8 rounds, [[Dedup.connectedComponentsLogRounds]] per round,
+  *    k-means‖ per init round) accumulates one directory per
+  *    materialization on durable storage until then-unreferenced ones are
+  *    GC-collected + cleaner-deleted. Deployments running reliable mode
+  *    should launch with that conf set to true (or sweep the checkpoint
+  *    dir between jobs).
+  *
   * Both modes are EAGER and both truncate lineage, so plan-shape
   * guarantees built on the primitive (pinned range partitionings, bounded
   * iterative plans, one-scan contracts) hold identically;

@@ -1040,6 +1040,17 @@ object Similarity {
     // invariant with duplicate vec_id boards — so the batch ids are checked
     // against the FULL vectors table (column-pruned to vid, semi-joined
     // against the broadcast-size batch; no vector payload is read).
+    // SCALING COST, stated plainly: unlike every other read in this op,
+    // this check is O(corpus) per append — one single-column scan of the
+    // whole vectors table, NOT partition-pruned (a reused id can live in
+    // ANY cluster, so pruning would reintroduce the bug this guard fixes).
+    // At ~10⁹ vectors that is one long-column parquet scan per batch;
+    // acceptable for bulk appends, material for high-frequency trickle
+    // ingest. The upgrade path if it bites: maintain a vid membership
+    // sidecar with [[Layout.statsManifest]](vectors, cols=vid,
+    // bloomCols=vid) and probe per-file blooms first, falling back to this
+    // exact scan only on a bloom hit — same no-false-negative guarantee,
+    // O(files) common case.
     require(spark.read.parquet(s"$path/vectors").select(col("vid"))
         .join(broadcast(assignedB.select(col("vid"))), Seq("vid"), "left_semi")
         .isEmpty,
@@ -1745,7 +1756,13 @@ object Similarity {
       coalesce(sum(xxhash64(col("vid"), col("v")).cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")),
       count(lit(1))).head()
-    s"${sessionId(e.sparkSession)}:${r.getDecimal(0)}:${r.getLong(1)}"
+    // The RESOLVED materialize mode is part of the key: a centroid frame
+    // checkpointed under local mode is executor-resident and NOT
+    // fault-tolerant, so serving it after the session flips to reliable
+    // would silently weaken the flipped session's durability contract —
+    // the flip re-trains (cheap, k-row-bounded state) under the new mode.
+    val mode = e.sparkSession.conf.get(Materialize.ModeConf, "local")
+    s"${sessionId(e.sparkSession)}:$mode:${r.getDecimal(0)}:${r.getLong(1)}"
   }
 
   /** [[pqCodebooks]] through the per-JVM cache (bit-identical: training is

@@ -64,6 +64,9 @@ class MaterializeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     val local = withMode("local")(run())
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-matspec").toString
+    // The quantizer cache keys on the RESOLVED mode (corpusKey), so this
+    // second run re-trains its centroids under reliable mode rather than
+    // serving the local run's executor-resident checkpointed frames.
     val reliable = withNoCheckpointDir(withMode("reliable", Some(ckptDir))(run()))
     assert(local == reliable)
     // The reliable run must actually have gone through the filesystem.
