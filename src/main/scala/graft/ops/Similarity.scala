@@ -1622,6 +1622,17 @@ object Similarity {
     *   corpora; at LOW thresholds on isotropic data the relation itself is
     *   Θ(n²) rows, no candidate scheme can beat brute force, and
     *   [[pairsAbove]] is the right call — this op is the ≥ ~0.9 band.
+    *
+    * When to pick which (measured, BandedProbe at the 10× corpus): the
+    * brute kernel's per-pair cost is `dim` codegen'd multiplies (~6 ns at
+    * dim 64) while a banded candidate costs join machinery (~100×) a
+    * multiply — so the candidate-mass cut must EXCEED that ratio for the
+    * banded path to win. At threshold 0.9 the recall-0.99 geometry keeps
+    * ≈1.1% of pairs (isotropic) to ≈4% (near-dup-heavy corpora): roughly
+    * break-even at dim 64, a clear win at embedding dims ≥ several
+    * hundred (per-pair brute cost scales with dim, candidate cost does
+    * not) and at thresholds ≥ 0.95 (false mass 0.37%/0.24% at 0.95/0.99).
+    * Three-point slope evidence: BASELINE.md round-19 curvature row.
     *   (Metric-tree pruning — triangle inequality on k-means cells — was
     *   rejected: it is exact but prunes NOTHING on isotropic corpora, where
     *   every cluster radius ≈ every centroid distance; sign-LSH candidates

@@ -1,0 +1,62 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage cost breakdown for `pairsAboveBanded` at the 10× derived corpus —
+  * answers "where do the 17 s at sf1 go": the signature pass, the candidate
+  * band join, or the exact verification join-back. Scratch instrument
+  * (like [[IsoProbe]]), not part of the library surface.
+  */
+object BandedProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/repo/target/sf1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scaled = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.25)).as("embedding"))
+    val pert = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => x + x * x / lit(128.0)).as("embedding"))
+    val corpus = e.unionByName(scaled).unionByName(pert)
+    println(s"corpus rows: ${corpus.count()}")
+    val (nb, b) = graft.ops.Similarity.srpGeometryFor(0.9)
+    println(s"geometry: ($nb, $b)")
+    for (rep <- 1 to 2) {
+      time(s"[$rep] signature pass only") {
+        corpus.select(col("vec_id"),
+          org.apache.spark.sql.graftfns.VectorFunctions
+            .srpBandSigs(col("embedding"), 64, nb, b).as("sigs"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      var nCand = 0L
+      time(s"[$rep] candidates (band join + distinct)") {
+        val sigDf = corpus.select(col("vec_id").cast("long").as("id"),
+          org.apache.spark.sql.graftfns.VectorFunctions
+            .srpBandSigs(col("embedding").cast("array<double>"), 64, nb, b).as("sigs"))
+          .select(col("id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        nCand = sigDf.as("a")
+          .join(sigDf.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("v1"), col("b.id").as("v2"))
+          .distinct().count()
+      }
+      println(s"[$rep] candidate pairs: $nCand")
+      time(s"[$rep] full pairsAboveBanded") {
+        graft.ops.Similarity.pairsAboveBanded(corpus, 0.9, 64)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+    spark.stop()
+  }
+}
