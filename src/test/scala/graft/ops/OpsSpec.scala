@@ -328,6 +328,23 @@ class OpsSpec extends SparkSpec {
       assert(boundary >= 0.99, s"threshold $t -> ($nb, $b): boundary recall $boundary")
     }
     assert(Similarity.srpGeometryFor(0.90) == (253, 23)) // r18's (48,4) gave 0.49 here
+    // Low thresholds FAIL LOUD instead of silently shipping a geometry
+    // whose candidate mass approaches brute force: the op's contract says
+    // pairsAbove is the right call below the ~0.9 band, and a caller who
+    // ignores that gets told, not under-served. (0.8 is still feasible —
+    // false mass ~10% — the hard floor sits near 0.33, below which no
+    // <=256-bit geometry reaches recall 0.99 within 32 bands.)
+    assert(Similarity.srpGeometryFor(0.80)._2 <= 32)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.srpGeometryFor(0.30)
+    }
+    assert(e.getMessage.contains("no feasible SRP geometry"))
+    // ...and explicit overrides still work at any threshold for callers
+    // who accept the recall they sized themselves.
+    assert(Similarity.pairsAboveBanded(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      0.30, dim = 3, numBits = 12, bands = 2).columns.toSeq ==
+      Seq("v1", "v2", "cosine"))
     // Measured mid-band recall on the sim_pairs_banded_recall fixture
     // shape: pairs planted at EXACT cosines 0.90/0.95/0.99/0.999 (side b =
     // a ⊙ (c ± s) — one multiply per coordinate), banded at threshold 0.9
