@@ -3727,6 +3727,9 @@ object SparkEntry {
           (id, payload, w.toLong, h.toLong)
         }
       }.toDF("doc_id", "payload", "w", "h")
+        // Two consumers (feature extract + pixel stats) — encode the PNGs
+        // once, not per consumer (the r17 double-scan discipline).
+        .narrowCheckpoint()
     val feats = Multimodal.extractFeatures(s, planted.select(col("doc_id"), col("payload"))).toDF()
     val pix = Multimodal.pngPixelStats(s, planted.select(col("doc_id"), col("payload")))
       .toDF().select(col("doc_id"), lit(1L).as("pix"))
