@@ -2783,8 +2783,9 @@ object SparkEntry {
     * cos(a,b) = c EXACTLY (one multiply per coordinate; distinct ±1
     * vectors keep every cross cosine ≤ 14/16 = 0.875 < 0.9, so families
     * stay separable). The banded op runs at threshold 0.9 with the
-    * THRESHOLD-DERIVED default geometry ([[graft.ops.Similarity.srpGeometryFor]]
-    * → (253, 23), boundary recall ≥ 0.99); per family the gate reports
+    * THRESHOLD-DERIVED default plan ([[graft.ops.Similarity.srpPlanFor]]
+    * → 255 bits / 15 bands / 1 Hamming-probe, boundary recall ≥ 0.99);
+    * per family the gate reports
     * planted-pair count and `recall_ok` = found ≥ ⌈0.95·expected⌉ — slack
     * for the ≈1% per-pair miss budget the 0.99 target allows, deterministic
     * because the SRP planes are seed-free. The oracle re-derives the

@@ -1554,16 +1554,76 @@ object Similarity {
     if (cheapBands > 0) (cheapBits, cheapBands) else (bestBits, bestBands)
   }
 
+  /** [[srpGeometryFor]] extended with MULTIPROBE (Lv et al. 2007's idea on
+    * sign-LSH): probing each band's Hamming-1 neighbor buckets raises the
+    * per-band candidate probability from p^r to p^r + r·p^(r−1)·(1−p), so
+    * the same boundary recall needs FEWER, WIDER bands — and a random
+    * pair's survival drops to b·(1+r)·2^−r, which within the 256-bit
+    * signature budget is the only way to cut the n²-multiplying false mass
+    * at the op's advertised threshold 0.9 (exact-match bands bottom out at
+    * ≈1.1%; one-probe reaches ≈0.21% at (255, 15, r=17)). Returns
+    * `(numBits, bands, probes)` with probes ∈ {0, 1}; the selection
+    * minimizes the false-candidate fraction (the n² term — at scale
+    * nothing else matters), tie-broken by signature+explode cost, with the
+    * probe-side explode capped at 384 variant rows per vector so the
+    * linear term cannot run away. Derived plans: 0.9 → (255, 15, 1),
+    * 0.95 → (231, 11, 1), 0.99 → (253, 11, 0), 0.999 → (96, 4, 0).
+    */
+  def srpPlanFor(threshold: Double, targetRecall: Double = 0.99): (Int, Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val pBit = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    var bestFf = Double.MaxValue; var bestCost = Int.MaxValue
+    var bestBits = 0; var bestBands = 0; var bestProbes = 0
+    var probes = 0
+    while (probes <= 1) {
+      var r = 4
+      while (r <= 24) {
+        val q = math.pow(pBit, r) +
+          (if (probes == 1) r * math.pow(pBit, r - 1) * (1 - pBit) else 0.0)
+        if (q > 0.0 && q < 1.0) {
+          val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-q)).toInt
+          val explode = b * (1 + probes * r)
+          if (b >= 1 && b <= 32 && r * b <= 256 && explode <= 384) {
+            val ff = explode * math.pow(0.5, r)
+            val cost = r * b + 2 * explode
+            if (ff < bestFf || (ff == bestFf && cost < bestCost)) {
+              bestFf = ff; bestCost = cost
+              bestBits = r * b; bestBands = b; bestProbes = probes
+            }
+          }
+        }
+        r += 1
+      }
+      probes += 1
+    }
+    require(bestBands > 0, s"no feasible SRP geometry for threshold=$threshold")
+    (bestBits, bestBands, bestProbes)
+  }
+
+  /** Candidate-pair count for an SRP plan over `(vec_id, embedding)` —
+    * the audit accessor behind `graft.tools.BandedProbe`: candidates are
+    * private machinery, but their COUNT is the observable n²-cost driver
+    * a capacity plan needs to measure per corpus.
+    */
+  def candidateCount(
+      df: DataFrame, dim: Int, numBits: Int, bands: Int, probes: Int = 0): Long =
+    srpCandidates(df, dim, numBits, bands, "vec_id", "embedding", probes).count()
+
   private[ops] def srpCandidates(
       df: DataFrame,
       dim: Int,
       numBits: Int,
       bands: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      probes: Int = 0): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     require(bands >= 1 && numBits % bands == 0,
       s"bands ($bands) must divide numBits ($numBits)")
+    require(probes == 0 || probes == 1, s"probes must be 0 or 1, got $probes")
     val bandBits = numBits / bands
     require(bandBits >= 1 && bandBits <= 62,
       s"bits per band must be in [1, 62], got $bandBits ($numBits/$bands)")
@@ -1579,7 +1639,19 @@ object Similarity {
       org.apache.spark.sql.graftfns.VectorFunctions
         .srpBandSigs(v, dim, numBits, bands).as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("band", "sig")))
-    sigDf.as("a")
+    // MULTIPROBE (probes = 1): one side of the self-join additionally
+    // carries each band signature's `bandBits` Hamming-1 neighbors, so a
+    // pair is a candidate when some band's signatures are within Hamming
+    // distance 1 (a Ham-1 pair is found through the flipped variant on
+    // WHICHEVER side has the smaller id, so the `a.id < b.id` constraint
+    // loses nothing). Probe rows are (id, band, long) — the explode never
+    // touches vectors, exactly like the band explode itself.
+    val probe =
+      if (probes == 0) sigDf
+      else sigDf.select(col("id"), col("band"),
+        explode(array((col("sig") +: (0 until bandBits).map(k =>
+          col("sig").bitwiseXOR(lit(1L << k)))): _*)).as("sig"))
+    probe.as("a")
       .join(sigDf.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -1610,13 +1682,23 @@ object Similarity {
     *   - any pair with signature Hamming distance < `bands` is found with
     *     certainty (pigeonhole across bands);
     *   - a pair at angle θ is a candidate with p = 1−(1−(1−θ/π)^(numBits/bands))^bands
-    *     — and the DEFAULT geometry (numBits = bands = 0) is
-    *     [[srpGeometryFor]]'s inversion of that formula at the requested
-    *     `threshold`, sized so a pair AT the boundary is a candidate with
-    *     ≥ 0.99 (threshold 0.9 → (253, 23), 0.99 → (55, 5)); the
-    *     `sim_pairs_banded_recall` gate measures this on planted pair
-    *     families at cosine 0.90/0.95/0.99/0.999. Explicit
-    *     `numBits`/`bands` override for callers trading recall for cost.
+    *     (per-band probability raised to p^r + r·p^(r−1)·(1−p) when the
+    *     plan probes Hamming-1 neighbor buckets) — and the DEFAULT plan
+    *     (numBits = bands = 0, probes = −1) inverts that formula at the
+    *     requested `threshold` for ≥ 0.99 boundary recall, SIZE-AWARE:
+    *     corpora ≥ [[MultiprobeMinRows]] get [[srpPlanFor]]'s
+    *     false-mass-minimizing multiprobe plan (threshold 0.9 →
+    *     255 bits / 15 bands / 1 probe: false mass ≈ 0.21% of pairs, vs
+    *     1.1% for the best exact-match geometry in the same bit budget —
+    *     the n²-dominant regime), smaller corpora get
+    *     [[srpGeometryFor]]'s linear-cost-minimizing exact-match
+    *     geometry (the probe explode costs more than it saves below the
+    *     measured break-even). The `sim_pairs_banded_recall` gate
+    *     measures recall on planted pair families at cosine
+    *     0.90/0.95/0.99/0.999; both plan shapes meet the same ≥ 0.99
+    *     boundary contract by construction. Explicit `numBits`/`bands`
+    *     override (probes then 0 unless given) for callers trading
+    *     recall for cost.
     *   Equality with [[pairsAbove]] is therefore guaranteed for the
     *   scaled-dup family and holds with probability → 1 for tight near-dup
     *   corpora; at LOW thresholds on isotropic data the relation itself is
@@ -1643,6 +1725,17 @@ object Similarity {
     * join (their cosine is undefined; the block kernel drops the same
     * pairs).
     */
+  /** Corpus-size switch for the default [[pairsAboveBanded]] plan:
+    * multiprobe trades a Θ(n·bands·bits-per-band) probe explode for a
+    * ~5× cut of the Θ(ff·n²) false-candidate mass, and the measured
+    * constants (BandedProbe, dim 64: probe rows ≈ 0.5 µs, candidate
+    * verify ≈ 0.3 µs) put the break-even near n ≈ 10⁵; below it the
+    * explode costs more than it saves, above it the win grows with n.
+    * The count is one column-pruned scan — the [[Dedup.semanticDedup]]
+    * auto-k precedent: a plan that depends on n must pay for n once.
+    */
+  private val MultiprobeMinRows = 200000L
+
   def pairsAboveBanded(
       df: DataFrame,
       threshold: Double,
@@ -1650,12 +1743,25 @@ object Similarity {
       numBits: Int = 0,
       bands: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      probes: Int = -1): DataFrame = {
     require((numBits == 0) == (bands == 0),
       s"numBits and bands must be overridden together, got ($numBits, $bands)")
-    val (nb, b) =
-      if (numBits == 0) srpGeometryFor(threshold) else (numBits, bands)
-    val cand = srpCandidates(df, dim, nb, b, idCol, vecCol)
+    require(probes >= -1 && probes <= 1, s"probes must be -1 (auto), 0 or 1, got $probes")
+    val (nb, b, pr) =
+      if (numBits != 0) (numBits, bands, math.max(0, probes))
+      else {
+        val wantProbes = probes match {
+          case -1 => df.count() >= MultiprobeMinRows
+          case p  => p == 1
+        }
+        if (wantProbes) srpPlanFor(threshold)
+        else { // small corpus: minimize the LINEAR cost instead of ff
+          val (gb, gbb) = srpGeometryFor(threshold)
+          (gb, gbb, 0)
+        }
+      }
+    val cand = srpCandidates(df, dim, nb, b, idCol, vecCol, pr)
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vv"))
       .withColumn("nrm", sqrt(dot(col("vv"), col("vv"))))

@@ -29,31 +29,25 @@ object BandedProbe {
         transform(col("embedding"), x => x + x * x / lit(128.0)).as("embedding"))
     val corpus = e.unionByName(scaled).unionByName(pert)
     println(s"corpus rows: ${corpus.count()}")
-    val (nb, b) = graft.ops.Similarity.srpGeometryFor(0.9)
-    println(s"geometry: ($nb, $b)")
-    for (rep <- 1 to 2) {
-      time(s"[$rep] signature pass only") {
+    val exact = graft.ops.Similarity.srpGeometryFor(0.9)
+    val mp = graft.ops.Similarity.srpPlanFor(0.9)
+    println(s"small-corpus geometry: $exact; large-corpus plan: $mp")
+    for (rep <- 1 to 2; (label, nb, b, pr) <- Seq(
+        ("exact", exact._1, exact._2, 0), ("multiprobe", mp._1, mp._2, mp._3))) {
+      time(s"[$rep][$label] signature pass only") {
         corpus.select(col("vec_id"),
           org.apache.spark.sql.graftfns.VectorFunctions
             .srpBandSigs(col("embedding"), 64, nb, b).as("sigs"))
           .write.mode("overwrite").format("noop").save()
       }
       var nCand = 0L
-      time(s"[$rep] candidates (band join + distinct)") {
-        val sigDf = corpus.select(col("vec_id").cast("long").as("id"),
-          org.apache.spark.sql.graftfns.VectorFunctions
-            .srpBandSigs(col("embedding").cast("array<double>"), 64, nb, b).as("sigs"))
-          .select(col("id"), posexplode(col("sigs")).as(Seq("band", "sig")))
-        nCand = sigDf.as("a")
-          .join(sigDf.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("v1"), col("b.id").as("v2"))
-          .distinct().count()
+      time(s"[$rep][$label] candidates (band join + distinct)") {
+        nCand = graft.ops.Similarity.candidateCount(corpus, 64, nb, b, pr)
       }
-      println(s"[$rep] candidate pairs: $nCand")
-      time(s"[$rep] full pairsAboveBanded") {
-        graft.ops.Similarity.pairsAboveBanded(corpus, 0.9, 64)
+      println(s"[$rep][$label] candidate pairs: $nCand")
+      time(s"[$rep][$label] full pairsAboveBanded (forced plan)") {
+        graft.ops.Similarity
+          .pairsAboveBanded(corpus, 0.9, 64, nb, b, probes = pr)
           .write.mode("overwrite").format("noop").save()
       }
     }

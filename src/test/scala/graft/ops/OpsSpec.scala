@@ -328,6 +328,18 @@ class OpsSpec extends SparkSpec {
       assert(boundary >= 0.99, s"threshold $t -> ($nb, $b): boundary recall $boundary")
     }
     assert(Similarity.srpGeometryFor(0.90) == (253, 23)) // r18's (48,4) gave 0.49 here
+    // The multiprobe plan beats every exact-match geometry's false mass at
+    // the advertised 0.9 threshold within the same 256-bit budget.
+    assert(Similarity.srpPlanFor(0.90) == (255, 15, 1))
+    for (t <- Seq(0.90, 0.95, 0.99, 0.999)) {
+      val (nb, b, pr) = Similarity.srpPlanFor(t)
+      val r = nb / b
+      assert(nb % b == 0 && r <= 62 && nb <= 256 && b <= 32 && (pr == 0 || pr == 1))
+      val pBit = 1.0 - math.acos(t) / math.Pi
+      val q = math.pow(pBit, r) +
+        (if (pr == 1) r * math.pow(pBit, r - 1) * (1 - pBit) else 0.0)
+      assert(1.0 - math.pow(1.0 - q, b) >= 0.99, s"plan for $t: ($nb, $b, $pr)")
+    }
     // Low thresholds FAIL LOUD instead of silently shipping a geometry
     // whose candidate mass approaches brute force: the op's contract says
     // pairsAbove is the right call below the ~0.9 band, and a caller who
@@ -368,18 +380,45 @@ class OpsSpec extends SparkSpec {
       (id, v)
     }
     val corpus = rows.toDF("vec_id", "embedding")
-    val found = Similarity.pairsAboveBanded(corpus, 0.90, dim = d)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recalls = (0 until 4).map { f =>
-      val ps = (0 until nPairs).filter(_ % 4 == f)
-      val hit = ps.count(p => found.contains((2L * p, 2L * p + 1)))
-      val rec = hit.toDouble / ps.size
-      info(f"family cosine=${cosines(f)}%.3f recall=$rec%.4f ($hit/${ps.size})")
-      rec
+    // Both default plan shapes: the small-corpus exact-match geometry
+    // (what this 400-row fixture auto-selects) AND the large-corpus
+    // multiprobe plan (forced) must meet the same boundary contract.
+    for (probes <- Seq(-1, 1)) {
+      val found = Similarity.pairsAboveBanded(corpus, 0.90, dim = d, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recalls = (0 until 4).map { f =>
+        val ps = (0 until nPairs).filter(_ % 4 == f)
+        val hit = ps.count(p => found.contains((2L * p, 2L * p + 1)))
+        val rec = hit.toDouble / ps.size
+        info(f"probes=$probes family cosine=${cosines(f)}%.3f recall=$rec%.4f ($hit/${ps.size})")
+        rec
+      }
+      // >= 0.99 per-pair candidate probability at the boundary; 0.95
+      // asserted so a deterministic unlucky fixture cannot flake the suite.
+      assert(recalls.forall(_ >= 0.95), s"probes=$probes recall regressed: $recalls")
     }
-    // >= 0.99 per-pair candidate probability at the boundary; 0.95 asserted
-    // so a deterministic unlucky fixture cannot flake the suite.
-    assert(recalls.forall(_ >= 0.95), s"mid-band recall regressed: $recalls")
+  }
+
+  test("multiprobe srp candidates: superset of exact-match, Ham-1 pairs found, pairs still exact") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.srpCandidates(corpus, 16, 48, 4, "vec_id", "embedding", probes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.srpCandidates(corpus, 16, 48, 4, "vec_id", "embedding", probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hamming-0 matches are found by the un-flipped variant, so probing
+    // can only ADD candidates...
+    assert(exact.subsetOf(probed))
+    // ...and it does add some: with 12-bit bands over random vectors, many
+    // pairs sit at band Hamming distance exactly 1.
+    assert(probed.size > exact.size)
+    // The full op stays EXACT regardless of probing: verification filters
+    // candidates by true cosine, so a multiprobe plan changes recall
+    // mechanics only — never emits a pair below threshold.
+    val out = Similarity.pairsAboveBanded(corpus, 0.9, dim = 16).collect()
+    assert(out.forall(_.getDouble(2) >= 0.9))
   }
 
   test("srp weights mix: distinct hyperplanes, both signs in each") {
