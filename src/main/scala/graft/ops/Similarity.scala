@@ -1502,13 +1502,6 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** The SRP band-equality candidate relation behind [[srpPairs]] and
-    * [[pairsAboveBanded]]: unordered distinct `(v1 < v2)` id pairs whose
-    * `numBits`-bit sign signatures agree EXACTLY in at least one of `bands`
-    * bands. By pigeonhole this contains every pair whose full-signature
-    * Hamming distance is < `bands`; the band explode carries signatures
-    * only (one long per band), never the vectors.
-    */
   /** (numBits, bands) derived from the REQUESTED threshold so the banded
     * candidate pass reaches `targetRecall` AT THE THRESHOLD BOUNDARY — the
     * inversion of the collision formula the [[pairsAboveBanded]] scaladoc
@@ -1612,6 +1605,15 @@ object Similarity {
       df: DataFrame, dim: Int, numBits: Int, bands: Int, probes: Int = 0): Long =
     srpCandidates(df, dim, numBits, bands, "vec_id", "embedding", probes).count()
 
+  /** The SRP band candidate relation behind [[srpPairs]] and
+    * [[pairsAboveBanded]]: unordered distinct `(v1 < v2)` id pairs whose
+    * `numBits`-bit sign signatures agree in at least one of `bands` bands —
+    * EXACTLY at probes = 0, or within Hamming distance ≤ 1 at probes = 1
+    * (the multiprobe variant). By pigeonhole the probes = 0 relation
+    * contains every pair whose full-signature Hamming distance is
+    * < `bands`; the band explode carries signatures only (one long per
+    * band), never the vectors.
+    */
   private[ops] def srpCandidates(
       df: DataFrame,
       dim: Int,
