@@ -2770,6 +2770,26 @@ object SparkEntry {
       e.unionByName(scaled).unionByName(pert), threshold = 0.9, dim = 64)
   }
 
+  /** The MULTIPROBE plan under the same brute-force oracle as
+    * `sim_pairs_banded`: probes = 1 forced (the gate corpus is below the
+    * size switch, so the auto default would take the exact-match
+    * geometry and the Hamming-1 candidate path would ship oracle-ungated).
+    * Identical relation contract — one missed candidate hash-fails.
+    */
+  private def simPairsBandedMp(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scaled = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.25)).as("embedding"))
+    val pert = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => x + x * x / lit(128.0)).as("embedding"))
+    Similarity.pairsAboveBanded(
+      e.unionByName(scaled).unionByName(pert), threshold = 0.9, dim = 64,
+      probes = 1)
+  }
+
   /** MID-BAND recall audit for [[graft.ops.Similarity.pairsAboveBanded]]
     * — the gate `sim_pairs_banded` cannot provide (its corpus has no
     * organic pairs in [0.9, 0.999], so a geometry that under-recalls at
@@ -5024,6 +5044,7 @@ object SparkEntry {
     "sim_topk_cosine" -> (simTopkCosine _),
     "sim_pairs_threshold" -> (simPairsThreshold _),
     "sim_pairs_banded" -> (simPairsBanded _),
+    "sim_pairs_banded_mp" -> (simPairsBandedMp _),
     "sim_pairs_banded_recall" -> (simPairsBandedRecall _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_kmeanspar" -> (annIvfKmeanspar _),
@@ -5691,6 +5712,25 @@ object SparkEntry {
     * pruning): both compute the identical approximation, so one oracle gates
     * both paths.
     */
+  /** Brute-force all-pairs over the augmented corpus the banded gates
+    * build (quarter-scaled dups + x+x²/128 near-dups on vec_id < 50): the
+    * exhaustive relation both `sim_pairs_banded` (exact-match bands) and
+    * `sim_pairs_banded_mp` (Hamming-1 multiprobe) must reproduce exactly.
+    */
+  private val BandedBruteSql =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |aug AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 200000, list_transform(v, x -> x * 0.25) FROM base WHERE vec_id < 50
+      |  UNION ALL
+      |  SELECT vec_id + 300000, list_transform(v, x -> x + x * x / 128.0) FROM base WHERE vec_id < 50)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+      |ORDER BY v1, v2""".stripMargin
+
   private val IvfTopkSql =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ex AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
@@ -7512,19 +7552,11 @@ object SparkEntry {
     // builds (quarter-scaled dups + x+x²/128 near-dups on vec_id < 50): the
     // oracle is the exhaustive relation, so the LSH-candidate op must reach
     // recall 1 on it to hash-match.
-    "sim_pairs_banded" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |aug AS (
-        |  SELECT vec_id, v FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 200000, list_transform(v, x -> x * 0.25) FROM base WHERE vec_id < 50
-        |  UNION ALL
-        |  SELECT vec_id + 300000, list_transform(v, x -> x + x * x / 128.0) FROM base WHERE vec_id < 50)
-        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
-        |ORDER BY v1, v2""".stripMargin,
+    "sim_pairs_banded" -> BandedBruteSql,
+    // The multiprobe plan answers the SAME exhaustive relation — a
+    // Hamming-1 candidate bug (missed variant, double-join duplicate)
+    // hash-fails against the identical brute-force oracle.
+    "sim_pairs_banded_mp" -> BandedBruteSql,
     // Banded-pairs recall audit: planted-pair cosines are EXACT by
     // construction (cos(a, a⊙(c±s)) = c), so expected counts are pure
     // doc_id arithmetic — and the threshold-derived geometry must find
