@@ -339,9 +339,18 @@ object Multimodal {
         val h = be32(i + 12)
         val depth = p(i + 16) & 0xff
         val color = p(i + 17) & 0xff
-        val ok = w >= 1 && h >= 1 &&
-          (depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16) &&
-          (color == 0 || color == 2 || color == 3 || color == 4 || color == 6) &&
+        // Legal (color, depth) combinations per RFC 2083 §4.1.1: grayscale
+        // allows 1/2/4/8/16, palette only 1/2/4/8 (a 16-bit palette index
+        // is spec-invalid), and every color type with an 8-bit-per-sample
+        // floor (2/4/6) allows exactly 8/16 — the strictness the rest of
+        // the walk already applies to framing.
+        val depthOk = color match {
+          case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+          case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+          case 2 | 4 | 6 => depth == 8 || depth == 16
+          case _ => false
+        }
+        val ok = w >= 1 && h >= 1 && depthOk &&
           (p(i + 18) & 0xff) == 0 && (p(i + 19) & 0xff) == 0 && (p(i + 20) & 0xff) <= 1
         if (!ok) return None
         dims = Some((w, h))

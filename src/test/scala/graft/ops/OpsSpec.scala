@@ -1663,6 +1663,18 @@ class OpsSpec extends SparkSpec {
     val both = Multimodal.pngContainer(6, 4, depth = 16, colorType = 0,
       interlace = 1, idat = Array[Byte](1))
     assert(Multimodal.pngCodecTag(both) == "png_i")
+    // Spec-ILLEGAL (color, depth) combinations fail the metadata walk
+    // (RFC 2083 §4.1.1): 16-bit palette indices and sub-byte RGB samples
+    // do not exist in PNG, so a container claiming them is not a PNG.
+    for ((c, d) <- Seq((3, 16), (2, 4), (4, 2), (6, 1)))
+      assert(Multimodal.decodePng(Multimodal.pngContainer(6, 4, depth = d,
+        colorType = c, interlace = 0, idat = Array[Byte](1, 2))).isEmpty,
+        s"color=$c depth=$d must be rejected")
+    // ...while every legal combo of the same frame passes.
+    for ((c, d) <- Seq((0, 16), (3, 4), (2, 16), (4, 8), (6, 16)))
+      assert(Multimodal.decodePng(Multimodal.pngContainer(6, 4, depth = d,
+        colorType = c, interlace = 0, idat = Array[Byte](1, 2))).nonEmpty,
+        s"color=$c depth=$d must be accepted")
   }
 
   test("JPEG pixel decode: SOF-forged raster bomb rejected before ImageIO allocation") {
