@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   *   - "errors": query -> first exception message, when any;
   *   - "cpu_calib_sec": a fixed CPU workload timed at start/end AND every
   *     [[CalibEvery]] queries mid-run (a stall window between two clean
-  *     endpoint calibrations is otherwise invisible).
+  *     endpoint calibrations is otherwise invisible);
+  *   - "retried": queries whose first rep set showed the contention
+  *     signature ([[needsRetry]]) and were re-run at end of run with their
+  *     reps merged — the artifact self-corrects a host-stall window instead
+  *     of shipping it (BENCH_r18/r19 both embedded one).
   */
 object Bench {
   private[graft] def median(xs: Seq[Double]): Double = {
@@ -56,6 +60,23 @@ object Bench {
     * after the query.
     */
   private val WatchClosely = Set("emb_mean_by_label")
+
+  /** Contention signature (the perfdiff bar applied to a query's own reps):
+    * all reps clean, yet the median exceeds the set's own min by >1.5x AND
+    * >0.3 s. A genuine plan cost reproduces in every rep (median ~ min), so
+    * a median far above its own min means a host-stall window covered most
+    * reps — exactly the artifact corruption BENCH_r18/r19 embedded. Such a
+    * query earns one retry set at end of run (see main); merging the sets
+    * makes the reported median self-correcting while a true regression
+    * (slow retry reps too) stays visibly slow.
+    */
+  private[graft] def needsRetry(raws: Seq[Either[String, Double]]): Boolean = {
+    val ts = raws.collect { case Right(t) => t }
+    ts.length == raws.length && ts.nonEmpty && {
+      val m = median(ts)
+      m > ts.min * 1.5 && m - ts.min > 0.3
+    }
+  }
 
   /** Fixed single-thread CPU workload (~0.2 s on a healthy core), timed at
     * bench start/end and mid-run and embedded in the artifact — host-level
@@ -99,7 +120,8 @@ object Bench {
       results: Seq[(String, Seq[Either[String, Double]])],
       sfDir: String,
       reps: Int,
-      calib: Seq[(Int, Double)]): String = {
+      calib: Seq[(Int, Double)],
+      retried: Seq[String] = Nil): String = {
     val qs = results.map { case (name, raws) =>
       val v =
         if (raws.exists(_.isLeft)) "\"err\""
@@ -126,7 +148,11 @@ object Bench {
     // sampled (-1 = before the first query) — the position axis perfdiff's
     // throttle adjudication joins on.
     val calibAtJson = calib.map(_._1.toString).mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
+    // "retried": queries whose first rep set tripped needsRetry and whose
+    // raws/medians therefore merge a second end-of-run set — the artifact's
+    // own record that a number was adjudicated in-harness, not a clean read.
+    val retriedJson = retried.map(jsonStr).mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"retried":$retriedJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
   }
 
   /** One short line the driver can always parse even when the full artifact
@@ -136,13 +162,14 @@ object Bench {
     */
   private[graft] def renderCompact(
       results: Seq[(String, Seq[Either[String, Double]])],
-      calib: Seq[(Int, Double)]): String = {
+      calib: Seq[(Int, Double)],
+      retried: Seq[String] = Nil): String = {
     val total = results.collect {
       case (_, raws) if raws.forall(_.isRight) =>
         median(raws.collect { case Right(t) => t })
     }.sum
     val nErr = results.count(_._2.exists(_.isLeft))
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"calib_first":${calib.head._2}%.3f,"calib_last":${calib.last._2}%.3f}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"retried":${retried.size},"calib_first":${calib.head._2}%.3f,"calib_last":${calib.last._2}%.3f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -194,7 +221,37 @@ object Bench {
       name -> raws
     }
     calib += ((names.size - 1, cpuCalib()))
-    val full = renderJson(results, sfDir, reps, calib.toSeq)
+    // Retry pass (in-harness adjudication of host-contention windows): any
+    // query whose first rep set carries the contention signature
+    // ([[needsRetry]]: median >1.5x AND >0.3s above its own min) is re-run
+    // once, at end of run, with nReps+2 reps. Merging the two sets makes the
+    // merged median land INSIDE the retry set when the retry is uniformly
+    // faster (retry has a 2-rep majority), so a stall window self-corrects —
+    // while a genuine plan regression, which reproduces in the retry reps
+    // too, keeps its slow median. Each retry gets its own calib sample at
+    // the query's run position so perfdiff's throttle adjudication has a
+    // host-health reading beside the reps that now dominate the median.
+    val retried = results.collect { case (name, raws) if needsRetry(raws) => name }
+    val mergedResults = if (retried.isEmpty) results else {
+      val retriedSet = retried.toSet
+      val extra = names.zipWithIndex.collect {
+        case ((name, fn), i) if retriedSet(name) =>
+          val nReps = (if (WatchClosely(name)) math.max(reps, 5) else reps) + 2
+          val raws2 = timeReps(
+            () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
+            nReps)
+          System.err.println(
+            s"[bench] retry $name raws=" + raws2.map {
+              case Right(t) => f"$t%.3f"
+              case Left(_)  => "err"
+            }.mkString(","))
+          calib += ((i, cpuCalib()))
+          name -> raws2
+      }.toMap
+      results.map { case (n, raws) => n -> (raws ++ extra.getOrElse(n, Nil)) }
+    }
+    retried.foreach(n => System.err.println(s"[bench] retried (contention signature): $n"))
+    val full = renderJson(mergedResults, sfDir, reps, calib.toSeq, retried)
     println(full)
     // The full line above routinely exceeds the driver's capture window
     // (BENCH_r05..r07 all came back tail-truncated, "parsed": null). Two
@@ -208,7 +265,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(renderCompact(results, calib.toSeq))
+    println(renderCompact(mergedResults, calib.toSeq, retried))
     spark.stop()
   }
 }

@@ -52,6 +52,49 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"calib_at\":[-1]"))
   }
 
+  test("needsRetry fires on the contention signature only") {
+    def r(ts: Double*): Seq[Either[String, Double]] = ts.map(Right(_))
+    // stall window: median 3.0 vs min 0.4 — >1.5x and >0.3s above min
+    assert(Bench.needsRetry(r(0.4, 3.0, 3.1)))
+    // genuine plan cost: every rep slow, median ~ min — no retry
+    assert(!Bench.needsRetry(r(3.0, 3.1, 2.9)))
+    // fast query with relative spread but under the 0.3s absolute bar
+    assert(!Bench.needsRetry(r(0.05, 0.2, 0.21)))
+    // ratio bar: median 0.5 vs min 0.4 is within 1.5x
+    assert(!Bench.needsRetry(r(0.4, 0.5, 0.5)))
+    // an errored rep disqualifies (err path owns that query already)
+    assert(!Bench.needsRetry(Seq(Right(0.4), Left("boom"), Right(3.0))))
+    // single rep: median == min, never fires
+    assert(!Bench.needsRetry(r(9.9)))
+  }
+
+  test("renderJson: retried query reports the merged median and the retried list") {
+    // first set: contended (min 0.4, median 3.0); retry set: nReps+2 = 5
+    // clean reps. Merged 8 reps sorted = 5 retry values first, so the
+    // median (avg of 4th/5th) lands INSIDE the retry set.
+    val merged: Seq[Either[String, Double]] =
+      Seq(0.4, 3.0, 3.1, 0.40, 0.41, 0.42, 0.40, 0.41).map(Right(_))
+    val json = Bench.renderJson(
+      Seq("hot" -> merged), "/tmp/sf", 3, Seq((-1, 0.1), (0, 0.1)), Seq("hot"))
+    assert(json.contains("\"retried\":[\"hot\"]"))
+    assert(json.contains("\"hot\":0.410")) // merged median, not 3.0
+    assert(json.contains("\"value\":0.410"))
+    // all 8 raw reps survive in the artifact for after-the-fact audit
+    assert(json.contains("\"hot\":[0.400,3.000,3.100,0.400,0.410,0.420,0.400,0.410]"))
+  }
+
+  test("renderJson: no retries renders an empty retried list (back-compat)") {
+    val json = Bench.renderJson(
+      Seq("a" -> Seq[Either[String, Double]](Right(1.0))), "/tmp/sf", 1, Seq((-1, 0.1)))
+    assert(json.contains("\"retried\":[]"))
+  }
+
+  test("renderCompact carries the retried count") {
+    val res = Seq("a" -> Seq[Either[String, Double]](Right(1.0)))
+    assert(Bench.renderCompact(res, Seq((-1, 0.1)), Seq("a")).contains("\"retried\":1"))
+    assert(Bench.renderCompact(res, Seq((-1, 0.1))).contains("\"retried\":0"))
+  }
+
   test("familyOf groups by the pre-underscore prefix") {
     assert(Bench.familyOf("dedup_jaccard_prefix") == "dedup")
     assert(Bench.familyOf("q1_agg") == "q1")

@@ -138,6 +138,11 @@ def main() -> int:
     print(f"shared {len(shared)} queries: "
           f"old total {sum(oq[q] for q in shared):.1f}s -> "
           f"new total {sum(nq[q] for q in shared):.1f}s")
+    retried = new.get("retried") or []
+    if retried:
+        # Bench's in-harness adjudication already re-measured these: their
+        # medians merge a contended first set with an end-of-run retry set.
+        print(f"retried in-harness ({len(retried)}): {', '.join(retried)}")
     if only_new:
         print(f"new-only ({len(only_new)}): "
               f"{', '.join(only_new)} = "
