@@ -3763,6 +3763,149 @@ object SparkEntry {
       "codec")
   }
 
+  /** REAL 16-bit PNG pixel decode ([[graft.ops.Multimodal.decodePngRaster]]
+    * via [[graft.ops.Multimodal.pngRasterStats]]): per document a
+    * closed-form 16-bit gradient spanning the full 0..65535 sample range
+    * (values whose low byte differs from the high byte, so an endianness
+    * or stride slip cannot cancel), encoded by
+    * [[graft.ops.Multimodal.pngEncodeRaster]] with per-row filter
+    * rotation, decoded back through inflate → 2-byte-sample un-filter.
+    * The oracle re-computes the planted values arithmetically at 16-bit
+    * scale — the r19 "png16 classified but not decoded" gap, closed.
+    */
+  private def multimodalPng16Pixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (2 + id % 11).toInt
+          val h = (2 + id % 7).toInt
+          val ch = (1 + id % 3).toInt
+          val s16 = new Array[Int](w * h * ch)
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < ch) {
+                s16(k) = ((id * 4099 + x * 521 + y * 1031 + c * 257) % 65536).toInt
+                k += 1; c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.pngEncodeRaster(w, h, ch, depth = 16, interlace = 0,
+            Multimodal.samples16ToBytes(s16), row => ((id + row) % 5).toInt))
+        }
+      }.toDF("doc_id", "payload")
+    graft.ops.Ordered.smallResult(
+      Multimodal.pngRasterStats(s, planted).toDF(), "doc_id")
+  }
+
+  /** Adam7 INTERLACED PNG pixel decode: the same closed-form raster
+    * (8-bit or 16-bit by `doc_id % 2`) encoded BOTH ways —
+    * [[graft.ops.Multimodal.pngEncodeRaster]] sequential and Adam7 — and
+    * decoded through [[graft.ops.Multimodal.pngRasterStats]]. The output
+    * carries the interlaced decode's stats (oracle: the planted closed
+    * forms) plus `twin_match` = 1 iff the two decodes agree on every stat
+    * — the natural oracle for a 7-pass reassembly (a wrong pass geometry
+    * moves pixels, changing `sum_pix` against the closed form AND, in
+    * general, desyncing the twins). Dims 1..19 × 1..13 cover every
+    * pass-emptiness pattern including single-row/column images.
+    */
+  private def multimodalPngInterlaced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 19).toInt
+          val h = (1 + id % 13).toInt
+          val ch = (1 + id % 2).toInt
+          val depth = if (id % 2 == 0) 8 else 16
+          val n = w * h * ch
+          val data =
+            if (depth == 8)
+              Array.tabulate(n)(k => (((id * 31 +
+                (k % (w * ch)) / ch * 7 + (k / (w * ch)) * 13 +
+                (k % ch) * 101) % 256) & 0xff).toByte)
+            else Multimodal.samples16ToBytes(Array.tabulate(n) { k =>
+              ((id * 4099 + (k % (w * ch)) / ch * 521 + (k / (w * ch)) * 1031 +
+                (k % ch) * 257) % 65536).toInt
+            })
+          val seqEnc = Multimodal.pngEncodeRaster(w, h, ch, depth, interlace = 0,
+            data, row => ((id + row) % 5).toInt)
+          val adamEnc = Multimodal.pngEncodeRaster(w, h, ch, depth, interlace = 1,
+            data, row => ((id + row) % 5).toInt)
+          (id, seqEnc, adamEnc)
+        }
+      }.toDF("doc_id", "seq", "adam").narrowCheckpoint()
+    val seqStats = Multimodal.pngRasterStats(s,
+      planted.select(col("doc_id"), col("seq").as("payload"))).toDF()
+    val adamStats = Multimodal.pngRasterStats(s,
+      planted.select(col("doc_id"), col("adam").as("payload"))).toDF()
+    val joined = adamStats.join(
+      seqStats.select(col("doc_id"),
+        col("width").as("sw"), col("height").as("sh"),
+        col("channels").as("sc"), col("depth").as("sd"),
+        col("n_pix").as("sn"), col("sum_pix").as("ss"), col("max_pix").as("sm")),
+      Seq("doc_id"), "inner")
+    graft.ops.Ordered.smallResult(
+      joined.select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("depth"), col("n_pix"), col("sum_pix"), col("max_pix"),
+        when(col("width") === col("sw") && col("height") === col("sh") &&
+          col("channels") === col("sc") && col("depth") === col("sd") &&
+          col("n_pix") === col("sn") && col("sum_pix") === col("ss") &&
+          col("max_pix") === col("sm"), 1L).otherwise(0L).as("twin_match")),
+      "doc_id")
+  }
+
+  /** The classes gate with REAL pixel streams (the r19 done-criterion:
+    * `png16`/`png_i` rows gain `n_pixel_decoded = 1`): per document one of
+    * four classes by `doc_id % 4` — real depth-8 sequential, real 16-bit,
+    * real Adam7, and a depth-4 container (garbage IDAT — `png_ld` stays
+    * the one undecodable class). Counts per codec tag how many the RASTER
+    * path ([[graft.ops.Multimodal.pngRasterStats]]) decoded: the oracle
+    * expects n_pixel_decoded = n for png/png16/png_i and 0 for png_ld, so
+    * a decode path silently dying on a class (or starting to fabricate
+    * pixels for low-depth) flips a group.
+    */
+  private def multimodalPngClassesPx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 45).toInt
+          val h = (1 + id % 29).toInt
+          val px8 = Array.tabulate(w * h)(k => (((id * 31 + k * 7) % 256) & 0xff).toByte)
+          val payload = (id % 4) match {
+            case 0 => Multimodal.pngEncodeRaster(w, h, 1, depth = 8, interlace = 0,
+              px8, row => ((id + row) % 5).toInt)
+            case 1 => Multimodal.pngEncodeRaster(w, h, 1, depth = 16, interlace = 0,
+              Multimodal.samples16ToBytes(
+                Array.tabulate(w * h)(k => ((id * 4099 + k * 521) % 65536).toInt)),
+              row => ((id + row) % 5).toInt)
+            case 2 => Multimodal.pngEncodeRaster(w, h, 1, depth = 8, interlace = 1,
+              px8, row => ((id + row) % 5).toInt)
+            case _ => Multimodal.pngContainer(w, h, depth = 4, colorType = 0,
+              interlace = 0, idat = Array[Byte](1, 2, 3))
+          }
+          (id, payload, w.toLong, h.toLong)
+        }
+      }.toDF("doc_id", "payload", "w", "h").narrowCheckpoint()
+    val feats = Multimodal.extractFeatures(s, planted.select(col("doc_id"), col("payload"))).toDF()
+    val pix = Multimodal.pngRasterStats(s, planted.select(col("doc_id"), col("payload")))
+      .toDF().select(col("doc_id"), lit(1L).as("pix"))
+    graft.ops.Ordered.smallResult(
+      feats.join(pix, Seq("doc_id"), "left")
+        .groupBy(col("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("pix"), lit(0L))).as("n_pixel_decoded"),
+          sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h")),
+      "codec")
+  }
+
   /** Real PNG resize ([[graft.ops.Multimodal.resizePngNearest]]): plant →
     * decode → nearest-neighbor 5×4 → RE-ENCODE → decode again for stats —
     * the full codec round trip twice over; the oracle re-derives the
@@ -5118,6 +5261,9 @@ object SparkEntry {
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_pixels_palette" -> (multimodalPixelsPalette _),
     "multimodal_png_classes" -> (multimodalPngClasses _),
+    "multimodal_png16_pixels" -> (multimodalPng16Pixels _),
+    "multimodal_png_interlaced" -> (multimodalPngInterlaced _),
+    "multimodal_png_classes_px" -> (multimodalPngClassesPx _),
     "multimodal_resize_px" -> (multimodalResizePx _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_rgb" -> (multimodalJpegRgb _),
@@ -8753,6 +8899,56 @@ object SparkEntry {
         |           FROM documents)
         |SELECT codec, count(*) AS n,
         |       CAST(sum(CASE WHEN codec = 'png' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pixel_decoded,
+        |       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM d GROUP BY codec ORDER BY codec""".stripMargin,
+    // 16-bit pixel path: the closed-form 16-bit gradient re-derived
+    // arithmetically at 0..65535 scale — the engine must get the SAME
+    // integers back through inflate + 2-byte-sample un-filter.
+    "multimodal_png16_pixels" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 11 AS w, 2 + doc_id % 7 AS h,
+        |                  1 + doc_id % 3 AS ch FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, d.ch,
+        |              (d.doc_id*4099 + x*521 + y*1031 + c*257) % 65536 AS v
+        |       FROM d, unnest(range(0, d.w)) AS tx(x),
+        |            unnest(range(0, d.h)) AS ty(y),
+        |            unnest(range(0, d.ch)) AS tc(c))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels, CAST(16 AS BIGINT) AS depth,
+        |       count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // Adam7 path: stats of the INTERLACED decode against the planted
+    // closed forms (depth by doc_id % 2), twin_match pinned to 1 — the
+    // engine must reassemble 7 passes to the exact sequential raster.
+    "multimodal_png_interlaced" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 19 AS w, 1 + doc_id % 13 AS h,
+        |                  1 + doc_id % 2 AS ch,
+        |                  CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS depth
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, d.ch, d.depth,
+        |              CASE WHEN d.depth = 8
+        |                   THEN (d.doc_id*31 + x*7 + y*13 + c*101) % 256
+        |                   ELSE (d.doc_id*4099 + x*521 + y*1031 + c*257) % 65536
+        |              END AS v
+        |       FROM d, unnest(range(0, d.w)) AS tx(x),
+        |            unnest(range(0, d.h)) AS ty(y),
+        |            unnest(range(0, d.ch)) AS tc(c))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels, CAST(depth AS BIGINT) AS depth,
+        |       count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix,
+        |       CAST(1 AS BIGINT) AS twin_match
+        |FROM px GROUP BY doc_id, w, h, ch, depth ORDER BY doc_id""".stripMargin,
+    // Classes with REAL streams: every class except png_ld now DECODES —
+    // n_pixel_decoded = n for png/png16/png_i, 0 for the low-depth class.
+    "multimodal_png_classes_px" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 45 AS w, 1 + doc_id % 29 AS h,
+        |                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'png16'
+        |                       WHEN 2 THEN 'png_i' ELSE 'png_ld' END AS codec
+        |           FROM documents)
+        |SELECT codec, count(*) AS n,
+        |       CAST(sum(CASE WHEN codec = 'png_ld' THEN 0 ELSE 1 END) AS BIGINT)
         |         AS n_pixel_decoded,
         |       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
         |FROM d GROUP BY codec ORDER BY codec""".stripMargin,

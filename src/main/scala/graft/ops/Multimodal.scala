@@ -462,6 +462,35 @@ object Multimodal {
   final case class PngPixels(
       width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
+  /** A fully decoded PNG raster at its STORED bit depth: `data` is the
+    * un-filtered (and, for Adam7, de-interlaced) image in sequential
+    * scanline order with samples in the stored big-endian width (1 byte at
+    * depth 8, 2 bytes at depth 16), `channels` interleaved per pixel.
+    * Palette images arrive already expanded to RGB (depth 8). Keeping the
+    * raster in byte form (not an `Array[Int]`) holds peak memory at the
+    * decompression-bomb guard's 256 MiB bound instead of quadrupling it.
+    */
+  final case class PngRaster(
+      width: Int, height: Int, channels: Int, depth: Int, data: Array[Byte]) {
+    /** Number of samples (pixels × channels). */
+    def nSamples: Int = data.length / (depth / 8)
+    /** Sample k as an unsigned int: 0..255 (depth 8) or 0..65535 (16). */
+    def sample(k: Int): Int =
+      if (depth == 8) data(k) & 0xff
+      else ((data(2 * k) & 0xff) << 8) | (data(2 * k + 1) & 0xff)
+    /** Sample k clipped to 8 bits (high byte at depth 16 — the standard
+      * 16→8 reduction; identity at depth 8). */
+    def sample8(k: Int): Int = if (depth == 8) data(k) & 0xff else data(2 * k) & 0xff
+  }
+
+  /** Adam7 pass geometry (RFC 2083 §8.2): (xStart, yStart, xStep, yStep)
+    * per pass. A pass whose sub-image is empty for the image's dims
+    * contributes NO scanlines (not even filter bytes).
+    */
+  private[ops] val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** REAL pixel decode for 8-bit non-interlaced non-palette PNG: the strict
     * [[decodePng]] frame/CRC validation, then the concatenated IDAT stream
     * inflated with `java.util.zip.Inflater` (zlib is pure JVM — no native
@@ -473,9 +502,12 @@ object Multimodal {
     * — a corrupt or truncated IDAT returns None rather than partial
     * pixels. Palette images (color type 3) decode THROUGH the PLTE
     * indirection to plain RGB (every index strictly bounds-checked against
-    * the palette). Out of scope (None, documented): bit depths other
-    * than 8 and interlaced images; those still pass [[decodePng]]'s
-    * metadata path. ALSO out of scope by the decompression-bomb guard:
+    * the palette). Since round 20 this is a thin 8-bit view over
+    * [[decodePngRaster]], so Adam7-interlaced 8-bit images decode here
+    * too (de-interlaced to the sequential raster). Out of scope for THIS
+    * accessor (None, documented): depth 16 — its byte raster cannot carry
+    * 16-bit samples; use [[decodePngRaster]] (depths 1/2/4 stay
+    * undecodable everywhere). ALSO out of scope by the decompression-bomb guard:
     * rasters larger than 256 MiB (`1<<28` bytes of filtered raw, i.e.
     * ≈268 M pixels for grayscale, ≈67 M for RGBA) return None even when
     * well-formed — callers sizing gates/fixtures must stay under that
@@ -483,7 +515,26 @@ object Multimodal {
     * any legitimate corpus image, so the cap is deliberate, not a codec
     * limit.
     */
-  def decodePngPixels(p: Array[Byte]): Option[PngPixels] = {
+  def decodePngPixels(p: Array[Byte]): Option[PngPixels] =
+    decodePngRaster(p).collect {
+      case r if r.depth == 8 => PngPixels(r.width, r.height, r.channels, r.data)
+    }
+
+  /** The generalized pixel core behind [[decodePngPixels]]: decodes depth
+    * 8 AND depth 16, interlace 0 AND 1 (Adam7), to a sequential
+    * [[PngRaster]] at the stored bit depth. Same strictness discipline as
+    * the 8-bit path it grew out of: the IDAT stream must inflate to
+    * EXACTLY the pass-structure byte count with nothing left over, every
+    * filter byte ≤ 4, every palette index in range, and the
+    * decompression-bomb guard fires BEFORE allocation. Adam7 streams carry
+    * the 7 reduced sub-images concatenated (RFC 2083 §8.2; an empty pass
+    * contributes no scanlines at all); each pass is un-filtered
+    * independently — filter neighbors a/b/c refer to the PASS raster, not
+    * the final image — then scattered to the sequential raster pixel by
+    * pixel. Still out of scope (None, observable as `png_ld` via
+    * [[pngCodecTag]]): packed sub-byte depths 1/2/4.
+    */
+  def decodePngRaster(p: Array[Byte]): Option[PngRaster] = {
     if (decodePng(p).isEmpty) return None // frame shape + all CRCs verified
     def be32(i: Int): Int =
       ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
@@ -517,9 +568,22 @@ object Multimodal {
         1
       case _ => return None
     }
-    if (depth != 8 || interlace != 0) return None
-    val stride = w.toLong * channels
-    val rawLen = (stride + 1L) * h
+    if ((depth != 8 && depth != 16) || interlace > 1) return None
+    val bps = depth / 8
+    val bpp = channels * bps
+    // Live passes as (xStart, yStart, xStep, yStep, passW, passH): one
+    // full-image pass when sequential, the non-empty Adam7 passes when
+    // interlaced.
+    val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+      (if (interlace == 0) Array((0, 0, 1, 1)) else Adam7).flatMap {
+        case (x0, y0, dx, dy) =>
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) Some((x0, y0, dx, dy, pw, ph)) else None
+      }
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      ph.toLong * (1L + pw.toLong * bpp)
+    }.sum
     // Decompression-bomb guard: deflate's best case is ~1032:1, so a raster
     // larger than idat*1032 (or an absolute 256 MiB) cannot be legitimate —
     // reject BEFORE allocating (a ~100-byte IHDR-forged PNG must not cost
@@ -546,39 +610,62 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    val st = stride.toInt
-    val bpp = channels // depth 8: one byte per channel
-    val out = new Array[Byte](h * st)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (st + 1)) & 0xff
-      if (ft > 4) return None
-      val rowIn = y * (st + 1) + 1
-      val rowOut = y * st
-      var x = 0
-      while (x < st) {
-        val rw = raw(rowIn + x) & 0xff
-        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
-        val b = if (y > 0) out(rowOut - st + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) out(rowOut - st + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => rw
-          case 1 => rw + a
-          case 2 => rw + b
-          case 3 => rw + (a + b) / 2
-          case 4 =>
-            val pp = a + b - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
-            val pc = math.abs(pp - c)
-            rw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    // Sequential raster in stored sample width; filled pass by pass.
+    val out = new Array[Byte](w * h * bpp)
+    var rawOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy, pw, ph) = passes(pi)
+      val st = pw * bpp
+      // Un-filter this pass into its own contiguous buffer: the filter's
+      // a/b/c neighbors are PASS-raster neighbors (for the sequential
+      // single pass this is the whole image and `cur` IS the output).
+      val seq = interlace == 0
+      val cur = if (seq) out else new Array[Byte](ph * st)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(rawOff + y * (st + 1)) & 0xff
+        if (ft > 4) return None
+        val rowIn = rawOff + y * (st + 1) + 1
+        val rowOut = y * st
+        var x = 0
+        while (x < st) {
+          val rw = raw(rowIn + x) & 0xff
+          val a = if (x >= bpp) cur(rowOut + x - bpp) & 0xff else 0
+          val b = if (y > 0) cur(rowOut - st + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) cur(rowOut - st + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => rw
+            case 1 => rw + a
+            case 2 => rw + b
+            case 3 => rw + (a + b) / 2
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              rw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          cur(rowOut + x) = (v & 0xff).toByte
+          x += 1
         }
-        out(rowOut + x) = (v & 0xff).toByte
-        x += 1
+        // Scatter the de-filtered row's pixels to their sequential homes.
+        if (!seq) {
+          var cx = 0
+          while (cx < pw) {
+            System.arraycopy(cur, rowOut + cx * bpp, out,
+              ((y0 + y * dy) * w + (x0 + cx * dx)) * bpp, bpp)
+            cx += 1
+          }
+        }
+        y += 1
       }
-      y += 1
+      rawOff += ph * (st + 1)
+      pi += 1
     }
-    if (color != 3) return Some(PngPixels(w, h, channels, out))
-    // Palette expansion: index bytes → RGB triples, every index strict.
+    if (color != 3) return Some(PngRaster(w, h, channels, depth, out))
+    // Palette expansion: index bytes → RGB triples, every index strict
+    // (palette rasters are always depth 8 here — sub-byte palettes are the
+    // out-of-scope png_ld class, and 16-bit palettes are PNG-illegal).
     val nEntries = plte.length / 3
     val rgb = new Array[Byte](w * h * 3)
     var k = 0
@@ -590,7 +677,7 @@ object Multimodal {
       rgb(k * 3 + 2) = plte(idx * 3 + 2)
       k += 1
     }
-    Some(PngPixels(w, h, 3, rgb))
+    Some(PngRaster(w, h, 3, 8, rgb))
   }
 
   /** The ENCODE twin of [[decodePngPixels]]: a complete valid 8-bit PNG
@@ -717,6 +804,128 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The ENCODE twin of [[decodePngRaster]]: a complete valid PNG at depth
+    * 8 OR 16, sequential OR Adam7-interlaced, around a raw raster given in
+    * sequential scanline order with stored-width big-endian samples
+    * (`data.length == w·h·channels·depth/8`). Adam7 output carries the 7
+    * reduced sub-images concatenated, each filtered independently (empty
+    * passes absent), exactly the stream shape the decoder expects — so
+    * "encode the same raster both ways, decode both, compare" is a natural
+    * oracle with no second codec involved. `filterOfRow` is fed a RUNNING
+    * scanline counter across passes so fixtures exercise all five filters
+    * in interlaced streams too.
+    */
+  def pngEncodeRaster(
+      width: Int, height: Int, channels: Int, depth: Int, interlace: Int,
+      data: Array[Byte], filterOfRow: Int => Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(depth == 8 || depth == 16, s"depth must be 8 or 16, got $depth")
+    require(interlace == 0 || interlace == 1, s"interlace must be 0 or 1, got $interlace")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case n => throw new IllegalArgumentException(s"channels must be 1..4, got $n")
+    }
+    val bps = depth / 8
+    val bpp = channels * bps
+    require(data.length == width * height * bpp,
+      s"raster must be ${width * height * bpp} bytes, got ${data.length}")
+    val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+      (if (interlace == 0) Array((0, 0, 1, 1)) else Adam7).flatMap {
+        case (x0, y0, dx, dy) =>
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) Some((x0, y0, dx, dy, pw, ph)) else None
+      }
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph * (1 + pw * bpp) }.sum
+    val raw = new Array[Byte](rawLen)
+    var rawOff = 0
+    var globalRow = 0
+    for ((x0, y0, dx, dy, pw, ph) <- passes) {
+      val st = pw * bpp
+      // Gather this pass's pixels from the sequential raster, then filter
+      // rows against PASS-raster neighbors (the decode's inverse).
+      val cur = new Array[Byte](ph * st)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          System.arraycopy(data, ((y0 + y * dy) * width + (x0 + x * dx)) * bpp,
+            cur, y * st + x * bpp, bpp)
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < ph) {
+        val ft = math.floorMod(filterOfRow(globalRow), 5)
+        raw(rawOff + y * (st + 1)) = ft.toByte
+        var x = 0
+        while (x < st) {
+          val vv = cur(y * st + x) & 0xff
+          val a = if (x >= bpp) cur(y * st + x - bpp) & 0xff else 0
+          val b = if (y > 0) cur((y - 1) * st + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) cur((y - 1) * st + x - bpp) & 0xff else 0
+          val enc = ft match {
+            case 0 => vv
+            case 1 => vv - a
+            case 2 => vv - b
+            case 3 => vv - (a + b) / 2
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              vv - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          raw(rawOff + y * (st + 1) + 1 + x) = (enc & 0xff).toByte
+          x += 1
+        }
+        globalRow += 1
+        y += 1
+      }
+      rawOff += ph * (st + 1)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val outBuf = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      outBuf.write(be32(body.length.toLong), 0, 4)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      outBuf.write(tb, 0, 4)
+      outBuf.write(body, 0, body.length)
+      outBuf.write(be32(crc.getValue), 0, 4)
+    }
+    outBuf.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    outBuf.toByteArray
+  }
+
+  /** Pack an `Array[Int]` of 16-bit samples (0..65535) into the big-endian
+    * byte raster [[pngEncodeRaster]]/[[PngRaster]] use — the planting-side
+    * helper for 16-bit fixtures.
+    */
+  def samples16ToBytes(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var k = 0
+    while (k < samples.length) {
+      out(2 * k) = ((samples(k) >> 8) & 0xff).toByte
+      out(2 * k + 1) = (samples(k) & 0xff).toByte
+      k += 1
+    }
+    out
+  }
+
   /** Per-image REAL pixel statistics for PNG payloads — the
     * `extractFeatures` shape driven through [[decodePngPixels]]'s full
     * inflate + un-filter, so the numbers are functions of the IMAGE, not
@@ -748,14 +957,49 @@ object Multimodal {
     }
   }
 
-  /** REAL resize for PNG payloads: decode ([[decodePngPixels]]),
-    * nearest-neighbor resample to `targetW × targetH` (source index =
+  /** Depth-aware twin of [[pngPixelStats]] over [[decodePngRaster]]:
+    * per-image all-integer stats AT THE STORED BIT DEPTH (sum/max over
+    * 0..65535 samples for 16-bit images, 0..255 for 8-bit), with `depth`
+    * in the output so a gate can assert which decode path fired. Accepts
+    * everything the raster core does — depth 8/16, sequential and Adam7 —
+    * so a 16-bit scientific PNG or an interlaced web PNG now yields REAL
+    * pixel stats instead of falling through (the r19 gap). Undecodable
+    * payloads are absent from the output (the [[pngPixelStats]] scope
+    * rule).
+    */
+  final case class PngRasterStats(
+      doc_id: Long, width: Long, height: Long, channels: Long, depth: Long,
+      n_pix: Long, sum_pix: Long, max_pix: Long)
+  def pngRasterStats(spark: SparkSession, media: DataFrame): Dataset[PngRasterStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePngRaster(r.payload).map { im =>
+          var s = 0L; var mx = 0L
+          val n = im.nSamples
+          var k = 0
+          while (k < n) {
+            val v = im.sample(k).toLong
+            s += v; if (v > mx) mx = v
+            k += 1
+          }
+          PngRasterStats(r.doc_id, im.width.toLong, im.height.toLong,
+            im.channels.toLong, im.depth.toLong, n.toLong, s, mx)
+        }
+      }
+    }
+  }
+
+  /** REAL resize for PNG payloads: decode ([[decodePngRaster]] — so 8-bit,
+    * 16-bit and Adam7-interlaced sources all work), nearest-neighbor
+    * resample to `targetW × targetH` (source index =
     * `⌊outIndex · srcDim / targetDim⌋` — all-integer, so an oracle
     * re-derives the exact mapping), re-encode ([[pngEncode]], filter 0).
-    * Replaces the byte-budget stub path for PNG containers: the output
-    * payload is a valid PNG whose pixels are a pure function of the
-    * source IMAGE. Non-PNG payloads are absent from the output (the
-    * [[pngPixelStats]] scope rule).
+    * The output is ALWAYS an 8-bit sequential PNG: 16-bit samples clip to
+    * their high byte (`v >> 8`, the standard 16→8 reduction — exact for
+    * the training-thumbnail use case, and closed-form for oracles).
+    * Non-PNG payloads are absent from the output (the [[pngPixelStats]]
+    * scope rule).
     */
   def resizePngNearest(
       spark: SparkSession, media: DataFrame,
@@ -765,7 +1009,7 @@ object Multimodal {
       s"target dimensions must be >= 1, got ${targetW}x$targetH")
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        decodePngPixels(r.payload).map { im =>
+        decodePngRaster(r.payload).map { im =>
           val ch = im.channels
           val out = new Array[Byte](targetW * targetH * ch)
           var y = 0
@@ -777,7 +1021,7 @@ object Multimodal {
               var c = 0
               while (c < ch) {
                 out((y * targetW + x) * ch + c) =
-                  im.pixels((sy * im.width + sx) * ch + c)
+                  im.sample8((sy * im.width + sx) * ch + c).toByte
                 c += 1
               }
               x += 1
@@ -819,15 +1063,22 @@ object Multimodal {
     * IHDR fields that decide whether [[decodePngPixels]] can take it:
     * `png_i` (interlace 1 — Adam7 layout, wins when both apply since it
     * changes the raster layout wholesale), `png16` (bit depth 16),
-    * `png_ld` (depths 1/2/4), `png` (depth 8, non-interlaced — the one
-    * class the full pixel path accepts). Closes the r17/r18 carry-over:
-    * a 16-bit or interlaced PNG previously tagged plain `png` and took
-    * the stub-adjacent fallthrough with NO distinct tag, so corpus stats
+    * `png_ld` (depths 1/2/4), `png` (depth 8, non-interlaced). Since
+    * round 20 [[decodePngRaster]] DECODES `png16` and `png_i` too — the
+    * tag still matters as the corpus-stats axis (which sample width /
+    * stream layout the data carries) and because `png_ld` remains the one
+    * undecodable class. Closes the r17/r18 carry-over: a 16-bit or
+    * interlaced PNG previously tagged plain `png` and took the
+    * stub-adjacent fallthrough with NO distinct tag, so corpus stats
     * could not see how much data the pixel path was silently skipping.
-    * Caller must have `decodePng(p).nonEmpty` (IHDR is then proven to be
-    * the first chunk: depth at byte 24, interlace at byte 28).
+    * Contract (fail-loud, not garbage): `p` must start with the PNG
+    * signature and reach through IHDR (≥ 29 bytes) — true for anything
+    * [[decodePng]] accepted, which is where extractFeatures calls it.
     */
   def pngCodecTag(p: Array[Byte]): String = {
+    require(p.length >= 29 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G',
+      s"pngCodecTag needs a decodePng-valid payload (got ${p.length} bytes)")
     val depth = p(24) & 0xff
     val interlace = p(28) & 0xff
     if (interlace != 0) "png_i"

@@ -1647,10 +1647,15 @@ class OpsSpec extends SparkSpec {
     // The metadata walk accepts all four classes (CRCs + frame valid)...
     for (p <- Seq(wrap16, wrapI, wrapLd, plain))
       assert(Multimodal.decodePng(p) == Some((6L, 4L)))
-    // ...the full pixel path only the depth-8 non-interlaced one.
+    // ...the pixel path rejects all three containers — their IDAT is
+    // garbage bytes, not a zlib stream (REAL 16-bit/Adam7 streams decode
+    // since round 20; see the raster-core round-trip tests).
     assert(Multimodal.decodePngPixels(wrap16).isEmpty)
     assert(Multimodal.decodePngPixels(wrapI).isEmpty)
     assert(Multimodal.decodePngPixels(wrapLd).isEmpty)
+    assert(Multimodal.decodePngRaster(wrap16).isEmpty)
+    assert(Multimodal.decodePngRaster(wrapI).isEmpty)
+    assert(Multimodal.decodePngRaster(wrapLd).isEmpty)
     assert(Multimodal.decodePngPixels(plain).nonEmpty)
     // extractFeatures now SAYS which class fired instead of a flat "png".
     val feats = Multimodal.extractFeatures(spark,
@@ -1675,6 +1680,113 @@ class OpsSpec extends SparkSpec {
       assert(Multimodal.decodePng(Multimodal.pngContainer(6, 4, depth = d,
         colorType = c, interlace = 0, idat = Array[Byte](1, 2))).nonEmpty,
         s"color=$c depth=$d must be accepted")
+  }
+
+  test("PNG raster core: 16-bit round-trips exactly at the stored depth; 8-bit view refuses it") {
+    for (ch <- 1 to 4) {
+      val (w, h) = (7, 6)
+      // full 16-bit dynamic range, including values whose low byte != high
+      // byte so a stride or endianness slip cannot cancel out
+      val samples = Array.tabulate(w * h * ch)(k => (k * 9973 + ch * 257) % 65536)
+      val enc = Multimodal.pngEncodeRaster(w, h, ch, depth = 16, interlace = 0,
+        Multimodal.samples16ToBytes(samples), row => row % 5)
+      assert(Multimodal.decodePng(enc) == Some((w.toLong, h.toLong)))
+      assert(Multimodal.pngCodecTag(enc) == "png16")
+      val r = Multimodal.decodePngRaster(enc).get
+      assert(r.width == w && r.height == h && r.channels == ch && r.depth == 16)
+      assert(Array.tabulate(r.nSamples)(r.sample).toSeq == samples.toSeq,
+        s"16-bit raster must round-trip (ch=$ch)")
+      // the byte-raster accessor cannot carry 16-bit samples: None, not truncation
+      assert(Multimodal.decodePngPixels(enc).isEmpty)
+      // the clip accessor takes the high byte
+      assert(r.sample8(0) == samples(0) >> 8)
+    }
+  }
+
+  test("PNG raster core: Adam7 de-interlaces to the sequential twin at every pass-geometry edge") {
+    // Sizes chosen so every Adam7 pass-emptiness pattern occurs: below 8
+    // some passes are empty (w or h = 1 kill entire pass families), 8/9
+    // exercise full geometry, 16x12 multiple pass rows.
+    val sizes = Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (7, 7), (8, 8),
+      (9, 5), (16, 12), (1, 9), (9, 1))
+    for ((w, h) <- sizes; ch <- Seq(1, 3)) {
+      val px = Array.tabulate(w * h * ch)(k => ((k * 37 + w * 11 + h) % 256).toByte)
+      val seqEnc = Multimodal.pngEncode(w, h, ch, px, row => row % 5)
+      val adamEnc = Multimodal.pngEncodeRaster(w, h, ch, depth = 8, interlace = 1,
+        px, row => row % 5)
+      assert(Multimodal.pngCodecTag(adamEnc) == "png_i")
+      val seqDec = Multimodal.decodePngRaster(seqEnc).get
+      val adamDec = Multimodal.decodePngRaster(adamEnc).get
+      assert(adamDec.depth == 8 && adamDec.width == w && adamDec.height == h)
+      assert(adamDec.data.toSeq == px.toSeq, s"Adam7 must de-interlace exactly (${w}x$h ch=$ch)")
+      assert(adamDec.data.toSeq == seqDec.data.toSeq, "both layouts must agree")
+      // the 8-bit byte view now accepts interlaced images too
+      assert(Multimodal.decodePngPixels(adamEnc).get.pixels.toSeq == px.toSeq)
+    }
+    // 16-bit Adam7: both extensions composed.
+    val (w, h, ch) = (11, 9, 2)
+    val s16 = Array.tabulate(w * h * ch)(k => (k * 6151 + 3) % 65536)
+    val enc = Multimodal.pngEncodeRaster(w, h, ch, depth = 16, interlace = 1,
+      Multimodal.samples16ToBytes(s16), row => (row + 2) % 5)
+    assert(Multimodal.pngCodecTag(enc) == "png_i") // Adam7 wins the tag
+    val dec = Multimodal.decodePngRaster(enc).get
+    assert(dec.depth == 16 && Array.tabulate(dec.nSamples)(dec.sample).toSeq == s16.toSeq)
+  }
+
+  test("PNG raster core: interlaced PALETTE images expand through PLTE after de-interlacing") {
+    // Build color-type-3 + Adam7 by splicing PLTE into an interlaced gray
+    // encode of the index raster (the pngEncodePalette technique).
+    val (w, h) = (9, 6)
+    val pal = Array.tabulate(8 * 3)(k => ((k * 41 + 5) % 256).toByte)
+    val idx = Array.tabulate(w * h)(k => ((k * 3 + 1) % 8).toByte)
+    val gray = Multimodal.pngEncodeRaster(w, h, 1, depth = 8, interlace = 1,
+      idx, row => row % 5)
+    def be32At(a: Array[Byte], i: Int): Int =
+      ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
+        ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+    val idatLen = be32At(gray, 33)
+    val idatBody = java.util.Arrays.copyOfRange(gray, 41, 41 + idatLen)
+    val spliced = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(tag: String, body: Array[Byte]): Unit = {
+        out.write(be32(body.length.toLong), 0, 4)
+        val tb = tag.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+        out.write(tb, 0, 4); out.write(body, 0, body.length)
+        out.write(be32(crc.getValue), 0, 4)
+      }
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+      chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, 3, 0, 0, 1))
+      chunk("PLTE", pal)
+      chunk("IDAT", idatBody)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    val dec = Multimodal.decodePngRaster(spliced).get
+    assert(dec.channels == 3 && dec.depth == 8)
+    val expect = idx.flatMap(i => pal.slice((i & 0xff) * 3, (i & 0xff) * 3 + 3))
+    assert(dec.data.toSeq == expect.toSeq)
+  }
+
+  test("PNG resize clips 16-bit sources to the high byte") {
+    // 2x2 16-bit checkerboard: 0x0000 / 0x64FF — high bytes 0 / 100.
+    val s16 = Array(0x0000, 0x64ff, 0x64ff, 0x0000)
+    val enc = Multimodal.pngEncodeRaster(2, 2, 1, depth = 16, interlace = 0,
+      Multimodal.samples16ToBytes(s16), _ => 0)
+    val resized = Multimodal.resizePngNearest(spark,
+      Seq((9L, enc)).toDF("doc_id", "payload"), 4, 4).collect().head
+    val rp = Multimodal.decodePngPixels(resized.payload).get
+    assert(rp.pixels.map(_ & 0xff).toSeq == Seq(0, 0, 100, 100, 0, 0, 100, 100,
+      100, 100, 0, 0, 100, 100, 0, 0))
+  }
+
+  test("pngCodecTag fails loud on short or non-PNG payloads") {
+    intercept[IllegalArgumentException] { Multimodal.pngCodecTag(Array[Byte](1, 2, 3)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.pngCodecTag(Array.fill[Byte](40)('x'.toByte))
+    }
   }
 
   test("JPEG pixel decode: SOF-forged raster bomb rejected before ImageIO allocation") {
