@@ -1561,6 +1561,16 @@ object Similarity {
     * probe-side explode capped at 384 variant rows per vector so the
     * linear term cannot run away. Derived plans: 0.9 → (255, 15, 1),
     * 0.95 → (231, 11, 1), 0.99 → (253, 11, 0), 0.999 → (96, 4, 0).
+    *
+    * The plan space deliberately STOPS at Hamming-1 (round-20
+    * adjudication, enumerated in OpsSpec): Hamming-2's quadratic variant
+    * count `1 + r + r(r−1)/2` forces the band width down to r = 13 inside
+    * the 384-variant cap, where its best false mass is ≈ 4.5% — 20×+
+    * worse than the Hamming-1 optimum — and parity needs a ~2000-variant
+    * explode (7× the probe cost for nothing) while anything better busts
+    * the 256-bit signature budget. Under these budgets a false-mass
+    * minimizer can never pick probes = 2, so offering it would be a trap
+    * option, not a lever.
     */
   def srpPlanFor(threshold: Double, targetRecall: Double = 0.99): (Int, Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0,

@@ -340,6 +340,41 @@ class OpsSpec extends SparkSpec {
         (if (pr == 1) r * math.pow(pBit, r - 1) * (1 - pBit) else 0.0)
       assert(1.0 - math.pow(1.0 - q, b) >= 0.99, s"plan for $t: ($nb, $b, $pr)")
     }
+    // WHY THE PLAN SPACE STOPS AT HAMMING-1 (VERDICT r19 #5, adjudicated
+    // by exhaustive enumeration, closed): under the op's own feasibility
+    // budget — 256 signature bits, <= 32 bands, <= 384 probe variants per
+    // vector — the BEST Hamming-2 plan at threshold 0.9 is (r=13, b=4,
+    // 368 variants) with false mass 368/2^13 ~ 4.5%, >= 20x WORSE than
+    // the shipped Hamming-1 optimum (255, 15, 1) at ~0.21%: the quadratic
+    // variant count (1 + r + r(r-1)/2) forces r down to 13 where 2^-r is
+    // huge. Ham-2 reaches mere parity only near a ~2000-variant explode
+    // (r=20, b=9), i.e. 7x the linear probe cost for zero false-mass win,
+    // and anything better busts the 256-bit budget (r=24, b=13 = 312
+    // bits). So probes=2 can never be selected by a false-mass-minimizing
+    // planner under these budgets — enumerated here so the decision is
+    // math in the build, not prose in a doc.
+    {
+      val pBit = 1.0 - math.acos(0.90) / math.Pi
+      def bestFf(probes: Int): Double =
+        (4 to 24).flatMap { r =>
+          val q = math.pow(pBit, r) +
+            (if (probes >= 1) r * math.pow(pBit, r - 1) * (1 - pBit) else 0.0) +
+            (if (probes >= 2) r * (r - 1) / 2.0 * math.pow(pBit, r - 2) *
+              math.pow(1 - pBit, 2) else 0.0)
+          if (q <= 0.0 || q >= 1.0) None
+          else {
+            val b = math.ceil(math.log1p(-0.99) / math.log1p(-q)).toInt
+            val nvar = 1 + (if (probes >= 1) r else 0) +
+              (if (probes >= 2) r * (r - 1) / 2 else 0)
+            if (b >= 1 && b <= 32 && r * b <= 256 && b * nvar <= 384)
+              Some(b * nvar * math.pow(0.5, r))
+            else None
+          }
+        }.min
+      assert(bestFf(2) >= 20.0 * bestFf(1),
+        f"Hamming-2 best feasible false mass ${bestFf(2)}%.4f should be >=20x " +
+          f"Hamming-1's ${bestFf(1)}%.4f — if this ever flips, revisit srpPlanFor")
+    }
     // Low thresholds FAIL LOUD instead of silently shipping a geometry
     // whose candidate mass approaches brute force: the op's contract says
     // pairsAbove is the right call below the ~0.9 band, and a caller who
