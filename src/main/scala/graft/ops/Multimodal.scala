@@ -1245,7 +1245,13 @@ object Multimodal {
     *     band count, so the cap holds even when the stream's real
     *     component count differs from the caller's expectation) exceeds
     *     the PNG path's 256 MiB (`1<<28`) raster bound — computed in
-    *     Long, so 65535² cannot wrap.
+    *     Long, so 65535² cannot wrap. Deliberate asymmetry: because the
+    *     cap uses the worst-case band count regardless of the stream's
+    *     actual components, GRAYSCALE JPEGs cap at ~67 M pixels (~64 MiB
+    *     of raster) — 4× stricter than the PNG path's grayscale ceiling.
+    *     Acceptable as a conservative bomb guard; if legitimate >67 MP
+    *     grayscale corpora ever matter, size the cap on `bands·w·h` after
+    *     a cheap SOF component read.
     *  2. CRASH CLASS: only IOException used to be caught, but malformed
     *     color streams can throw CMMException / IllegalArgumentException /
     *     other RuntimeExceptions out of the codec; any of those killed the

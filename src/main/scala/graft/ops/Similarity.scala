@@ -1743,8 +1743,12 @@ object Similarity {
     * constants (BandedProbe, dim 64: probe rows ≈ 0.5 µs, candidate
     * verify ≈ 0.3 µs) put the break-even near n ≈ 10⁵; below it the
     * explode costs more than it saves, above it the win grows with n.
-    * The count is one column-pruned scan — the [[Dedup.semanticDedup]]
-    * auto-k precedent: a plan that depends on n must pay for n once.
+    * A plan that depends on n must pay for n once (the
+    * [[Dedup.semanticDedup]] auto-k precedent) — auto mode therefore
+    * materializes the input (narrowCheckpoint) and counts the blocks, so
+    * the upstream lineage executes ONCE total instead of three times
+    * (count + signature pass + verify join-back) and the plan decision
+    * always matches the data the scans actually read.
     */
   private val MultiprobeMinRows = 200000L
 
@@ -1760,11 +1764,21 @@ object Similarity {
     require((numBits == 0) == (bands == 0),
       s"numBits and bands must be overridden together, got ($numBits, $bands)")
     require(probes >= -1 && probes <= 1, s"probes must be -1 (auto), 0 or 1, got $probes")
+    // The size-aware default needs n, which is an ACTION inside an
+    // otherwise lazy builder. Materialize the input once for that case:
+    // the count then reads the materialized blocks, the signature pass and
+    // the verify join-back (which would otherwise EACH replay the upstream
+    // lineage — three executions of a possibly expensive transform chain)
+    // reuse them, and a non-deterministic upstream cannot hand the plan
+    // decision different data than the scans see. Explicit geometry or
+    // probes keep the builder fully lazy — no count, no materialization.
+    val auto = numBits == 0 && probes == -1
+    val in = if (auto) df.narrowCheckpoint() else df
     val (nb, b, pr) =
       if (numBits != 0) (numBits, bands, math.max(0, probes))
       else {
         val wantProbes = probes match {
-          case -1 => df.count() >= MultiprobeMinRows
+          case -1 => in.count() >= MultiprobeMinRows
           case p  => p == 1
         }
         if (wantProbes) srpPlanFor(threshold)
@@ -1773,8 +1787,8 @@ object Similarity {
           (gb, gbb, 0)
         }
       }
-    val cand = srpCandidates(df, dim, nb, b, idCol, vecCol, pr)
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    val cand = srpCandidates(in, dim, nb, b, idCol, vecCol, pr)
+    val vecs = in.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vv"))
       .withColumn("nrm", sqrt(dot(col("vv"), col("vv"))))
       .filter(col("nrm") > 0)
