@@ -3861,15 +3861,16 @@ object SparkEntry {
       "doc_id")
   }
 
-  /** The classes gate with REAL pixel streams (the r19 done-criterion:
-    * `png16`/`png_i` rows gain `n_pixel_decoded = 1`): per document one of
-    * four classes by `doc_id % 4` — real depth-8 sequential, real 16-bit,
-    * real Adam7, and a depth-4 container (garbage IDAT — `png_ld` stays
-    * the one undecodable class). Counts per codec tag how many the RASTER
-    * path ([[graft.ops.Multimodal.pngRasterStats]]) decoded: the oracle
-    * expects n_pixel_decoded = n for png/png16/png_i and 0 for png_ld, so
-    * a decode path silently dying on a class (or starting to fabricate
-    * pixels for low-depth) flips a group.
+  /** The classes gate with REAL pixel streams (the r19 done-criterion,
+    * extended): per document one of four classes by `doc_id % 4` — real
+    * depth-8 sequential, real 16-bit, real Adam7, real depth-4
+    * (packed-bit). Counts per codec tag how many the RASTER path
+    * ([[graft.ops.Multimodal.pngRasterStats]]) decoded: since round 20
+    * EVERY legal PNG class decodes, so the oracle expects
+    * n_pixel_decoded = n for all four groups — a decode path silently
+    * dying on any class flips its group (refusal observability for
+    * garbage streams lives in `multimodal_png_classes`, whose containers
+    * carry non-zlib IDAT).
     */
   private def multimodalPngClassesPx(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3888,8 +3889,9 @@ object SparkEntry {
               row => ((id + row) % 5).toInt)
             case 2 => Multimodal.pngEncodeRaster(w, h, 1, depth = 8, interlace = 1,
               px8, row => ((id + row) % 5).toInt)
-            case _ => Multimodal.pngContainer(w, h, depth = 4, colorType = 0,
-              interlace = 0, idat = Array[Byte](1, 2, 3))
+            case _ => Multimodal.pngEncodeRaster(w, h, 1, depth = 4, interlace = 0,
+              Array.tabulate(w * h)(k => (((id + k * 7) % 16) & 0xff).toByte),
+              row => ((id + row) % 5).toInt)
           }
           (id, payload, w.toLong, h.toLong)
         }
@@ -3904,6 +3906,86 @@ object SparkEntry {
           sum(coalesce(col("pix"), lit(0L))).as("n_pixel_decoded"),
           sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h")),
       "codec")
+  }
+
+  /** LOW-DEPTH (1/2/4-bit packed) grayscale PNG pixel decode — the last
+    * PNG class to gain a real pixel path: per document a closed-form
+    * raster at depth `2^(doc_id mod 3)` bits, HALF the corpus
+    * Adam7-interlaced (`doc_id mod 2`), encoded by
+    * [[graft.ops.Multimodal.pngEncodeRaster]]'s MSB-first bit packer with
+    * per-row filter rotation and widths that leave row-end padding bits.
+    * Stats come back at the STORED scale (0..2^d−1) through
+    * [[graft.ops.Multimodal.pngRasterStats]]; the oracle re-derives the
+    * planted values arithmetically — a bit-order, stride, or padding slip
+    * changes `sum_pix` against the closed form.
+    */
+  private def multimodalPngLdPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val d = 1 << (id % 3).toInt // 1, 2, 4
+          val w = (1 + id % 21).toInt
+          val h = (1 + id % 11).toInt
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = (((id + 3 * x + 5 * y) % (1 << d)) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.pngEncodeRaster(w, h, 1, d, (id % 2).toInt,
+            px, row => ((id + row) % 5).toInt))
+        }
+      }.toDF("doc_id", "payload")
+    graft.ops.Ordered.smallResult(
+      Multimodal.pngRasterStats(s, planted).toDF(), "doc_id")
+  }
+
+  /** LOW-DEPTH PALETTE PNG pixel decode
+    * ([[graft.ops.Multimodal.pngEncodePaletteRaster]] →
+    * [[graft.ops.Multimodal.decodePngRaster]]'s PLTE expansion after
+    * packed-bit unpack, half Adam7): a depth-4 index raster and 16-entry
+    * closed-form palette per document — the oracle composes the index and
+    * palette formulas, so a wrong unpack, palette lookup, or interlace
+    * reassembly turns it red.
+    */
+  private def multimodalPngLdPalette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 9).toInt
+          val h = (3 + id % 7).toInt
+          val pal = new Array[Byte](16 * 3)
+          var j = 0
+          while (j < 16) {
+            var c = 0
+            while (c < 3) {
+              pal(j * 3 + c) = (((id * 7 + j * 11 + c * 29) % 256) & 0xff).toByte
+              c += 1
+            }
+            j += 1
+          }
+          val idx = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              idx(y * w + x) = (((id + 3 * x + 5 * y) % 16) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.pngEncodePaletteRaster(w, h, depth = 4,
+            interlace = (id % 2).toInt, pal, idx, row => ((id + row) % 5).toInt))
+        }
+      }.toDF("doc_id", "payload")
+    graft.ops.Ordered.smallResult(
+      Multimodal.pngRasterStats(s, planted).toDF(), "doc_id")
   }
 
   /** Real PNG resize ([[graft.ops.Multimodal.resizePngNearest]]): plant →
@@ -5264,6 +5346,8 @@ object SparkEntry {
     "multimodal_png16_pixels" -> (multimodalPng16Pixels _),
     "multimodal_png_interlaced" -> (multimodalPngInterlaced _),
     "multimodal_png_classes_px" -> (multimodalPngClassesPx _),
+    "multimodal_png_ld_pixels" -> (multimodalPngLdPixels _),
+    "multimodal_png_ld_palette" -> (multimodalPngLdPalette _),
     "multimodal_resize_px" -> (multimodalResizePx _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_rgb" -> (multimodalJpegRgb _),
@@ -8940,18 +9024,49 @@ object SparkEntry {
         |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix,
         |       CAST(1 AS BIGINT) AS twin_match
         |FROM px GROUP BY doc_id, w, h, ch, depth ORDER BY doc_id""".stripMargin,
-    // Classes with REAL streams: every class except png_ld now DECODES —
-    // n_pixel_decoded = n for png/png16/png_i, 0 for the low-depth class.
+    // Classes with REAL streams: since round 20 EVERY legal PNG class
+    // decodes — n_pixel_decoded = n for all four groups.
     "multimodal_png_classes_px" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 45 AS w, 1 + doc_id % 29 AS h,
         |                  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'png16'
         |                       WHEN 2 THEN 'png_i' ELSE 'png_ld' END AS codec
         |           FROM documents)
-        |SELECT codec, count(*) AS n,
-        |       CAST(sum(CASE WHEN codec = 'png_ld' THEN 0 ELSE 1 END) AS BIGINT)
-        |         AS n_pixel_decoded,
+        |SELECT codec, count(*) AS n, count(*) AS n_pixel_decoded,
         |       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
         |FROM d GROUP BY codec ORDER BY codec""".stripMargin,
+    // Low-depth packed-bit path: planted values at the stored 0..2^d-1
+    // scale, half the corpus Adam7 — the oracle re-derives them without
+    // parsing PNG, so bit order/stride/padding slips turn it red.
+    "multimodal_png_ld_pixels" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 21 AS w, 1 + doc_id % 11 AS h,
+        |                  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS dep,
+        |                  CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS lv
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, d.dep,
+        |              (d.doc_id + 3*x + 5*y) % d.lv AS v
+        |       FROM d, unnest(range(0, d.w)) AS tx(x),
+        |            unnest(range(0, d.h)) AS ty(y))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(1 AS BIGINT) AS channels, CAST(dep AS BIGINT) AS depth,
+        |       count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
+        |FROM px GROUP BY doc_id, w, h, dep ORDER BY doc_id""".stripMargin,
+    // Low-depth palette path: PLTE indirection composed with the depth-4
+    // packed index raster (half Adam7), re-derived arithmetically.
+    "multimodal_png_ld_palette" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |              (d.doc_id*7 + ((d.doc_id + 3*x + 5*y) % 16)*11
+        |               + c*29) % 256 AS v
+        |       FROM d, unnest(range(0, d.w)) AS tx(x),
+        |            unnest(range(0, d.h)) AS ty(y),
+        |            unnest(range(0, 3)) AS tc(c))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS depth,
+        |       count(*) AS n_pix,
+        |       CAST(sum(v) AS BIGINT) AS sum_pix, CAST(max(v) AS BIGINT) AS max_pix
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // Lossy-codec round trip: structure closed-form, pixels by the
     // within-bound discipline (JPEG error is codec-owned; the engine must
     // land within 8 counts of the planted gradient on EVERY pixel).

@@ -472,15 +472,23 @@ object Multimodal {
     */
   final case class PngRaster(
       width: Int, height: Int, channels: Int, depth: Int, data: Array[Byte]) {
-    /** Number of samples (pixels × channels). */
-    def nSamples: Int = data.length / (depth / 8)
-    /** Sample k as an unsigned int: 0..255 (depth 8) or 0..65535 (16). */
+    /** Number of samples (pixels × channels). Low depths (1/2/4) arrive
+      * UNPACKED to one byte per sample, so only depth 16 is two-byte. */
+    def nSamples: Int = if (depth == 16) data.length / 2 else data.length
+    /** Sample k as an unsigned int at the stored depth: 0..2^depth−1. */
     def sample(k: Int): Int =
-      if (depth == 8) data(k) & 0xff
-      else ((data(2 * k) & 0xff) << 8) | (data(2 * k + 1) & 0xff)
-    /** Sample k clipped to 8 bits (high byte at depth 16 — the standard
-      * 16→8 reduction; identity at depth 8). */
-    def sample8(k: Int): Int = if (depth == 8) data(k) & 0xff else data(2 * k) & 0xff
+      if (depth == 16) ((data(2 * k) & 0xff) << 8) | (data(2 * k + 1) & 0xff)
+      else data(k) & 0xff
+    /** Sample k mapped to 8 bits: high byte at depth 16 (the standard
+      * 16→8 reduction), identity at depth 8, and the exact range
+      * expansion `v · 255 / (2^d − 1)` at low depths (255 is divisible by
+      * 1, 3 and 15, so the expansion is integral — 1-bit 1 → 255,
+      * 4-bit 15 → 255). */
+    def sample8(k: Int): Int = depth match {
+      case 16 => data(2 * k) & 0xff
+      case 8  => data(k) & 0xff
+      case d  => (data(k) & 0xff) * 255 / ((1 << d) - 1)
+    }
   }
 
   /** Adam7 pass geometry (RFC 2083 §8.2): (xStart, yStart, xStep, yStep)
@@ -504,10 +512,11 @@ object Multimodal {
     * indirection to plain RGB (every index strictly bounds-checked against
     * the palette). Since round 20 this is a thin 8-bit view over
     * [[decodePngRaster]], so Adam7-interlaced 8-bit images decode here
-    * too (de-interlaced to the sequential raster). Out of scope for THIS
-    * accessor (None, documented): depth 16 — its byte raster cannot carry
-    * 16-bit samples; use [[decodePngRaster]] (depths 1/2/4 stay
-    * undecodable everywhere). ALSO out of scope by the decompression-bomb guard:
+    * too (de-interlaced to the sequential raster), and LOW-DEPTH PALETTE
+    * images arrive here as their 8-bit RGB expansion. Out of scope for
+    * THIS accessor (None, documented): depth 16 and low-depth GRAYSCALE —
+    * their samples are not 8-bit; use [[decodePngRaster]], which decodes
+    * every legal PNG class. ALSO out of scope by the decompression-bomb guard:
     * rasters larger than 256 MiB (`1<<28` bytes of filtered raw, i.e.
     * ≈268 M pixels for grayscale, ≈67 M for RGBA) return None even when
     * well-formed — callers sizing gates/fixtures must stay under that
@@ -531,8 +540,13 @@ object Multimodal {
     * contributes no scanlines at all); each pass is un-filtered
     * independently — filter neighbors a/b/c refer to the PASS raster, not
     * the final image — then scattered to the sequential raster pixel by
-    * pixel. Still out of scope (None, observable as `png_ld` via
-    * [[pngCodecTag]]): packed sub-byte depths 1/2/4.
+    * pixel. Low depths 1/2/4 (grayscale and palette — the only legal
+    * low-depth color types) decode too: byte-unit filters over
+    * `ceil(pw·depth/8)`-byte rows, MSB-first unpack, padding bits
+    * ignored; the raster arrives unpacked (one byte/sample, values
+    * 0..2^d−1, `depth` preserved so stats stay at the stored scale).
+    * With that, EVERY legal PNG class is pixel-decodable; `png_ld` /
+    * `png16` / `png_i` tags remain as corpus-composition observability.
     */
   def decodePngRaster(p: Array[Byte]): Option[PngRaster] = {
     if (decodePng(p).isEmpty) return None // frame shape + all CRCs verified
@@ -568,9 +582,16 @@ object Multimodal {
         1
       case _ => return None
     }
-    if ((depth != 8 && depth != 16) || interlace > 1) return None
-    val bps = depth / 8
-    val bpp = channels * bps
+    if ((depth != 1 && depth != 2 && depth != 4 && depth != 8 && depth != 16) ||
+        interlace > 1) return None
+    // Low depths pack multiple samples per scanline byte (always 1
+    // channel: decodePng's legality table restricts depths 1/2/4 to
+    // grayscale and palette). Their filter unit is ONE byte (RFC 2083 §6)
+    // and their row stride is ceil(pw·depth/8).
+    val lowDepth = depth < 8
+    val fbpp = if (lowDepth) 1 else channels * (depth / 8)
+    def rowBytes(pw: Int): Int =
+      if (lowDepth) (pw * depth + 7) / 8 else pw * fbpp
     // Live passes as (xStart, yStart, xStep, yStep, passW, passH): one
     // full-image pass when sequential, the non-empty Adam7 passes when
     // interlaced.
@@ -582,7 +603,7 @@ object Multimodal {
           if (pw > 0 && ph > 0) Some((x0, y0, dx, dy, pw, ph)) else None
       }
     val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
-      ph.toLong * (1L + pw.toLong * bpp)
+      ph.toLong * (1L + rowBytes(pw).toLong)
     }.sum
     // Decompression-bomb guard: deflate's best case is ~1032:1, so a raster
     // larger than idat*1032 (or an absolute 256 MiB) cannot be legitimate —
@@ -610,17 +631,20 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // Sequential raster in stored sample width; filled pass by pass.
-    val out = new Array[Byte](w * h * bpp)
+    // Sequential raster: stored sample width for depths 8/16, UNPACKED one
+    // byte per sample for low depths; filled pass by pass.
+    val out = new Array[Byte](if (lowDepth) w * h else w * h * fbpp)
     var rawOff = 0
     var pi = 0
     while (pi < passes.length) {
       val (x0, y0, dx, dy, pw, ph) = passes(pi)
-      val st = pw * bpp
+      val st = rowBytes(pw)
       // Un-filter this pass into its own contiguous buffer: the filter's
       // a/b/c neighbors are PASS-raster neighbors (for the sequential
-      // single pass this is the whole image and `cur` IS the output).
-      val seq = interlace == 0
+      // single pass at byte-aligned depths this is the whole image and
+      // `cur` IS the output; low depths always go through the pass buffer
+      // because the output is unpacked).
+      val seq = interlace == 0 && !lowDepth
       val cur = if (seq) out else new Array[Byte](ph * st)
       var y = 0
       while (y < ph) {
@@ -631,9 +655,9 @@ object Multimodal {
         var x = 0
         while (x < st) {
           val rw = raw(rowIn + x) & 0xff
-          val a = if (x >= bpp) cur(rowOut + x - bpp) & 0xff else 0
+          val a = if (x >= fbpp) cur(rowOut + x - fbpp) & 0xff else 0
           val b = if (y > 0) cur(rowOut - st + x) & 0xff else 0
-          val c = if (x >= bpp && y > 0) cur(rowOut - st + x - bpp) & 0xff else 0
+          val c = if (x >= fbpp && y > 0) cur(rowOut - st + x - fbpp) & 0xff else 0
           val v = ft match {
             case 0 => rw
             case 1 => rw + a
@@ -648,13 +672,26 @@ object Multimodal {
           cur(rowOut + x) = (v & 0xff).toByte
           x += 1
         }
-        // Scatter the de-filtered row's pixels to their sequential homes.
+        // Scatter the de-filtered row's pixels to their sequential homes
+        // (low depths additionally unpack MSB-first; row-end padding bits
+        // are simply never read).
         if (!seq) {
-          var cx = 0
-          while (cx < pw) {
-            System.arraycopy(cur, rowOut + cx * bpp, out,
-              ((y0 + y * dy) * w + (x0 + cx * dx)) * bpp, bpp)
-            cx += 1
+          if (lowDepth) {
+            val mask = (1 << depth) - 1
+            var cx = 0
+            while (cx < pw) {
+              val bit = cx * depth
+              val v = (cur(rowOut + (bit >> 3)) >> (8 - depth - (bit & 7))) & mask
+              out((y0 + y * dy) * w + (x0 + cx * dx)) = v.toByte
+              cx += 1
+            }
+          } else {
+            var cx = 0
+            while (cx < pw) {
+              System.arraycopy(cur, rowOut + cx * fbpp, out,
+                ((y0 + y * dy) * w + (x0 + cx * dx)) * fbpp, fbpp)
+              cx += 1
+            }
           }
         }
         y += 1
@@ -804,10 +841,13 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** The ENCODE twin of [[decodePngRaster]]: a complete valid PNG at depth
-    * 8 OR 16, sequential OR Adam7-interlaced, around a raw raster given in
-    * sequential scanline order with stored-width big-endian samples
-    * (`data.length == w·h·channels·depth/8`). Adam7 output carries the 7
+  /** The ENCODE twin of [[decodePngRaster]]: a complete valid PNG at any
+    * legal grayscale/truecolor depth (1/2/4/8/16), sequential OR
+    * Adam7-interlaced, around a raw raster given in sequential scanline
+    * order — stored-width big-endian samples for depths 8/16
+    * (`data.length == w·h·channels·depth/8`), UNPACKED one-byte samples
+    * (values ≤ 2^d−1, [[PngRaster]]'s own form) for low depths, packed
+    * MSB-first here. Adam7 output carries the 7
     * reduced sub-images concatenated, each filtered independently (empty
     * passes absent), exactly the stream shape the decoder expects — so
     * "encode the same raster both ways, decode both, compare" is a natural
@@ -819,16 +859,29 @@ object Multimodal {
       width: Int, height: Int, channels: Int, depth: Int, interlace: Int,
       data: Array[Byte], filterOfRow: Int => Int): Array[Byte] = {
     require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
-    require(depth == 8 || depth == 16, s"depth must be 8 or 16, got $depth")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16,
+      s"depth must be one of 1/2/4/8/16, got $depth")
     require(interlace == 0 || interlace == 1, s"interlace must be 0 or 1, got $interlace")
     val colorType = channels match {
       case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
       case n => throw new IllegalArgumentException(s"channels must be 1..4, got $n")
     }
-    val bps = depth / 8
-    val bpp = channels * bps
-    require(data.length == width * height * bpp,
-      s"raster must be ${width * height * bpp} bytes, got ${data.length}")
+    val lowDepth = depth < 8
+    require(!lowDepth || channels == 1,
+      s"depths 1/2/4 are grayscale-only in PNG, got $channels channels")
+    if (lowDepth) {
+      val max = (1 << depth) - 1
+      require(data.forall(b => (b & 0xff) <= max),
+        s"low-depth raster samples must be <= $max (depth $depth)")
+    }
+    // Low-depth input arrives UNPACKED (1 byte/sample, [[PngRaster]]'s
+    // form); it is packed MSB-first per pass row below.
+    val fbpp = if (lowDepth) 1 else channels * (depth / 8)
+    def rowBytes(pw: Int): Int =
+      if (lowDepth) (pw * depth + 7) / 8 else pw * fbpp
+    require(data.length == width * height * (if (lowDepth) 1 else fbpp),
+      s"raster must be ${width * height * (if (lowDepth) 1 else fbpp)} bytes, " +
+        s"got ${data.length}")
     val passes: Array[(Int, Int, Int, Int, Int, Int)] =
       (if (interlace == 0) Array((0, 0, 1, 1)) else Adam7).flatMap {
         case (x0, y0, dx, dy) =>
@@ -836,21 +889,29 @@ object Multimodal {
           val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
           if (pw > 0 && ph > 0) Some((x0, y0, dx, dy, pw, ph)) else None
       }
-    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph * (1 + pw * bpp) }.sum
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph * (1 + rowBytes(pw)) }.sum
     val raw = new Array[Byte](rawLen)
     var rawOff = 0
     var globalRow = 0
     for ((x0, y0, dx, dy, pw, ph) <- passes) {
-      val st = pw * bpp
-      // Gather this pass's pixels from the sequential raster, then filter
-      // rows against PASS-raster neighbors (the decode's inverse).
+      val st = rowBytes(pw)
+      // Gather this pass's pixels from the sequential raster (packing low
+      // depths MSB-first), then filter rows against PASS-raster neighbors
+      // (the decode's inverse).
       val cur = new Array[Byte](ph * st)
       var y = 0
       while (y < ph) {
         var x = 0
         while (x < pw) {
-          System.arraycopy(data, ((y0 + y * dy) * width + (x0 + x * dx)) * bpp,
-            cur, y * st + x * bpp, bpp)
+          if (lowDepth) {
+            val v = data((y0 + y * dy) * width + (x0 + x * dx)) & 0xff
+            val bit = x * depth
+            cur(y * st + (bit >> 3)) =
+              (cur(y * st + (bit >> 3)) | (v << (8 - depth - (bit & 7)))).toByte
+          } else {
+            System.arraycopy(data, ((y0 + y * dy) * width + (x0 + x * dx)) * fbpp,
+              cur, y * st + x * fbpp, fbpp)
+          }
           x += 1
         }
         y += 1
@@ -862,9 +923,9 @@ object Multimodal {
         var x = 0
         while (x < st) {
           val vv = cur(y * st + x) & 0xff
-          val a = if (x >= bpp) cur(y * st + x - bpp) & 0xff else 0
+          val a = if (x >= fbpp) cur(y * st + x - fbpp) & 0xff else 0
           val b = if (y > 0) cur((y - 1) * st + x) & 0xff else 0
-          val c = if (x >= bpp && y > 0) cur((y - 1) * st + x - bpp) & 0xff else 0
+          val c = if (x >= fbpp && y > 0) cur((y - 1) * st + x - fbpp) & 0xff else 0
           val enc = ft match {
             case 0 => vv
             case 1 => vv - a
@@ -909,6 +970,54 @@ object Multimodal {
     chunk("IDAT", idat.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     outBuf.toByteArray
+  }
+
+  /** PALETTE twin of [[pngEncodeRaster]]: a complete valid color-type-3
+    * PNG at index depth 1/2/4/8, sequential or Adam7 — the index raster
+    * (unpacked, one byte per index) goes through [[pngEncodeRaster]]'s
+    * grayscale pipeline and the PLTE chunk + color type are spliced in
+    * (the [[pngEncodePalette]] technique, generalized). Every index is
+    * validated against BOTH the depth range and the palette size at
+    * encode, mirroring the decoder's strictness.
+    */
+  def pngEncodePaletteRaster(
+      width: Int, height: Int, depth: Int, interlace: Int,
+      palette: Array[Byte], indices: Array[Byte],
+      filterOfRow: Int => Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"palette depth must be 1/2/4/8, got $depth")
+    require(palette.nonEmpty && palette.length % 3 == 0 && palette.length <= 768,
+      s"palette must be 3..768 bytes of RGB triples, got ${palette.length}")
+    val n = palette.length / 3
+    require(indices.forall(b => (b & 0xff) < n && (b & 0xff) <= (1 << depth) - 1),
+      s"an index exceeds the $n-entry palette or the depth-$depth range")
+    val gray = pngEncodeRaster(width, height, 1, depth, interlace, indices, filterOfRow)
+    // Splice: IDAT body sits at fixed offsets in the gray encode (8 sig +
+    // 25 IHDR chunk → length at 33, body at 41).
+    def be32At(a: Array[Byte], i: Int): Int =
+      ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
+        ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+    val idatBody = java.util.Arrays.copyOfRange(gray, 41, 41 + be32At(gray, 33))
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length.toLong), 0, 4)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4)
+      out.write(body, 0, body.length)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](depth.toByte, 3, 0, 0, interlace.toByte))
+    chunk("PLTE", palette)
+    chunk("IDAT", idatBody)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Pack an `Array[Int]` of 16-bit samples (0..65535) into the big-endian
@@ -1064,10 +1173,10 @@ object Multimodal {
     * `png_i` (interlace 1 — Adam7 layout, wins when both apply since it
     * changes the raster layout wholesale), `png16` (bit depth 16),
     * `png_ld` (depths 1/2/4), `png` (depth 8, non-interlaced). Since
-    * round 20 [[decodePngRaster]] DECODES `png16` and `png_i` too — the
-    * tag still matters as the corpus-stats axis (which sample width /
-    * stream layout the data carries) and because `png_ld` remains the one
-    * undecodable class. Closes the r17/r18 carry-over: a 16-bit or
+    * round 20 [[decodePngRaster]] DECODES every class — `png16`, `png_i`
+    * and `png_ld` included — so the tag is purely the corpus-composition
+    * axis (which sample width / stream layout the data carries), no longer
+    * a decodability boundary. Closes the r17/r18 carry-over: a 16-bit or
     * interlaced PNG previously tagged plain `png` and took the
     * stub-adjacent fallthrough with NO distinct tag, so corpus stats
     * could not see how much data the pixel path was silently skipping.

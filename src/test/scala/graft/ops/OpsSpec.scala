@@ -1805,6 +1805,48 @@ class OpsSpec extends SparkSpec {
     assert(dec.data.toSeq == expect.toSeq)
   }
 
+  test("PNG raster core: low depths 1/2/4 round-trip packed bits, sequential and Adam7") {
+    for (d <- Seq(1, 2, 4); interlace <- Seq(0, 1);
+         (w, h) <- Seq((1, 1), (3, 5), (7, 7), (8, 3), (9, 9), (17, 4))) {
+      val max = (1 << d) - 1
+      // values cycle the full depth range; widths deliberately leave
+      // row-end padding bits (w not a multiple of 8/d) in most cases
+      val px = Array.tabulate(w * h)(k => ((k * 3 + w + d) % (max + 1)).toByte)
+      val enc = Multimodal.pngEncodeRaster(w, h, 1, d, interlace, px, row => row % 5)
+      assert(Multimodal.decodePng(enc) == Some((w.toLong, h.toLong)))
+      assert(Multimodal.pngCodecTag(enc) == (if (interlace == 1) "png_i" else "png_ld"))
+      val r = Multimodal.decodePngRaster(enc).get
+      assert(r.depth == d && r.channels == 1 && r.nSamples == w * h)
+      assert(r.data.toSeq == px.toSeq,
+        s"low-depth raster must round-trip (d=$d i=$interlace ${w}x$h)")
+      // 8-bit mapping is the exact range expansion (255 divisible by max)
+      assert(r.sample8(0) == (px(0) & 0xff) * 255 / max)
+      // the 8-bit byte view refuses low-depth GRAYSCALE (samples not 8-bit)
+      assert(Multimodal.decodePngPixels(enc).isEmpty)
+    }
+  }
+
+  test("PNG raster core: low-depth PALETTE images expand through PLTE (sequential and Adam7)") {
+    for (d <- Seq(1, 2, 4); interlace <- Seq(0, 1)) {
+      val (w, h) = (9, 6)
+      val n = 1 << d
+      val pal = Array.tabulate(n * 3)(k => ((k * 53 + 11) % 256).toByte)
+      val idx = Array.tabulate(w * h)(k => ((k * 5 + 2) % n).toByte)
+      val enc = Multimodal.pngEncodePaletteRaster(w, h, d, interlace, pal, idx, row => row % 5)
+      assert(Multimodal.decodePng(enc) == Some((w.toLong, h.toLong)))
+      val r = Multimodal.decodePngRaster(enc).get
+      assert(r.channels == 3 && r.depth == 8)
+      val expect = idx.flatMap(i => pal.slice((i & 0xff) * 3, (i & 0xff) * 3 + 3))
+      assert(r.data.toSeq == expect.toSeq, s"PLTE expansion at depth $d i=$interlace")
+      // ...and the 8-bit byte view accepts the expansion (it IS 8-bit RGB)
+      assert(Multimodal.decodePngPixels(enc).get.pixels.toSeq == expect.toSeq)
+      // out-of-palette or out-of-depth indices refused at encode
+      intercept[IllegalArgumentException] {
+        Multimodal.pngEncodePaletteRaster(1, 1, d, 0, pal, Array[Byte](n.toByte), _ => 0)
+      }
+    }
+  }
+
   test("PNG resize clips 16-bit sources to the high byte") {
     // 2x2 16-bit checkerboard: 0x0000 / 0x64FF — high bytes 0 / 100.
     val s16 = Array(0x0000, 0x64ff, 0x64ff, 0x0000)
