@@ -58,8 +58,18 @@ object Bench {
     * next artifact self-adjudicates: at least 5 reps (one old-speed rep
     * disproves a plan regression outright) and a calib sample immediately
     * after the query.
+    *
+    * r20 additions: `stream_funnel_ordered` and `stream_hist_quantiles` —
+    * the two heaviest multi-batch stateful gates, which an ambient I/O
+    * window inflates UNIFORMLY (every rep slow, so [[needsRetry]] cannot
+    * catch it and perfdiff sees "stable uniform slowdown") while
+    * single-thread calib stays near-healthy; 5 reps + an adjacent calib
+    * give the adjudicator the evidence in-artifact (r20: both flagged
+    * 1.65–1.74× on unchanged code, isolated re-measures ambient —
+    * BASELINE.md round-20 row).
     */
-  private val WatchClosely = Set("emb_mean_by_label")
+  private val WatchClosely =
+    Set("emb_mean_by_label", "stream_funnel_ordered", "stream_hist_quantiles")
 
   /** Contention signature (the perfdiff bar applied to a query's own reps):
     * all reps clean, yet the median exceeds the set's own min by >1.5x AND
