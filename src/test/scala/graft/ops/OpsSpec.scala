@@ -1847,6 +1847,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PNG raster core: an IHDR that disagrees with the stream's pass structure is rejected") {
+    // Flip single IHDR fields on a valid encode and re-CRC the chunk: the
+    // inflated stream's byte count then no longer matches the header's
+    // pass structure, and the decode must return None — never misread the
+    // stream under the wrong geometry.
+    def withIhdrByte(png: Array[Byte], off: Int, v: Byte): Array[Byte] = {
+      val p = png.clone()
+      p(off) = v
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, 12, 4 + 13) // chunk tag + IHDR body
+      val c = crc.getValue
+      p(29) = ((c >> 24) & 0xff).toByte; p(30) = ((c >> 16) & 0xff).toByte
+      p(31) = ((c >> 8) & 0xff).toByte; p(32) = (c & 0xff).toByte
+      p
+    }
+    val px = Array.tabulate(9 * 7)(k => (k % 256).toByte)
+    val seqEnc = Multimodal.pngEncodeRaster(9, 7, 1, depth = 8, interlace = 0, px, _ => 0)
+    assert(Multimodal.decodePngRaster(seqEnc).nonEmpty)
+    // sequential stream, interlaced header (byte 28): pass structure lies
+    assert(Multimodal.decodePngRaster(withIhdrByte(seqEnc, 28, 1)).isEmpty)
+    // 8-bit stream, 16-bit header (byte 24): stride lies
+    assert(Multimodal.decodePngRaster(withIhdrByte(seqEnc, 24, 16)).isEmpty)
+    // ...and the reverse: interlaced stream under a sequential header
+    val adamEnc = Multimodal.pngEncodeRaster(9, 7, 1, depth = 8, interlace = 1, px, _ => 0)
+    assert(Multimodal.decodePngRaster(adamEnc).nonEmpty)
+    assert(Multimodal.decodePngRaster(withIhdrByte(adamEnc, 28, 0)).isEmpty)
+    // low-depth header over an 8-bit stream: packed stride lies
+    assert(Multimodal.decodePngRaster(withIhdrByte(seqEnc, 24, 4)).isEmpty)
+  }
+
   test("PNG resize clips 16-bit sources to the high byte") {
     // 2x2 16-bit checkerboard: 0x0000 / 0x64FF — high bytes 0 / 100.
     val s16 = Array(0x0000, 0x64ff, 0x64ff, 0x0000)
