@@ -1095,6 +1095,33 @@ object SparkEntry {
     roundTripReport(docs, back)
   }
 
+  /** ORC round-trip gate: the [[sourceJsonl]] discipline over Spark's
+    * built-in ORC columnar source — the second major lake format next to
+    * parquet, so a user landing or exporting ORC never leaves the
+    * library. Binary format ⇒ escaping is moot; what the gate pins is the
+    * writer/reader pair itself: string fidelity through the hazard column
+    * (backslash, tab, quotes, non-ASCII é survive the ORC string codec
+    * bit-exactly) and schema fidelity under an EXPLICIT read schema (ORC
+    * self-describes, but a landing zone still declares its expectations —
+    * same rationale as the text gates).
+    */
+  private def sourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val docs = hazardDocs(s, dir)
+    val path = builtIndexPath("orcsrc", dir)(p => docs.write.orc(s"$p/docs"))
+    val back = s.read.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))
+      .orc(s"$path/docs")
+    roundTripReport(docs, back)
+  }
+
   private def tableDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
     val old = T(s, dir, "orders")
     val base = old.filter(col("o_orderkey") % 97 =!= 0)
@@ -5240,6 +5267,7 @@ object SparkEntry {
     "graph_pagerank" -> (graphPagerank _),
     "source_jsonl" -> (sourceJsonl _),
     "source_csv" -> (sourceCsv _),
+    "source_orc" -> (sourceOrc _),
     "contrastive_negatives" -> (negSampleQ _),
     "knn_graph_recall" -> (knnGraphRecallQ _),
     "knn_graph_recall_mp" -> (knnGraphRecallMpQ _),
@@ -8516,6 +8544,11 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_mismatch
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "source_csv" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "source_orc" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |       CAST(0 AS BIGINT) AS n_mismatch
