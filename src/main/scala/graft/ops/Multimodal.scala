@@ -1200,11 +1200,11 @@ object Multimodal {
     * the planting twin of [[pngCodecTag]]: a chunk-framed, CRC'd PNG
     * (signature, IHDR, one IDAT carrying `idat` verbatim, IEND) whose
     * depth/colorType/interlace are arbitrary legal values, so fixtures
-    * can plant the classes [[decodePngPixels]] does NOT decode (16-bit,
-    * Adam7, low-depth) and gates can count them by `codec` tag. The IDAT
-    * bytes are NOT deflated pixel data — the metadata walk never inflates,
-    * and the pixel path correctly refuses these classes before touching
-    * IDAT.
+    * can plant any class and gates can count them by `codec` tag. The
+    * IDAT bytes are NOT deflated pixel data — the metadata walk never
+    * inflates, and the pixel path ([[decodePngRaster]], which since round
+    * 20 decodes every legal class when the stream is real) correctly
+    * refuses these garbage streams at the inflate.
     */
   def pngContainer(
       width: Int, height: Int, depth: Int, colorType: Int, interlace: Int,
