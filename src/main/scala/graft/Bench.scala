@@ -88,6 +88,17 @@ object Bench {
     }
   }
 
+  /** Merge policy for the retry pass: retry reps refine TIMING only (a
+    * query only reaches retry with a FULLY CLEAN first set), so errored
+    * retry reps are discarded — a functioning query must never flip to
+    * "err" (and silently vanish from perfdiff's comparison) because a
+    * harness-added end-of-run rep hit shutdown pressure.
+    */
+  private[graft] def mergeRetry(
+      first: Seq[Either[String, Double]],
+      retry: Seq[Either[String, Double]]): Seq[Either[String, Double]] =
+    first ++ retry.filter(_.isRight)
+
   /** Fixed single-thread CPU workload (~0.2 s on a healthy core), timed at
     * bench start/end and mid-run and embedded in the artifact — host-level
     * throttling of this VM then shows up as a number in the JSON instead
@@ -131,7 +142,8 @@ object Bench {
       sfDir: String,
       reps: Int,
       calib: Seq[(Int, Double)],
-      retried: Seq[String] = Nil): String = {
+      retried: Seq[String] = Nil,
+      retryCalib: Seq[(String, Double)] = Nil): String = {
     val qs = results.map { case (name, raws) =>
       val v =
         if (raws.exists(_.isLeft)) "\"err\""
@@ -162,7 +174,15 @@ object Bench {
     // raws/medians therefore merge a second end-of-run set — the artifact's
     // own record that a number was adjudicated in-harness, not a clean read.
     val retriedJson = retried.map(jsonStr).mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"retried":$retriedJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
+    // "retry_calib": host-health sample taken right after each retry set,
+    // keyed by query — deliberately NOT in the positional calib list (the
+    // sample's wall-clock time is end-of-run, so position-joining it would
+    // misadjudicate the retried query's NEIGHBORS; perfdiff prefers this
+    // field for the retried query itself).
+    val retryCalibJson = retryCalib.map { case (n, c) =>
+      jsonStr(n) + ":" + f"$c%.3f"
+    }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"retried":$retriedJson,"retry_calib":$retryCalibJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
   }
 
   /** One short line the driver can always parse even when the full artifact
@@ -241,11 +261,12 @@ object Bench {
     // too, keeps its slow median. Each retry gets its own calib sample at
     // the query's run position so perfdiff's throttle adjudication has a
     // host-health reading beside the reps that now dominate the median.
-    val retried = results.collect { case (name, raws) if needsRetry(raws) => name }
-    val mergedResults = if (retried.isEmpty) results else {
-      val retriedSet = retried.toSet
-      val extra = names.zipWithIndex.collect {
-        case ((name, fn), i) if retriedSet(name) =>
+    val candidates = results.collect { case (name, raws) if needsRetry(raws) => name }
+    val retryCalib = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mergedResults = if (candidates.isEmpty) results else {
+      val candidateSet = candidates.toSet
+      val extra = names.collect {
+        case (name, fn) if candidateSet(name) =>
           val nReps = (if (WatchClosely(name)) math.max(reps, 5) else reps) + 2
           val raws2 = timeReps(
             () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
@@ -255,13 +276,30 @@ object Bench {
               case Right(t) => f"$t%.3f"
               case Left(_)  => "err"
             }.mkString(","))
-          calib += ((i, cpuCalib()))
+          // Retry calib goes in its OWN artifact field keyed by query, not
+          // the positional calib list: the sample is taken at END of run,
+          // and stamping it at the query's mid-run position would feed
+          // perfdiff's nearest-calib adjudication a wrong-time host-health
+          // reading for the query's NEIGHBORS (a late throttle could
+          // launder a real mid-run regression, or a healthy late sample
+          // could shadow a genuinely elevated mid-run one).
+          retryCalib(name) = cpuCalib()
+          // [[mergeRetry]]: errored retry reps are logged and discarded.
+          raws2.collect { case Left(m) => m }.headOption.foreach(m =>
+            System.err.println(s"[bench] retry rep of $name errored (discarded): $m"))
           name -> raws2
       }.toMap
-      results.map { case (n, raws) => n -> (raws ++ extra.getOrElse(n, Nil)) }
+      results.map { case (n, raws) =>
+        n -> extra.get(n).map(mergeRetry(raws, _)).getOrElse(raws)
+      }
     }
+    // "retried" lists queries whose raws actually carry merged retry reps.
+    val retried = candidates.filter(n =>
+      mergedResults.find(_._1 == n).exists(_._2.length >
+        results.find(_._1 == n).get._2.length))
     retried.foreach(n => System.err.println(s"[bench] retried (contention signature): $n"))
-    val full = renderJson(mergedResults, sfDir, reps, calib.toSeq, retried)
+    val full = renderJson(mergedResults, sfDir, reps, calib.toSeq, retried,
+      retryCalib.toSeq)
     println(full)
     // The full line above routinely exceeds the driver's capture window
     // (BENCH_r05..r07 all came back tail-truncated, "parsed": null). Two

@@ -590,8 +590,13 @@ object Multimodal {
     // and their row stride is ceil(pw·depth/8).
     val lowDepth = depth < 8
     val fbpp = if (lowDepth) 1 else channels * (depth / 8)
-    def rowBytes(pw: Int): Int =
-      if (lowDepth) (pw * depth + 7) / 8 else pw * fbpp
+    // Row stride in LONG: a forged IHDR width near 2^28 × 8 bytes/pixel
+    // wraps Int arithmetic negative, which would slip past the bomb guard
+    // below and crash the allocation instead of returning None (the
+    // pre-round-20 code computed the stride in Long for exactly this
+    // reason; the guard must see true magnitudes).
+    def rowBytes(pw: Int): Long =
+      if (lowDepth) (pw.toLong * depth + 7) / 8 else pw.toLong * fbpp
     // Live passes as (xStart, yStart, xStep, yStep, passW, passH): one
     // full-image pass when sequential, the non-empty Adam7 passes when
     // interlaced.
@@ -603,14 +608,22 @@ object Multimodal {
           if (pw > 0 && ph > 0) Some((x0, y0, dx, dy, pw, ph)) else None
       }
     val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
-      ph.toLong * (1L + rowBytes(pw).toLong)
+      ph.toLong * (1L + rowBytes(pw))
     }.sum
     // Decompression-bomb guard: deflate's best case is ~1032:1, so a raster
     // larger than idat*1032 (or an absolute 256 MiB) cannot be legitimate —
     // reject BEFORE allocating (a ~100-byte IHDR-forged PNG must not cost
     // 2 GiB of executor heap per row on untrusted web-crawl payloads).
+    // The cap binds EVERY allocation this decode makes, not just the
+    // filtered stream: the unpacked raster (w·h bytes — up to 8× rawLen
+    // for depth-1 images) and the palette expansion's RGB output (w·h·3)
+    // are guarded too, so the 256 MiB claim holds end to end and no Int
+    // product downstream can wrap.
     val maxRaw = 1L << 28
-    if (rawLen > maxRaw || rawLen > idat.size().toLong * 1032L + 64L ||
+    val outLen = if (lowDepth) w.toLong * h else w.toLong * h * fbpp
+    val finalLen = if (color == 3) w.toLong * h * 3 else outLen
+    if (rawLen > maxRaw || outLen > maxRaw || finalLen > maxRaw ||
+        rawLen > idat.size().toLong * 1032L + 64L ||
         idat.size() == 0) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
@@ -632,13 +645,14 @@ object Multimodal {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
     // Sequential raster: stored sample width for depths 8/16, UNPACKED one
-    // byte per sample for low depths; filled pass by pass.
-    val out = new Array[Byte](if (lowDepth) w * h else w * h * fbpp)
+    // byte per sample for low depths; filled pass by pass. (outLen passed
+    // the <= 2^28 guard, so the Int narrowing is exact.)
+    val out = new Array[Byte](outLen.toInt)
     var rawOff = 0
     var pi = 0
     while (pi < passes.length) {
       val (x0, y0, dx, dy, pw, ph) = passes(pi)
-      val st = rowBytes(pw)
+      val st = rowBytes(pw).toInt // <= rawLen <= 2^28: exact
       // Un-filter this pass into its own contiguous buffer: the filter's
       // a/b/c neighbors are PASS-raster neighbors (for the sequential
       // single pass at byte-aligned depths this is the whole image and
@@ -700,9 +714,10 @@ object Multimodal {
       pi += 1
     }
     if (color != 3) return Some(PngRaster(w, h, channels, depth, out))
-    // Palette expansion: index bytes → RGB triples, every index strict
-    // (palette rasters are always depth 8 here — sub-byte palettes are the
-    // out-of-scope png_ld class, and 16-bit palettes are PNG-illegal).
+    // Palette expansion: index bytes → RGB triples, every index strict.
+    // Indices arrive UNPACKED at any legal palette depth (1/2/4/8 — the
+    // low-depth unpack above normalized them to one byte each; 16-bit
+    // palettes are PNG-illegal and never reach here).
     val nEntries = plte.length / 3
     val rgb = new Array[Byte](w * h * 3)
     var k = 0

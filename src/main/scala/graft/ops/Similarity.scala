@@ -1770,10 +1770,15 @@ object Similarity {
     // the verify join-back (which would otherwise EACH replay the upstream
     // lineage — three executions of a possibly expensive transform chain)
     // reuse them, and a non-deterministic upstream cannot hand the plan
-    // decision different data than the scans see. Explicit geometry or
+    // decision different data than the scans see. Materialize the
+    // PROJECTION, not the caller's frame — only (idCol, vecCol) are ever
+    // consumed downstream, and a wide corpus frame (text, payloads...)
+    // must not be copied into executor storage wholesale (Materialize's
+    // own "narrow frames, not raw scans" rule). Explicit geometry or
     // probes keep the builder fully lazy — no count, no materialization.
     val auto = numBits == 0 && probes == -1
-    val in = if (auto) df.narrowCheckpoint() else df
+    val in =
+      if (auto) df.select(col(idCol), col(vecCol)).narrowCheckpoint() else df
     val (nb, b, pr) =
       if (numBits != 0) (numBits, bands, math.max(0, probes))
       else {

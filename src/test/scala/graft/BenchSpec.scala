@@ -87,6 +87,28 @@ class BenchSpec extends AnyFunSuite {
     val json = Bench.renderJson(
       Seq("a" -> Seq[Either[String, Double]](Right(1.0))), "/tmp/sf", 1, Seq((-1, 0.1)))
     assert(json.contains("\"retried\":[]"))
+    assert(json.contains("\"retry_calib\":{}"))
+  }
+
+  test("renderJson: retry_calib is keyed by query, separate from positional calibs") {
+    val json = Bench.renderJson(
+      Seq("hot" -> Seq[Either[String, Double]](Right(0.4), Right(0.41))),
+      "/tmp/sf", 1, Seq((-1, 0.1)), Seq("hot"), Seq("hot" -> 0.123))
+    assert(json.contains("\"retry_calib\":{\"hot\":0.123}"))
+    // the positional list is untouched by the retry sample
+    assert(json.contains("\"cpu_calib_sec\":[0.100]"))
+    assert(json.contains("\"calib_at\":[-1]"))
+  }
+
+  test("mergeRetry discards errored retry reps — a clean first set can never flip to err") {
+    val first: Seq[Either[String, Double]] = Seq(Right(0.4), Right(3.0), Right(3.1))
+    val retry: Seq[Either[String, Double]] =
+      Seq(Right(0.41), Left("shutdown pressure"), Right(0.42))
+    val merged = Bench.mergeRetry(first, retry)
+    assert(merged == Seq(Right(0.4), Right(3.0), Right(3.1), Right(0.41), Right(0.42)))
+    assert(!merged.exists(_.isLeft)) // renderJson will report a median, not "err"
+    // an all-errored retry set leaves the first set untouched
+    assert(Bench.mergeRetry(first, Seq(Left("boom"))) == first)
   }
 
   test("renderCompact carries the retried count") {

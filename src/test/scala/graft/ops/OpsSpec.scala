@@ -1847,6 +1847,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PNG raster core: forged-IHDR bombs return None, never crash — stride wrap and unpack blowup") {
+    // Int-wrap attack: w=2^28 at 8 bytes/pixel makes the Int row stride
+    // wrap negative (2^31); computed in Long it exceeds the 256 MiB cap
+    // and must reject BEFORE any allocation (a crash here would kill the
+    // Spark task on a ~60-byte untrusted payload).
+    val wide = Multimodal.pngContainer(1 << 28, 1, depth = 16, colorType = 6,
+      interlace = 0, idat = Array[Byte](1, 2, 3))
+    assert(Multimodal.decodePng(wide).nonEmpty, "metadata walk accepts the frame")
+    assert(Multimodal.decodePngRaster(wide).isEmpty)
+    // Unpack-blowup attack: a depth-1 image whose PACKED stream (250 MB)
+    // passes the filtered-raw cap but whose UNPACKED raster would be
+    // 2 GB (w·h bytes = 8x the packed size) — the guard must bound the
+    // output allocation too, not just the inflate buffer. idat is sized
+    // so the deflate-ratio bound does NOT fire first (guard order).
+    val blowup = Multimodal.pngContainer(1000000, 2000, depth = 1, colorType = 0,
+      interlace = 0, idat = new Array[Byte](260000))
+    assert(Multimodal.decodePngRaster(blowup).isEmpty)
+    // ...and the palette expansion's 3x output is bounded likewise: a
+    // depth-8 palette image at w=2^27 passes the raw and unpacked caps
+    // (both ~2^27) but its RGB expansion would be 402 MB. Needs a real
+    // PLTE chunk to reach the guard, so frame it inline.
+    val palBomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(tag: String, body: Array[Byte]): Unit = {
+        out.write(be32(body.length.toLong), 0, 4)
+        val tb = tag.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+        out.write(tb, 0, 4); out.write(body, 0, body.length)
+        out.write(be32(crc.getValue), 0, 4)
+      }
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+      chunk("IHDR", be32(134217728L) ++ be32(1L) ++ Array[Byte](8, 3, 0, 0, 0))
+      chunk("PLTE", Array[Byte](1, 2, 3))
+      chunk("IDAT", new Array[Byte](131000))
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(Multimodal.decodePng(palBomb).nonEmpty)
+    assert(Multimodal.decodePngRaster(palBomb).isEmpty)
+  }
+
   test("PNG raster core: an IHDR that disagrees with the stream's pass structure is rejected") {
     // Flip single IHDR fields on a valid encode and re-CRC the chunk: the
     // inflated stream's byte count then no longer matches the header's

@@ -108,6 +108,14 @@ def main() -> int:
         if clean and min(clean) <= a * 1.25 + 0.05:
             return ("WARN", f"rep-reproduced: min rep {min(clean):.2f}s ~ old "
                             f"{a:.2f}s — not a plan regression")
+        # A retried query's medians are dominated by its end-of-run retry
+        # reps; its own retry_calib (sampled right after that set) is the
+        # relevant host-health reading, not a mid-run positional sample.
+        rc = (new.get("retry_calib") or {}).get(q)
+        if rc is not None and calib_min is not None and rc >= 1.4 * calib_min:
+            return ("WARN", f"retry-calib-elevated: {rc:.3f}s = "
+                            f"{rc / calib_min:.1f}x run min beside the retry set "
+                            f"— host throttled")
         nc = nearest_calib(q)
         if nc is not None and nc[1] >= 1.4 * calib_min:
             return ("WARN", f"calib-elevated: calib after q#{nc[0]} = {nc[1]:.3f}s "
