@@ -28,7 +28,13 @@ import org.apache.spark.sql.SparkSession
   *   - "retried": queries whose first rep set showed the contention
   *     signature ([[needsRetry]]) and were re-run at end of run with their
   *     reps merged — the artifact self-corrects a host-stall window instead
-  *     of shipping it (BENCH_r18/r19 both embedded one).
+  *     of shipping it (BENCH_r18/r19 both embedded one);
+  *   - "ref_flagged"/"ref_capped": retry v2 ([[refFlagged]]) — queries
+  *     re-run because their median exceeded the committed clean reference
+  *     (`bench_ref.json`) by the perfdiff bar even with uniform reps, the
+  *     elevation shape v1 cannot see (BENCH_r18..r20 all embedded one);
+  *   - "cpus": the core count of this run, the gate future ref
+  *     comparisons join on.
   */
 object Bench {
   private[graft] def median(xs: Seq[Double]): Double = {
@@ -88,6 +94,57 @@ object Bench {
     }
   }
 
+  /** Reference-anchored contention signature (retry v2). [[needsRetry]]
+    * compares a median to its own min, so a stall window covering EVERY rep
+    * uniformly — the exact shape of BENCH_r20's official artifact (171.7 s
+    * vs 128.2 s clean on the same binary: all reps slow, healthy calibs) —
+    * never fires it. The only evidence that can see a uniform elevation is
+    * a per-query CLEAN REFERENCE: the committed `bench_ref.json` (a clean
+    * full run of the same binary at the same cpus/sf). A query whose merged
+    * median exceeds its reference median by the perfdiff bar (>1.5× AND
+    * >0.3 s) earns an end-of-run retry set even when its own reps are
+    * uniform; if the elevation was ambient the retry reps land near the
+    * reference and the merged median self-corrects, while a genuine plan
+    * regression reproduces in the retry reps and stays visibly slow — the
+    * same adjudication contract as v1, anchored to the committed number.
+    */
+  private[graft] def refFlagged(median: Double, ref: Double): Boolean =
+    median > ref * 1.5 && median - ref > 0.3
+
+  /** Bound on v2 retry volume: a fully ambient-elevated run can flag dozens
+    * of queries, and each retry set is reps+2 full executions; the worst
+    * offenders by absolute excess carry the adjudication value, the tail
+    * would only stretch the run. Dropped candidates are NEVER silent — they
+    * ship in the artifact's "ref_capped" list.
+    */
+  private[graft] val RefRetryMax = 12
+
+  /** Parse a committed bench artifact (a clean `bench_out.json`) into its
+    * (cpus, sf, per-query numeric medians). Tolerant by design: a missing
+    * "cpus" field (pre-r21 artifacts) parses as None and DISABLES ref
+    * retry via the cpus gate — the reference is only comparable when it
+    * was measured at the same core count (the driver also benches at lower
+    * core counts, where every query is legitimately slower than a 32-core
+    * reference and mass-flagging would be pure waste). "err" entries are
+    * skipped. Returns None when no queries object is found.
+    */
+  private[graft] def parseRef(text: String): Option[(Option[Int], String, Map[String, Double])] = {
+    val qObj = """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map(_.group(1))
+    qObj.map { body =>
+      val entries = """"([^"]+)":([0-9]+\.?[0-9]*)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val cpus = """"cpus":([0-9]+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+      (cpus, sf, entries)
+    }
+  }
+
+  /** The sf-directory identity used to gate the reference: the basename, so
+    * `/root/testdata/sf0.1` and `testdata/sf0.1` compare equal but sf0.1
+    * and sf0.01 never do. */
+  private[graft] def sfBase(dir: String): String =
+    dir.stripSuffix("/").split('/').last
+
   /** Merge policy for the retry pass: retry reps refine TIMING only (a
     * query only reaches retry with a FULLY CLEAN first set), so errored
     * retry reps are discarded — a functioning query must never flip to
@@ -143,7 +200,10 @@ object Bench {
       reps: Int,
       calib: Seq[(Int, Double)],
       retried: Seq[String] = Nil,
-      retryCalib: Seq[(String, Double)] = Nil): String = {
+      retryCalib: Seq[(String, Double)] = Nil,
+      refFlaggedQs: Seq[String] = Nil,
+      refCapped: Seq[String] = Nil,
+      cpus: Option[Int] = None): String = {
     val qs = results.map { case (name, raws) =>
       val v =
         if (raws.exists(_.isLeft)) "\"err\""
@@ -182,7 +242,17 @@ object Bench {
     val retryCalibJson = retryCalib.map { case (n, c) =>
       jsonStr(n) + ":" + f"$c%.3f"
     }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps,"retried":$retriedJson,"retry_calib":$retryCalibJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
+    // "ref_flagged": queries re-queued by the REFERENCE-anchored signature
+    // (retry v2, [[refFlagged]]) — uniform elevation the v1 signature
+    // cannot see; their raws/medians carry the merged retry reps exactly
+    // like "retried". "ref_capped": candidates the [[RefRetryMax]] bound
+    // dropped, shipped so a capped run can never read as a clean one.
+    // "cpus" records the core count the run was measured at — the gate a
+    // future run's ref comparison joins on.
+    val refFlaggedJson = refFlaggedQs.map(jsonStr).mkString("[", ",", "]")
+    val refCappedJson = refCapped.map(jsonStr).mkString("[", ",", "]")
+    val cpusJson = cpus.map(c => s""","cpus":$c""").getOrElse("")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps$cpusJson,"retried":$retriedJson,"ref_flagged":$refFlaggedJson,"ref_capped":$refCappedJson,"retry_calib":$retryCalibJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
   }
 
   /** One short line the driver can always parse even when the full artifact
@@ -193,13 +263,14 @@ object Bench {
   private[graft] def renderCompact(
       results: Seq[(String, Seq[Either[String, Double]])],
       calib: Seq[(Int, Double)],
-      retried: Seq[String] = Nil): String = {
+      retried: Seq[String] = Nil,
+      refFlaggedQs: Seq[String] = Nil): String = {
     val total = results.collect {
       case (_, raws) if raws.forall(_.isRight) =>
         median(raws.collect { case Right(t) => t })
     }.sum
     val nErr = results.count(_._2.exists(_.isLeft))
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"retried":${retried.size},"calib_first":${calib.head._2}%.3f,"calib_last":${calib.last._2}%.3f}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"retried":${retried.size},"ref_flagged":${refFlaggedQs.size},"calib_first":${calib.head._2}%.3f,"calib_last":${calib.last._2}%.3f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,43 +334,89 @@ object Bench {
     // host-health reading beside the reps that now dominate the median.
     val candidates = results.collect { case (name, raws) if needsRetry(raws) => name }
     val retryCalib = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val mergedResults = if (candidates.isEmpty) results else {
-      val candidateSet = candidates.toSet
-      val extra = names.collect {
-        case (name, fn) if candidateSet(name) =>
+    // One retry set per target query at end of run (shared by the v1 and v2
+    // signatures): nReps+2 reps so the merged median lands INSIDE the retry
+    // set when the retry is uniformly faster.
+    // Retry calib goes in its OWN artifact field keyed by query, not the
+    // positional calib list: the sample is taken at END of run, and
+    // stamping it at the query's mid-run position would feed perfdiff's
+    // nearest-calib adjudication a wrong-time host-health reading for the
+    // query's NEIGHBORS (a late throttle could launder a real mid-run
+    // regression, or a healthy late sample could shadow a genuinely
+    // elevated mid-run one).
+    def retryPass(targets: Set[String], label: String): Map[String, Seq[Either[String, Double]]] =
+      names.collect {
+        case (name, fn) if targets(name) =>
           val nReps = (if (WatchClosely(name)) math.max(reps, 5) else reps) + 2
           val raws2 = timeReps(
             () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
             nReps)
           System.err.println(
-            s"[bench] retry $name raws=" + raws2.map {
+            s"[bench] $label retry $name raws=" + raws2.map {
               case Right(t) => f"$t%.3f"
               case Left(_)  => "err"
             }.mkString(","))
-          // Retry calib goes in its OWN artifact field keyed by query, not
-          // the positional calib list: the sample is taken at END of run,
-          // and stamping it at the query's mid-run position would feed
-          // perfdiff's nearest-calib adjudication a wrong-time host-health
-          // reading for the query's NEIGHBORS (a late throttle could
-          // launder a real mid-run regression, or a healthy late sample
-          // could shadow a genuinely elevated mid-run one).
           retryCalib(name) = cpuCalib()
           // [[mergeRetry]]: errored retry reps are logged and discarded.
           raws2.collect { case Left(m) => m }.headOption.foreach(m =>
-            System.err.println(s"[bench] retry rep of $name errored (discarded): $m"))
+            System.err.println(s"[bench] $label retry rep of $name errored (discarded): $m"))
           name -> raws2
       }.toMap
-      results.map { case (n, raws) =>
+    def mergeInto(
+        base: Seq[(String, Seq[Either[String, Double]])],
+        extra: Map[String, Seq[Either[String, Double]]]) =
+      base.map { case (n, raws) =>
         n -> extra.get(n).map(mergeRetry(raws, _)).getOrElse(raws)
       }
-    }
+    val extra1 = retryPass(candidates.toSet, "contention")
+    val mergedResults = mergeInto(results, extra1)
     // "retried" lists queries whose raws actually carry merged retry reps.
     val retried = candidates.filter(n =>
       mergedResults.find(_._1 == n).exists(_._2.length >
         results.find(_._1 == n).get._2.length))
     retried.foreach(n => System.err.println(s"[bench] retried (contention signature): $n"))
-    val full = renderJson(mergedResults, sfDir, reps, calib.toSeq, retried,
-      retryCalib.toSeq)
+    // Retry v2 ([[refFlagged]]): anchor to the committed clean reference so
+    // a UNIFORM ambient elevation — every rep slow, healthy calibs, the
+    // exact shape the v1 own-min signature cannot see — is re-measured
+    // in-harness too. Gated on the reference being comparable: same core
+    // count AND same sf (the driver also benches at lower core counts,
+    // where a 32-core reference would mass-flag every query). Candidates
+    // come from the v1-MERGED medians so a v1-corrected query is not
+    // retried twice; the worst [[RefRetryMax]] by absolute excess run,
+    // the rest ship in "ref_capped".
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val refMedians: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(refPath)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else parseRef(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+        case Some((Some(refCpus), refSf, qs))
+            if scala.util.Try(cpus.toInt).toOption.contains(refCpus) &&
+              sfBase(refSf) == sfBase(sfDir) =>
+          System.err.println(s"[bench] ref $refPath: ${qs.size} medians (cpus=$refCpus)")
+          qs
+        case other =>
+          System.err.println(s"[bench] ref $refPath not comparable " +
+            s"(cpus/sf gate): ${other.map { case (c, sf, qs) => s"cpus=$c sf=$sf n=${qs.size}" }}")
+          Map.empty
+      }
+    }
+    val v2All = mergedResults.collect {
+      case (name, raws)
+          if raws.forall(_.isRight) && !retried.contains(name) &&
+            refMedians.contains(name) &&
+            refFlagged(median(raws.collect { case Right(t) => t }), refMedians(name)) =>
+        name -> (median(raws.collect { case Right(t) => t }) - refMedians(name))
+    }.sortBy(-_._2)
+    val (v2Run, v2Capped) = v2All.map(_._1).splitAt(RefRetryMax)
+    v2Capped.foreach(n => System.err.println(s"[bench] ref-flag capped (not retried): $n"))
+    val extra2 = retryPass(v2Run.toSet, "ref")
+    val mergedResults2 = mergeInto(mergedResults, extra2)
+    val refFlaggedQs = v2Run.filter(extra2.contains)
+    refFlaggedQs.foreach(n => System.err.println(s"[bench] retried (ref signature): $n"))
+    val full = renderJson(mergedResults2, sfDir, reps, calib.toSeq, retried,
+      retryCalib.toSeq, refFlaggedQs, v2Capped,
+      scala.util.Try(cpus.toInt).toOption)
     println(full)
     // The full line above routinely exceeds the driver's capture window
     // (BENCH_r05..r07 all came back tail-truncated, "parsed": null). Two
@@ -313,7 +430,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(renderCompact(mergedResults, calib.toSeq, retried))
+    println(renderCompact(mergedResults2, calib.toSeq, retried, refFlaggedQs))
     spark.stop()
   }
 }

@@ -573,6 +573,15 @@ object Multimodal {
       }
       i += 12 + len
     }
+    // decodePng validated w/h as UNSIGNED Longs (>= 1), but the re-parse
+    // above is a signed-Int be32: a forged CRC-valid IHDR with a dimension
+    // >= 2^31 arrives here NEGATIVE, every pass computes empty (rawLen=0),
+    // and the bomb guard below compares negative products — letting a
+    // ~70-byte payload reach `new Array[Byte](outLen.toInt)` with a negative
+    // size (task crash) or fabricate a bogus raster. Reject non-positive
+    // dims before any size arithmetic; the guard's <= 2^28 cap would reject
+    // every such image anyway were the math done in Long.
+    if (w <= 0 || h <= 0) return None
     // Raster channels as STORED (palette rows carry one index byte/pixel).
     val channels = color match {
       case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4

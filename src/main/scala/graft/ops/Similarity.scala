@@ -419,17 +419,29 @@ object Similarity {
       .transform(r => Ordered.smallResult(r, "query_id"))
   }
 
-  /** Recall-after-append DRIFT audit: the same corpus scored twice — once
+  /** Recall-after-append DRIFT audit: the same corpus scored ONCE, ranked
     * against FRESH centroids (re-derived from the corpus as it stands,
-    * `labelCol` means) and once against the STALE set passed in (what a
+    * `labelCol` means) and against the STALE set passed in (what a
     * persisted index was built with, before the appends). One row per
     * query with both numbers side by side: `recall_stale` is the
     * operational staleness signal ([[ivfAppend]] freezes centroids by
     * design, so drift accumulates until this number says re-cluster), and
-    * `recall_fresh` is the ceiling re-clustering would restore. Runs the
-    * [[ivfRecallWith]] machinery twice over one corpus — at 100 TB sample
-    * the query set, not the corpus: the cost is two broadcast-assignment
-    * passes, no extra shuffle.
+    * `recall_fresh` is the ceiling re-clustering would restore.
+    *
+    * Score once, rank thrice (optimization r21): `cosine(v, q)` is
+    * centroid-INDEPENDENT, so the corpus × queries scoring pass and the
+    * exact top-k are SHARED between the sides — the previous composition
+    * (two [[ivfRecallWith]] calls) embedded the scoring subtree four times
+    * in one plan (each side's exact and IVF rankings re-executed the scan
+    * + cosine fold; no exchange reuse, the subtrees differ). Both cluster
+    * labels ride the one scored frame from one stacked assignment pass;
+    * only the k-row probe lists and the probe-filtered rankings differ per
+    * side. At 100 TB this is one corpus scan + one scoring fold instead of
+    * four, and one exact ranking instead of two; the scored frame is
+    * narrow — (qid, id, two cluster ids, cosine) — and is materialized so
+    * the three rankings read blocks instead of replaying lineage. Same
+    * rounding, same tie rules, bit-identical output (the shared DuckDB
+    * oracle pins it).
     */
   def ivfRecallDrift(
       df: DataFrame,
@@ -440,14 +452,59 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    val fresh = ivfRecallBatch(df, queryIds, k, nprobe, idCol, vecCol, labelCol)
-      .select(col("query_id"), col("n_exact"),
-        col("n_hit").as("n_hit_fresh"), col("recall_at_k").as("recall_fresh"))
-    val stale = ivfRecallWith(df, staleCentroids, queryIds, k, nprobe, idCol, vecCol)
-      .select(col("query_id"),
-        col("n_hit").as("n_hit_stale"), col("recall_at_k").as("recall_stale"))
+    import org.apache.spark.sql.expressions.Window
+    // k-row frames, each consumed twice (probe list + assignment
+    // broadcast): materialize so the label-mean aggregate (a corpus pass)
+    // and the caller's stale derivation run once, not twice.
+    val freshCents = centroidsOf(df, vecCol, labelCol).narrowCheckpoint()
+    val staleCents = staleCentroids.narrowCheckpoint()
+    val assigned = assignedOf(
+      assignedOf(df, freshCents, idCol, vecCol, Nil)
+        .withColumnRenamed("cluster", "__cl_fresh"),
+      staleCents, idCol, vecCol, Seq("__cl_fresh"))
+      .withColumnRenamed("cluster", "__cl_stale")
+    val queries = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .narrowCheckpoint()
+    // Per-side probe lists — [[ivfRecallWith]]'s rule verbatim: top-nprobe
+    // clusters by (query cosine desc, cluster id) over the k-row centroid
+    // table. Tiny windows over broadcasts; no materialization needed.
+    def probesOf(cents: DataFrame, clCol: String): DataFrame =
+      broadcast(queries).crossJoin(broadcast(cents))
+        .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl"))))
+        .filter(col("pr") <= nprobe)
+        .select(col("qid"), col("cl").as(clCol))
+    val scored = assigned
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col("__cl_fresh"), col("__cl_stale"),
+        round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
+      .narrowCheckpoint()
+    val exact = perQidTopK(scored, k, idCol)
+      .select(col("qid"), col(idCol))
+      .narrowCheckpoint() // report-sized; joined against twice below
+    def side(clCol: String, cents: DataFrame): DataFrame = {
+      val ivf = perQidTopK(
+        scored.join(broadcast(probesOf(cents, clCol)), Seq("qid", clCol)),
+        k, idCol)
+        .select(col("qid"), col(idCol), lit(1).as("__hit"))
+      exact.join(ivf, Seq("qid", idCol), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    }
+    val fresh = side("__cl_fresh", freshCents)
+      .select(col("qid").as("query_id"), col("n_exact"),
+        col("n_hit").as("n_hit_fresh"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_fresh"))
+    val stale = side("__cl_stale", staleCents)
+      .select(col("qid").as("query_id"),
+        col("n_hit").as("n_hit_stale"),
+        round(col("n_hit") / lit(k.toDouble), 4).as("recall_stale"))
     // Report-shape sort: a bare orderBy's range-sampling pass would run
-    // BOTH recall pipelines a second time (Ordered.smallResult note).
+    // BOTH recall rankings a second time (Ordered.smallResult note).
     Ordered.smallResult(fresh.join(stale, Seq("query_id")), "query_id")
   }
 

@@ -117,6 +117,58 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.renderCompact(res, Seq((-1, 0.1))).contains("\"retried\":0"))
   }
 
+  test("refFlagged fires on the perfdiff bar against the reference only") {
+    // >1.5x AND >0.3s above the committed clean median
+    assert(Bench.refFlagged(4.57, 2.30)) // the r20 stream_distinct_daily shape
+    assert(!Bench.refFlagged(2.4, 2.3)) // within noise of the reference
+    assert(!Bench.refFlagged(0.2, 0.1)) // 2x but under the 0.3s absolute bar
+    assert(!Bench.refFlagged(3.0, 2.5)) // +0.5s but under the 1.5x ratio bar
+  }
+
+  test("parseRef extracts cpus/sf/medians from a committed artifact line and skips err") {
+    val line = """{"metric":"total","value":3.000,"unit":"sec","queries":{"a":1.200,"b":"err","c":0.450},"raws":{"a":[1.2]},"errors":{},"errored":1,"sf":"/root/testdata/sf0.1","reps":3,"cpus":32,"retried":[]}"""
+    val Some((cpus, sf, qs)) = Bench.parseRef(line)
+    assert(cpus.contains(32))
+    assert(sf == "/root/testdata/sf0.1")
+    assert(qs == Map("a" -> 1.2, "c" -> 0.45)) // "err" never becomes a reference
+    // a pre-r21 artifact without "cpus" parses but carries None — the main
+    // loop's gate then disables ref retry rather than mis-anchoring
+    val old = """{"value":1.0,"queries":{"a":1.000},"sf":"/x/sf0.1"}"""
+    val Some((noCpus, _, _)) = Bench.parseRef(old)
+    assert(noCpus.isEmpty)
+    // no queries object at all -> None
+    assert(Bench.parseRef("""{"value":1.0}""").isEmpty)
+  }
+
+  test("sfBase compares data directories by basename") {
+    assert(Bench.sfBase("/root/testdata/sf0.1") == "sf0.1")
+    assert(Bench.sfBase("testdata/sf0.1/") == "sf0.1")
+    assert(Bench.sfBase("/a/sf0.1") != Bench.sfBase("/a/sf0.01"))
+  }
+
+  test("renderJson carries ref_flagged, ref_capped and cpus") {
+    val json = Bench.renderJson(
+      Seq("hot" -> Seq[Either[String, Double]](Right(0.4), Right(0.41))),
+      "/tmp/sf", 1, Seq((-1, 0.1)), Nil, Seq("hot" -> 0.1),
+      Seq("hot"), Seq("dropped"), Some(32))
+    assert(json.contains("\"ref_flagged\":[\"hot\"]"))
+    assert(json.contains("\"ref_capped\":[\"dropped\"]"))
+    assert(json.contains("\"cpus\":32"))
+    // defaults keep the fields present-but-empty (machine-parseable)
+    val plain = Bench.renderJson(
+      Seq("a" -> Seq[Either[String, Double]](Right(1.0))), "/tmp/sf", 1, Seq((-1, 0.1)))
+    assert(plain.contains("\"ref_flagged\":[]"))
+    assert(plain.contains("\"ref_capped\":[]"))
+    assert(!plain.contains("\"cpus\":"))
+  }
+
+  test("renderCompact carries the ref_flagged count") {
+    val res = Seq("a" -> Seq[Either[String, Double]](Right(1.0)))
+    assert(Bench.renderCompact(res, Seq((-1, 0.1)), Nil, Seq("a"))
+      .contains("\"ref_flagged\":1"))
+    assert(Bench.renderCompact(res, Seq((-1, 0.1))).contains("\"ref_flagged\":0"))
+  }
+
   test("familyOf groups by the pre-underscore prefix") {
     assert(Bench.familyOf("dedup_jaccard_prefix") == "dedup")
     assert(Bench.familyOf("q1_agg") == "q1")

@@ -1890,6 +1890,48 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePngRaster(palBomb).isEmpty)
   }
 
+  test("PNG raster core: width >= 2^31 (signed-parse wrap) returns None, never crashes") {
+    // decodePng validates IHDR dims as UNSIGNED Longs, so a CRC-valid frame
+    // with width 0x80000000 passes the metadata walk — but the raster
+    // core's signed be32 re-parse sees it NEGATIVE. Pre-guard, h=1 made
+    // every pass empty (rawLen=0), slipped the bomb guard (negative
+    // products compare below every cap), and crashed on
+    // `new Array[Byte](outLen.toInt)` (negative size) after the empty zlib
+    // IDAT; h=2 wrapped w·h to 0 and fabricated a bogus Some(PngRaster)
+    // with negative dims. Both must return None (ADVICE r20).
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(out: java.io.ByteArrayOutputStream, tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length.toLong), 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4); out.write(body, 0, body.length)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    // A VALID zlib stream inflating to zero bytes: garbage IDAT already
+    // returns None via DataFormatException — the dangerous path needs the
+    // inflate to SUCCEED so control reaches the output allocation.
+    val emptyZlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array.emptyByteArray); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    for (hh <- Seq(1L, 2L)) {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+      chunk(out, "IHDR", be32(0x80000000L) ++ be32(hh) ++ Array[Byte](8, 0, 0, 0, 0))
+      chunk(out, "IDAT", emptyZlib)
+      chunk(out, "IEND", Array.emptyByteArray)
+      val p = out.toByteArray
+      assert(Multimodal.decodePng(p).nonEmpty,
+        s"metadata walk accepts unsigned width 2^31 at h=$hh")
+      assert(Multimodal.decodePngRaster(p).isEmpty,
+        s"raster core must reject signed-wrapped width at h=$hh")
+    }
+  }
+
   test("PNG raster core: an IHDR that disagrees with the stream's pass structure is rejected") {
     // Flip single IHDR fields on a valid encode and re-CRC the chunk: the
     // inflated stream's byte count then no longer matches the header's
