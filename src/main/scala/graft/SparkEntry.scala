@@ -624,19 +624,29 @@ object SparkEntry {
     * `left_anti` against a bounded set, and the distinct-count shuffles on
     * the attribute triple after the broadcast part join.
     */
-  private def q16PartSupplierCount(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(T(s, dir, "part")
-          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
-            col("p_size").isin(1, 5, 9, 14, 20, 25, 36, 49))
-          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
-        col("l_partkey") === col("p_partkey"))
+  private def q16PartSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    // Broadcast-prune the fact BEFORE the pair-distinct's exchange
+    // (optimization r21, guide §2.3): the previous shape shuffled EVERY
+    // distinct (part, supplier) pair and only then dropped non-qualifying
+    // parts and excluded suppliers — the part filter keeps ~1/8 of sizes,
+    // so the distinct now shuffles a fraction of the pairs for the same
+    // result (semi-join and anti-join commute with the pair distinct).
+    val partsF = T(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 14, 20, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    T(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(partsF.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .join(T(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
           .select(col("s_suppkey").as("__excl")),
         col("l_suppkey") === col("__excl"), "left_anti")
+      .distinct()
+      .join(broadcast(partsF), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
 
   /** TPC-H Q20 shape: suppliers holding a DOMINANT share of a part's annual
     * flow — the correlated half-sum (`> 0.5 × total`) decorrelated into two

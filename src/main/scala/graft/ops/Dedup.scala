@@ -971,11 +971,20 @@ object Dedup {
         .distinct())
       // Fixed point ⇔ same canonical edge set: counts agree AND nothing in
       // `next` is new (distinct sets of equal size with empty one-way
-      // difference are equal). Counts are carried across rounds, so the
-      // test is one count + one anti-join probe per round.
-      val nextCount = next.count()
-      val changed = nextCount != eCount ||
-        next.join(e, Seq("src", "dst"), "left_anti").limit(1).count() != 0L
+      // difference are equal). Counts are carried across rounds. ONE probe
+      // job per round (optimization r21): the count and the one-way
+      // difference share a single left-join scan over the two checkpointed
+      // edge sets — previously two serial driver jobs (count, then
+      // anti-join probe). `e` is distinct, so the left join is 1:≤1 and
+      // a null marker ⇔ an edge the anti-join would have kept.
+      val probe = next
+        .join(e.select(col("src"), col("dst"), lit(1).as("__in")),
+          Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("__n"),
+          count(when(col("__in").isNull, lit(1))).as("__new"))
+        .head()
+      val nextCount = probe.getLong(0)
+      val changed = nextCount != eCount || probe.getLong(1) != 0L
       releaseLocalBlocks(e)
       releaseLocalBlocks(afterLarge)
       e = next

@@ -246,13 +246,18 @@ object Similarity {
       idCol: String,
       vecCol: String,
       extraCols: Seq[String]): DataFrame = {
-    val assigned = assignedOf(df, centroids, idCol, vecCol, extraCols)
+    // k rows, two consumers (assignment broadcast + probe list) whose
+    // subtrees differ — un-materialized, the centroid derivation (a full
+    // corpus aggregate for the label-mean path) executed once PER consumer
+    // (optimization r21; one pass at any scale now).
+    val cents = centroids.narrowCheckpoint()
+    val assigned = assignedOf(df, cents, idCol, vecCol, extraCols)
     // The query VECTOR comes straight off the base table — routing it through
     // `assigned` would re-execute the whole assignment scan once per consumer
     // (it feeds both the probe list and the final score pass).
     val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__q"))
     // Probe list: the nprobe clusters nearest to the query vector.
-    val probes = centroids.crossJoin(broadcast(q))
+    val probes = cents.crossJoin(broadcast(q))
       .select(col("cl"), cosine(col("cvec"), col("__q")).as("cs"))
       .orderBy(col("cs").desc, col("cl"))
       .limit(nprobe)
@@ -283,7 +288,9 @@ object Similarity {
       vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = centroidsOf(df, vecCol, labelCol)
+    // Materialized: the label-mean aggregate is a corpus pass consumed by
+    // both the assignment broadcast and the probe list (ivfWith note).
+    val centroids = centroidsOf(df, vecCol, labelCol).narrowCheckpoint()
     val assigned = assignedOf(df, centroids, idCol, vecCol, Seq(labelCol))
     // Materialize the (tiny) query set once: it feeds both the probe list
     // and the score join, and each un-checkpointed use would re-scan the
@@ -389,11 +396,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignedOf(df, centroids, idCol, vecCol, Nil)
+    // Materialized: two consumers of a possibly corpus-aggregate centroid
+    // derivation (ivfWith note).
+    val cents = centroids.narrowCheckpoint()
+    val assigned = assignedOf(df, cents, idCol, vecCol, Nil)
     val queries = df.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .narrowCheckpoint()
-    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
       .select(col("qid"), col("cl"), cosine(col("cvec"), col("qv")).as("cs"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl"))))
@@ -401,11 +411,17 @@ object Similarity {
       .select(col("qid"), col("cl").as("cluster"))
     // One scored frame feeds BOTH rankings: exact ranks over all rows, IVF
     // ranks only over rows whose cluster is probed for that query.
+    // Materialized (optimization r21): the two rankings are different
+    // subtrees (no exchange reuse), so without the cut each re-executed
+    // the corpus scan + assignment + cosine fold — at 100 TB, two full
+    // scoring passes for one. The frame is narrow: (qid, id, cluster,
+    // cosine), |corpus| × |queries| rows.
     val scored = assigned
       .crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), col("cluster"),
         round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
+      .narrowCheckpoint()
     val exact = perQidTopK(scored, k, idCol)
       .select(col("qid"), col(idCol))
     val ivf = perQidTopK(scored.join(broadcast(probes), Seq("qid", "cluster")), k, idCol)
@@ -2061,10 +2077,25 @@ object Similarity {
 
   /** A codebook frame as literal `(code, centroid)` pairs sorted by code —
     * k rows collected to the driver, the same bounded routing-state
-    * envelope as the persisted probes' centroid tables. */
+    * envelope as the persisted probes' centroid tables.
+    *
+    * Memoized per frame IDENTITY (optimization r21): the quantizer frames
+    * [[quantizerCache]] serves are stable objects, yet every execution of
+    * a PQ path re-collected the same k rows — one small but SERIAL driver
+    * job per block per run (m blocks × up to two codebook generations = 8
+    * scheduling round-trips on a warm ADC query whose real task work is
+    * milliseconds; BenchProbe measured `ann_ivfpq_topk` at 22 serial jobs
+    * for 0.2 s of task time). Weak keys: an evicted or non-cached codebook
+    * frame releases its literal with the frame. Only k-row-bounded state —
+    * the same envelope as the quantizer cache itself.
+    */
+  private val cbLiteralCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Seq[(Int, Seq[Double])]]())
   private def cbLiteral(cb: DataFrame): Seq[(Int, Seq[Double])] =
-    cb.select(col("c"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    cbLiteralCache.computeIfAbsent(cb, c =>
+      c.select(col("c"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1))
 
   /** Code assignment for block `b` as a COLUMN: nearest centroid under
     * squared L2, ties to the smaller code — an argmin over k literal

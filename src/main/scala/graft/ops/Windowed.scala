@@ -377,22 +377,33 @@ object Windowed {
       keyCol: String,
       startCol: String,
       endCol: String): DataFrame = {
-    requireFree(intervals, "concurrencySweep", "__t", "__d", "__net", "__run", "__seg")
-    val starts = intervals.select(col(keyCol), col(startCol).cast("long").as("__t"),
-      lit(1L).as("__d"))
-    val ends = intervals.select(col(keyCol), col(endCol).cast("long").as("__t"),
-      lit(-1L).as("__d"))
-    val netted = starts.unionByName(ends)
+    requireFree(intervals, "concurrencySweep",
+      "__t", "__d", "__e", "__net", "__ns", "__run", "__seg")
+    // ONE pass over `intervals` (optimization r21): each row explodes to
+    // its two boundary deltas via a 2-element array instead of a
+    // starts ∪ ends union — the union form executed the (often expensive:
+    // sessionized windows) interval subtree twice, and the separate
+    // n_intervals count a third time. The start-edge count rides the same
+    // netting aggregate (`__ns`), so n_intervals is a per-key rollup of
+    // the netted frame — computed BEFORE the zero-net filter, which keeps
+    // keys whose every timestamp fully nets (all zero-length intervals)
+    // reporting (n, 0, 0) exactly as the three-scan form did.
+    val netted0 = intervals
+      .select(col(keyCol), explode(array(
+        struct(col(startCol).cast("long").as("__t"), lit(1L).as("__d")),
+        struct(col(endCol).cast("long").as("__t"), lit(-1L).as("__d")))).as("__e"))
+      .select(col(keyCol), col("__e.__t").as("__t"), col("__e.__d").as("__d"))
       .groupBy(col(keyCol), col("__t"))
-      .agg(sum(col("__d")).as("__net"))
-      .filter(col("__net") =!= 0L) // fully-netted timestamps carry no edge
+      .agg(sum(col("__d")).as("__net"),
+        count(when(col("__d") === 1L, lit(1))).as("__ns"))
+    val netted = netted0.filter(col("__net") =!= 0L) // fully-netted: no edge
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
     val swept = netted
       .withColumn("__run",
         sum(col("__net")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__seg",
         when(col("__run") > 0L, lead(col("__t"), 1).over(w) - col("__t")))
-    val counts = intervals.groupBy(col(keyCol)).agg(count(lit(1)).as("n_intervals"))
+    val counts = netted0.groupBy(col(keyCol)).agg(sum(col("__ns")).as("n_intervals"))
     counts.join(
       swept.groupBy(col(keyCol)).agg(
         max(col("__run")).as("peak_concurrency"),
@@ -422,11 +433,26 @@ object Windowed {
       startCol: String,
       endCol: String): DataFrame = {
     requireFree(intervals, "concurrencySweepGlobal",
-      "__t", "__d", "__net", "__pid", "__run", "__pt", "__s")
-    val starts = intervals.select(col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
-    val ends = intervals.select(col(endCol).cast("long").as("__t"), lit(-1L).as("__d"))
-    val netted = starts.unionByName(ends)
-      .groupBy(col("__t")).agg(sum(col("__d")).as("__net"))
+      "__t", "__d", "__e", "__net", "__ns", "__pid", "__run", "__pt", "__s")
+    // ONE pass over `intervals` (optimization r21, the keyed sweep's note):
+    // boundary deltas explode from a 2-element array instead of a
+    // starts ∪ ends union, and n_intervals rolls up from the same netting
+    // aggregate's start-edge count — the union form executed the interval
+    // subtree twice and the final count a third time.
+    val netted0 = intervals
+      .select(explode(array(
+        struct(col(startCol).cast("long").as("__t"), lit(1L).as("__d")),
+        struct(col(endCol).cast("long").as("__t"), lit(-1L).as("__d")))).as("__e"))
+      .select(col("__e.__t").as("__t"), col("__e.__d").as("__d"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__d")).as("__net"),
+        count(when(col("__d") === 1L, lit(1))).as("__ns"))
+    // Materialized: consumed by BOTH the ranged sweep below and the
+    // n_intervals rollup at the tail — without the cut, those separate
+    // executions would each re-scan `intervals` (the very double-scan this
+    // rewrite removes). Size is bounded by the distinct-timestamp count.
+    val nettedAll = netted0.narrowCheckpoint()
+    val netted = nettedAll.select(col("__t"), col("__net"))
       .filter(col("__net") =!= 0L)
     // FUSED stitch: composing runningSumStitched + lagStitched would range-
     // partition, materialize and window the timeline TWICE. One pinned
@@ -435,7 +461,25 @@ object Windowed {
     // seams (the exclusive prefix offset for the sum AND the previous
     // non-empty partition's last timestamp for the lag) from the same
     // sorted per-partition list.
-    val parts = intervals.sparkSession.sessionState.conf.numShufflePartitions
+    // Scale-adaptive partition count (optimization r21): the range
+    // partitioning is PINNED by the checkpoint (AQE cannot coalesce it), so
+    // a constant `numShufflePartitions` pays the full per-partition stitch
+    // machinery — 3 × parts tasks — even for a timeline of a few thousand
+    // edges. Derive parts from the materialized timeline's actual row
+    // count (one cheap count over checkpoint blocks): rows/partition
+    // targeted by `spark.graft.sweep.rowsPerPartition` (default 4M ≈
+    // tens of MB of (long, long) rows per window task), floored at 1,
+    // capped at the session's shuffle parallelism so a 100 TB timeline
+    // still spreads. Correctness is parts-independent — the seam stitch
+    // is exact for any split — and the count is read from the checkpoint,
+    // never a re-scan.
+    val parts = {
+      val target = intervals.sparkSession.conf
+        .get("spark.graft.sweep.rowsPerPartition", "4000000").toLong
+      require(target > 0, s"spark.graft.sweep.rowsPerPartition must be > 0, got $target")
+      val cap = intervals.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(1L, math.min(cap.toLong, (nettedAll.count() + target - 1) / target)).toInt
+    }
     val ranged = netted.repartitionByRange(parts, col("__t"))
       .withColumn("__pid", spark_partition_id())
       .narrowCheckpoint() // pin ONE partitioning for rows + summary (seam note in lagStitched)
@@ -469,7 +513,10 @@ object Windowed {
       max(col("__run")).as("peak_concurrency"),
       coalesce(sum(when(col("__run") - col("__net") > 0L, col("__t") - col("__pt"))),
         lit(0L)).as("busy_ms"))
-    intervals.agg(count(lit(1)).as("n_intervals"))
+    // n_intervals = total start edges, rolled up from the materialized
+    // netted frame — never a re-scan of `intervals` (empty input: sum is
+    // NULL over the empty group, coalesced to the count form's 0).
+    nettedAll.agg(coalesce(sum(col("__ns")), lit(0L)).as("n_intervals"))
       .crossJoin(broadcast(agg))
       .select(col("n_intervals"),
         coalesce(col("peak_concurrency"), lit(0L)).as("peak_concurrency"),
