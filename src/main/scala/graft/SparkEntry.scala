@@ -384,11 +384,15 @@ object SparkEntry {
     * boundary row.
     */
   private def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    // Materialized once (optimization r21): `pruned` feeds the threshold
+    // aggregate AND the join-back — un-cut, the fact scan + broadcast
+    // semi-join executed twice (no exchange reuse across the two shapes).
     val pruned = T(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(broadcast(T(s, dir, "part")
           .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
+      .narrowCheckpoint()
     val th = pruned.groupBy(col("l_partkey").as("__pk"))
       .agg((lit(0.2) *
         (sum(col("l_quantity").cast("decimal(20,10)")).cast("double") /
@@ -413,7 +417,11 @@ object SparkEntry {
   private def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
       col("l_returnflag"))
-    val l1 = li.filter(col("l_returnflag") === "R")
+    // The RETURNED subset is consumed twice (the driving side and the
+    // NOT-EXISTS side l3) — materialized once; the full projection l2 stays
+    // a plain pruned scan, since checkpointing a full-fact copy would cost
+    // more write than the scan it saves (optimization r21).
+    val l1 = li.filter(col("l_returnflag") === "R").narrowCheckpoint()
     val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
     val l3 = l1.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
     l1.join(T(s, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -604,11 +612,15 @@ object SparkEntry {
   private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
     val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
       .cast("decimal(30,10)")
+    // Materialized once (optimization r21): `revenue` feeds the max AND the
+    // equality join-back (the scaladoc's "once per consumer" admission,
+    // now one pass).
     val revenue = T(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(round(sum(rev), 2).cast("double").as("total_rev"))
+      .narrowCheckpoint()
     val mx = revenue.agg(max(col("total_rev")).as("__mx"))
     revenue.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("__mx"))
@@ -665,6 +677,9 @@ object SparkEntry {
         col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("decimal(20,2)").as("__q"))
+      // Materialized once (optimization r21): feeds both the per-supplier
+      // and per-part aggregates (q17 note).
+      .narrowCheckpoint()
     val bySupp = pruned.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("__q")).as("__sq"))
     val byPart = pruned.groupBy(col("l_partkey").as("__pk"))
@@ -695,6 +710,10 @@ object SparkEntry {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey")))
+    // Materialized once (optimization r21): `ps` feeds the per-part min
+    // AND the equality join-back (the decorrelated-subquery pattern) —
+    // un-cut, the whole fact scan + two semi-joins + aggregate ran twice
+    // (the audit plan carried 26 parquet scans).
     val ps = T(s, dir, "lineitem")
       .join(broadcast(T(s, dir, "part").filter(col("p_size") === 15)
           .select(col("p_partkey"))),
@@ -703,6 +722,7 @@ object SparkEntry {
         col("l_suppkey") === col("__eu"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      .narrowCheckpoint()
     val minCost = ps.groupBy(col("l_partkey").as("__pk"))
       .agg(min(col("ps_supplycost")).as("__minc"))
     ps.join(minCost,
@@ -730,10 +750,13 @@ object SparkEntry {
       .join(broadcast(T(s, dir, "nation").filter(col("n_name") === "NATION_7")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey")))
+    // Materialized once (optimization r21): `perPart` feeds the global
+    // total AND the share filter — the q17 decorrelation note applies.
     val perPart = T(s, dir, "lineitem")
       .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice"), 10).cast("decimal(30,10)")).as("__value"))
+      .narrowCheckpoint()
     val total = perPart.agg(sum(col("__value")).as("__tot"))
     perPart.crossJoin(broadcast(total))
       .filter(col("__value") * 1000 > col("__tot"))

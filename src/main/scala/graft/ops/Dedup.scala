@@ -108,9 +108,15 @@ object Dedup {
     // Single-pass codegen'd shingle kernel: tokenize+shingle+hash+distinct in
     // one expression, so the self-join shuffles 16-byte (id, hash) rows
     // instead of shingle strings, and per-doc set sizes are a free `size()`.
+    // Materialized once (optimization r21, the jaccardPairsPrefixFiltered
+    // contract): the frame feeds the self-join sides, the per-doc sizes,
+    // and (capped arm) the hot-shingle list and exact verify — without the
+    // cut the kernel re-tokenized every document once PER consumer (the
+    // dedup_jaccard_capped audit plan carried 40 Exchanges).
     val hashed = df.select(
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      .narrowCheckpoint()
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
     maxShingleDf match {
       case None =>
@@ -144,7 +150,9 @@ object Dedup {
         // instead of degrading to a shuffle join.
         val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
           .filter(col("df_sh") > cap).select(col("h"))
-        val pruned = sh.join(hot, Seq("h"), "left_anti")
+        // Three consumers (both self-join sides + the kept-size rollup),
+        // each of which would replay the hot aggregate and the anti-join.
+        val pruned = sh.join(hot, Seq("h"), "left_anti").narrowCheckpoint()
         // Count-bound pre-filter (ppjoin-style): per pair, the shared KEPT
         // shingles are a lower bound on the true overlap, and the true
         // overlap can exceed it by at most min(hot₁, hot₂) (a shared hot
@@ -218,9 +226,12 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    // Materialized once — four consumers (self-join sides + both size
+    // joins); the jaccardPairs note applies verbatim (optimization r21).
     val hashed = df.select(
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
+      .narrowCheckpoint()
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
     val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
     val overlap = sh.as("a").hint("SHUFFLE_HASH")
@@ -559,10 +570,13 @@ object Dedup {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Materialized once — the hashed sets feed the signature pass AND both
+    // exact-verify joins (jaccardPairs note; optimization r21).
     val hashed = df.select(
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
+      .narrowCheckpoint()
     val sig = hashed.select(
       col("id"),
       org.apache.spark.sql.graftfns.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))

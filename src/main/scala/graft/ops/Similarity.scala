@@ -655,8 +655,12 @@ object Similarity {
     // `rounds` assignment/means passes.
     val canon = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
+    // Miss branch materializes the training frame once: the seed pass plus
+    // `rounds` assignment/means passes otherwise each replay the source
+    // scan (optimization r21 — cold-path only; a hit never touches it).
     quantizerCache.computeIfAbsent(s"km:${corpusKey(canon)}:$k:$rounds",
-      _ => Seq(kMeansTrain(canon, k, rounds, "vid", "v").narrowCheckpoint()))
+      _ => Seq(kMeansTrain(canon.narrowCheckpoint(), k, rounds, "vid", "v")
+        .narrowCheckpoint()))
       .head
   }
 
@@ -1998,6 +2002,23 @@ object Similarity {
       s"pq:${key.getOrElse(corpusKey(e))}:$m:$subDim:$k",
       _ => pqCodebooks(e, m, subDim, k).map(_.narrowCheckpoint()))
 
+  /** [[cachedPqCodebooks]] for a frame used ONLY as training input (the
+    * drift audits' stale corpus): the corpus copy is materialized inside
+    * the cache-MISS branch, so a warm execution pays one fingerprint
+    * aggregate and never a corpus-sized checkpoint — the eager
+    * canonicalize-and-checkpoint before the cache lookup was pure waste on
+    * a hit, a full corpus materialization per execution whose only reader
+    * was the (cached) trainer (optimization r21). Key space shared with
+    * [[cachedPqCodebooks]]: the fingerprint is content-based, so the same
+    * corpus hits the same entry through either entry point.
+    */
+  private def cachedPqCodebooksTrainOnly(
+      eRaw: DataFrame, m: Int, subDim: Int, k: Int): Seq[DataFrame] =
+    quantizerCache.computeIfAbsent(
+      s"pq:${corpusKey(eRaw)}:$m:$subDim:$k",
+      _ => pqCodebooks(eRaw.narrowCheckpoint(), m, subDim, k)
+        .map(_.narrowCheckpoint()))
+
   /** [[centroidsKMeans]]'s cache entry for an ALREADY-canonical `(vid, v)`
     * frame with an optionally precomputed fingerprint (key space shared
     * with the public method — same content, same entry). */
@@ -2263,17 +2284,19 @@ object Similarity {
     def canon(x: DataFrame): DataFrame =
       x.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
-        .narrowCheckpoint()
-    val e = canon(df)
+    val e = canon(df).narrowCheckpoint()
     val queries = queriesOf(e, queryIds).narrowCheckpoint()
     val exactTop = pqExactTop(e, queries, k).narrowCheckpoint()
     def adcTop(cbs: Seq[DataFrame]) =
       pqAdcTop(pqAssignAll(e, cbs, subDim),
         cbs.zipWithIndex.map { case (cb, b) =>
           pqLutBlock(queries, cb, b, subDim) }, k)
+    // Stale side trains through the deferred-checkpoint entry point: on a
+    // quantizer-cache hit the stale corpus costs one fingerprint aggregate,
+    // not a full materialization ([[cachedPqCodebooksTrainOnly]]).
     pqDriftReport(exactTop,
       adcTop(cachedPqCodebooks(e, m, subDim, kCodes)),
-      adcTop(cachedPqCodebooks(canon(staleTrain), m, subDim, kCodes)),
+      adcTop(cachedPqCodebooksTrainOnly(canon(staleTrain), m, subDim, kCodes)),
       k)
   }
 

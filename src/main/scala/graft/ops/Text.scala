@@ -428,7 +428,12 @@ object Text {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
     def toks(d: DataFrame) =
       d.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    // Materialized once (optimization r21): the LM count table feeds the
+    // smoothing totals AND the scoring join — un-cut, the reference corpus
+    // re-tokenized once per consumer. Vocabulary-sized (one row per
+    // distinct token), distributed blocks — never collected.
     val lm = toks(refDf).groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+      .narrowCheckpoint()
     val tot = lm.agg(sum(col("__cnt")).cast("double").as("__tot"),
       count(lit(1)).cast("double").as("__v"))
     val perTok = toks(df)
@@ -446,10 +451,14 @@ object Text {
     // sitting within a scaled ulp of the .00005 boundary flips (observed at
     // sf0.1: 3.3945 vs 3.3946 on one of 5 000 documents). Rounding here
     // would *reduce* determinism, not add it.
+    // Materialized once: feeds the tertile aggregate AND the banding
+    // projection — un-cut, the whole scoring pipeline (tokenize + LM join)
+    // executed twice. Row-per-document, three narrow columns.
     val docs = perTok.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("__nll6")).cast("double") / count(lit(1)).cast("double"))
           .as("nll"))
+      .narrowCheckpoint()
     val th = docs.agg(
       percentile(col("nll"), lit(1.0 / 3)).as("__t1"),
       percentile(col("nll"), lit(2.0 / 3)).as("__t2"))
@@ -494,9 +503,13 @@ object Text {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
     val toks = df.select(col(idCol), posPred.as("__pos"),
       explode(tokens(lower(col(textCol)))).as("token"))
+    // Materialized once (lmQualityBands note): the class-count table feeds
+    // the normalizer totals AND the weight projection — un-cut, the corpus
+    // re-tokenized and re-aggregated once per consumer. Vocabulary-sized.
     val cls = toks.groupBy(col("token")).agg(
       count(when(col("__pos"), lit(1))).as("__cp"),
       count(when(!col("__pos"), lit(1))).as("__cn"))
+      .narrowCheckpoint()
     val tot = cls.agg(
       sum(col("__cp")).cast("double").as("__np"),
       sum(col("__cn")).cast("double").as("__nn"),
@@ -638,9 +651,14 @@ object Text {
       df: DataFrame,
       sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // Materialized once (optimization r21): the (source, term) count table
+    // has FOUR consumers (blend counts, per-source totals, the global
+    // total, and the contribution join) — un-cut, the corpus tokenized and
+    // aggregated four times. Vocabulary×sources-sized.
     val st = df.select(col(sourceCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(sourceCol), col("term"))
       .agg(count(lit(1)).as("__c_st"))
+      .narrowCheckpoint()
     val ct = st.groupBy(col("term")).agg(sum(col("__c_st")).as("__c_t"))
     val ns = st.groupBy(col(sourceCol))
       .agg(sum(col("__c_st")).as("__n_s"), count(lit(1)).as("__n_terms"))

@@ -70,7 +70,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q2/q20 region and dominance prunes stay semi-joins; q16 exclusion stays anti") {
-    assert(plan("q2_min_cost_supplier").contains("LeftSemi"))
+    // q2's pruned per-(part, supplier) min-cost aggregate is materialized
+    // ONCE since r21 (the decorrelated subquery's two consumers otherwise
+    // re-ran the fact scan + both semi-joins); the region/size semi-joins
+    // now run inside that materialization pass, so the FINAL plan joins
+    // the materialized relation back — pin that shape: a checkpoint scan
+    // feeding hash joins, never a nested loop (the semi-join semantics
+    // themselves stay pinned by the shared DuckDB oracle).
+    val q2 = plan("q2_min_cost_supplier")
+    assert(q2.contains("ExistingRDD"))
+    assert(!q2.contains("CartesianProduct") && !q2.contains("NestedLoop"))
     assert(plan("q20_excess_suppliers").contains("LeftSemi"))
     assert(plan("q16_part_supplier_count").contains("LeftAnti"))
   }
