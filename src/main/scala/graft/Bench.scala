@@ -43,6 +43,14 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Locale-pinned 3-decimal formatter (ADVICE r21): the `f"%.3f"`
+    * interpolator is default-locale-sensitive — a comma-decimal JVM would
+    * emit an artifact that is both invalid JSON and silently unparseable
+    * as a retry reference. Every number in the artifact goes through here.
+    */
+  private[graft] def d3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", x: java.lang.Double)
+
   /** Interleave a calibration sample at least every this-many queries
     * (family boundaries sample more densely — see main). */
   private val CalibEvery = 10
@@ -128,16 +136,37 @@ object Bench {
     * reference and mass-flagging would be pure waste). "err" entries are
     * skipped. Returns None when no queries object is found.
     */
-  private[graft] def parseRef(text: String): Option[(Option[Int], String, Map[String, Double])] = {
+  private[graft] def parseRef(text: String)
+      : Option[(Option[Int], String, Map[String, Double], Option[Double])] = {
     val qObj = """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map(_.group(1))
     qObj.map { body =>
       val entries = """"([^"]+)":([0-9]+\.?[0-9]*)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      val cpus = """"cpus":([0-9]+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      // Anchored to renderJson's top-level `"reps":N,"cpus":M` sequence
+      // (ADVICE r21): a bare "cpus" pattern could match inside a string
+      // field; the reps-prefixed form exists exactly once, at top level.
+      val cpus = """"reps":[0-9]+,"cpus":([0-9]+)""".r
+        .findFirstMatchIn(text).map(_.group(1).toInt)
       val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-      (cpus, sf, entries)
+      // The reference's own host health: median of its cpu_calib_sec
+      // samples. A reference measured on a degraded host would anchor the
+      // v2 retry to an elevated level (VERDICT r21 #3) — the caller gates
+      // on this before trusting the medians.
+      val calibMed = """"cpu_calib_sec":\[([^\]]*)\]""".r.findFirstMatchIn(text)
+        .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble).toSeq)
+        .filter(_.nonEmpty).map(median)
+      (cpus, sf, entries, calibMed)
     }
   }
+
+  /** Calibration-health bar for the committed reference (VERDICT r21 #3):
+    * a reference whose own median single-thread calib exceeds this is NOT
+    * comparable — it was measured on a degraded host and would
+    * institutionalize the elevation. The documented clean floor is
+    * 0.063–0.072 s on this VM; 0.075 admits clean runs and rejects the
+    * 0.077+ contaminated lineage. Override: SPARK_GRAFT_BENCH_REF_CALIB_MAX.
+    */
+  private[graft] val RefCalibMaxDefault = 0.075
 
   /** The sf-directory identity used to gate the reference: the basename, so
     * `/root/testdata/sf0.1` and `testdata/sf0.1` compare equal but sf0.1
@@ -169,6 +198,39 @@ object Bench {
     while (i < 200000000L) { x += i * 2654435761L; i += 1 }
     if (x == 42L) System.err.print("") // defeat dead-code elimination
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Wall seconds of `n` CONCURRENT copies of the calib workload — the
+    * parallel-throughput complement to [[cpuCalib]] (optimization r22).
+    * The r21/r22 ambient windows show clean single-thread calibs beside
+    * 2–4× inflated parallel query work (the driver's 8-core run even beat
+    * its 32-core run), which the single-thread sample cannot see: on a
+    * healthy host with ≥ n cores this wall ≈ the single-thread time; when
+    * the VM's effective parallelism is degraded it rises toward
+    * n/effective × single. Sampled at run start/end, embedded as
+    * "calib_par_sec".
+    */
+  private def cpuCalibPar(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        var x = 0L
+        var i = 0L
+        while (i < 200000000L) { x += i * 2654435761L; i += 1 }
+        if (x == 42L) System.err.print("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Executor-resident block bytes (storage memory + disk), in MB — the
+    * accumulation-evidence series (VERDICT r21 #8). */
+  private def storageMb(spark: SparkSession): Long = {
+    val s = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    s / (1024L * 1024L)
   }
 
   /** Time `run` `reps` times: Right(seconds) per clean rep, Left(message)
@@ -203,16 +265,18 @@ object Bench {
       retryCalib: Seq[(String, Double)] = Nil,
       refFlaggedQs: Seq[String] = Nil,
       refCapped: Seq[String] = Nil,
-      cpus: Option[Int] = None): String = {
+      cpus: Option[Int] = None,
+      storageMb: Seq[Long] = Nil,
+      calibPar: Seq[Double] = Nil): String = {
     val qs = results.map { case (name, raws) =>
       val v =
         if (raws.exists(_.isLeft)) "\"err\""
-        else f"${median(raws.collect { case Right(t) => t })}%.3f"
+        else d3(median(raws.collect { case Right(t) => t }))
       jsonStr(name) + ":" + v
     }.mkString("{", ",", "}")
     val rawsJson = results.map { case (name, raws) =>
       jsonStr(name) + ":" + raws.map {
-        case Right(t) => f"$t%.3f"
+        case Right(t) => d3(t)
         case Left(_)  => "\"err\""
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -225,7 +289,7 @@ object Bench {
         median(raws.collect { case Right(t) => t })
     }.sum
     val nErr = results.count(_._2.exists(_.isLeft))
-    val calibJson = calib.map { case (_, c) => f"$c%.3f" }.mkString("[", ",", "]")
+    val calibJson = calib.map { case (_, c) => d3(c) }.mkString("[", ",", "]")
     // calib_at[i] = index of the query AFTER which cpu_calib_sec[i] was
     // sampled (-1 = before the first query) — the position axis perfdiff's
     // throttle adjudication joins on.
@@ -240,7 +304,7 @@ object Bench {
     // misadjudicate the retried query's NEIGHBORS; perfdiff prefers this
     // field for the retried query itself).
     val retryCalibJson = retryCalib.map { case (n, c) =>
-      jsonStr(n) + ":" + f"$c%.3f"
+      jsonStr(n) + ":" + d3(c)
     }.mkString("{", ",", "}")
     // "ref_flagged": queries re-queued by the REFERENCE-anchored signature
     // (retry v2, [[refFlagged]]) — uniform elevation the v1 signature
@@ -252,25 +316,52 @@ object Bench {
     val refFlaggedJson = refFlaggedQs.map(jsonStr).mkString("[", ",", "]")
     val refCappedJson = refCapped.map(jsonStr).mkString("[", ",", "]")
     val cpusJson = cpus.map(c => s""","cpus":$c""").getOrElse("")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps$cpusJson,"retried":$retriedJson,"ref_flagged":$refFlaggedJson,"ref_capped":$refCappedJson,"retry_calib":$retryCalibJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson}"""
+    // "storage_mb": executor-resident block bytes (MB) sampled at the same
+    // positions as cpu_calib_sec — the flat-storage-profile evidence that
+    // transient checkpoint blocks are released between queries instead of
+    // accumulating (VERDICT r21 #8). "calib_par_sec": wall seconds of
+    // `cpus` CONCURRENT calib loops at start/end — a host whose single-
+    // thread calib is clean but whose parallel throughput is degraded
+    // (the r21/r22 ambient signature: 32-core wall ≈ 8-core wall) shows
+    // here as calib_par ≫ calib_single.
+    val storageJson =
+      if (storageMb.isEmpty) ""
+      else storageMb.mkString(""","storage_mb":[""", ",", "]")
+    val calibParJson =
+      if (calibPar.isEmpty) ""
+      else calibPar.map(d3).mkString(""","calib_par_sec":[""", ",", "]")
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"raws":$rawsJson,"errors":$errs,"errored":$nErr,"sf":${jsonStr(sfDir)},"reps":$reps$cpusJson,"retried":$retriedJson,"ref_flagged":$refFlaggedJson,"ref_capped":$refCappedJson,"retry_calib":$retryCalibJson,"cpu_calib_sec":$calibJson,"calib_at":$calibAtJson$storageJson$calibParJson}"""
   }
 
   /** One short line the driver can always parse even when the full artifact
     * line is tail-truncated: total (sum of clean medians), query count,
-    * error count, and the first/last CPU calibrations so a throttled run
-    * adjudicates itself.
+    * error count, the first/last CPU calibrations so a throttled run
+    * adjudicates itself, and — VERDICT r21 #2, so a 2 000-char capture
+    * window still carries adjudicable PER-QUERY data — the cpus the run
+    * was measured at plus the 20 largest per-query medians (the queries
+    * that own the total; ~600 chars).
     */
   private[graft] def renderCompact(
       results: Seq[(String, Seq[Either[String, Double]])],
       calib: Seq[(Int, Double)],
       retried: Seq[String] = Nil,
-      refFlaggedQs: Seq[String] = Nil): String = {
-    val total = results.collect {
-      case (_, raws) if raws.forall(_.isRight) =>
-        median(raws.collect { case Right(t) => t })
-    }.sum
+      refFlaggedQs: Seq[String] = Nil,
+      cpus: Option[Int] = None,
+      calibPar: Seq[Double] = Nil): String = {
+    val medians = results.collect {
+      case (name, raws) if raws.forall(_.isRight) =>
+        name -> median(raws.collect { case Right(t) => t })
+    }
+    val total = medians.map(_._2).sum
     val nErr = results.count(_._2.exists(_.isLeft))
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"errored":$nErr,"retried":${retried.size},"ref_flagged":${refFlaggedQs.size},"calib_first":${calib.head._2}%.3f,"calib_last":${calib.last._2}%.3f}"""
+    val top = medians.sortBy(-_._2).take(20)
+      .map { case (n, m) => jsonStr(n) + ":" + d3(m) }
+      .mkString("{", ",", "}")
+    val cpusJson = cpus.map(c => s""","cpus":$c""").getOrElse("")
+    val calibParJson =
+      if (calibPar.isEmpty) ""
+      else calibPar.map(d3).mkString(""","calib_par_sec":[""", ",", "]")
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"errored":$nErr,"retried":${retried.size},"ref_flagged":${refFlaggedQs.size},"calib_first":${d3(calib.head._2)},"calib_last":${d3(calib.last._2)}$cpusJson$calibParJson,"top":$top}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -285,7 +376,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nCpus = scala.util.Try(cpus.toInt).toOption.getOrElse(32)
+    val calibParStart = cpuCalibPar(nCpus)
     val calib = scala.collection.mutable.ArrayBuffer((-1, cpuCalib()))
+    val storage = scala.collection.mutable.ArrayBuffer(storageMb(spark))
     // JIT + parquet-footer + page-cache warmup so per-query numbers measure
     // the plan, not first-touch JVM/IO costs; excluded from all timings. One
     // cheap query per table family (lineitem+dims, events, documents,
@@ -293,6 +387,7 @@ object Bench {
     for (w <- Seq("q1_agg", "q5_nation_revenue", "uts_global_metrics",
         "text_stats", "sim_topk_cosine"))
       SparkEntry.queries(w)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    graft.ops.Materialize.releaseTransients()
     // Optional comma-separated query filter for local iteration (the driver
     // never sets it → full run).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -310,6 +405,12 @@ object Bench {
           case Right(t) => f"$t%.3f"
           case Left(_)  => "err"
         }.mkString(","))
+      // A query's transient checkpoint blocks are DEAD once its reps
+      // finish (the next rep rebuilds every frame): release them here —
+      // outside any timed region — so 221 queries × reps of one-shot
+      // localCheckpoints never pile up executor storage across the run
+      // (VERDICT r21 #5/#8). Pinned quantizer-cache frames are untouched.
+      graft.ops.Materialize.releaseTransients()
       // Calibrate at every FAMILY boundary (plus at least every CalibEvery
       // within a long family): any query then has a host-health sample
       // within its own family's window, which is what lets perfdiff
@@ -317,11 +418,14 @@ object Bench {
       // instead of a human re-running it.
       val boundary = i + 1 < names.size &&
         familyOf(names(i + 1)._1) != familyOf(name)
-      if (boundary || (i + 1) % CalibEvery == 0 || WatchClosely(name))
+      if (boundary || (i + 1) % CalibEvery == 0 || WatchClosely(name)) {
         calib += ((i, cpuCalib()))
+        storage += storageMb(spark)
+      }
       name -> raws
     }
     calib += ((names.size - 1, cpuCalib()))
+    storage += storageMb(spark)
     // Retry pass (in-harness adjudication of host-contention windows): any
     // query whose first rep set carries the contention signature
     // ([[needsRetry]]: median >1.5x AND >0.3s above its own min) is re-run
@@ -356,6 +460,7 @@ object Bench {
               case Right(t) => f"$t%.3f"
               case Left(_)  => "err"
             }.mkString(","))
+          graft.ops.Materialize.releaseTransients()
           retryCalib(name) = cpuCalib()
           // [[mergeRetry]]: errored retry reps are logged and discarded.
           raws2.collect { case Left(m) => m }.headOption.foreach(m =>
@@ -385,19 +490,28 @@ object Bench {
     // retried twice; the worst [[RefRetryMax]] by absolute excess run,
     // the rest ship in "ref_capped".
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val refCalibMax = sys.env.get("SPARK_GRAFT_BENCH_REF_CALIB_MAX")
+      .map(_.toDouble).getOrElse(RefCalibMaxDefault)
     val refMedians: Map[String, Double] = {
       val p = java.nio.file.Paths.get(refPath)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else parseRef(new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)) match {
-        case Some((Some(refCpus), refSf, qs))
+        // Comparable ⟺ same cpus AND same sf AND the reference's own
+        // median calib sits at the clean floor — an elevated reference
+        // would anchor retry v2 to a contaminated level (VERDICT r21 #3).
+        case Some((Some(refCpus), refSf, qs, calibMed))
             if scala.util.Try(cpus.toInt).toOption.contains(refCpus) &&
-              sfBase(refSf) == sfBase(sfDir) =>
-          System.err.println(s"[bench] ref $refPath: ${qs.size} medians (cpus=$refCpus)")
+              sfBase(refSf) == sfBase(sfDir) &&
+              calibMed.exists(_ <= refCalibMax) =>
+          System.err.println(s"[bench] ref $refPath: ${qs.size} medians " +
+            s"(cpus=$refCpus, calib_med=${calibMed.map(d3).getOrElse("?")})")
           qs
         case other =>
           System.err.println(s"[bench] ref $refPath not comparable " +
-            s"(cpus/sf gate): ${other.map { case (c, sf, qs) => s"cpus=$c sf=$sf n=${qs.size}" }}")
+            s"(cpus/sf/calib<=${d3(refCalibMax)} gate): " +
+            other.map { case (c, sf, qs, cm) =>
+              s"cpus=$c sf=$sf n=${qs.size} calib_med=${cm.map(d3)}" }.toString)
           Map.empty
       }
     }
@@ -414,9 +528,11 @@ object Bench {
     val mergedResults2 = mergeInto(mergedResults, extra2)
     val refFlaggedQs = v2Run.filter(extra2.contains)
     refFlaggedQs.foreach(n => System.err.println(s"[bench] retried (ref signature): $n"))
+    val calibParEnd = cpuCalibPar(nCpus)
+    val calibPar = Seq(calibParStart, calibParEnd)
     val full = renderJson(mergedResults2, sfDir, reps, calib.toSeq, retried,
       retryCalib.toSeq, refFlaggedQs, v2Capped,
-      scala.util.Try(cpus.toInt).toOption)
+      scala.util.Try(cpus.toInt).toOption, storage.toSeq, calibPar)
     println(full)
     // The full line above routinely exceeds the driver's capture window
     // (BENCH_r05..r07 all came back tail-truncated, "parsed": null). Two
@@ -426,11 +542,19 @@ object Bench {
     // local iteration can never clobber the round's committed full-registry
     // artifact (that clobber corrupted the r16 and muddied the r17
     // adjudication — the official artifact must only ever be a full run).
-    val outFile = if (only.isDefined) "bench_subset.json" else "bench_out.json"
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
+    // Full runs write a PER-CORE-COUNT artifact (VERDICT r21 #2: the
+    // driver's low-core scaling run must never overwrite the 32-core
+    // per-query evidence), and bench_out.json stays = latest 32-core run.
+    def write(name: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(name),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(renderCompact(mergedResults2, calib.toSeq, retried, refFlaggedQs))
+    if (only.isDefined) write("bench_subset.json")
+    else {
+      write(s"bench_out_c$cpus.json")
+      if (cpus == "32") write("bench_out.json")
+    }
+    println(renderCompact(mergedResults2, calib.toSeq, retried, refFlaggedQs,
+      scala.util.Try(cpus.toInt).toOption, calibPar))
     spark.stop()
   }
 }

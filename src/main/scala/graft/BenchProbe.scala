@@ -77,6 +77,11 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional materialization-gate override so gated plans can be dumped
+    // as evidence (e.g. SPARK_GRAFT_MATERIALIZE_MAXBYTES=1 shows a query's
+    // reliable-mode above-gate shape without flipping the mode).
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MAXBYTES").foreach(v =>
+      spark.conf.set(graft.ops.Materialize.TransientMaxConf, v))
     val counters = new Counters
     spark.sparkContext.addSparkListener(counters)
     // Same JIT/footer/page-cache warmup set as Bench.
@@ -109,6 +114,8 @@ object BenchProbe {
         wall
       }
       println(f"[probe] $name median=${Bench.median(walls)}%.3f s over $reps reps")
+      // Between-query transient release, exactly like Bench/Verify.
+      graft.ops.Materialize.releaseTransients()
       planDir.foreach { dir =>
         val plan = fn(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted"))

@@ -392,7 +392,7 @@ object SparkEntry {
       .join(broadcast(T(s, dir, "part")
           .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // brand-pruned fact subset — size-gated (r22)
     val th = pruned.groupBy(col("l_partkey").as("__pk"))
       .agg((lit(0.2) *
         (sum(col("l_quantity").cast("decimal(20,10)")).cast("double") /
@@ -421,7 +421,8 @@ object SparkEntry {
     // NOT-EXISTS side l3) — materialized once; the full projection l2 stays
     // a plain pruned scan, since checkpointing a full-fact copy would cost
     // more write than the scan it saves (optimization r21).
-    val l1 = li.filter(col("l_returnflag") === "R").narrowCheckpoint()
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .narrowCheckpointIfSmall() // ~25% of the fact — size-gated (r22)
     val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
     val l3 = l1.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
     l1.join(T(s, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -620,7 +621,7 @@ object SparkEntry {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(round(sum(rev), 2).cast("double").as("total_rev"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // per-supplier agg — size-gated (r22)
     val mx = revenue.agg(max(col("total_rev")).as("__mx"))
     revenue.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("__mx"))
@@ -678,8 +679,9 @@ object SparkEntry {
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("decimal(20,2)").as("__q"))
       // Materialized once (optimization r21): feeds both the per-supplier
-      // and per-part aggregates (q17 note).
-      .narrowCheckpoint()
+      // and per-part aggregates (q17 note). Size-gated (r22): a name-pruned
+      // fact subset scales with the fact.
+      .narrowCheckpointIfSmall()
     val bySupp = pruned.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("__q")).as("__sq"))
     val byPart = pruned.groupBy(col("l_partkey").as("__pk"))
@@ -722,7 +724,7 @@ object SparkEntry {
         col("l_suppkey") === col("__eu"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // per-(part,supp) agg — size-gated (r22)
     val minCost = ps.groupBy(col("l_partkey").as("__pk"))
       .agg(min(col("ps_supplycost")).as("__minc"))
     ps.join(minCost,
@@ -756,7 +758,7 @@ object SparkEntry {
       .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice"), 10).cast("decimal(30,10)")).as("__value"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // per-part agg — size-gated (r22)
     val total = perPart.agg(sum(col("__value")).as("__tot"))
     perPart.crossJoin(broadcast(total))
       .filter(col("__value") * 1000 > col("__tot"))
@@ -1329,7 +1331,8 @@ object SparkEntry {
     val corpus = base.unionByName(planted)
     // canon feeds the dedup, the band scoring, and the final join-back —
     // checkpointed so the regex normalization scan runs once, not thrice.
-    val canon = Text.normalize(corpus).narrowCheckpoint()
+    val canon = Text.normalize(corpus)
+      .narrowCheckpointIfSmall() // corpus text — size-gated (r22)
     val survivors = Dedup.exact(canon, "norm_text")
     val kept = Text.filterByQualityBand(
       canon.join(survivors.select(col("doc_id")), "doc_id"),
@@ -1547,9 +1550,16 @@ object SparkEntry {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.filter(col("doc_id") < 50)
       .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    // Materialized once, COLUMN-PRUNED (optimization r22, VERDICT r21 #7):
+    // the split assignment feeds the train-fingerprint side AND the eval
+    // probe side — un-cut, the text scan + md5 ran once per consumer. The
+    // checkpointed frame is (doc_id, split, fp) only — text never enters
+    // executor storage; size-gated like every fact-cardinality transient.
     val split = graft.ops.Sampling.assignSplit(docs.unionByName(planted), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .withColumn("fp", md5(lower(trim(col("text")))))
+      .select(col("doc_id"), col("split"), col("fp"))
+      .narrowCheckpointIfSmall()
     val trainFp = split.filter(col("split") === "train").select(col("fp")).distinct()
     // Membership via the Bloom-pruned semi-join — at 100 TB the train
     // fingerprint set outgrows a broadcast hash relation long before its
@@ -3810,7 +3820,7 @@ object SparkEntry {
       }.toDF("doc_id", "payload", "w", "h")
         // Two consumers (feature extract + pixel stats) — encode the PNGs
         // once, not per consumer (the r17 double-scan discipline).
-        .narrowCheckpoint()
+        .narrowCheckpointIfSmall() // payload-bearing — size-gated (r22)
     val feats = Multimodal.extractFeatures(s, planted.select(col("doc_id"), col("payload"))).toDF()
     val pix = Multimodal.pngPixelStats(s, planted.select(col("doc_id"), col("payload")))
       .toDF().select(col("doc_id"), lit(1L).as("pix"))
@@ -3900,7 +3910,8 @@ object SparkEntry {
             data, row => ((id + row) % 5).toInt)
           (id, seqEnc, adamEnc)
         }
-      }.toDF("doc_id", "seq", "adam").narrowCheckpoint()
+      }.toDF("doc_id", "seq", "adam")
+        .narrowCheckpointIfSmall() // payload-bearing — size-gated (r22)
     val seqStats = Multimodal.pngRasterStats(s,
       planted.select(col("doc_id"), col("seq").as("payload"))).toDF()
     val adamStats = Multimodal.pngRasterStats(s,
@@ -3955,7 +3966,8 @@ object SparkEntry {
           }
           (id, payload, w.toLong, h.toLong)
         }
-      }.toDF("doc_id", "payload", "w", "h").narrowCheckpoint()
+      }.toDF("doc_id", "payload", "w", "h")
+        .narrowCheckpointIfSmall() // payload-bearing — size-gated (r22)
     val feats = Multimodal.extractFeatures(s, planted.select(col("doc_id"), col("payload"))).toDF()
     val pix = Multimodal.pngRasterStats(s, planted.select(col("doc_id"), col("payload")))
       .toDF().select(col("doc_id"), lit(1L).as("pix"))

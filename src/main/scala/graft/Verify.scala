@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Dead transient checkpoint blocks from the finished query — release
+      // between queries exactly like Bench (Materialize scaladoc).
+      graft.ops.Materialize.releaseTransients()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -116,7 +116,7 @@ object Dedup {
     val hashed = df.select(
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
     maxShingleDf match {
       case None =>
@@ -152,7 +152,8 @@ object Dedup {
           .filter(col("df_sh") > cap).select(col("h"))
         // Three consumers (both self-join sides + the kept-size rollup),
         // each of which would replay the hot aggregate and the anti-join.
-        val pruned = sh.join(hot, Seq("h"), "left_anti").narrowCheckpoint()
+        val pruned = sh.join(hot, Seq("h"), "left_anti")
+          .narrowCheckpointIfSmall() // exploded corpus — size-gated (r22)
         // Count-bound pre-filter (ppjoin-style): per pair, the shared KEPT
         // shingles are a lower bound on the true overlap, and the true
         // overlap can exceed it by at most min(hot₁, hot₂) (a shared hot
@@ -231,7 +232,7 @@ object Dedup {
     val hashed = df.select(
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val sh = hashed.select(col("id"), explode(col("hs")).as("h"))
     val counts = hashed.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
     val overlap = sh.as("a").hint("SHUFFLE_HASH")
@@ -294,7 +295,7 @@ object Dedup {
       col(idCol).as("id"),
       array_sort(org.apache.spark.sql.graftfns.TextFunctions
         .shingleHashes(col(textCol), n)).as("hs"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
 
   /** The exploded view `(id, n_sh, h)` of a shingle-array relation, the set
     * size riding along each row — so no stage joins a separate sizes
@@ -372,7 +373,8 @@ object Dedup {
     // joining prefixes loses no true pair — but rare-first prefixes collide
     // far less than full sets, and the hottest (stopword-like) shingles
     // never enter the join at all.
-    val prefix = prefixOf(shingleRelation(hashed), threshold).narrowCheckpoint()
+    val prefix = prefixOf(shingleRelation(hashed), threshold)
+      .narrowCheckpointIfSmall() // corpus-prefix-sized — size-gated (r22)
     val candidates = collidingPairs(prefix)
     // Exact verification on candidates only: join each candidate pair to
     // the two SORTED hash arrays by id and merge-count the intersection
@@ -437,7 +439,7 @@ object Dedup {
       col(idCol).as("id"),
       explode(org.apache.spark.sql.graftfns.TextFunctions
         .shingleHashes(col(textCol), spanTokens)).as("h"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // exploded corpus — size-gated (r22)
     val dfreq = sp.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val kept = sp.hint("SHUFFLE_HASH").join(dfreq.filter(col("__df") <= maxDf), "h")
       .select(col("id"), col("h"))
@@ -496,7 +498,7 @@ object Dedup {
       Similarity.resolveClusters(df, nClusters), rounds, idCol, vecCol)
     val slim = Similarity.assignClusters(df, cents, idCol, vecCol)
       .select(col(idCol).as("__id"), col("cluster"), col(vecCol).as("__v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     // SHUFFLE_HASH: equi-join on the cluster id needs no sort order, and
     // the per-cluster nested pair loop is the intended work, not the join.
     val pairs = slim.as("a").hint("SHUFFLE_HASH")
@@ -576,7 +578,7 @@ object Dedup {
       col(idCol).as("id"),
       org.apache.spark.sql.graftfns.TextFunctions.shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val sig = hashed.select(
       col("id"),
       org.apache.spark.sql.graftfns.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
@@ -893,13 +895,21 @@ object Dedup {
     while (!done && iter < maxIters) {
       val nbr = und.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      // The changed indicator rides the round's own projection
+      // (optimization r22, VERDICT r21 #6): new rep ≠ old rep ⟺
+      // least(old, nbr) < old ⟺ nbr_rep < old rep, both operands already
+      // in hand — so the fixed-point probe below is a filter over the
+      // round's materialized blocks instead of a per-round SHUFFLE JOIN of
+      // next against labels (one exchange + join stage per round removed;
+      // same decision, bit for bit). `__chg` stays internal: it is dropped
+      // from the returned frame, and the nbr join reads only (id, rep).
       val next = cut(labels.as("l")
         .join(nbr, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep")),
+          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep"),
+          coalesce(col("nbr_rep") < col("l.rep"), lit(false)).as("__chg")),
         iter + 1)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      val changed = next.filter(col("__chg")).limit(1).count()
       // The count materialized `next`; the superseded round's cache blocks
       // are dead weight from here — without this, up to maxIters
       // vertex-sized label sets pile up per call. Recovery after an
@@ -915,7 +925,7 @@ object Dedup {
     if (!done) sys.error(
       s"connectedComponents did not converge in $maxIters rounds — " +
         "a component's diameter exceeds maxIters; raise it")
-    labels
+    labels.drop("__chg")
   }
 
   /** Connected components by alternating large-star / small-star edge
@@ -1119,7 +1129,7 @@ object Dedup {
     require(n >= 2, s"n must be >= 2, got $n")
     val names = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
       .distinct()
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // distinct-name-sized — size-gated (r22)
     val longs = names.filter(length(col("s")) >= n)
     // (s, gram) — distinct grams per string, via the positional slide.
     val grams = longs.select(col("s"),

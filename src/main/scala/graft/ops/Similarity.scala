@@ -421,7 +421,7 @@ object Similarity {
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), col("cluster"),
         round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // |corpus|×|queries| rows — size-gated (r22)
     val exact = perQidTopK(scored, k, idCol)
       .select(col("qid"), col(idCol))
     val ivf = perQidTopK(scored.join(broadcast(probes), Seq("qid", "cluster")), k, idCol)
@@ -497,7 +497,7 @@ object Similarity {
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), col("__cl_fresh"), col("__cl_stale"),
         round(cosine(col(vecCol), col("qv")), 4).as("cosine"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // |corpus|×|queries| rows — size-gated (r22)
     val exact = perQidTopK(scored, k, idCol)
       .select(col("qid"), col(idCol))
       .narrowCheckpoint() // report-sized; joined against twice below
@@ -658,9 +658,11 @@ object Similarity {
     // Miss branch materializes the training frame once: the seed pass plus
     // `rounds` assignment/means passes otherwise each replay the source
     // scan (optimization r21 — cold-path only; a hit never touches it).
+    // Cache-stored value is PINNED (releaseTransients must not drop it);
+    // the training-input cut stays a transient.
     quantizerCache.computeIfAbsent(s"km:${corpusKey(canon)}:$k:$rounds",
-      _ => Seq(kMeansTrain(canon.narrowCheckpoint(), k, rounds, "vid", "v")
-        .narrowCheckpoint()))
+      _ => Seq(kMeansTrain(canon.narrowCheckpointIfSmall(), k, rounds, "vid", "v")
+        .pinnedCheckpoint()))
       .head
   }
 
@@ -738,11 +740,15 @@ object Similarity {
     val canon = df.select(
       col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+    // Training-input cut deferred into the MISS branch (optimization r22,
+    // the cachedPqCodebooksTrainOnly precedent): a warm execution pays the
+    // fingerprint aggregate only, never a corpus-sized checkpoint. The
+    // cache-stored value is PINNED (releaseTransients must not drop it).
     quantizerCache.computeIfAbsent(
       s"kmp:${corpusKey(canon)}:$k:$oversample:$initRounds:$lloydRounds",
-      _ => Seq(kMeansParallelTrain(canon, k, oversample, initRounds, lloydRounds)
-        .narrowCheckpoint()))
+      _ => Seq(kMeansParallelTrain(canon.narrowCheckpointIfSmall(),
+          k, oversample, initRounds, lloydRounds)
+        .pinnedCheckpoint()))
       .head
   }
 
@@ -938,7 +944,7 @@ object Similarity {
     val slim = scored.withColumn("__pr", row_number().over(w))
       .filter(col("__pr") <= nProbe)
       .select(col("__id"), col("cl").as("cluster"), col("__v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // nProbe×corpus rows — size-gated (r22)
     // Overlapping probe sets propose a pair once per shared cluster —
     // deduped; the single-probe path above is duplicate-free by
     // construction and skips the dedup shuffle.
@@ -962,7 +968,7 @@ object Similarity {
     val slim = assignClusters(df, centroids, idCol, vecCol)
       .select(col(idCol).cast("long").as("__id"), col("cluster"),
         col(vecCol).as("__v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     rankBoards(pairsWithin(slim), kNeighbors)
       .select(col("__src").as(idCol), col("nbr_rank"),
         col("__dst").as("neighbor_id"), col("cosine"))
@@ -1013,7 +1019,7 @@ object Similarity {
       .filter(col("qid").isin(queryIds: _*))
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val queries = queriesOf(e, queryIds).narrowCheckpoint()
     val exactTop = perQidTopKBy(
       e.crossJoin(broadcast(queries))
@@ -1059,7 +1065,7 @@ object Similarity {
     val assigned = assignClusters(
       df.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v")),
-      cents, "vid", "v").narrowCheckpoint()
+      cents, "vid", "v").narrowCheckpointIfSmall() // corpus-sized (r22)
     assigned.select(col("vid"), col("v"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
     val srcCluster = assigned.select(col("vid").as("__sid"), col("cluster"))
@@ -1104,7 +1110,7 @@ object Similarity {
     val assignedB = assignClusters(
       batch.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v")),
-      cents, "vid", "v").narrowCheckpoint()
+      cents, "vid", "v").narrowCheckpointIfSmall() // batch-sized (r22)
     val touched = assignedB.select(col("cluster")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
@@ -1136,7 +1142,7 @@ object Similarity {
     val tagged = oldVec.withColumn("__isnew", lit(false))
       .unionByName(assignedB.select(col("vid"), col("v"), col("cluster"))
         .withColumn("__isnew", lit(true)))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // touched-cluster-sized — size-gated (r22)
     // One scored join: every (any, new) same-cluster directed pair.
     // Directed boards also need (new, old) — the FLIP of the old-src rows
     // (cosine is symmetric); (new, new) pairs already appear in both
@@ -1147,7 +1153,7 @@ object Similarity {
       .select(col("a.vid").as("__src"), col("b.vid").as("__dst"),
         round(cosine(col("a.v"), col("b.v")), 4).as("cosine"),
         col("a.cluster").as("__cl"), col("a.__isnew").as("__srcnew"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // per-touched-cluster pairs — size-gated (r22)
     val candTo = scored.select(col("__src"), col("__dst"), col("cosine"), col("__cl"))
     val candFrom = scored.filter(!col("__srcnew"))
       .select(col("__dst").as("__src"), col("__src").as("__dst"),
@@ -1915,7 +1921,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$k topK=$topK")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val (codes, luts) = pqQuantize(e, m, subDim, k, queriesOf(e, Seq(queryId)))
     pqAdcRank(codes, luts)
       .select(col("vid").as(idCol), col("adc"))
@@ -2000,7 +2006,7 @@ object Similarity {
       key: Option[String] = None): Seq[DataFrame] =
     quantizerCache.computeIfAbsent(
       s"pq:${key.getOrElse(corpusKey(e))}:$m:$subDim:$k",
-      _ => pqCodebooks(e, m, subDim, k).map(_.narrowCheckpoint()))
+      _ => pqCodebooks(e, m, subDim, k).map(_.pinnedCheckpoint()))
 
   /** [[cachedPqCodebooks]] for a frame used ONLY as training input (the
     * drift audits' stale corpus): the corpus copy is materialized inside
@@ -2016,8 +2022,8 @@ object Similarity {
       eRaw: DataFrame, m: Int, subDim: Int, k: Int): Seq[DataFrame] =
     quantizerCache.computeIfAbsent(
       s"pq:${corpusKey(eRaw)}:$m:$subDim:$k",
-      _ => pqCodebooks(eRaw.narrowCheckpoint(), m, subDim, k)
-        .map(_.narrowCheckpoint()))
+      _ => pqCodebooks(eRaw.narrowCheckpointIfSmall(), m, subDim, k)
+        .map(_.pinnedCheckpoint()))
 
   /** [[centroidsKMeans]]'s cache entry for an ALREADY-canonical `(vid, v)`
     * frame with an optionally precomputed fingerprint (key space shared
@@ -2028,7 +2034,7 @@ object Similarity {
       key: Option[String] = None): DataFrame =
     quantizerCache.computeIfAbsent(
       s"km:${key.getOrElse(corpusKey(e))}:$k:$rounds",
-      _ => Seq(kMeansTrain(e, k, rounds, idCol, vecCol).narrowCheckpoint()))
+      _ => Seq(kMeansTrain(e, k, rounds, idCol, vecCol).pinnedCheckpoint()))
       .head
 
   /** PQ quantization shared by [[pqAdcTopK]], [[ivfPqTopK]] and
@@ -2113,10 +2119,22 @@ object Similarity {
   private val cbLiteralCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame, Seq[(Int, Seq[Double])]]())
-  private def cbLiteral(cb: DataFrame): Seq[(Int, Seq[Double])] =
-    cbLiteralCache.computeIfAbsent(cb, c =>
-      c.select(col("c"), col("cv")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1))
+  // The Spark collect runs OUTSIDE the map mutex (ADVICE r21): holding the
+  // single synchronizedMap lock through a driver job would serialize
+  // concurrent PQ queries over DIFFERENT codebooks on exactly the driver
+  // round-trips this memoization removes. get → collect → putIfAbsent is
+  // safe for a value cache: a racing duplicate collect yields the same
+  // k-row literal (checkpointed frames are stable), and first-put wins.
+  private def cbLiteral(cb: DataFrame): Seq[(Int, Seq[Double])] = {
+    val hit = cbLiteralCache.get(cb)
+    if (hit != null) hit
+    else {
+      val v = cb.select(col("c"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+      val prev = cbLiteralCache.putIfAbsent(cb, v)
+      if (prev != null) prev else v
+    }
+  }
 
   /** Code assignment for block `b` as a COLUMN: nearest centroid under
     * squared L2, ties to the smaller code — an argmin over k literal
@@ -2197,7 +2215,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes k=$k")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val queries = queriesOf(e, queryIds).narrowCheckpoint()
     pqRecallCounts(e, cachedPqCodebooks(e, m, subDim, kCodes), queries, k, subDim)
       .select(col("qid").as("query_id"), col("n_exact"), col("n_hit"),
@@ -2284,7 +2302,7 @@ object Similarity {
     def canon(x: DataFrame): DataFrame =
       x.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
-    val e = canon(df).narrowCheckpoint()
+    val e = canon(df).narrowCheckpointIfSmall() // corpus-sized (r22)
     val queries = queriesOf(e, queryIds).narrowCheckpoint()
     val exactTop = pqExactTop(e, queries, k).narrowCheckpoint()
     def adcTop(cbs: Seq[DataFrame]) =
@@ -2343,7 +2361,7 @@ object Similarity {
     val (m, subDim, kCodes) = pqManifestFull(spark, path)
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val staleCodes = spark.read.parquet(s"$path/codes")
     val nCorpus = e.count()
     val nCodes = staleCodes.select(col("vid")).distinct().count()
@@ -2397,7 +2415,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$kCodes topK=$topK")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val ck = Some(corpusKey(e))
     val cents = cachedCentroids(e, kClusters, rounds, "vid", "v", ck)
     val assigned = assignClusters(e, cents, "vid", "v")
@@ -2447,7 +2465,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$k")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val cbs = cachedPqCodebooks(e, m, subDim, k)
     pqWriteIndex(e, cbs, path, m, subDim, k, None)
   }
@@ -2476,7 +2494,7 @@ object Similarity {
       s"bad PQ config: m=$m subDim=$subDim k=$kCodes")
     val e = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // corpus-sized — size-gated (r22)
     val cents = cachedCentroids(e, kClusters, rounds, "vid", "v")
     val cbs = cachedPqCodebooks(e, m, subDim, kCodes)
     val assigned = assignClusters(e, cents, "vid", "v")
@@ -2691,7 +2709,7 @@ object Similarity {
     val (m, subDim) = pqManifestOf(spark, path)
     val e = batch.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // batch-sized — size-gated (r22)
     val codes = pqEncode(e, pqCodebooksOf(spark, path, m), subDim)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -391,7 +391,7 @@ object Text {
     // 10× data; ~2× of that was the double pass). The checkpointed frame
     // is the narrow (id, quality) projection, never the text.
     val scored = qualityScore(df, idCol, textCol).select(col(idCol), col("quality"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // row-per-document — size-gated (r22)
     val bounds = scored.agg(
       percentile(col("quality"), lit(loQuantile)).as("__qlo"),
       percentile(col("quality"), lit(hiQuantile)).as("__qhi"))
@@ -458,7 +458,7 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("__nll6")).cast("double") / count(lit(1)).cast("double"))
           .as("nll"))
-      .narrowCheckpoint()
+      .narrowCheckpointIfSmall() // row-per-document — size-gated (r22)
     val th = docs.agg(
       percentile(col("nll"), lit(1.0 / 3)).as("__t1"),
       percentile(col("nll"), lit(2.0 / 3)).as("__t2"))

@@ -51,6 +51,35 @@ object Windowed {
       s"$op reserves column name(s) ${clash.mkString(", ")}; rename the input column(s)")
   }
 
+  /** Session conf key for the stitched helpers' partition sizing: target
+    * bytes per pinned range partition (default 64 MiB of optimizer
+    * estimate). */
+  val StitchBytesPerPartition = "spark.graft.stitch.bytesPerPartition"
+
+  /** Scale-adaptive partition count for the PINNED range partitionings in
+    * [[lagStitched]] / [[runningSumStitched]] (optimization r22, the
+    * [[concurrencySweepGlobal]] rowsPerPartition pattern extended per
+    * VERDICT r21 #5): the checkpoint pin means AQE can never coalesce the
+    * exchange, so a constant `numShufflePartitions` pays the full
+    * per-partition stitch machinery (window group + summary row +
+    * broadcast-join build per partition) even when the input is a few MB.
+    * Derive the count from the optimizer's size estimate instead — floored
+    * at 1, CAPPED at the session's shuffle parallelism (at 100 TB the
+    * deployment raises `spark.sql.shuffle.partitions`, and an over-
+    * estimated input simply keeps today's cap) — so local-mode benches and
+    * clusters both get input-proportional stitch fan-out from the same
+    * code. Correctness is parts-independent: the seam stitch is exact for
+    * any split (StitchedConsistencySpec pins it across parts counts).
+    */
+  private[graft] def adaptiveParts(df: DataFrame): Int = {
+    val target = df.sparkSession.conf
+      .get(StitchBytesPerPartition, (64L << 20).toString).toLong
+    require(target > 0, s"$StitchBytesPerPartition must be > 0, got $target")
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((est + target - 1) / target).min(BigInt(cap)).max(BigInt(1)).toInt
+  }
+
   /** Per-event session assignment: `outCol` (1-based per key) increments
     * when ≥ `gapMs` of event time passed since the key's PREVIOUS event —
     * `session_window`'s gap semantics as a composable per-row column (the
@@ -156,7 +185,7 @@ object Windowed {
       outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "lagStitched needs at least one order column")
     requireFree(df, "lagStitched", "__bkt", "__rn", "__lag", "__lastv", "__pred")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = adaptiveParts(df)
     // localCheckpoint PINS one physical partitioning: range-partitioner
     // bounds are SAMPLED per execution (rdd.id-seeded), and this frame has
     // two consumers (the windowed rows and the boundary-summary broadcast).
@@ -237,7 +266,7 @@ object Windowed {
       outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "runningSumStitched needs at least one order column")
     requireFree(df, "runningSumStitched", "__pid", "__off", "__a", "__p")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = adaptiveParts(df)
     // Pinned partitioning (localCheckpoint) for the same reason as
     // [[lagStitched]]: the per-partition totals job and the final join are
     // two executions of this exchange, and re-sampled range bounds between
@@ -396,22 +425,28 @@ object Windowed {
       .groupBy(col(keyCol), col("__t"))
       .agg(sum(col("__d")).as("__net"),
         count(when(col("__d") === 1L, lit(1))).as("__ns"))
-    val netted = netted0.filter(col("__net") =!= 0L) // fully-netted: no edge
+    // ONE window + ONE aggregation over the netted frame (optimization
+    // r22; closes ADVICE r21 on the double-consumed netted0): zero-net
+    // rows stay IN the window pass — they add 0 to the running sum, and a
+    // segment split at a zero-net timestamp contributes (t₂−t₁)+(t₃−t₂) =
+    // t₃−t₁, so the busy sum is unchanged — while the peak replicates the
+    // old filtered-max domain exactly via max(when(net≠0, run)). The
+    // n_intervals rollup, the peak and the busy time then collapse into a
+    // single groupBy, so the interval subtree executes exactly once per
+    // query with no materialization and no final join at all.
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
-    val swept = netted
+    val swept = netted0
       .withColumn("__run",
         sum(col("__net")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__seg",
         when(col("__run") > 0L, lead(col("__t"), 1).over(w) - col("__t")))
-    val counts = netted0.groupBy(col(keyCol)).agg(sum(col("__ns")).as("n_intervals"))
-    counts.join(
-      swept.groupBy(col(keyCol)).agg(
-        max(col("__run")).as("peak_concurrency"),
-        coalesce(sum(col("__seg")), lit(0L)).as("busy_ms")),
-      Seq(keyCol), "left")
-      .select(col(keyCol), col("n_intervals"),
-        coalesce(col("peak_concurrency"), lit(0L)).as("peak_concurrency"),
-        coalesce(col("busy_ms"), lit(0L)).as("busy_ms"))
+    swept.groupBy(col(keyCol)).agg(
+        sum(col("__ns")).as("n_intervals"),
+        coalesce(max(when(col("__net") =!= 0L, col("__run"))), lit(0L))
+          .as("peak_concurrency"),
+        coalesce(sum(col("__seg")), lit(0L)).as("busy_ms"))
+      .select(col(keyCol), col("n_intervals"), col("peak_concurrency"),
+        col("busy_ms"))
   }
 
   /** [[concurrencySweep]] without a key — ONE global timeline, the "how

@@ -125,19 +125,64 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.refFlagged(3.0, 2.5)) // +0.5s but under the 1.5x ratio bar
   }
 
-  test("parseRef extracts cpus/sf/medians from a committed artifact line and skips err") {
-    val line = """{"metric":"total","value":3.000,"unit":"sec","queries":{"a":1.200,"b":"err","c":0.450},"raws":{"a":[1.2]},"errors":{},"errored":1,"sf":"/root/testdata/sf0.1","reps":3,"cpus":32,"retried":[]}"""
-    val Some((cpus, sf, qs)) = Bench.parseRef(line)
+  test("parseRef extracts cpus/sf/medians/calib from a committed artifact line and skips err") {
+    val line = """{"metric":"total","value":3.000,"unit":"sec","queries":{"a":1.200,"b":"err","c":0.450},"raws":{"a":[1.2]},"errors":{},"errored":1,"sf":"/root/testdata/sf0.1","reps":3,"cpus":32,"retried":[],"cpu_calib_sec":[0.072,0.080,0.071]}"""
+    val Some((cpus, sf, qs, calibMed)) = Bench.parseRef(line)
     assert(cpus.contains(32))
     assert(sf == "/root/testdata/sf0.1")
     assert(qs == Map("a" -> 1.2, "c" -> 0.45)) // "err" never becomes a reference
+    // the reference's own health: median of its calib samples (0.072 here)
+    assert(calibMed.exists(m => math.abs(m - 0.072) < 1e-9))
     // a pre-r21 artifact without "cpus" parses but carries None — the main
-    // loop's gate then disables ref retry rather than mis-anchoring
-    val old = """{"value":1.0,"queries":{"a":1.000},"sf":"/x/sf0.1"}"""
-    val Some((noCpus, _, _)) = Bench.parseRef(old)
+    // loop's gate then disables ref retry rather than mis-anchoring. The
+    // cpus extraction is anchored to the top-level "reps":N,"cpus":M pair,
+    // so a "cpus" substring elsewhere can never be misread (ADVICE r21).
+    val old = """{"value":1.0,"queries":{"a":1.000},"sf":"/x/sf0.1-cpus","notes":"cpus:64"}"""
+    val Some((noCpus, _, _, noCalib)) = Bench.parseRef(old)
     assert(noCpus.isEmpty)
+    assert(noCalib.isEmpty) // no calib series → caller's health gate fails closed
     // no queries object at all -> None
     assert(Bench.parseRef("""{"value":1.0}""").isEmpty)
+  }
+
+  test("d3 formats locale-independently (ADVICE r21)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma decimals
+      assert(Bench.d3(1.5) == "1.500") // f"%.3f" would emit "1,500" here
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("renderCompact carries cpus and the top-20 medians (VERDICT r21 #2)") {
+    val res = (1 to 25).map(i =>
+      s"q$i" -> Seq[Either[String, Double]](Right(i / 10.0))) :+
+      ("bad" -> Seq[Either[String, Double]](Left("boom")))
+    val line = Bench.renderCompact(res, Seq((-1, 0.1)), cpus = Some(32),
+      calibPar = Seq(0.2, 0.21))
+    assert(line.contains("\"cpus\":32"))
+    assert(line.contains("\"calib_par_sec\":[0.200,0.210]"))
+    // top carries the 20 LARGEST clean medians — q25 in, q5 and below out,
+    // errored queries never in
+    assert(line.contains("\"top\":{\"q25\":2.500"))
+    assert(line.contains("\"q6\":0.600"))
+    assert(!line.contains("\"q5\":"))
+    assert(!line.contains("\"bad\""))
+    // under 2000 chars so the driver's tail capture keeps it intact
+    assert(line.length < 2000)
+  }
+
+  test("renderJson carries the storage series and parallel calib when sampled") {
+    val json = Bench.renderJson(
+      Seq("a" -> Seq[Either[String, Double]](Right(1.0))),
+      "/tmp/sf", 1, Seq((-1, 0.1)), storageMb = Seq(12L, 15L, 13L),
+      calibPar = Seq(0.21, 0.22))
+    assert(json.contains("\"storage_mb\":[12,15,13]"))
+    assert(json.contains("\"calib_par_sec\":[0.210,0.220]"))
+    // absent when not sampled (artifact stays byte-compatible for old runs)
+    val plain = Bench.renderJson(
+      Seq("a" -> Seq[Either[String, Double]](Right(1.0))), "/tmp/sf", 1, Seq((-1, 0.1)))
+    assert(!plain.contains("storage_mb"))
+    assert(!plain.contains("calib_par_sec"))
   }
 
   test("sfBase compares data directories by basename") {

@@ -75,4 +75,46 @@ class MaterializeSpec extends SparkSpec {
     assert(anyFile(new java.io.File(ckptDir)),
       "reliable mode left no checkpoint files on disk")
   }
+
+  test("narrowIfSmall materializes under the gate and passes through above it (r22)") {
+    val df = Seq.tabulate(100)(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    val prev = spark.conf.getOption(Materialize.TransientMaxConf)
+    try {
+      // local-mode default: unlimited → materialized (lineage truncated)
+      spark.conf.unset(Materialize.TransientMaxConf)
+      val cut = Materialize.narrowIfSmall(df)
+      assert(cut.queryExecution.analyzed.collect {
+        case _: org.apache.spark.sql.execution.LogicalRDD => 1 }.nonEmpty,
+        "under the gate the frame must be checkpointed")
+      assert(cut.collect().toSeq == df.collect().toSeq)
+      // a 1-byte gate rejects any real frame → passthrough, SAME results
+      spark.conf.set(Materialize.TransientMaxConf, "1")
+      val thru = Materialize.narrowIfSmall(df)
+      assert(thru.queryExecution.analyzed.collect {
+        case _: org.apache.spark.sql.execution.LogicalRDD => 1 }.isEmpty,
+        "above the gate the frame must pass through un-materialized")
+      assert(thru.collect().toSeq == df.collect().toSeq)
+    } finally prev.fold(spark.conf.unset(Materialize.TransientMaxConf))(
+      spark.conf.set(Materialize.TransientMaxConf, _))
+  }
+
+  test("releaseTransients drops narrow() blocks, never pinned() blocks (r22)") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    def rddOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }.head
+    Materialize.releaseTransients() // drain other suites' leftovers
+    val t = Materialize.narrow(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val p = Materialize.pinned(Seq((3L, "c")).toDF("id", "s"))
+    t.count(); p.count()
+    assert(rddOf(t).getStorageLevel.useMemory || rddOf(t).getStorageLevel.useDisk)
+    val released = Materialize.releaseTransients()
+    assert(released >= 1, "the transient frame must be released")
+    assert(rddOf(t).getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "transient blocks must be dropped")
+    assert(rddOf(p).getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "pinned blocks must survive a release")
+    assert(p.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the registry drains: a second call releases nothing new
+    assert(Materialize.releaseTransients() == 0)
+  }
 }

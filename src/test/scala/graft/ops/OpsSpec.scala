@@ -2382,6 +2382,22 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x", 4L, 2L, 20L), ("y", 2L, 1L, 20L)))
   }
 
+  test("concurrencySweep: zero-net timestamps mid-timeline and all-netted keys (r22 one-agg form)") {
+    val iv = Seq(
+      // z: [0,10) with a fully-netting boundary at 5 ([5,5) zero-length AND
+      // an end+start pair at 5) splitting the busy segment — busy must stay
+      // 10, peak 2 (inside [3,5) where [0,10) and [3,5) overlap).
+      ("z", 0L, 10L), ("z", 3L, 5L), ("z", 5L, 7L), ("z", 5L, 5L),
+      // w: EVERY timestamp nets to zero (two identical zero-length
+      // intervals) — the key must still report (n, 0, 0).
+      ("w", 8L, 8L), ("w", 8L, 8L)
+    ).toDF("k", "s", "e")
+    val out = Windowed.concurrencySweep(iv, "k", "s", "e")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("w", 2L, 0L, 0L), ("z", 4L, 2L, 10L)))
+  }
+
   test("winsorize clips into rank-statistic bounds, keeps NULLs NULL") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
