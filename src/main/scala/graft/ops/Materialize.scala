@@ -160,7 +160,13 @@ object Materialize {
     val max = conf.getOption(TransientMaxConf).map(_.toLong).getOrElse(
       if (conf.get(ModeConf, "local") == "reliable") ReliableDefaultMaxBytes
       else Long.MaxValue)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= max) narrow(df)
+    // Stats off the ANALYZED plan, never optimizedPlan: the Dataset is
+    // already analyzed at construction, so this is one cheap size-visitor
+    // walk — whereas forcing optimizedPlan here would run the full Catalyst
+    // rule fixpoint a SECOND time per construction (the checkpoint's own
+    // execution runs it again), which on expression-heavy subtrees (the
+    // ANN cosine-fold aggregates) costs real driver wall per bench rep.
+    if (df.queryExecution.analyzed.stats.sizeInBytes <= max) narrow(df)
     else df
   }
 

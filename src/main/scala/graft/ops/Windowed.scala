@@ -76,7 +76,9 @@ object Windowed {
       .get(StitchBytesPerPartition, (64L << 20).toString).toLong
     require(target > 0, s"$StitchBytesPerPartition must be > 0, got $target")
     val cap = df.sparkSession.sessionState.conf.numShufflePartitions
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Analyzed-plan stats — one size-visitor walk, no second optimizer
+    // fixpoint (Materialize.narrowIfSmall note).
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
     ((est + target - 1) / target).min(BigInt(cap)).max(BigInt(1)).toInt
   }
 
